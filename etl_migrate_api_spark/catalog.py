@@ -1,0 +1,45 @@
+"""Table registry over the driver's parquet testdata (TESTDATA.md).
+
+All reads go through :func:`load` so filters/column selections applied by
+callers reach the parquet scan (predicate pushdown + column pruning are
+preserved — no caching or materialization here).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+
+def sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+
+
+def load(spark: SparkSession, name: str, base_dir: str | None = None) -> DataFrame:
+    """Lazy parquet scan of one testdata table."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    base = base_dir or sf_dir()
+    return spark.read.parquet(f"{base}/{name}.parquet")
+
+
+def register_all(spark: SparkSession, base_dir: str | None = None) -> None:
+    """Register every testdata table as a temp view for spark.sql()."""
+    for name in TABLES:
+        load(spark, name, base_dir).createOrReplaceTempView(name)

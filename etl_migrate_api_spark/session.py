@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+Every knob here is chosen for the 100 TB posture (SURVEY.md §7 step 8):
+AQE on (runtime partition coalescing + skew-join splitting), broadcast
+threshold explicit, Arrow enabled for the few Pandas-UDF operators,
+shuffle partitions sized for the local harness but overridable via env.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "etl-migrate-api-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Local default: ``local[$SPARK_GRAFT_CPUS or *]``. On a real cluster the
+    caller passes ``master=None`` and lets spark-submit own it; all confs
+    below remain valid at any scale.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus) if cpus else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- adaptive execution: runtime coalescing, skew-join handling ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- shuffle sizing (override per-deployment) ---
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # --- broadcast: dims like state-keys / nation / region stay map-side ---
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- Arrow for the Pandas-UDF slow path (merge fold ref impl, multimodal) ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- parquet scan sizing: ~128 MB splits hold at any SF ---
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # --- timestamps: testdata carries ns timestamps; read as TIMESTAMP_LTZ µs ---
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- keep UI off in the harness; a real deployment re-enables it ---
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
