@@ -32,11 +32,23 @@ def sf_dir() -> str:
 
 
 def load(spark: SparkSession, name: str, base_dir: str | None = None) -> DataFrame:
-    """Lazy parquet scan of one testdata table."""
+    """Lazy parquet scan of one testdata table.
+
+    ``events.ts`` is stored as TIMESTAMP(NANOS) which Spark has no type
+    for; with ``spark.sql.legacy.parquet.nanosAsLong`` it scans as epoch
+    nanos (bigint) and we convert to a µs timestamp here (floor division
+    — matches DuckDB's ns→µs truncation).
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     base = base_dir or sf_dir()
-    return spark.read.parquet(f"{base}/{name}.parquet")
+    df = spark.read.parquet(f"{base}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        # integer division — double division would lose µs precision at 1e18 ns
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def register_all(spark: SparkSession, base_dir: str | None = None) -> None:

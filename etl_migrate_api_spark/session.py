@@ -48,7 +48,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # --- parquet scan sizing: ~128 MB splits hold at any SF ---
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        # --- timestamps: testdata carries ns timestamps; read as TIMESTAMP_LTZ µs ---
+        # --- timestamps: testdata carries ns timestamps; Spark has no ns
+        #     type, so read them as long and convert in catalog.load ---
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.session.timeZone", "UTC")
         # --- keep UI off in the harness; a real deployment re-enables it ---
