@@ -158,18 +158,24 @@ def fingerprint(c: ColumnOrName) -> Column:
 
 def char_shingles(c: ColumnOrName, k: int = 5) -> Column:
     """All k-character shingles of the normalized text → array<string>.
-    Pure HOF (sequence + transform + substring) — stays JVM-side."""
+    Pure HOF (sequence + transform + substring) — stays JVM-side.
+
+    NB: Spark's ``sequence(1, 0)`` is DESCENDING, not empty — short
+    strings must be guarded explicitly."""
     s = F.lower(F.regexp_replace(F.trim(_col(c)), r"\s+", " "))
     n = F.length(s)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.substring(s, i, k))
+    shingles = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)), lambda i: F.substring(s, i, k)
+    )
+    return F.when(n >= k, shingles).otherwise(F.array().cast("array<string>"))
 
 
 def word_ngrams(c: ColumnOrName, n: int = 3) -> Column:
     """Word n-grams (space-joined) → array<string>; JVM-side HOFs only."""
     toks = F.transform(tokens(c), lambda x: F.lower(x))
     cnt = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(cnt - F.lit(n - 1), F.lit(0)))
-    return F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i, n), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
+    return F.when(cnt >= n, grams).otherwise(F.array().cast("array<string>"))

@@ -1,5 +1,393 @@
-"""LLM-data-pipeline operators (BASELINE.json north star): dedup,
-similarity search, text analysis, multimodal — over documents/embeddings.
+"""LLM-data-pipeline operators (BASELINE.json north star) over the
+documents/embeddings tables: dedup (exact, MinHash-LSH, SimHash, n-gram
+Jaccard, embedding-cosine), similarity search (brute-force + LSH top-k),
+and text analysis (token counting, language-ID, quality scoring).
+
+The raw synthetic corpus contains no duplicates (verified: 0 exact dup
+groups, max pairwise cosine 0.51), so dedup queries PLANT deterministic
+duplicates via a shared CTE mirrored identically in Spark and the DuckDB
+oracle: near-dups (text + tail) for ids % 25 == 0, exact dups for
+ids % 20 == 5, scaled embedding copies for vec_id % 40 == 0.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_migrate_api_spark.catalog import load
+from etl_migrate_api_spark.functions.text import (
+    bpe_ish_token_count,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from etl_migrate_api_spark.operators import dedup as dd
+from etl_migrate_api_spark.operators import similarity as sim
+from etl_migrate_api_spark.plans.registry import register
+
+# ---------------------------------------------------------------- planted docs
+
+PLANTED_DOCS_SQL = """
+  select doc_id, text, lang, source from documents
+  union all
+  select doc_id + 100000, text || ' near duplicate tail marker', lang, source
+  from documents where doc_id % 25 = 0
+  union all
+  select doc_id + 200000, text, lang, source
+  from documents where doc_id % 20 = 5
+"""
+
+
+def planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir).select("doc_id", "text", "lang", "source")
+    near = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" near duplicate tail marker")).alias("text"),
+        "lang",
+        "source",
+    )
+    exact = docs.where(F.col("doc_id") % 20 == 5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text", "lang", "source"
+    )
+    return docs.unionByName(near).unionByName(exact)
+
+
+PLANTED_EMB_SQL = """
+  select vec_id, embedding, label from embeddings
+  union all
+  select vec_id + 100000, list_transform(embedding, x -> x * 1.5), label
+  from embeddings where vec_id % 40 = 0
+"""
+
+
+def planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, "embeddings", sf_dir)
+    scaled = emb.where(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+        "label",
+    )
+    return emb.unionByName(scaled)
+
+
+# ---------------------------------------------------------------- exact dedup
+
+
+@register(
+    "llm_exact_dedup",
+    oracle=f"""
+      with docs as ({PLANTED_DOCS_SQL})
+      select md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) as fp,
+             min(doc_id) as keeper_id,
+             count(*) as n_dups
+      from docs group by 1 having count(*) > 1
+    """,
+    survey_refs=("E1", "E2"),
+)
+def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content fingerprint (hash-groupBy, map-side
+    partial agg — one shuffle at any scale)."""
+    return dd.exact_dedup_groups(planted_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------- minhash LSH
+
+_MINHASH_ORACLE = f"""
+with docs as ({PLANTED_DOCS_SQL}),
+norm as (select doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) as t from docs),
+sh as (
+  select distinct doc_id, substr(t, i, 5) as sh
+  from norm, lateral (
+    select unnest(generate_series(1, greatest(length(t) - 4, 0))) as i) g
+  where length(t) >= 5
+),
+minh as (
+  select doc_id, s, min(md5(cast(s as string) || '#' || sh)) as mh
+  from sh cross join (select unnest(generate_series(0, 15)) as s) seeds
+  group by doc_id, s
+),
+bands as (
+  select doc_id, cast(floor(s / 4) as int) as band_idx,
+         md5(string_agg(mh, '|' order by s)) as band_key
+  from minh group by doc_id, cast(floor(s / 4) as int)
+),
+pairs as (
+  select distinct a.doc_id as id_a, b.doc_id as id_b
+  from bands a
+  join bands b on a.band_idx = b.band_idx and a.band_key = b.band_key
+              and a.doc_id < b.doc_id
+),
+cnt as (select doc_id, count(*) as n from sh group by doc_id),
+inter as (
+  select p.id_a, p.id_b, count(*) as c
+  from pairs p
+  join sh x on x.doc_id = p.id_a
+  join sh y on y.doc_id = p.id_b and y.sh = x.sh
+  group by p.id_a, p.id_b
+)
+select p.id_a, p.id_b,
+       cast(coalesce(i.c, 0) as double)
+         / cast(ca.n + cb.n - coalesce(i.c, 0) as double) as jaccard
+from pairs p
+join cnt ca on ca.doc_id = p.id_a
+join cnt cb on cb.doc_id = p.id_b
+left join inter i on i.id_a = p.id_a and i.id_b = p.id_b
+"""
+
+
+@register("llm_minhash_lsh_dedup", oracle=_MINHASH_ORACLE, headline=True)
+def llm_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4×4) near-dup candidates with exact shingle
+    Jaccard verification — deterministic md5 hash family."""
+    return dd.minhash_lsh_candidates(planted_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------- simhash
+
+_SIMHASH_DOC_SQL = f"""
+with docs as ({PLANTED_DOCS_SQL}),
+tok as (
+  select distinct doc_id, t.tok as tok
+  from (select doc_id, lower(trim(text)) as s from docs) d,
+       lateral (select unnest(string_split_regex(s, '\\s+')) as tok) t
+  where t.tok <> ''
+),
+th as (select doc_id, md5(tok) as h from tok),
+votes as (
+  select doc_id, i,
+         sum(case when (cast(strpos('0123456789abcdef',
+                                    substr(h, (i // 4) % 8 + case when i < 32 then 0 else 8 end + 1, 1)) - 1
+                        as int) >> (i % 4)) & 1 = 1
+                  then 1 else -1 end) as v
+  from th cross join (select unnest(generate_series(0, 63)) as i) bits
+  group by doc_id, i
+),
+bits2 as (select doc_id, i, case when v > 0 then 1 else 0 end as b from votes),
+sig as (
+  select doc_id as id,
+         cast(coalesce(sum(case when i < 32 then cast(b as bigint) << i end), 0) as bigint) as simhash_lo,
+         cast(coalesce(sum(case when i >= 32 then cast(b as bigint) << (i - 32) end), 0) as bigint) as simhash_hi
+  from bits2 group by doc_id
+)
+"""
+
+
+@register(
+    "llm_simhash_signatures",
+    oracle=_SIMHASH_DOC_SQL + "select id, simhash_lo, simhash_hi from sig",
+)
+def llm_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (two bigint halves), pure expressions."""
+    return dd.simhash_df(planted_docs(spark, sf_dir))
+
+
+@register(
+    "llm_simhash_neardup",
+    oracle=_SIMHASH_DOC_SQL
+    + """
+      select a.id as id_a, b.id as id_b,
+             cast(bit_count(xor(a.simhash_lo, b.simhash_lo))
+                  + bit_count(xor(a.simhash_hi, b.simhash_hi)) as int) as hamming
+      from sig a
+      join sig b on a.simhash_hi = b.simhash_hi and a.id < b.id
+      where bit_count(xor(a.simhash_lo, b.simhash_lo))
+            + bit_count(xor(a.simhash_hi, b.simhash_hi)) <= 8
+    """,
+)
+def llm_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 8), blocked on the hi half."""
+    return dd.simhash_neardup_pairs(planted_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------- ngram jaccard
+
+_NGRAM_ORACLE = f"""
+with docs as ({PLANTED_DOCS_SQL}),
+norm as (
+  select doc_id, source,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') as toks
+  from docs
+),
+grams as (
+  select distinct doc_id, source,
+         toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] as g
+  from norm, lateral (
+    select unnest(generate_series(1, greatest(len(toks) - 2, 0))) as i) gi
+  where len(toks) >= 3
+),
+cnt as (select doc_id, count(*) as n from grams group by doc_id),
+pairs as (
+  select x.doc_id as id_a, y.doc_id as id_b, count(*) as c
+  from grams x
+  join grams y on x.source = y.source and x.g = y.g and x.doc_id < y.doc_id
+  group by 1, 2
+)
+select p.id_a, p.id_b,
+       cast(p.c as double) / cast(ca.n + cb.n - p.c as double) as jaccard
+from pairs p
+join cnt ca on ca.doc_id = p.id_a
+join cnt cb on cb.doc_id = p.id_b
+where cast(p.c as double) / cast(ca.n + cb.n - p.c as double) >= 0.3
+"""
+
+
+@register("llm_ngram_jaccard_dedup", oracle=_NGRAM_ORACLE)
+def llm_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard ≥ 0.3 within a blocking key (source)."""
+    return dd.ngram_jaccard_pairs(
+        planted_docs(spark, sf_dir), block_col="source", n=3, threshold=0.3
+    )
+
+
+# ---------------------------------------------------------------- embeddings
+
+
+@register(
+    "llm_embedding_neardup",
+    oracle=f"""
+      with emb as ({PLANTED_EMB_SQL})
+      select a.vec_id as id_a, b.vec_id as id_b
+      from emb a
+      join emb b on a.label = b.label and a.vec_id < b.vec_id
+      where list_cosine_similarity(a.embedding, b.embedding) > 0.95
+    """,
+)
+def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (>0.95) within label blocks."""
+    return sim.embedding_neardup_pairs(
+        planted_embeddings(spark, sf_dir), threshold=0.95
+    ).select("id_a", "id_b")
+
+
+@register(
+    "llm_ann_bruteforce_topk",
+    oracle="""
+      with q as (select vec_id as query_id, embedding as qv from embeddings where vec_id < 10),
+      scored as (
+        select q.query_id, c.vec_id as neighbor_id,
+               list_cosine_similarity(q.qv, c.embedding) as sim
+        from q join embeddings c on c.vec_id <> q.query_id
+      ),
+      r as (select query_id, neighbor_id,
+                   row_number() over (partition by query_id
+                                      order by sim desc, neighbor_id) as rank
+            from scored)
+      select query_id, cast(rank as int) as rank, neighbor_id from r where rank <= 5
+    """,
+    headline=True,
+)
+def llm_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 10 query vectors against the corpus
+    (broadcast queries × corpus scan — linear, shuffle-free)."""
+    emb = load(spark, "embeddings", sf_dir)
+    return sim.bruteforce_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+@register("llm_ann_lsh_topk", oracle=None)
+def llm_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate LSH-bucketed top-k (rows-only: approximation quality
+    is measured against the brute-force query, not an oracle)."""
+    emb = load(spark, "embeddings", sf_dir)
+    return sim.lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+# ---------------------------------------------------------------- text analysis
+
+_STOPWORD_SQL_LIST = (
+    "['the','a','an','and','or','of','to','in','is','it','that','for','on',"
+    "'as','with','was','at','by','be','this']"
+)
+
+_TEXT_METRIC_SQL = f"""
+  toks as (
+    select doc_id,
+           list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') as tk,
+           text as s
+    from docs
+  ),
+  m as (
+    select doc_id, s,
+           len(tk) as n_tok,
+           len(list_filter(list_transform(tk, x -> lower(x)),
+                           x -> list_contains({_STOPWORD_SQL_LIST}, x))) as n_stop,
+           length(s) as n_char,
+           length(regexp_replace(s, '[^A-Za-z0-9\\s]', '', 'g')) as n_nonpunct,
+           length(regexp_replace(s, '[^A-Za-z ]', '', 'g')) as n_ascii,
+           length(regexp_replace(s, '\\s+', '', 'g')) as n_compact
+    from toks
+  ),
+  r as (
+    select doc_id, n_tok,
+           case when n_tok > 0 then cast(n_stop as double) / n_tok else 0.0 end as stop_ratio,
+           case when n_char > 0 then cast(n_char - n_nonpunct as double) / n_char else 0.0 end as punct_ratio,
+           case when n_char > 0 then cast(n_ascii as double) / n_char else 0.0 end as density,
+           case when n_tok > 0 then cast(n_compact as double) / n_tok else 0.0 end as mean_word_len,
+           n_char
+    from m
+  )
+"""
+
+
+@register(
+    "llm_token_stats",
+    oracle=f"""
+      with docs as (select doc_id, text from documents)
+      select doc_id,
+             cast(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) as bigint) as n_tok,
+             cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) as bigint) as n_bpe
+      from docs
+    """,
+)
+def llm_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish word-piece proxy."""
+    docs = load(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tok"),
+        bpe_ish_token_count("text").alias("n_bpe"),
+    )
+
+
+@register(
+    "llm_lang_id",
+    oracle=f"""
+      with docs as (select doc_id, text, lang from documents),
+      {_TEXT_METRIC_SQL}
+      select d.lang,
+             case when length(coalesce(d.text, '')) = 0 then 'und'
+                  when r.density >= 0.6 and r.stop_ratio > 0.05 then 'en'
+                  when r.density >= 0.6 then 'latin'
+                  else 'other' end as lang_pred,
+             count(*) as n
+      from docs d join r on r.doc_id = d.doc_id
+      group by 1, 2
+    """,
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID vs the labeled lang column (confusion counts)."""
+    docs = load(spark, "documents", sf_dir)
+    return docs.groupBy(
+        "lang", lang_id("text").alias("lang_pred")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "llm_quality_score",
+    oracle=f"""
+      with docs as (select doc_id, text from documents),
+      {_TEXT_METRIC_SQL}
+      select doc_id,
+             round((
+               (case when n_tok >= 5 and n_tok <= 100000 then 1.0 else 0.0 end)
+             + (case when punct_ratio <= 0.2 then 1.0 else 0.0 end)
+             + (case when stop_ratio >= 0.01 then 1.0 else 0.0 end)
+             + (case when mean_word_len >= 2.0 and mean_word_len <= 12.0 then 1.0 else 0.0 end)
+             ) / 4.0, 4) as quality
+      from r
+    """,
+)
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style heuristic quality score per document."""
+    docs = load(spark, "documents", sf_dir)
+    return docs.select("doc_id", quality_score("text").alias("quality"))
