@@ -292,6 +292,41 @@ def llm_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
+# ---------------------------------------------------------------- multimodal
+
+
+@register(
+    "llm_multimodal_decode",
+    oracle=None,  # Pandas-UDF decode path; plumbing verified in pytest
+)
+def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image metadata decode over binary media columns (mapInPandas,
+    Arrow-batched; decoder stubbed deterministically — see
+    operators/multimodal.py)."""
+    from etl_migrate_api_spark.operators.multimodal import (
+        decode_images,
+        fake_media_table,
+    )
+
+    docs = load(spark, "documents", sf_dir)
+    return decode_images(fake_media_table(docs))
+
+
+@register("llm_multimodal_frames", oracle=None)
+def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling as pure binary-slice expressions (no Python
+    in the executed plan — asserted in tests)."""
+    from etl_migrate_api_spark.operators.multimodal import (
+        fake_media_table,
+        sample_frames,
+    )
+
+    docs = load(spark, "documents", sf_dir)
+    return sample_frames(fake_media_table(docs)).select(
+        "media_id", "frame_idx", F.length("frame").alias("frame_bytes")
+    )
+
+
 # ---------------------------------------------------------------- text analysis
 
 _STOPWORD_SQL_LIST = (
