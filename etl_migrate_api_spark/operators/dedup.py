@@ -21,8 +21,62 @@ from pyspark.sql import functions as F
 
 from etl_migrate_api_spark.functions.text import char_shingles, fingerprint
 
+# PERF NOTE (measured 25× at sf0.1): an expression referenced inside a
+# higher-order-function lambda is RE-EVALUATED PER ARRAY ELEMENT — Spark
+# does no common-subexpression elimination into lambda bodies. Computing
+# shingles as transform(seq, i -> substring(<regex-normalize(text)>, i, 5))
+# runs the regex once per shingle. Every heavy operator below therefore
+# materializes normalized text / token arrays as plain attribute columns
+# (with a repartition barrier so CollapseProject can't inline them back,
+# which also spreads CPU across cores when the input is a few small
+# parquet splits).
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to the session's default parallelism: a barrier against
+    projection collapse + parallelism for CPU-heavy narrow maps over
+    small file counts. At 100 TB input splits already provide both."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def _norm_text(c: str) -> Column:
+    return F.lower(F.regexp_replace(F.trim(F.col(c)), r"\s+", " "))
+
+
+def _shingles_of_attr(t: str, k: int = 5) -> Column:
+    """k-shingles of an ALREADY-NORMALIZED attribute column (cheap
+    substring per element — safe inside the lambda)."""
+    n = F.length(t)
+    sh = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)), lambda i: F.substring(F.col(t), i, k)
+    )
+    return F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
+
 N_HASHES = 16
-BAND_SIZE = 4  # 4 bands × 4 rows → LSH threshold ≈ (1/4)^(1/4) ≈ 0.71
+# 2 bands × 8 rows → LSH threshold ≈ (1/2)^(1/8) ≈ 0.92. Deliberately
+# tight: the synthetic corpus draws from a tiny shingle vocabulary
+# (~2k distinct shingles — measured), so looser bands (4×4, thr≈0.71)
+# produce ~half a million low-jaccard candidates at sf0.1 and the verify
+# join becomes the quadratic bottleneck. Near-dup detection wants the
+# high-threshold regime anyway.
+BAND_SIZE = 8
+
+# Classic MinHash hash family: ONE md5 per shingle → 60-bit int, then
+# n_hashes cheap modular permutations h_s = (a_s·h + b_s) mod P.
+# (The first draft md5'd every (seed, shingle) pair — 16× the hashing
+# and the dominant cost at sf0.1.) Constants are Knuth/Murmur-style
+# multipliers reduced mod P; both engines evaluate the same literals.
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+MINHASH_PARAMS: list[tuple[int, int, int]] = [
+    (s, ((s + 1) * 0x9E3779B1) % MINHASH_P, ((s + 1) * 0x85EBCA77) % MINHASH_P)
+    for s in range(N_HASHES)
+]
+
+
+def minhash_params_sql_values() -> str:
+    """(s, a, b) literals as a SQL VALUES list — the oracle uses the
+    exact same hash family."""
+    return ", ".join(f"({s}, {a}, {b})" for s, a, b in MINHASH_PARAMS)
 
 
 def exact_dedup_groups(
@@ -41,30 +95,48 @@ def exact_dedup_groups(
     )
 
 
-def minhash_signature(text: Column, n_hashes: int = N_HASHES, k: int = 5) -> Column:
-    """MinHash signature as array<string>: per seed s, the lexicographic
-    min of md5('<s>#' || shingle) over the doc's distinct k-shingles.
-    (Lexicographic min of fixed-width hex ≡ numeric min.) Empty shingle
-    set → NULL signature."""
-    sh = F.array_distinct(char_shingles(text, k))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+def shingle_hashes(sh: Column) -> Column:
+    """One 60-bit md5-derived int per shingle, reduced mod P."""
+    return F.transform(
+        sh,
+        lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("bigint")
+        % MINHASH_P,
+    )
+
+
+def minhash_signature_from_hashes(hv: Column) -> Column:
+    """MinHash signature as array<bigint> from a PRE-MATERIALIZED
+    attribute column of shingle hash ints (see PERF NOTE — passing a
+    hash *expression* here would re-run the md5s once per seed):
+    sig[s] = min over shingles of (a_s·h + b_s) mod P."""
+    a_arr = F.array(*[F.lit(a) for _, a, _ in MINHASH_PARAMS])
+    b_arr = F.array(*[F.lit(b) for _, _, b in MINHASH_PARAMS])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
         lambda s: F.array_min(
             F.transform(
-                sh, lambda x: F.md5(F.concat(s.cast("string"), F.lit("#"), x))
+                hv,
+                lambda x: (F.element_at(a_arr, s + 1) * x + F.element_at(b_arr, s + 1))
+                % MINHASH_P,
             )
         ),
     )
-    return F.when(F.size(sh) > 0, sig)
 
 
 def lsh_band_keys(sig: Column, n_hashes: int = N_HASHES, band_size: int = BAND_SIZE) -> Column:
-    """Band the signature: array of (n_hashes/band_size) md5 band keys."""
+    """Band the signature: array of (n_hashes/band_size) md5 band keys
+    over the stringified signature ints."""
     n_bands = n_hashes // band_size
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_bands - 1)),
         lambda b: F.md5(
-            F.array_join(F.slice(sig, b * band_size + 1, band_size), "|")
+            F.array_join(
+                F.transform(
+                    F.slice(sig, b * band_size + 1, band_size),
+                    lambda x: x.cast("string"),
+                ),
+                "|",
+            )
         ),
     )
 
@@ -79,17 +151,33 @@ def minhash_lsh_candidates(
     equi-join on (band_idx, band_key) → distinct pairs → join back the
     two shingle sets → Jaccard as array_intersect/array_union sizes.
     """
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(char_shingles(text_col)).alias("sh"),
-    ).where(F.size("sh") > 0)
+    # Shingle STRINGS never leave the first projection: every downstream
+    # consumer (signature, Jaccard verify) works on the md5-derived 60-bit
+    # ints instead. Int arrays are ~10× cheaper to cache and to intersect
+    # than 5-char string arrays, and md5 collisions at 2^60 are
+    # negligible — the oracle hashes identically, so even a collision
+    # would agree. At 100 TB `base` becomes a signature table written once.
+    # Guard on length(t), NOT on size(hv): a size(hv)>0 filter gets
+    # predicate-pushed below the repartition and re-evaluates the whole
+    # shingle+hash chain at input-file parallelism (measured 4× slowdown).
+    base = (
+        _spread(df.select(F.col(id_col).alias("id"), _norm_text(text_col).alias("t")))
+        .where(F.length("t") >= 5)
+        .select(
+            "id",
+            F.array_distinct(shingle_hashes(_shingles_of_attr("t"))).alias("hv"),
+        )
+        .persist()
+    )
+
+    base.count()  # eager: branches below would otherwise race to compute it
 
     banded = base.select(
         "id",
-        F.posexplode(lsh_band_keys(minhash_signature_from_shingles(F.col("sh")))).alias(
+        F.posexplode(lsh_band_keys(minhash_signature_from_hashes(F.col("hv")))).alias(
             "band_idx", "band_key"
         ),
-    )
+    ).persist()
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -102,23 +190,14 @@ def minhash_lsh_candidates(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    sh_a = base.select(F.col("id").alias("id_a"), F.col("hv").alias("sh_a"))
+    sh_b = base.select(F.col("id").alias("id_b"), F.col("hv").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
         pairs.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .select("id_a", "id_b", (inter / union).alias("jaccard"))
-    )
-
-
-def minhash_signature_from_shingles(sh: Column, n_hashes: int = N_HASHES) -> Column:
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda s: F.array_min(
-            F.transform(sh, lambda x: F.md5(F.concat(s.cast("string"), F.lit("#"), x)))
-        ),
     )
 
 
@@ -159,17 +238,20 @@ def simhash_halves(tokens_hashed: str) -> tuple[Column, Column]:
 def simhash_df(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, simhash_lo, simhash_hi) per document."""
+    """(id, simhash_lo, simhash_hi) per document.
+
+    Token md5s are materialized as an attribute column first — the bit
+    formulas index into them 64×, and inlining the tokenize+md5 chain
+    into each bit would recompute it 64× (see PERF NOTE above)."""
     hashed = (
         "transform(array_distinct(filter(split(lower(trim({t})), '\\\\s+'), "
         "x -> x != '')), t -> md5(t))"
     ).format(t=text_col)
-    lo, hi = simhash_halves(hashed)
-    return df.select(
-        F.col(id_col).alias("id"),
-        lo.alias("simhash_lo"),
-        hi.alias("simhash_hi"),
+    th = _spread(
+        df.select(F.col(id_col).alias("id"), F.expr(hashed).alias("th"))
     )
+    lo, hi = simhash_halves("th")
+    return th.select("id", lo.alias("simhash_lo"), hi.alias("simhash_hi"))
 
 
 def simhash_neardup_pairs(
@@ -186,7 +268,7 @@ def simhash_neardup_pairs(
     chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal); hi-half
     blocking is the same idea at this SF.
     """
-    s = simhash_df(df, text_col, id_col)
+    s = simhash_df(df, text_col, id_col).persist()  # both sides of the self-join
     a = s.alias("a")
     b = s.alias("b")
     ham = F.expr(
@@ -218,13 +300,31 @@ def ngram_jaccard_pairs(
     """Word n-gram Jaccard similarity for pairs within a blocking key
     (full cross-join is never acceptable at scale — callers block on
     lang/source/length-band)."""
-    from etl_migrate_api_spark.functions.text import word_ngrams
-
-    base = df.select(
-        F.col(id_col).alias("id"),
-        (F.col(block_col) if block_col else F.lit(1)).alias("blk"),
-        F.array_distinct(word_ngrams(text_col, n)).alias("g"),
-    ).where(F.size("g") > 0)
+    # tokens as an attribute column first (PERF NOTE above), then n-grams
+    # as cheap slice/join over the attribute
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    with_toks = _spread(
+        df.select(
+            F.col(id_col).alias("id"),
+            (F.col(block_col) if block_col else F.lit(1)).alias("blk"),
+            toks.alias("tk"),
+        )
+    )
+    cnt = F.size("tk")
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(F.col("tk"), i, n), " "),
+    )
+    # guard on the cheap token count, not on size(grams) — a size filter
+    # would be predicate-pushed below the repartition and re-evaluate the
+    # gram chain at input parallelism (see minhash note above)
+    base = (
+        with_toks.where(cnt >= n)
+        .select("id", "blk", F.array_distinct(grams).alias("g"))
+        .persist()
+    )
     a = base.alias("a")
     b = base.alias("b")
     inter = F.size(F.array_intersect("a.g", "b.g")).cast("double")

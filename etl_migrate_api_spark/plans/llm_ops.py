@@ -93,7 +93,14 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- minhash LSH
 
-_MINHASH_ORACLE = f"""
+def _minhash_oracle() -> str:
+    from etl_migrate_api_spark.operators.dedup import (
+        BAND_SIZE,
+        MINHASH_P,
+        minhash_params_sql_values,
+    )
+
+    return f"""
 with docs as ({PLANTED_DOCS_SQL}),
 norm as (select doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) as t from docs),
 sh as (
@@ -102,15 +109,21 @@ sh as (
     select unnest(generate_series(1, greatest(length(t) - 4, 0))) as i) g
   where length(t) >= 5
 ),
+sh_h as (
+  select distinct doc_id,
+         cast(concat('0x', substr(md5(sh), 1, 15)) as bigint) % {MINHASH_P} as h
+  from sh
+),
+seeds(s, a, b) as (values {minhash_params_sql_values()}),
 minh as (
-  select doc_id, s, min(md5(cast(s as string) || '#' || sh)) as mh
-  from sh cross join (select unnest(generate_series(0, 15)) as s) seeds
+  select doc_id, s, min((a * h + b) % {MINHASH_P}) as mh
+  from sh_h cross join seeds
   group by doc_id, s
 ),
 bands as (
-  select doc_id, cast(floor(s / 4) as int) as band_idx,
-         md5(string_agg(mh, '|' order by s)) as band_key
-  from minh group by doc_id, cast(floor(s / 4) as int)
+  select doc_id, cast(floor(s / {BAND_SIZE}) as int) as band_idx,
+         md5(string_agg(cast(mh as string), '|' order by s)) as band_key
+  from minh group by doc_id, cast(floor(s / {BAND_SIZE}) as int)
 ),
 pairs as (
   select distinct a.doc_id as id_a, b.doc_id as id_b
@@ -118,12 +131,12 @@ pairs as (
   join bands b on a.band_idx = b.band_idx and a.band_key = b.band_key
               and a.doc_id < b.doc_id
 ),
-cnt as (select doc_id, count(*) as n from sh group by doc_id),
+cnt as (select doc_id, count(*) as n from sh_h group by doc_id),
 inter as (
   select p.id_a, p.id_b, count(*) as c
   from pairs p
-  join sh x on x.doc_id = p.id_a
-  join sh y on y.doc_id = p.id_b and y.sh = x.sh
+  join sh_h x on x.doc_id = p.id_a
+  join sh_h y on y.doc_id = p.id_b and y.h = x.h
   group by p.id_a, p.id_b
 )
 select p.id_a, p.id_b,
@@ -136,7 +149,7 @@ left join inter i on i.id_a = p.id_a and i.id_b = p.id_b
 """
 
 
-@register("llm_minhash_lsh_dedup", oracle=_MINHASH_ORACLE, headline=True)
+@register("llm_minhash_lsh_dedup", oracle=_minhash_oracle(), headline=True)
 def llm_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16)+LSH(4×4) near-dup candidates with exact shingle
     Jaccard verification — deterministic md5 hash family."""
