@@ -27,8 +27,11 @@ def slots_from_array(arr: Column) -> list[Column]:
     """Project an array<string> into the 10 legacy slot columns
     (``tel_no``..``tel_no10``) — reference sink shape
     (etl_customer_crm, reference src/services/saveToPostgres.js:277-311)."""
+    # try_element_at: ANSI mode (Spark 4 default) makes plain element_at
+    # THROW on out-of-bounds; slots arrays are usually shorter than 10
     return [
-        F.element_at(arr, i + 1).alias(SLOT_COLS[i]) for i in range(N_SLOTS)
+        F.try_element_at(arr, F.lit(i + 1)).alias(SLOT_COLS[i])
+        for i in range(N_SLOTS)
     ]
 
 

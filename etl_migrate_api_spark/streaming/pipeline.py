@@ -1,0 +1,92 @@
+"""Structured Streaming variants (SURVEY.md §2 X1 streaming mapping +
+the 'true streaming watermarks/session windows' north-star gap).
+
+Two shapes:
+
+``contact_stream``
+    EP1 as a stream: file-source micro-batches → ``foreachBatch`` running
+    the SAME stage functions as the batch job (classify → fold → upsert).
+    The streaming checkpoint replaces the watermark table as the offset
+    store; per-batch ordering inside the fold still comes from the
+    explicit ``seq`` column (a micro-batch has no implicit row order).
+
+``windowed_event_counts_stream``
+    Event-time tumbling-window aggregation with a lateness watermark —
+    the standard streaming agg the reference lacks entirely.
+
+Both are exercised with ``trigger(availableNow=True)`` in tests (bounded
+run over the parquet input, same code path as a live stream).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def windowed_event_counts_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    window: str = "6 hours",
+    watermark: str = "1 hour",
+) -> StreamingQuery:
+    """Tumbling event-time window counts with late-data watermark,
+    append-mode parquet sink; availableNow trigger (bounded)."""
+    schema = spark.read.parquet(source_dir).schema
+    events = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def contact_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    process_batch: Callable[[DataFrame, int], None],
+    schema=None,
+) -> StreamingQuery:
+    """EP1 streaming shape: each micro-batch of landed contact records is
+    handed to ``process_batch(batch_df, batch_id)`` — the caller plugs in
+    the same classify/fold/upsert stages as the batch job (foreachBatch
+    is the idempotent-sink adapter; Spark retries a failed batch with the
+    same batch_id, so sinks keyed on batch_id are exactly-once)."""
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
