@@ -1,0 +1,66 @@
+"""Plan-shape assertions: the physical plans the engine relies on at
+scale must not silently regress — pushdown reaching the scan, column
+pruning, broadcast join selection, no Python in expression-only paths.
+(SURVEY.md §4: these are the Catalyst-provided properties the design
+depends on.)"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    from etl_migrate_api_spark.plans.registry import QUERIES, _load_all
+
+    _load_all()
+    return QUERIES
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir, queries):
+    plan = _plan(queries["filter_range_cursor"].fn(spark, sf_dir))
+    assert "GreaterThan(o_orderkey,10000)" in plan  # pushed to the scan
+    # column pruning: only the 3 referenced columns are read
+    assert "struct<o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string>" in plan
+
+
+def test_q1_prunes_columns(spark, sf_dir, queries):
+    plan = _plan(queries["q1_pricing_summary"].fn(spark, sf_dir))
+    # 7 of 11 lineitem columns read, shipdate filter pushed
+    assert "l_comment" not in plan
+    assert "l_orderkey" not in plan.split("ReadSchema")[-1]
+    assert "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_dim_joins_are_broadcast(spark, sf_dir, queries):
+    for q in ("q3_shipping_priority", "q5_local_supplier_volume", "join_lookup_dim"):
+        plan = _plan(queries[q].fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, q
+        assert "SortMergeJoin" not in plan, q
+
+
+def test_no_python_in_expression_paths(spark, sf_dir, queries):
+    for q in (
+        "contact_merge_fold",
+        "llm_minhash_lsh_dedup",
+        "llm_simhash_signatures",
+        "llm_ann_bruteforce_topk",
+        "llm_quality_score",
+    ):
+        plan = _plan(queries[q].fn(spark, sf_dir))
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, q
+        assert "MapInPandas" not in plan, q
+
+
+def test_merge_fold_single_shuffle(spark, sf_dir, queries):
+    """The fold is one hash aggregate: exactly one exchange for the
+    stateless variant (plus broadcast for the stateful join)."""
+    plan = _plan(queries["contact_merge_fold"].fn(spark, sf_dir))
+    n_exchanges = sum(
+        "Exchange hashpartitioning" in line for line in plan.splitlines()
+    )
+    assert n_exchanges == 1, plan[:2000]
