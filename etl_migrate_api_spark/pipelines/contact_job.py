@@ -197,6 +197,30 @@ class ContactEtlJob:
             )
             raise
 
+    # ---- EP2: refresh-state (K8/S8, preloadRedis.js:5-85) -----------------
+    def rebuild_state(self) -> int:
+        """Rebuild the state table from the sink — the reference's
+        Redis-preload endpoint collapsed to one statement: read sink,
+        project key + phone slots back to canonical arrays, atomic
+        overwrite. Returns the number of state rows."""
+        from etl_migrate_api_spark.functions.arrays import SLOT_COLS
+        from etl_migrate_api_spark.functions.text import norm_str, split_csv
+
+        if not self.sink.exists():
+            self.state.replace(
+                self.spark.createDataFrame([], schema=STATE_SCHEMA)
+            )
+            return 0
+        sink_df = self.sink.read()
+        slot_arr = F.array(*[norm_str(F.col(c)) for c in SLOT_COLS])
+        state = sink_df.select(
+            "hn_code",
+            F.filter(slot_arr, lambda x: x.isNotNull()).alias("slots"),
+            split_csv(F.col("note_other")).alias("extras"),
+        )
+        self.state.replace(state)
+        return self.state.read().count()
+
     # ---- the loop (X1) ---------------------------------------------------
     def run(self, last_id: int | None = None, max_batches: int | None = None) -> JobResult:
         cursor = self.last_successful_id() if last_id is None else last_id

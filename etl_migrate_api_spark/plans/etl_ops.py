@@ -734,6 +734,133 @@ def agg_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PO_BATCH_SQL = """
+  select o.o_orderkey * 10 + l.l_linenumber as recid,
+         o.o_orderkey as po_no,
+         l.l_linenumber as line_no,
+         cast(l.l_partkey as string) as ProductDetail,
+         cast(l.l_quantity as int) as QTY,
+         l.l_extendedprice / l.l_quantity as PricePerUnit,
+         l.l_extendedprice as TotalPrice,
+         case when o.o_custkey % 2 = 0 then 'M' else 'F' end as Sex,
+         o.o_orderpriority as ChannelName,
+         strftime(o.o_orderdate, '%Y-%m-%dT00:00:00.000Z') as birthdate,
+         l.l_suppkey as sell_by
+  from orders o join lineitem l on l.l_orderkey = o.o_orderkey
+"""
+
+
+@register(
+    "po_projection_pipeline",
+    oracle=f"""
+      with po_batch as ({_PO_BATCH_SQL})
+      select recid as id,
+             po_no, line_no,
+             ProductDetail as productdetail,
+             QTY as qty,
+             PricePerUnit as priceperunit,
+             TotalPrice as totalprice,
+             Sex as sex,
+             ChannelName as channelname,
+             substr(birthdate, 1, 10) as birthdate,
+             cast(sell_by as string) as sell_by,
+             'CRM' as rectype
+      from po_batch
+    """,
+    survey_refs=("P1", "P3", "P4", "P5", "K4", "S2"),
+)
+def po_projection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP3, the PO flow (reference server.js:95-164): mixed-case source
+    keys → snake_case sink columns (the case-sensitivity hazard flagged
+    at server.js:141), numeric coercion ``?.toString()``, ISO-timestamp →
+    date truncation ``split('T')[0]``, literal rectype. The mixed-case
+    'po_batch' is synthesized from orders×lineitem identically on both
+    engines."""
+    o = load(spark, "orders", sf_dir)
+    li = load(spark, "lineitem", sf_dir)
+    po_batch = o.join(li, li.l_orderkey == o.o_orderkey).select(
+        (F.col("o_orderkey") * 10 + F.col("l_linenumber")).alias("recid"),
+        F.col("o_orderkey").alias("po_no"),
+        F.col("l_linenumber").alias("line_no"),
+        F.col("l_partkey").cast("string").alias("ProductDetail"),
+        F.col("l_quantity").cast("int").alias("QTY"),
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("PricePerUnit"),
+        F.col("l_extendedprice").alias("TotalPrice"),
+        F.when(F.col("o_custkey") % 2 == 0, "M").otherwise("F").alias("Sex"),
+        F.col("o_orderpriority").alias("ChannelName"),
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'00:00:00.000'Z'").alias("birthdate"),
+        F.col("l_suppkey").alias("sell_by"),
+    )
+    # the projection pipeline under test (P1-P5):
+    return po_batch.select(
+        F.col("recid").alias("id"),
+        "po_no",
+        "line_no",
+        F.col("ProductDetail").alias("productdetail"),
+        F.col("QTY").alias("qty"),
+        F.col("PricePerUnit").alias("priceperunit"),
+        F.col("TotalPrice").alias("totalprice"),
+        F.col("Sex").alias("sex"),
+        F.col("ChannelName").alias("channelname"),
+        F.substring("birthdate", 1, 10).alias("birthdate"),
+        F.col("sell_by").cast("string").alias("sell_by"),
+        F.lit("CRM").alias("rectype"),
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+      with gaps as (
+        select user_id, event_id, ts,
+               case when ts - lag(ts) over (partition by user_id
+                                            order by ts, event_id)
+                         > interval 30 minutes
+                    then 1 else 0 end as new_session
+        from events
+      ),
+      sess as (
+        select user_id, event_id,
+               sum(new_session) over (partition by user_id
+                                      order by ts, event_id
+                                      rows between unbounded preceding and current row)
+                 as session_no
+        from gaps
+      )
+      select user_id, cast(session_no as int) as session_no,
+             count(*) as n_events,
+             min(event_id) as first_event,
+             max(event_id) as last_event
+      from sess
+      group by user_id, session_no
+    """,
+    survey_refs=("W1", "W2", "X1"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) as windowed batch
+    logic: lag → new-session flag → running sum = session number. The
+    streaming twin is streaming/stateful.py's applyInPandasWithState
+    operator; this batch form is the oracle-checkable semantics."""
+    ev = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # µs-exact gap (cast-to-long would truncate to seconds and disagree
+    # with the oracle's interval comparison on sub-second boundaries)
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_session = F.when(gap > 30 * 60 * 1_000_000, 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.withColumn("session_no", F.sum(new_session).over(run).cast("int"))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+    )
+
+
 @register("agg_approx_distinct", oracle=None, survey_refs=("A3",))
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approximate distinct (no oracle — approximate by design; the

@@ -91,6 +91,21 @@ def test_idempotent_recovery_rerun(job, spark):
     assert after == before
 
 
+def test_rebuild_state_matches_incremental(job):
+    """EP2: state rebuilt from the sink equals the incrementally
+    maintained state (the reference's refresh-redis endpoint)."""
+    job.run()
+    incremental = {
+        r["hn_code"]: (r["slots"], r["extras"]) for r in job.state.read().collect()
+    }
+    n = job.rebuild_state()
+    rebuilt = {
+        r["hn_code"]: (r["slots"], r["extras"]) for r in job.state.read().collect()
+    }
+    assert n == len(incremental)
+    assert rebuilt == incremental
+
+
 def test_empty_source_no_op(spark, tmp_path):
     src = CursorSource(spark, make_fetch([]), schema=BATCH_SCHEMA)
     job = ContactEtlJob(spark, src, str(tmp_path))
