@@ -117,6 +117,74 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: assign every vector to its
+    nearest-centroid cell (argmax cosine, tie-break on centroid id),
+    then rank only within the query's cell.
+
+    The classic IVF layout for vector search at scale: the corpus is
+    partitioned ONCE by cell (at 100 TB: written bucketed by cell_id so
+    repeated queries prune to one bucket); a query probes 1 cell (nprobe
+    =1 here; raising nprobe = unioning more cells). Centroids are data
+    (a tiny broadcast dim), so the whole operator is joins + windows —
+    no UDFs, no training dependency (callers pass k-means output or any
+    deterministic sample as centroids)."""
+    cent = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v")
+        )
+    )
+
+    def assign(df: DataFrame, idc: str, vc: str) -> DataFrame:
+        scored = df.join(cent).select(
+            F.col(idc),
+            F.col(vc),
+            "cent_id",
+            cosine_similarity(F.col(vc), F.col("cent_v")).alias("cs"),
+        )
+        w = Window.partitionBy(idc).orderBy(F.col("cs").desc(), F.col("cent_id"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col(idc), F.col(vc), F.col("cent_id").alias("cell"))
+        )
+
+    c = assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        "neighbor_id",
+        "cv",
+    )
+    q = assign(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        "query_id",
+        "qv",
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "cell",
+            "neighbor_id",
+            cosine_similarity(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int"), "neighbor_id", F.col("cell").cast("int"))
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -861,6 +861,182 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "subquery_scalar_avg",
+    oracle="""
+      select o_orderkey,
+             cast(round(cast(o_totalprice as decimal(18,2)), 2) as double) as total
+      from orders
+      where o_totalprice > (select avg(o_totalprice) * 1.8 from orders)
+    """,
+    survey_refs=("F1", "A3"),
+)
+def subquery_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate (free via Catalyst; absent in the
+    reference)."""
+    o = load(spark, "orders", sf_dir)
+    avg = o.agg((F.avg("o_totalprice") * 1.8).alias("cut"))
+    return (
+        o.join(F.broadcast(avg))
+        .where(F.col("o_totalprice") > F.col("cut"))
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice").cast(_DEC), 2).cast("double").alias("total"),
+        )
+    )
+
+
+@register(
+    "subquery_correlated_exists",
+    oracle="""
+      select s_suppkey, s_name from supplier s
+      where exists (select 1 from lineitem l
+                    where l.l_suppkey = s.s_suppkey and l.l_quantity > 49)
+    """,
+    survey_refs=("J1",),
+)
+def subquery_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS ≡ left-semi join on the pushed-down probe."""
+    sup = load(spark, "supplier", sf_dir)
+    li = load(spark, "lineitem", sf_dir).where(F.col("l_quantity") > 49)
+    return sup.join(li, sup.s_suppkey == li.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+      select o_orderstatus,
+             quantile_cont(o_totalprice, 0.5) as p50,
+             quantile_cont(o_totalprice, 0.9) as p90
+      from orders group by o_orderstatus
+    """,
+    survey_refs=("A3",),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont`` — identical linear interpolation)."""
+    o = load(spark, "orders", sf_dir)
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+    )
+
+
+@register(
+    "null_semantics_battery",
+    oracle="""
+      select p_partkey,
+             coalesce(p_name, 'unknown') as name_or,
+             nullif(p_brand, 'Brand#1') as brand_nn,
+             (p_size is null) as size_is_null,
+             ifnull(cast(p_size as string), 'n/a') as size_str,
+             (p_size is not distinct from 10) as size_nsafe_10
+      from part
+    """,
+    survey_refs=("P2", "T2", "T7"),
+)
+def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling battery: coalesce / nullif / null-safe equality."""
+    p = load(spark, "part", sf_dir)
+    return p.select(
+        "p_partkey",
+        F.coalesce("p_name", F.lit("unknown")).alias("name_or"),
+        F.nullif(F.col("p_brand"), F.lit("Brand#1")).alias("brand_nn"),
+        F.isnull("p_size").alias("size_is_null"),
+        F.coalesce(F.col("p_size").cast("string"), F.lit("n/a")).alias("size_str"),
+        F.col("p_size").eqNullSafe(F.lit(10)).alias("size_nsafe_10"),
+    )
+
+
+@register(
+    "date_arithmetic_battery",
+    oracle="""
+      select o_orderkey,
+             strftime(o_orderdate + interval 30 days, '%Y-%m-%d') as plus30,
+             strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') as month_start,
+             cast(extract(doy from o_orderdate) as int) as doy,
+             cast(extract(quarter from o_orderdate) as int) as q,
+             date_diff('day', o_orderdate, timestamp '2024-12-31 00:00:00') as days_to_eoy
+      from orders where o_orderkey <= 2000
+    """,
+    survey_refs=("T5", "T6", "T8"),
+)
+def date_arithmetic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir).where(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_add(F.to_date("o_orderdate"), 30), "yyyy-MM-dd").alias("plus30"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.dayofyear("o_orderdate").cast("int").alias("doy"),
+        F.quarter("o_orderdate").cast("int").alias("q"),
+        F.datediff(F.lit("2024-12-31").cast("date"), F.to_date("o_orderdate")).alias("days_to_eoy"),
+    )
+
+
+@register(
+    "array_functions_battery",
+    oracle="""
+      with t as (
+        select o_custkey,
+               list(o_orderkey order by o_orderkey) as keys
+        from orders group by o_custkey
+      )
+      select o_custkey,
+             len(keys) as n,
+             keys[1] as first_key,
+             keys[-1] as last_key,
+             list_contains(keys, o_custkey * 15) as has_magic,
+             cast(list_sum(list_transform(keys, x -> x % 7)) as bigint) as mod_sum
+      from t
+    """,
+    survey_refs=("E2", "E3", "U1"),
+)
+def array_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array HOF battery over grouped collect (sorted for determinism)."""
+    o = load(spark, "orders", sf_dir)
+    t = o.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_list("o_orderkey")).alias("keys")
+    )
+    return t.select(
+        "o_custkey",
+        F.size("keys").alias("n"),
+        F.col("keys")[0].alias("first_key"),
+        F.element_at("keys", -1).alias("last_key"),
+        F.array_contains("keys", F.col("o_custkey") * 15).alias("has_magic"),
+        F.aggregate(
+            F.transform("keys", lambda x: x % 7),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("mod_sum"),
+    )
+
+
+@register(
+    "string_agg_per_group",
+    oracle="""
+      select c_nationkey,
+             string_agg(c_mktsegment, ',' order by c_mktsegment) as segs
+      from (select distinct c_nationkey, c_mktsegment from customer) t
+      group by c_nationkey
+    """,
+    survey_refs=("T4", "E1", "A3"),
+)
+def string_agg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (array_sort + array_join — the
+    deterministic form of GROUP_CONCAT)."""
+    c = load(spark, "customer", sf_dir)
+    return (
+        c.select("c_nationkey", "c_mktsegment")
+        .distinct()
+        .groupBy("c_nationkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("c_mktsegment")), ",").alias("segs")
+        )
+    )
+
+
 @register("agg_approx_distinct", oracle=None, survey_refs=("A3",))
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approximate distinct (no oracle — approximate by design; the

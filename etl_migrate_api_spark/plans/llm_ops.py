@@ -297,6 +297,57 @@ def llm_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.bruteforce_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
+@register(
+    "llm_ann_ivf_topk",
+    oracle="""
+      with cent as (select vec_id as cent_id, embedding as cent_v
+                    from embeddings where vec_id < 8),
+      c_assign as (
+        select neighbor_id, cv, cell from (
+          select e.vec_id as neighbor_id, e.embedding as cv, c.cent_id as cell,
+                 row_number() over (partition by e.vec_id
+                                    order by list_cosine_similarity(e.embedding, c.cent_v) desc,
+                                             c.cent_id) as rn
+          from embeddings e cross join cent c) t
+        where rn = 1
+      ),
+      q_assign as (
+        select query_id, qv, cell from (
+          select e.vec_id as query_id, e.embedding as qv, c.cent_id as cell,
+                 row_number() over (partition by e.vec_id
+                                    order by list_cosine_similarity(e.embedding, c.cent_v) desc,
+                                             c.cent_id) as rn
+          from embeddings e cross join cent c
+          where e.vec_id < 10) t
+        where rn = 1
+      ),
+      scored as (
+        select q.query_id, q.cell, c.neighbor_id,
+               list_cosine_similarity(q.qv, c.cv) as sim
+        from q_assign q join c_assign c using (cell)
+        where c.neighbor_id <> q.query_id
+      ),
+      r as (select query_id, cell, neighbor_id,
+                   row_number() over (partition by query_id
+                                      order by sim desc, neighbor_id) as rank
+            from scored)
+      select query_id, cast(rank as int) as rank, neighbor_id, cast(cell as int) as cell
+      from r where rank <= 5
+    """,
+)
+def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (8 deterministic coarse cells,
+    nprobe=1); see operators/similarity.py::ivf_topk for the scale
+    layout."""
+    emb = load(spark, "embeddings", sf_dir)
+    return sim.ivf_topk(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        centroids=emb.where(F.col("vec_id") < 8),
+        k=5,
+    )
+
+
 @register("llm_ann_lsh_topk", oracle=None)
 def llm_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate LSH-bucketed top-k (rows-only: approximation quality
