@@ -44,12 +44,14 @@ def classify_batch(
     joined = batch.join(st, key, "left_outer").withColumn(
         "_in_state", F.coalesce(F.col("_in_state"), F.lit(False))
     )
-    w = Window.partitionBy(key)
-    first_seq = F.min(seq).over(w)
-    is_first = F.col(seq) == first_seq
+    # row_number, not seq == min(seq): tied seq values would otherwise
+    # mark several rows 'insert' for one key, breaking the §2k counting
+    # contract (exactly 1 insert + n-1 updates per brand-new key)
+    w = Window.partitionBy(key).orderBy(seq)
+    is_first = F.row_number().over(w) == 1
     return joined.withColumn("is_first", is_first).withColumn(
         "op",
-        F.when(~F.col("_in_state") & is_first, F.lit("insert")).otherwise(
+        F.when(~F.col("_in_state") & F.col("is_first"), F.lit("insert")).otherwise(
             F.lit("update")
         ),
     ).drop("_in_state")

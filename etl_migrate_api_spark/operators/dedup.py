@@ -32,6 +32,18 @@ from etl_migrate_api_spark.functions.text import char_shingles, fingerprint
 # parquet splits).
 
 
+def _materialize_and_release(out: DataFrame, *caches: DataFrame) -> DataFrame:
+    """Eagerly compute the (small) result, then free the fat intermediate
+    caches. Repeated operator invocations in a long-lived session would
+    otherwise accumulate orphaned cached blocks (each call builds fresh
+    DataFrames, so old caches are never reused — only leaked)."""
+    out = out.persist()
+    out.count()
+    for c in caches:
+        c.unpersist()
+    return out
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition to the session's default parallelism: a barrier against
     projection collapse + parallelism for CPU-heavy narrow maps over
@@ -194,11 +206,12 @@ def minhash_lsh_candidates(
     sh_b = base.select(F.col("id").alias("id_b"), F.col("hv").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
+    out = (
         pairs.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .select("id_a", "id_b", (inter / union).alias("jaccard"))
     )
+    return _materialize_and_release(out, base, banded)
 
 
 # --------------------------------------------------------------------------
@@ -274,7 +287,7 @@ def simhash_neardup_pairs(
     ham = F.expr(
         "bit_count(a.simhash_lo ^ b.simhash_lo) + bit_count(a.simhash_hi ^ b.simhash_hi)"
     )
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.simhash_hi") == F.col("b.simhash_hi"))
@@ -287,6 +300,7 @@ def simhash_neardup_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+    return _materialize_and_release(out, s)
 
 
 def ngram_jaccard_pairs(
@@ -329,7 +343,7 @@ def ngram_jaccard_pairs(
     b = base.alias("b")
     inter = F.size(F.array_intersect("a.g", "b.g")).cast("double")
     union = F.size(F.array_union("a.g", "b.g")).cast("double")
-    return (
+    out = (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
         .select(
             F.col("a.id").alias("id_a"),
@@ -338,3 +352,4 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    return _materialize_and_release(out, base)

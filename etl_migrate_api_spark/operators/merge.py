@@ -82,7 +82,13 @@ def merge_fold_expr(
     # then flatten. array_sort on structs orders by fields left-to-right,
     # so seq must be the first struct field.
     folded = (
-        batch.select(k.alias("_k"), F.col(seq).alias("_seq"), F.col(phones).alias("_ph"))
+        batch.select(
+            k.alias("_k"),
+            F.col(seq).alias("_seq"),
+            # NULL phones ≡ no phones: flatten() of a list containing a
+            # NULL array would NULL the key's whole stream
+            F.coalesce(F.col(phones), _empty_str_array()).alias("_ph"),
+        )
         .groupBy("_k")
         .agg(
             F.flatten(

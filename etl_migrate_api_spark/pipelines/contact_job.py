@@ -66,7 +66,6 @@ class ContactEtlJob:
         self.sink = ParquetTable(spark, f"{base_dir}/etl_customer_crm")
         self.state = ParquetTable(spark, f"{base_dir}/state_phones")
         self.log = ParquetTable(spark, f"{base_dir}/migrate_log_customer")
-        self._log_seq = 0
 
     # ---- audit log (K5/K6/A1/A2) ----------------------------------------
     def last_successful_id(self) -> int:
@@ -120,7 +119,10 @@ class ContactEtlJob:
 
         res = JobResult(batches=1)
         timings: dict[str, float] = {}
-        started = dt.datetime.now()
+        # UTC-aware: the session timezone is UTC; naive local now() would
+        # mis-bucket "today" for the A1 daily batch numbering on
+        # non-UTC hosts
+        started = dt.datetime.now(dt.timezone.utc)
         log_id = self._next_log_id()
         self._append_log(
             id=log_id, continue_id=last_id, batch_no=batch_no, status="running",
@@ -133,11 +135,13 @@ class ContactEtlJob:
                 F.col("id").alias("seq"),
                 extract_phones("tel_no").alias("phones"),
             )
-            # X2: wipe partial output of a failed prior run
-            removed = delete_beyond_watermark(
-                self.sink,
-                (F.col("recid") > last_id) & (F.col("rectype") == "BIGDATA"),
-            )
+            if not self.dry_run:
+                # X2: wipe partial output of a failed prior run.
+                # MUST stay inside the dry-run guard — it mutates the sink.
+                delete_beyond_watermark(
+                    self.sink,
+                    (F.col("recid") > last_id) & (F.col("rectype") == "BIGDATA"),
+                )
             timings["deleteOldRecords"] = time.perf_counter() - t0
 
             t0 = time.perf_counter()
@@ -185,7 +189,7 @@ class ContactEtlJob:
                 last_id=new_last, record_count=res.record_count,
                 insert_count=res.insert_count, update_count=res.update_count,
                 status="success", started_at=started,
-                finished_at=dt.datetime.now(),
+                finished_at=dt.datetime.now(dt.timezone.utc),
             )
             res.step_durations = timings
             return res
@@ -193,7 +197,7 @@ class ContactEtlJob:
             self._append_log(
                 id=log_id, continue_id=last_id, batch_no=batch_no,
                 status="error", error_message=str(ex)[:500],
-                started_at=started, finished_at=dt.datetime.now(),
+                started_at=started, finished_at=dt.datetime.now(dt.timezone.utc),
             )
             raise
 
@@ -203,20 +207,15 @@ class ContactEtlJob:
         Redis-preload endpoint collapsed to one statement: read sink,
         project key + phone slots back to canonical arrays, atomic
         overwrite. Returns the number of state rows."""
-        from etl_migrate_api_spark.functions.arrays import SLOT_COLS
-        from etl_migrate_api_spark.functions.text import norm_str, split_csv
+        from etl_migrate_api_spark.operators.merge import state_from_legacy
 
         if not self.sink.exists():
             self.state.replace(
                 self.spark.createDataFrame([], schema=STATE_SCHEMA)
             )
             return 0
-        sink_df = self.sink.read()
-        slot_arr = F.array(*[norm_str(F.col(c)) for c in SLOT_COLS])
-        state = sink_df.select(
-            "hn_code",
-            F.filter(slot_arr, lambda x: x.isNotNull()).alias("slots"),
-            split_csv(F.col("note_other")).alias("extras"),
+        state = state_from_legacy(self.sink.read()).select(
+            "hn_code", "slots", "extras"
         )
         self.state.replace(state)
         return self.state.read().count()

@@ -589,7 +589,7 @@ def set_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = load(spark, "supplier", sf_dir).select(F.col("s_nationkey").alias("nk")).distinct()
     u = cn.union(sn).distinct().select(F.lit("union").alias("op"), "nk")
     i = cn.intersect(sn).select(F.lit("intersect").alias("op"), "nk")
-    e = cn.exceptAll(sn.intersect(cn)).select(F.lit("except").alias("op"), "nk")
+    e = cn.subtract(sn).select(F.lit("except").alias("op"), "nk")
     return u.unionByName(i).unionByName(e)
 
 

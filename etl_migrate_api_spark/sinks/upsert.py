@@ -40,9 +40,12 @@ def delete_beyond_watermark(
     if not table.exists():
         return 0
     current = table.read()
-    victims = current.where(predicate).count()
+    # NULL predicate ≡ not a victim: plain where(~pred) would silently
+    # drop rows where the predicate evaluates to NULL (NOT NULL = NULL)
+    is_victim = F.coalesce(predicate, F.lit(False))
+    victims = current.where(is_victim).count()
     if victims:
-        table.replace(current.where(~predicate))
+        table.replace(current.where(~is_victim))
     return victims
 
 

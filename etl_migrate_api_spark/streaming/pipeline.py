@@ -38,11 +38,16 @@ def windowed_event_counts_stream(
     """Tumbling event-time window counts with late-data watermark,
     append-mode parquet sink; availableNow trigger (bounded)."""
     schema = spark.read.parquet(source_dir).schema
-    events = (
-        spark.readStream.schema(schema)
-        .parquet(source_dir)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-    )
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in schema)["ts"]
+    if ts_type != "timestamp":
+        # refuse bigint-nanos (nanosAsLong) input: cast('timestamp')
+        # would read epoch-nanos as epoch-SECONDS (year ~294M). Land the
+        # source via catalog.load first.
+        raise ValueError(
+            f"'ts' must be a timestamp column, got {ts_type}; land the "
+            "source through catalog.load (ns→µs conversion) first"
+        )
+    events = spark.readStream.schema(schema).parquet(source_dir)
     agg = (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")

@@ -1,0 +1,78 @@
+"""Regression tests for the round-1 code-review findings."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from etl_migrate_api_spark.operators.classify import classify_batch, op_counters
+from etl_migrate_api_spark.operators.merge import merge_fold_expr
+from etl_migrate_api_spark.sinks.tables import ParquetTable
+from etl_migrate_api_spark.sinks.upsert import delete_beyond_watermark
+
+
+def test_merge_fold_null_phones_treated_as_empty(spark):
+    batch = spark.createDataFrame(
+        [("K1", 1, ["11", "22"]), ("K1", 2, None)],
+        "hn_code string, seq bigint, phones array<string>",
+    )
+    row = merge_fold_expr(batch, legacy_slots=False).collect()[0]
+    assert row["slots"] == ["11", "22"]
+
+
+def test_classify_tied_seq_single_insert(spark):
+    batch = spark.createDataFrame(
+        [("K1", 5), ("K1", 5), ("K1", 7)], "hn_code string, seq bigint"
+    )
+    state = spark.createDataFrame([], "hn_code string")
+    counters = op_counters(classify_batch(batch, state)).collect()[0]
+    assert counters["insert_count"] == 1
+    assert counters["update_count"] == 2
+
+
+def test_delete_beyond_watermark_null_predicate_rows_kept(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.replace(
+        spark.createDataFrame(
+            [(1, "a"), (None, "b"), (10, "c")], "recid bigint, v string"
+        )
+    )
+    removed = delete_beyond_watermark(t, F.col("recid") > 5)
+    assert removed == 1
+    left = {r["v"] for r in t.read().collect()}
+    assert left == {"a", "b"}  # NULL-recid row survives
+
+
+def test_dry_run_does_not_touch_existing_sink(spark, tmp_path):
+    from etl_migrate_api_spark.pipelines.contact_job import ContactEtlJob
+    from etl_migrate_api_spark.sources.http_cursor import CursorSource
+
+    def fetch(last_id, limit):
+        if last_id == 0:
+            return {"data": [{"id": 1, "hn_code": "N1", "firstname": "x", "tel_no": "1"}], "count": 1}
+        return {"data": [], "count": 0}
+
+    src = CursorSource(
+        spark, fetch, schema="id bigint, hn_code string, firstname string, tel_no string"
+    )
+    job = ContactEtlJob(spark, src, str(tmp_path), dry_run=True)
+    # pre-populate the sink with rows BEYOND the watermark (the X2
+    # delete's victims if it ran)
+    pre = spark.createDataFrame(
+        [(100, "NOLD", "BIGDATA")], "recid bigint, hn_code string, rectype string"
+    )
+    job.sink.replace(pre)
+    job.run(last_id=0)
+    assert job.sink.read().count() == 1  # untouched
+
+
+def test_streaming_rejects_bigint_ts(spark, sf_small, tmp_path):
+    from etl_migrate_api_spark.streaming.pipeline import windowed_event_counts_stream
+
+    # raw events parquet scans as bigint nanos under nanosAsLong
+    raw_dir = str(tmp_path / "raw")
+    spark.read.parquet(f"{sf_small}/events.parquet").write.parquet(raw_dir)
+    with pytest.raises(ValueError, match="timestamp"):
+        windowed_event_counts_stream(
+            spark, raw_dir, str(tmp_path / "c"), str(tmp_path / "o")
+        )
