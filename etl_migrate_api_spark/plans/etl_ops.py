@@ -810,6 +810,7 @@ def po_projection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_sessionize",
+    headline=True,
     oracle="""
       with gaps as (
         select user_id, event_id, ts,
@@ -1034,6 +1035,36 @@ def string_agg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.array_join(F.array_sort(F.collect_list("c_mktsegment")), ",").alias("segs")
         )
+    )
+
+
+@register(
+    "agg_salted_skew",
+    oracle="""
+      select l_returnflag,
+             count(*) as n,
+             cast(round(sum(cast(l_quantity as decimal(18,2))), 2) as double) as total_qty
+      from lineitem group by l_returnflag
+    """,
+    survey_refs=("A3", "A4"),
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for skewed keys: groupBy(key, salt)
+    partial-agg → groupBy(key) final. With only 3 distinct l_returnflag
+    values a plain groupBy funnels every row through 3 reducers; salting
+    spreads phase 1 over 3×16 reducers. (Spark's map-side partial agg
+    already mitigates this for algebraic aggs — the pattern matters for
+    high-cardinality-payload aggs like collect_list and for AQE-less
+    engines; here it's demonstrated oracle-checked.)"""
+    li = load(spark, "lineitem", sf_dir)
+    salted = li.withColumn("_salt", (F.col("l_orderkey") % 16).cast("int"))
+    phase1 = salted.groupBy("l_returnflag", "_salt").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("l_quantity").cast(_DEC)).alias("_q"),
+    )
+    return phase1.groupBy("l_returnflag").agg(
+        F.sum("_n").alias("n"),
+        F.round(F.sum("_q"), 2).cast("double").alias("total_qty"),
     )
 
 

@@ -76,6 +76,7 @@ def planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_exact_dedup",
+    headline=True,
     oracle=f"""
       with docs as ({PLANTED_DOCS_SQL})
       select md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) as fp,
@@ -197,6 +198,7 @@ def llm_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_simhash_neardup",
+    headline=True,
     oracle=_SIMHASH_DOC_SQL
     + """
       select a.id as id_a, b.id as id_b,
