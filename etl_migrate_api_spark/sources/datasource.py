@@ -1,0 +1,95 @@
+"""Spark 4 Python DataSource for keyset-paginated HTTP APIs — the
+executor-parallel evolution of sources/http_cursor.py (SURVEY.md §2 S1
+'at scale a custom Python DataSource (spark.dataSource.register)').
+
+Usage::
+
+    spark.dataSource.register(HttpCursorDataSource)
+    df = (spark.read.format("http_cursor")
+          .option("base_url", "http://host/api/contactpoint")
+          .option("max_id", "70000")       # upper keyset bound
+          .option("page_size", "1000")
+          .option("slices", "32")          # read parallelism
+          .schema("id bigint, hn_code string, tel_no string")
+          .load())
+
+Partition planning: the [0, max_id] keyset range is split into
+``slices`` contiguous id ranges; each executor task pages through its
+own range with ``lastId``/``limit`` requests (the same keyset contract
+the reference's fetchContact uses, but issued from many executors at
+once instead of one driver loop). Endpoints must support lastId+limit —
+exactly the reference's API shape (fetchContact.js:5-11).
+
+The upstream envelope is ``{"data": [...], "count": n}``; rows beyond
+the partition's upper bound are discarded (the next partition reads
+them), which keeps results exactly-once without upstream coordination.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+
+@dataclass
+class _IdRange(InputPartition):
+    start: int  # exclusive (lastId semantics)
+    end: int  # inclusive
+
+
+class HttpCursorReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema_ = schema
+        self.base_url = options.get("base_url")
+        if not self.base_url:
+            raise ValueError("http_cursor: option 'base_url' is required")
+        self.max_id = int(options.get("max_id", "0"))
+        self.page_size = int(options.get("page_size", "1000"))
+        self.slices = max(1, int(options.get("slices", "8")))
+
+    def partitions(self) -> list[InputPartition]:
+        if self.max_id <= 0:
+            return [_IdRange(0, 2**62)]  # single unbounded scan
+        step = -(-self.max_id // self.slices)  # ceil division
+        return [
+            _IdRange(lo, min(lo + step, self.max_id))
+            for lo in range(0, self.max_id, step)
+        ]
+
+    def read(self, partition: _IdRange) -> Iterator[tuple]:
+        from urllib.request import urlopen
+
+        fields = [f.name for f in self.schema_.fields]
+        cursor = partition.start
+        while cursor < partition.end:
+            url = f"{self.base_url}?lastId={cursor}&limit={self.page_size}"
+            with urlopen(url, timeout=30) as resp:  # noqa: S310
+                payload = json.loads(resp.read().decode("utf-8"))
+            rows = payload.get("data") or []
+            if not rows:
+                return
+            for r in rows:
+                rid = r["id"]
+                if rid > partition.end:
+                    return  # the next partition owns this row
+                yield tuple(r.get(f) for f in fields)
+            cursor = rows[-1]["id"]
+
+
+class HttpCursorDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "http_cursor"
+
+    def schema(self) -> str:
+        raise NotImplementedError(
+            "http_cursor: pass an explicit .schema(...) — upstream JSON is "
+            "dynamically typed (SURVEY.md §1: schema implicit on ingest)"
+        )
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return HttpCursorReader(schema, self.options)

@@ -1,0 +1,77 @@
+"""HttpCursorDataSource end-to-end against a live in-process HTTP server
+serving keyset pages (the reference's fetchContact contract)."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import pytest
+
+N_ROWS = 537  # deliberately not a multiple of page size
+
+
+def _rows(last_id: int, limit: int):
+    start = last_id + 1
+    ids = [i for i in range(start, min(start + limit, N_ROWS + 1))]
+    return [
+        {"id": i, "hn_code": f"N{i % 50:03d}", "tel_no": f"p{i % 7},p{i % 11}"}
+        for i in ids
+    ]
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def do_GET(self):
+        q = parse_qs(urlparse(self.path).query)
+        last_id = int(q.get("lastId", ["0"])[0])
+        limit = int(q.get("limit", ["1000"])[0])
+        data = _rows(last_id, limit)
+        body = json.dumps({"data": data, "count": len(data)}).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *args):  # silence
+        pass
+
+
+@pytest.fixture(scope="module")
+def http_server():
+    srv = HTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}/api/contactpoint"
+    srv.shutdown()
+
+
+def test_http_cursor_datasource_parallel_read(spark, http_server):
+    from etl_migrate_api_spark.sources.datasource import HttpCursorDataSource
+
+    spark.dataSource.register(HttpCursorDataSource)
+    df = (
+        spark.read.format("http_cursor")
+        .option("base_url", http_server)
+        .option("max_id", str(N_ROWS))
+        .option("page_size", "100")
+        .option("slices", "4")
+        .schema("id bigint, hn_code string, tel_no string")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    rows = df.collect()
+    assert len(rows) == N_ROWS  # exactly-once across partition boundaries
+    assert {r["id"] for r in rows} == set(range(1, N_ROWS + 1))
+    one = [r for r in rows if r["id"] == 123][0]
+    assert one["hn_code"] == "N023" and one["tel_no"] == "p4,p2"
+
+
+def test_http_cursor_requires_schema(spark, http_server):
+    from etl_migrate_api_spark.sources.datasource import HttpCursorDataSource
+
+    spark.dataSource.register(HttpCursorDataSource)
+    with pytest.raises(Exception, match="schema"):
+        spark.read.format("http_cursor").option("base_url", http_server).load().collect()
