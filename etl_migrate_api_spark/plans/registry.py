@@ -35,7 +35,17 @@ def register(
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
-        QUERIES[name] = QuerySpec(fn, oracle, headline, survey_refs)
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # the driver may pass a vanilla session — apply the
+            # result-critical runtime confs (ns timestamps, UTC) first
+            from etl_migrate_api_spark.session import ensure_engine_confs
+
+            return fn(ensure_engine_confs(spark), sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = QuerySpec(wrapped, oracle, headline, survey_refs)
         return fn
 
     return deco

@@ -13,6 +13,34 @@ import os
 from pyspark.sql import SparkSession
 
 
+# Confs the engine's results depend on — all runtime-settable, so they
+# can be applied defensively to a session we did not build (the round
+# driver passes its own vanilla SparkSession into the query contract;
+# without nanosAsLong every events-table read throws PARQUET_TYPE_ILLEGAL,
+# and a non-UTC session timezone would shift date_format outputs vs the
+# oracle).
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_engine_confs(spark: SparkSession) -> SparkSession:
+    """Apply the result-critical runtime confs to an externally-built
+    session (idempotent; called from the query registry so every entry
+    point is covered regardless of who constructed the session)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in this deployment — keep going
+    return spark
+
+
 def get_spark(
     app_name: str = "etl-migrate-api-spark",
     master: str | None = None,
