@@ -26,8 +26,9 @@ def entry(spark: SparkSession) -> DataFrame:
     ordered fold → legacy slot projection.
     """
     from etl_migrate_api_spark.plans.contact_etl import contact_merge_fold_stateful
+    from etl_migrate_api_spark.session import ensure_engine_confs
 
-    return contact_merge_fold_stateful(spark, SMOKE_SF_DIR)
+    return contact_merge_fold_stateful(ensure_engine_confs(spark), SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
