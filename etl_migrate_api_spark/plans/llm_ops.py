@@ -358,6 +358,43 @@ def llm_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
+@register(
+    "llm_fuzzy_match_levenshtein",
+    oracle="""
+      with names as (
+        select p_partkey as id, p_brand as blk, lower(p_name) as nm from part
+      )
+      select a.id as id_a, b.id as id_b,
+             cast(levenshtein(a.nm, b.nm) as int) as dist
+      from names a
+      join names b on a.blk = b.blk and a.id < b.id
+      where levenshtein(a.nm, b.nm) <= 4
+    """,
+)
+def llm_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record matching: Levenshtein distance ≤ 4 within a blocking
+    key (brand) — the entity-resolution cousin of near-dup detection.
+    Blocking keeps the pair space linear-ish at scale (never a full
+    cross join)."""
+    p = load(spark, "part", sf_dir)
+    names = p.select(
+        F.col("p_partkey").alias("id"),
+        F.col("p_brand").alias("blk"),
+        F.lower("p_name").alias("nm"),
+    )
+    a, b = names.alias("a"), names.alias("b")
+    dist = F.levenshtein(F.col("a.nm"), F.col("b.nm"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            dist.cast("int").alias("dist"),
+        )
+        .where(F.col("dist") <= 4)
+    )
+
+
 # ---------------------------------------------------------------- multimodal
 
 
