@@ -32,49 +32,50 @@ def _money_sum(c) -> F.Column:
 
 
 @register(
-    "wm_top1_argmax",
+    "wm_watermark_scalars",
     oracle="""
-      select user_id as last_id
-      from (select user_id,
-                   row_number() over (order by event_id desc) as rn
-            from events where event_type = 'purchase') t
-      where rn = 1
+      with a as (
+        select user_id as last_id
+        from (select user_id,
+                     row_number() over (order by event_id desc) as rn
+              from events where event_type = 'purchase') t
+        where rn = 1
+      ),
+      b as (
+        select cast(coalesce(max(cast(value as int)), 0) + 1 as int) as batch_no
+        from events
+        where cast(ts as date) = (select max(cast(ts as date)) from events)
+          and event_type = 'signup'
+      )
+      select a.last_id, b.batch_no from a cross join b
     """,
-    survey_refs=("S3", "A2", "O1", "F1"),
+    survey_refs=("S3", "A2", "O1", "F1", "A1", "F3", "T6", "T7", "T8"),
 )
-def wm_top1_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermark read: latest successful cursor = max_by(last_id, id)
-    (reference server.js:32-37 / contactpoint.controller.js:9-14)."""
+def wm_watermark_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark scalars in ONE plan: latest successful cursor =
+    max_by(last_id, id) (reference server.js:32-37 /
+    contactpoint.controller.js:9-14) × next batch number for 'today' =
+    COALESCE(MAX(batch_no),0)+1 over a date-bucketed filter
+    (contactpoint.controller.js:65-70). 'Today' comes from a broadcast
+    scalar subquery, not a driver collect — one scheduler round-trip."""
     ev = load(spark, "events", sf_dir)
-    return (
-        ev.where(F.col("event_type") == "purchase")
-        .agg(F.max_by("user_id", "event_id").alias("last_id"))
+    last = ev.where(F.col("event_type") == "purchase").agg(
+        F.max_by("user_id", "event_id").alias("last_id")
     )
-
-
-@register(
-    "wm_next_batch_no",
-    oracle="""
-      select cast(coalesce(max(cast(value as int)), 0) + 1 as int) as batch_no
-      from events
-      where cast(ts as date) = (select max(cast(ts as date)) from events)
-        and event_type = 'signup'
-    """,
-    survey_refs=("A1", "F3", "T6", "T7", "T8"),
-)
-def wm_next_batch_no(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Next batch number for 'today': COALESCE(MAX(batch_no),0)+1 over a
-    date-bucketed filter (reference contactpoint.controller.js:65-70)."""
-    ev = load(spark, "events", sf_dir)
-    last_day = ev.agg(F.max(F.to_date("ts"))).collect()[0][0]
-    return (
-        ev.where((F.to_date("ts") == F.lit(last_day)) & (F.col("event_type") == "signup"))
+    last_day = ev.agg(F.max(F.to_date("ts")).alias("last_day"))
+    batch_no = (
+        ev.join(F.broadcast(last_day))
+        .where(
+            (F.to_date("ts") == F.col("last_day"))
+            & (F.col("event_type") == "signup")
+        )
         .agg(
             (F.coalesce(F.max(F.col("value").cast("int")), F.lit(0)) + 1)
             .cast("int")
             .alias("batch_no")
         )
     )
+    return last.crossJoin(batch_no)
 
 
 @register(
@@ -110,21 +111,38 @@ def wm_batch_progression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "proj_rename_defaults",
+    "proj_scalar_null_battery",
     oracle="""
       select p_partkey as recid,
              coalesce(p_name, '') as product_name,
              cast(p_size as string) as size_str,
              coalesce(p_size, 0) as size_or_zero,
              'BIGDATA' as rectype,
-             upper(p_brand) as brand_uc
+             upper(p_brand) as brand_uc,
+             upper(p_name) as name_uc,
+             lower(p_brand) as brand_lc,
+             substring(p_type, 1, 5) as type5,
+             replace(p_name, ' ', '_') as name_us,
+             lpad(cast(p_partkey as string), 8, '0') as key_pad,
+             trim(concat('  ', p_name, '  ')) as name_trim,
+             length(p_name) as name_len,
+             regexp_replace(p_name, '[aeiou]', '', 'g') as name_novowel,
+             coalesce(p_name, 'unknown') as name_or,
+             nullif(p_brand, 'Brand#1') as brand_nn,
+             (p_size is null) as size_is_null,
+             ifnull(cast(p_size as string), 'n/a') as size_str_na,
+             (p_size is not distinct from 10) as size_nsafe_10
       from part
     """,
-    survey_refs=("P1", "P2", "P3", "P5", "U3"),
+    survey_refs=("P1", "P2", "P3", "P5", "U3", "T2", "T3", "T4", "T7"),
 )
-def proj_rename_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Column mapping + null-defaulting + cast-to-string + literal column
-    (reference server.js:115-162, saveToPostgres.js:329-363)."""
+def proj_scalar_null_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass projection battery over part: column mapping +
+    null-defaulting + cast-to-string + literal column (reference
+    server.js:115-162, saveToPostgres.js:329-363), the §2h string scalar
+    set (trim/case/pad/replace/regex), and NULL semantics
+    (coalesce/nullif/null-safe equality). Single narrow scan — the
+    wide-select shape a 100 TB projection stage actually runs."""
     part = load(spark, "part", sf_dir)
     return part.select(
         F.col("p_partkey").alias("recid"),
@@ -133,48 +151,6 @@ def proj_rename_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("p_size"), F.lit(0)).alias("size_or_zero"),
         F.lit("BIGDATA").alias("rectype"),
         F.upper("p_brand").alias("brand_uc"),
-    )
-
-
-@register(
-    "proj_ts_to_date",
-    oracle="""
-      select event_id, strftime(ts, '%Y-%m-%d') as event_date
-      from events where event_type = 'view'
-    """,
-    survey_refs=("P4", "T5", "T6"),
-)
-def proj_ts_to_date(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ISO-timestamp → date truncation (reference server.js:153
-    ``birthdate.split('T')[0]``)."""
-    ev = load(spark, "events", sf_dir)
-    return ev.where(F.col("event_type") == "view").select(
-        "event_id", F.date_format("ts", "yyyy-MM-dd").alias("event_date")
-    )
-
-
-@register(
-    "scalar_string_funcs",
-    oracle="""
-      select p_partkey,
-             upper(p_name) as name_uc,
-             lower(p_brand) as brand_lc,
-             substring(p_type, 1, 5) as type5,
-             replace(p_name, ' ', '_') as name_us,
-             lpad(cast(p_partkey as string), 8, '0') as key_pad,
-             trim(concat('  ', p_name, '  ')) as name_trim,
-             length(p_name) as name_len,
-             regexp_replace(p_name, '[aeiou]', '', 'g') as name_novowel
-      from part
-    """,
-    survey_refs=("T2", "T3", "T4", "P3"),
-)
-def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String scalar battery (trim/case/pad/replace/regex — the §2h set
-    generalized)."""
-    part = load(spark, "part", sf_dir)
-    return part.select(
-        "p_partkey",
         F.upper("p_name").alias("name_uc"),
         F.lower("p_brand").alias("brand_lc"),
         F.substring("p_type", 1, 5).alias("type5"),
@@ -183,7 +159,48 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("name_trim"),
         F.length("p_name").cast("bigint").alias("name_len"),
         F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowel"),
+        F.coalesce("p_name", F.lit("unknown")).alias("name_or"),
+        F.nullif(F.col("p_brand"), F.lit("Brand#1")).alias("brand_nn"),
+        F.isnull("p_size").alias("size_is_null"),
+        F.coalesce(F.col("p_size").cast("string"), F.lit("n/a")).alias("size_str_na"),
+        F.col("p_size").eqNullSafe(F.lit(10)).alias("size_nsafe_10"),
     )
+
+
+@register(
+    "events_extract_battery",
+    oracle="""
+      select 'view' as src, event_id,
+             strftime(ts, '%Y-%m-%d') as event_date,
+             cast(null as int) as k
+      from events where event_type = 'view'
+      union all
+      select 'click' as src, event_id,
+             cast(null as string) as event_date,
+             cast(json_extract_string(props, '$.k') as int) as k
+      from events where event_type = 'click'
+    """,
+    survey_refs=("P4", "T5", "T6", "P1"),
+)
+def events_extract_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-timestamp → date truncation (reference server.js:153
+    ``birthdate.split('T')[0]``) + JSON field extraction from a string
+    column (free via get_json_object) — both per-row event extractions,
+    unioned with a src tag."""
+    ev = load(spark, "events", sf_dir)
+    views = ev.where(F.col("event_type") == "view").select(
+        F.lit("view").alias("src"),
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        F.lit(None).cast("int").alias("k"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.lit("click").alias("src"),
+        "event_id",
+        F.lit(None).cast("string").alias("event_date"),
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    return views.unionByName(clicks)
 
 
 @register(
@@ -216,70 +233,41 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "json_extract_props",
-    oracle="""
-      select event_id,
-             cast(json_extract_string(props, '$.k') as int) as k
-      from events where event_type = 'click'
-    """,
-    survey_refs=("P1",),
-)
-def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON field extraction from a string column (absent in the
-    reference; free via Spark get_json_object)."""
-    ev = load(spark, "events", sf_dir)
-    return ev.where(F.col("event_type") == "click").select(
-        "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
-    )
-
-
-@register(
-    "conditional_case_bucket",
-    oracle="""
-      select case when value < 10 then 'low'
-                  when value < 100 then 'mid'
-                  else 'high' end as bucket,
-             count(*) as n,
-             cast(round(sum(cast(value as decimal(18,2))), 2) as double) as total
-      from events
-      group by 1
-    """,
-    survey_refs=("T7", "F1", "A3"),
-)
-def conditional_case_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, "events", sf_dir)
-    bucket = (
-        F.when(F.col("value") < 10, "low")
-        .when(F.col("value") < 100, "mid")
-        .otherwise("high")
-    )
-    return ev.groupBy(bucket.alias("bucket")).agg(
-        F.count(F.lit(1)).alias("n"), _money_sum("value").alias("total")
-    )
-
-
 # =====================================================================
 # Filters / predicates (F1-F5) + recovery deletes (D1-D3, X2)
 # =====================================================================
 
 
 @register(
-    "filter_range_cursor",
+    "filter_sample_battery",
     oracle="""
-      select o_orderkey, o_custkey
+      select 'range' as src, o_orderkey, o_custkey, o_orderstatus
       from orders
       where o_orderkey > 10000 and o_orderstatus = 'O'
+      union all
+      select 'md5' as src, o_orderkey, o_custkey, o_orderstatus
+      from orders
+      where substring(md5(cast(o_orderkey as string)), 1, 2) <= '0f'
     """,
     survey_refs=("F1", "F2", "S4"),
 )
-def filter_range_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cursor-range + equality predicate — must push down to the scan."""
+def filter_sample_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cursor-range + equality predicate (must push down to the scan) ∪
+    deterministic ~6% md5 hash-sample — the reproducible sampling flavor
+    an LLM pipeline needs. Both branches scan orders with their filters
+    at the source."""
     orders = load(spark, "orders", sf_dir)
-    return orders.where(
+    rng = orders.where(
         (F.col("o_orderkey") > 10000) & (F.col("o_orderstatus") == "O")
-    ).select("o_orderkey", "o_custkey")
+    ).select(
+        F.lit("range").alias("src"), "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    smp = orders.where(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) <= "0f"
+    ).select(
+        F.lit("md5").alias("src"), "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    return rng.unionByName(smp)
 
 
 @register(
@@ -305,45 +293,45 @@ def recovery_delete_beyond_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sample_deterministic_md5",
-    oracle="""
-      select o_orderkey, o_orderstatus
-      from orders
-      where substring(md5(cast(o_orderkey as string)), 1, 2) <= '0f'
-    """,
-    survey_refs=("F2",),
-)
-def sample_deterministic_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic ~6% hash-sample (engine-agnostic md5 predicate) —
-    the reproducible flavor of sampling an LLM pipeline needs."""
-    orders = load(spark, "orders", sf_dir)
-    return orders.where(
-        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) <= "0f"
-    ).select("o_orderkey", "o_orderstatus")
-
-
 # =====================================================================
 # Joins (J1-J3 + general equi-joins Spark gives for free)
 # =====================================================================
 
 
 @register(
-    "join_semi_existing_keys",
+    "join_semi_exists_battery",
     oracle="""
-      select c_custkey, c_name from customer c
+      select 'cust_orders' as src, cast(c_custkey as bigint) as key, c_name as name
+      from customer c
       where exists (select 1 from orders o where o.o_custkey = c.c_custkey)
+      union all
+      select 'supp_bigqty' as src, cast(s_suppkey as bigint) as key, s_name as name
+      from supplier s
+      where exists (select 1 from lineitem l
+                    where l.l_suppkey = s.s_suppkey and l.l_quantity > 49)
     """,
     survey_refs=("J1", "S5", "S7"),
 )
-def join_semi_existing_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Existence semi-join (the Redis SISMEMBER/SMEMBERS probe,
-    reference saveToPostgres.js:28,144-146 → left_semi)."""
+def join_semi_exists_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence semi-joins: the Redis SISMEMBER/SMEMBERS probe
+    (reference saveToPostgres.js:28,144-146 → left_semi) ∪ correlated
+    EXISTS with a pushed-down probe filter — both plan as left-semi hash
+    joins, never a per-row lookup loop."""
     c = load(spark, "customer", sf_dir)
     o = load(spark, "orders", sf_dir)
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
-        "c_custkey", "c_name"
+    cust = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.lit("cust_orders").alias("src"),
+        F.col("c_custkey").cast("bigint").alias("key"),
+        F.col("c_name").alias("name"),
     )
+    sup = load(spark, "supplier", sf_dir)
+    li = load(spark, "lineitem", sf_dir).where(F.col("l_quantity") > 49)
+    supp = sup.join(li, sup.s_suppkey == li.l_suppkey, "left_semi").select(
+        F.lit("supp_bigqty").alias("src"),
+        F.col("s_suppkey").cast("bigint").alias("key"),
+        F.col("s_name").alias("name"),
+    )
+    return cust.unionByName(supp)
 
 
 @register(
@@ -399,53 +387,37 @@ def join_lookup_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "window_first_per_key",
+    "window_first_last_per_key",
     oracle="""
-      select o_custkey, o_orderkey,
-             strftime(o_orderdate, '%Y-%m-%d') as first_order_date
-      from (select o_custkey, o_orderkey, o_orderdate,
+      select o_custkey,
+             max(case when rn_a = 1 then o_orderkey end) as first_orderkey,
+             max(case when rn_a = 1 then strftime(o_orderdate, '%Y-%m-%d') end)
+               as first_order_date,
+             max(case when rn_d = 1 then o_orderkey end) as last_orderkey,
+             max(case when rn_d = 1
+                      then cast(round(cast(o_totalprice as decimal(18,2)), 2) as double)
+                 end) as last_totalprice
+      from (select o_custkey, o_orderkey, o_orderdate, o_totalprice,
                    row_number() over (partition by o_custkey
-                                      order by o_orderdate, o_orderkey) as rn
+                                      order by o_orderdate, o_orderkey) as rn_a,
+                   row_number() over (partition by o_custkey
+                                      order by o_orderdate desc, o_orderkey desc) as rn_d
             from orders) t
-      where rn = 1
+      group by o_custkey
     """,
-    survey_refs=("W1",),
+    survey_refs=("W1", "W2", "W3"),
 )
-def window_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+def window_first_last_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-occurrence-per-key (reference tempHNs first-seen set,
-    saveToPostgres.js:147,220-234)."""
-    o = load(spark, "orders", sf_dir)
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return (
-        o.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            "o_custkey",
-            "o_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("first_order_date"),
-        )
-    )
-
-
-@register(
-    "window_last_write_wins",
-    oracle="""
-      select o_custkey, o_orderkey as last_orderkey,
-             cast(round(cast(o_totalprice as decimal(18,2)), 2) as double) as last_totalprice
-      from (select o_custkey, o_orderkey, o_totalprice,
-                   row_number() over (partition by o_custkey
-                                      order by o_orderdate desc, o_orderkey desc) as rn
-            from orders) t
-      where rn = 1
-    """,
-    survey_refs=("W2", "W3",),
-)
-def window_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Last-write-wins per key (reference temp_inserts overwrite,
-    saveToPostgres.js:224-242) — expressed as max_by over a total order."""
+    saveToPostgres.js:147,220-234) + last-write-wins (temp_inserts
+    overwrite, saveToPostgres.js:224-242) in ONE aggregate: min_by /
+    max_by over the (date, key) total order — single shuffle, no
+    windowed sort at all."""
     o = load(spark, "orders", sf_dir)
     ordkey = F.struct("o_orderdate", "o_orderkey")
     return o.groupBy("o_custkey").agg(
+        F.min_by("o_orderkey", ordkey).alias("first_orderkey"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_order_date"),
         F.max_by("o_orderkey", ordkey).alias("last_orderkey"),
         F.round(
             F.max_by(F.col("o_totalprice"), ordkey).cast(_DEC), 2
@@ -454,40 +426,14 @@ def window_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "window_running_total",
+    "window_running_lag",
     oracle="""
       select o_custkey, o_orderkey,
              cast(round(sum(cast(o_totalprice as decimal(18,2)))
                         over (partition by o_custkey
                               order by o_orderdate, o_orderkey
                               rows between unbounded preceding and current row), 2)
-                  as double) as running_spend
-      from orders
-    """,
-    survey_refs=("W2",),
-)
-def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running state per key (reference currentPhones running merge,
-    saveToPostgres.js:217 — generalized to a running aggregate)."""
-    o = load(spark, "orders", sf_dir)
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.round(F.sum(F.col("o_totalprice").cast(_DEC)).over(w), 2)
-        .cast("double")
-        .alias("running_spend"),
-    )
-
-
-@register(
-    "window_lag_gap",
-    oracle="""
-      select o_custkey, o_orderkey,
+                  as double) as running_spend,
              date_diff('day',
                        lag(o_orderdate) over (partition by o_custkey
                                               order by o_orderdate, o_orderkey),
@@ -496,62 +442,73 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     survey_refs=("W2",),
 )
-def window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def window_running_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running state per key (reference currentPhones running merge,
+    saveToPostgres.js:217) + lag-gap — both windows share one
+    partitioning and sort order, so Spark plans a single exchange+sort
+    feeding both window functions."""
     o = load(spark, "orders", sf_dir)
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    prev = F.lag("o_orderdate").over(w)
+    wsum = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wlag = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.datediff(F.col("o_orderdate"), prev).alias("days_since_prev"),
+        F.round(F.sum(F.col("o_totalprice").cast(_DEC)).over(wsum), 2)
+        .cast("double")
+        .alias("running_spend"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(wlag)).alias(
+            "days_since_prev"
+        ),
     )
 
 
 @register(
-    "order_topk",
+    "order_limit_battery",
     oracle="""
-      select o_orderkey,
+      with top25 as (
+        select o_orderkey, o_custkey, o_totalprice from orders
+        order by o_totalprice desc, o_orderkey
+        limit 25
+      ),
+      page as (
+        select o_orderkey, o_custkey, o_totalprice from orders
+        where o_orderkey > 5000
+        order by o_orderkey
+        limit 5000
+      )
+      select 'top25' as src, o_orderkey, o_custkey,
              cast(round(cast(o_totalprice as decimal(18,2)), 2) as double) as total
-      from orders
-      order by o_totalprice desc, o_orderkey
-      limit 25
+      from top25
+      union all
+      select 'page' as src, o_orderkey, o_custkey,
+             cast(round(cast(o_totalprice as decimal(18,2)), 2) as double) as total
+      from page
     """,
-    survey_refs=("O1", "O2", "A2"),
+    survey_refs=("O1", "O2", "A2", "S4", "PH1"),
 )
-def order_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORDER BY + LIMIT top-k (watermark top-1 generalized; Spark plans
-    TakeOrderedAndProject — no full sort)."""
+def order_limit_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT top-k (watermark top-1 generalized — Spark plans
+    TakeOrderedAndProject, no full sort) ∪ one keyset page (reference
+    preloadRedis.js:41-52's manual pagination; at scale subsumed by
+    partitioned reads)."""
     o = load(spark, "orders", sf_dir)
-    return (
+    total = F.round(F.col("o_totalprice").cast(_DEC), 2).cast("double").alias("total")
+    top25 = (
         o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(25)
-        .select(
-            "o_orderkey",
-            F.round(F.col("o_totalprice").cast(_DEC), 2).cast("double").alias("total"),
-        )
+        .select(F.lit("top25").alias("src"), "o_orderkey", "o_custkey", total)
     )
-
-
-@register(
-    "order_keyset_page",
-    oracle="""
-      select o_orderkey, o_custkey from orders
-      where o_orderkey > 5000
-      order by o_orderkey
-      limit 5000
-    """,
-    survey_refs=("O2", "S4", "PH1"),
-)
-def order_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One keyset page (reference preloadRedis.js:41-52's manual
-    pagination; at scale subsumed by partitioned reads)."""
-    o = load(spark, "orders", sf_dir)
-    return (
+    page = (
         o.where(F.col("o_orderkey") > 5000)
         .orderBy("o_orderkey")
         .limit(5000)
-        .select("o_orderkey", "o_custkey")
+        .select(F.lit("page").alias("src"), "o_orderkey", "o_custkey", total)
     )
+    return top25.unionByName(page)
 
 
 # =====================================================================
@@ -560,37 +517,45 @@ def order_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "distinct_key_dim",
-    oracle="select distinct c_mktsegment, c_nationkey from customer",
-    survey_refs=("E1",),
-)
-def distinct_key_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load(spark, "customer", sf_dir)
-    return c.select("c_mktsegment", "c_nationkey").distinct()
-
-
-@register(
-    "set_union_intersect_except",
+    "set_ops_battery",
     oracle="""
       with cn as (select distinct c_nationkey as nk from customer),
            sn as (select distinct s_nationkey as nk from supplier)
-      select 'union' as op, nk from (select nk from cn union select nk from sn) u
+      select 'distinct' as op, c_mktsegment as seg, c_nationkey as nk
+      from (select distinct c_mktsegment, c_nationkey from customer) d
       union all
-      select 'intersect' as op, nk from (select nk from cn intersect select nk from sn) i
+      select 'union' as op, cast(null as string) as seg, nk
+      from (select nk from cn union select nk from sn) u
       union all
-      select 'except' as op, nk from (select nk from cn except select nk from sn) e
+      select 'intersect' as op, cast(null as string) as seg, nk
+      from (select nk from cn intersect select nk from sn) i
+      union all
+      select 'except' as op, cast(null as string) as seg, nk
+      from (select nk from cn except select nk from sn) e
     """,
     survey_refs=("E1",),
 )
-def set_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION / INTERSECT / EXCEPT (absent from the reference — free via
-    Spark set operators)."""
-    cn = load(spark, "customer", sf_dir).select(F.col("c_nationkey").alias("nk")).distinct()
+def set_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct key-set extraction (E1, the reference's Redis key-set
+    mirror) + UNION / INTERSECT / EXCEPT (absent from the reference —
+    free via Spark set operators)."""
+    c = load(spark, "customer", sf_dir)
+    d = (
+        c.select("c_mktsegment", "c_nationkey")
+        .distinct()
+        .select(
+            F.lit("distinct").alias("op"),
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_nationkey").alias("nk"),
+        )
+    )
+    cn = c.select(F.col("c_nationkey").alias("nk")).distinct()
     sn = load(spark, "supplier", sf_dir).select(F.col("s_nationkey").alias("nk")).distinct()
-    u = cn.union(sn).distinct().select(F.lit("union").alias("op"), "nk")
-    i = cn.intersect(sn).select(F.lit("intersect").alias("op"), "nk")
-    e = cn.subtract(sn).select(F.lit("except").alias("op"), "nk")
-    return u.unionByName(i).unionByName(e)
+    nullseg = F.lit(None).cast("string").alias("seg")
+    u = cn.union(sn).distinct().select(F.lit("union").alias("op"), nullseg, "nk")
+    i = cn.intersect(sn).select(F.lit("intersect").alias("op"), nullseg, "nk")
+    e = cn.subtract(sn).select(F.lit("except").alias("op"), nullseg, "nk")
+    return d.unionByName(u).unionByName(i).unionByName(e)
 
 
 # =====================================================================
@@ -599,90 +564,95 @@ def set_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "agg_group_by_dim",
+    "agg_nation_profile",
     oracle="""
-      select n.n_name,
-             count(*) as n_cust,
-             cast(round(sum(cast(c_acctbal as decimal(18,2))), 2) as double) as total_bal,
-             cast(round(cast(sum(cast(c_acctbal as decimal(18,2))) as double)
-                        / count(*), 4) as double) as avg_bal
-      from customer c join nation n on c.c_nationkey = n.n_nationkey
-      group by n.n_name
+      with aggs as (
+        select c_nationkey,
+               count(*) as n_cust,
+               cast(round(sum(cast(c_acctbal as decimal(18,2))), 2) as double) as total_bal,
+               cast(round(cast(sum(cast(c_acctbal as decimal(18,2))) as double)
+                          / count(*), 4) as double) as avg_bal
+        from customer group by c_nationkey
+      ),
+      segs as (
+        select c_nationkey,
+               string_agg(c_mktsegment, ',' order by c_mktsegment) as segs
+        from (select distinct c_nationkey, c_mktsegment from customer) t
+        group by c_nationkey
+      )
+      select n.n_name, a.n_cust, a.total_bal, a.avg_bal, s.segs
+      from aggs a
+      join segs s using (c_nationkey)
+      join nation n on a.c_nationkey = n.n_nationkey
     """,
-    survey_refs=("A3", "A4", "J2"),
+    survey_refs=("A3", "A4", "J2", "T4", "E1"),
 )
-def agg_group_by_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_nation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by-dim aggregate + ordered string aggregation (the
+    deterministic GROUP_CONCAT) in one pass: a single customer shuffle on
+    the nation key computes counts, exact-decimal sums, and the sorted
+    distinct segment list; the nation dim joins by broadcast after."""
     c = load(spark, "customer", sf_dir)
     n = F.broadcast(load(spark, "nation", sf_dir))
     dec_sum = F.sum(F.col("c_acctbal").cast(_DEC))
-    return (
-        c.join(n, c.c_nationkey == n.n_nationkey)
-        .groupBy("n_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_cust"),
-            F.round(dec_sum, 2).cast("double").alias("total_bal"),
-            F.round(dec_sum.cast("double") / F.count(F.lit(1)), 4)
-            .cast("double")
-            .alias("avg_bal"),
-        )
+    prof = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(dec_sum, 2).cast("double").alias("total_bal"),
+        F.round(dec_sum.cast("double") / F.count(F.lit(1)), 4)
+        .cast("double")
+        .alias("avg_bal"),
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias("segs"),
+    )
+    return prof.join(n, prof.c_nationkey == n.n_nationkey).select(
+        "n_name", "n_cust", "total_bal", "avg_bal", "segs"
     )
 
 
 @register(
-    "agg_having_filter",
+    "agg_rollup_cube",
     oracle="""
-      select o_custkey, count(*) as n_orders
-      from orders group by o_custkey having count(*) >= 12
-    """,
-    survey_refs=("A3", "F1"),
-)
-def agg_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, "orders", sf_dir)
-    return (
-        o.groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .where(F.col("n_orders") >= 12)
-    )
-
-
-@register(
-    "agg_rollup",
-    oracle="""
-      select r.r_name, n.n_name, count(*) as n_cust
+      select 'rollup' as src, r.r_name as d1, n.n_name as d2, count(*) as n
       from customer c
       join nation n on c.c_nationkey = n.n_nationkey
       join region r on n.n_regionkey = r.r_regionkey
       group by rollup(r.r_name, n.n_name)
-    """,
-    survey_refs=("A3",),
-)
-def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy totals (absent category — free via Spark)."""
-    c = load(spark, "customer", sf_dir)
-    n = F.broadcast(load(spark, "nation", sf_dir))
-    r = F.broadcast(load(spark, "region", sf_dir))
-    return (
-        c.join(n, c.c_nationkey == n.n_nationkey)
-        .join(r, n.n_regionkey == r.r_regionkey)
-        .rollup("r_name", "n_name")
-        .agg(F.count(F.lit(1)).alias("n_cust"))
-    )
-
-
-@register(
-    "agg_cube",
-    oracle="""
-      select o_orderstatus, o_orderpriority, count(*) as n
+      union all
+      select 'cube' as src, o_orderstatus as d1, o_orderpriority as d2, count(*) as n
       from orders
       group by cube(o_orderstatus, o_orderpriority)
     """,
     survey_refs=("A3",),
 )
-def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, "orders", sf_dir)
-    return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n")
+def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals + CUBE cross-totals (absent category in
+    the reference — free via Spark grouping sets)."""
+    c = load(spark, "customer", sf_dir)
+    n = F.broadcast(load(spark, "nation", sf_dir))
+    r = F.broadcast(load(spark, "region", sf_dir))
+    ru = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("rollup").alias("src"),
+            F.col("r_name").alias("d1"),
+            F.col("n_name").alias("d2"),
+            "n",
+        )
     )
+    o = load(spark, "orders", sf_dir)
+    cu = (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("cube").alias("src"),
+            F.col("o_orderstatus").alias("d1"),
+            F.col("o_orderpriority").alias("d2"),
+            "n",
+        )
+    )
+    return ru.unionByName(cu)
 
 
 @register(
@@ -888,24 +858,6 @@ def subquery_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "subquery_correlated_exists",
-    oracle="""
-      select s_suppkey, s_name from supplier s
-      where exists (select 1 from lineitem l
-                    where l.l_suppkey = s.s_suppkey and l.l_quantity > 49)
-    """,
-    survey_refs=("J1",),
-)
-def subquery_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated EXISTS ≡ left-semi join on the pushed-down probe."""
-    sup = load(spark, "supplier", sf_dir)
-    li = load(spark, "lineitem", sf_dir).where(F.col("l_quantity") > 49)
-    return sup.join(li, sup.s_suppkey == li.l_suppkey, "left_semi").select(
-        "s_suppkey", "s_name"
-    )
-
-
-@register(
     "agg_percentiles",
     oracle="""
       select o_orderstatus,
@@ -922,32 +874,6 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderstatus").agg(
         F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
         F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
-    )
-
-
-@register(
-    "null_semantics_battery",
-    oracle="""
-      select p_partkey,
-             coalesce(p_name, 'unknown') as name_or,
-             nullif(p_brand, 'Brand#1') as brand_nn,
-             (p_size is null) as size_is_null,
-             ifnull(cast(p_size as string), 'n/a') as size_str,
-             (p_size is not distinct from 10) as size_nsafe_10
-      from part
-    """,
-    survey_refs=("P2", "T2", "T7"),
-)
-def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NULL-handling battery: coalesce / nullif / null-safe equality."""
-    p = load(spark, "part", sf_dir)
-    return p.select(
-        "p_partkey",
-        F.coalesce("p_name", F.lit("unknown")).alias("name_or"),
-        F.nullif(F.col("p_brand"), F.lit("Brand#1")).alias("brand_nn"),
-        F.isnull("p_size").alias("size_is_null"),
-        F.coalesce(F.col("p_size").cast("string"), F.lit("n/a")).alias("size_str"),
-        F.col("p_size").eqNullSafe(F.lit(10)).alias("size_nsafe_10"),
     )
 
 
@@ -1015,56 +941,83 @@ def array_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "string_agg_per_group",
+    "agg_skew_bucket_battery",
     oracle="""
-      select c_nationkey,
-             string_agg(c_mktsegment, ',' order by c_mktsegment) as segs
-      from (select distinct c_nationkey, c_mktsegment from customer) t
-      group by c_nationkey
-    """,
-    survey_refs=("T4", "E1", "A3"),
-)
-def string_agg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered string aggregation (array_sort + array_join — the
-    deterministic form of GROUP_CONCAT)."""
-    c = load(spark, "customer", sf_dir)
-    return (
-        c.select("c_nationkey", "c_mktsegment")
-        .distinct()
-        .groupBy("c_nationkey")
-        .agg(
-            F.array_join(F.array_sort(F.collect_list("c_mktsegment")), ",").alias("segs")
-        )
-    )
-
-
-@register(
-    "agg_salted_skew",
-    oracle="""
-      select l_returnflag,
+      select 'events_bucket' as src,
+             case when value < 10 then 'low'
+                  when value < 100 then 'mid'
+                  else 'high' end as key,
              count(*) as n,
-             cast(round(sum(cast(l_quantity as decimal(18,2))), 2) as double) as total_qty
-      from lineitem group by l_returnflag
+             cast(round(sum(cast(value as decimal(18,2))), 2) as double) as total
+      from events
+      group by 2
+      union all
+      select 'lineitem_salted' as src,
+             l_returnflag as key,
+             count(*) as n,
+             cast(round(sum(cast(l_quantity as decimal(18,2))), 2) as double) as total
+      from lineitem group by 2
     """,
-    survey_refs=("A3", "A4"),
+    survey_refs=("T7", "F1", "A3", "A4"),
 )
-def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-phase salted aggregation for skewed keys: groupBy(key, salt)
-    partial-agg → groupBy(key) final. With only 3 distinct l_returnflag
-    values a plain groupBy funnels every row through 3 reducers; salting
-    spreads phase 1 over 3×16 reducers. (Spark's map-side partial agg
-    already mitigates this for algebraic aggs — the pattern matters for
+def agg_skew_bucket_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-bucketed conditional aggregation (T7) ∪ two-phase salted
+    aggregation for skewed keys: groupBy(key, salt) partial-agg →
+    groupBy(key) final. With only 3 distinct l_returnflag values a plain
+    groupBy funnels every row through 3 reducers; salting spreads phase 1
+    over 3×16 reducers. (Spark's map-side partial agg already mitigates
+    this for algebraic aggs — the pattern matters for
     high-cardinality-payload aggs like collect_list and for AQE-less
     engines; here it's demonstrated oracle-checked.)"""
+    ev = load(spark, "events", sf_dir)
+    bucket = (
+        F.when(F.col("value") < 10, "low")
+        .when(F.col("value") < 100, "mid")
+        .otherwise("high")
+    )
+    buckets = ev.groupBy(bucket.alias("key")).agg(
+        F.count(F.lit(1)).alias("n"), _money_sum("value").alias("total")
+    ).select(F.lit("events_bucket").alias("src"), "key", "n", "total")
+
     li = load(spark, "lineitem", sf_dir)
     salted = li.withColumn("_salt", (F.col("l_orderkey") % 16).cast("int"))
     phase1 = salted.groupBy("l_returnflag", "_salt").agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(F.col("l_quantity").cast(_DEC)).alias("_q"),
     )
-    return phase1.groupBy("l_returnflag").agg(
+    skew = phase1.groupBy("l_returnflag").agg(
         F.sum("_n").alias("n"),
-        F.round(F.sum("_q"), 2).cast("double").alias("total_qty"),
+        F.round(F.sum("_q"), 2).cast("double").alias("total"),
+    ).select(
+        F.lit("lineitem_salted").alias("src"),
+        F.col("l_returnflag").alias("key"),
+        "n",
+        "total",
+    )
+    return buckets.unionByName(skew)
+
+
+# ---------------------------------------------------------------------
+# Tail: redundant-coverage queries (every survey_ref below is also
+# driver-gated via a query above). Registered last ON PURPOSE — if the
+# driver caps the gate at 50 queries, these are the ones that fall out.
+# ---------------------------------------------------------------------
+
+
+@register(
+    "agg_having_filter",
+    oracle="""
+      select o_custkey, count(*) as n_orders
+      from orders group by o_custkey having count(*) >= 12
+    """,
+    survey_refs=("A3", "F1"),
+)
+def agg_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 12)
     )
 
 

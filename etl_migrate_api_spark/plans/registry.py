@@ -52,13 +52,15 @@ def register(
 
 
 def _load_all() -> None:
-    # import for side effect: each module registers its queries
-    from etl_migrate_api_spark.plans import (  # noqa: F401
-        analytics,
-        contact_etl,
-        etl_ops,
-        llm_ops,
-    )
+    # import for side effect: each module registers its queries.
+    # ORDER MATTERS: the driver gates queries in registration order and
+    # caps the CORRECTNESS run (r01 stopped at the first 50), so the
+    # modules register headliners → flagship ETL → LLM operators first,
+    # and etl_ops keeps its redundant-coverage queries at the very end.
+    from etl_migrate_api_spark.plans import analytics  # noqa: F401
+    from etl_migrate_api_spark.plans import contact_etl  # noqa: F401
+    from etl_migrate_api_spark.plans import llm_ops  # noqa: F401
+    from etl_migrate_api_spark.plans import etl_ops  # noqa: F401
 
 
 def query_map() -> dict[str, QueryFn]:

@@ -22,7 +22,7 @@ def queries():
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir, queries):
-    plan = _plan(queries["filter_range_cursor"].fn(spark, sf_dir))
+    plan = _plan(queries["filter_sample_battery"].fn(spark, sf_dir))
     assert "GreaterThan(o_orderkey,10000)" in plan  # pushed to the scan
     # column pruning: only the 3 referenced columns are read
     assert "struct<o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string>" in plan

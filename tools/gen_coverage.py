@@ -16,10 +16,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 MANUAL = {
     "S1": "sources/http_cursor.py::CursorSource + fetch_http_page (tests/test_pipeline.py)",
     "S2": "sources/http_cursor.py::CursorSource (PO flow shape; plans/etl_ops.py::po_projection_pipeline)",
-    "S4": "queries: order_keyset_page; at scale: partitioned JDBC/parquet scan (sources/jdbc pattern in SURVEY §2)",
+    "S4": "queries: order_limit_battery (keyset page); at scale: partitioned JDBC/parquet scan (sources/jdbc pattern in SURVEY §2)",
     "S5": "operators/classify.py state-keys dim (queries: contact_classify_ops)",
     "S6": "operators/merge.py state left_outer join (queries: contact_merge_fold_stateful)",
-    "S7": "operators/classify.py broadcast semi-join (queries: join_semi_existing_keys)",
+    "S7": "operators/classify.py broadcast semi-join (queries: join_semi_exists_battery)",
     "S8": "sinks/tables.py::ParquetTable.replace (state truncate ≡ overwrite)",
     "P6": "parameter parsing/defaulting: CursorSource.limit default + ContactEtlJob.run(last_id=None) watermark resolution",
     "K1": "superseded by K2 in the reference; sinks/upsert.py::upsert_by_key covers the sink",
@@ -37,7 +37,7 @@ MANUAL = {
     "O3": "not needed in Spark (delete = filter+overwrite); see D2",
     "O4": "explicit seq columns everywhere (operators/merge.py, streaming/stateful.py)",
     "U2": "operators/merge.py (merge_fold_expr + merge_fold_pandas + property tests)",
-    "U3": "queries: proj_rename_defaults (cast-to-string battery)",
+    "U3": "queries: proj_scalar_null_battery (cast-to-string battery)",
     "U4": "sink-adapter detail; not a data op (SURVEY §2i)",
     "T9": "pipelines/contact_job.py step_durations (X4 parity)",
     "X1": "pipelines/contact_job.py::run loop + streaming/pipeline.py (checkpointed offsets)",
@@ -48,7 +48,7 @@ MANUAL = {
     "X6": "pipelines/contact_job.py dry_run flag (tests: test_dry_run_writes_nothing)",
     "X7": "n/a — disabled route in the reference",
     "X8": "n/a — dead code in the reference (studied, not ported)",
-    "PH1": "queries: order_keyset_page; partitioned scans at scale",
+    "PH1": "queries: order_limit_battery (keyset page); partitioned scans at scale",
     "PH2": "broadcast hints + Catalyst join selection (tests/test_plans.py::test_dim_joins_are_broadcast)",
     "PH3": "joins replace point lookups (queries: join_lookup_dim)",
     "PH4": "df.write.jdbc batchsize (documented in sinks/upsert.py)",
