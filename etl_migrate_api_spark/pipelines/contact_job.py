@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from etl_migrate_api_spark.functions.text import extract_phones
 from etl_migrate_api_spark.operators.classify import classify_batch
 from etl_migrate_api_spark.operators.merge import merge_fold_expr
-from etl_migrate_api_spark.sinks.tables import ParquetTable
+from etl_migrate_api_spark.sinks.tables import HashBucketedTable, ParquetTable
 from etl_migrate_api_spark.sinks.upsert import delete_beyond_watermark, upsert_by_key
 from etl_migrate_api_spark.sources.http_cursor import CursorSource
 
@@ -63,8 +63,17 @@ class ContactEtlJob:
         self.spark = spark
         self.source = source
         self.dry_run = dry_run
-        self.sink = ParquetTable(spark, f"{base_dir}/etl_customer_crm")
-        self.state = ParquetTable(spark, f"{base_dir}/state_phones")
+        # sink + state are key-hash-bucketed so each micro-batch rewrites
+        # only the buckets containing its keys (Delta-replaceWhere
+        # semantics on plain files — reference saveToPostgres.js:315-409
+        # touches only the batch's rows). At 100 TB raise n_buckets so a
+        # bucket stays a few GB. The audit log is append-only → plain.
+        self.sink = HashBucketedTable(
+            spark, f"{base_dir}/etl_customer_crm", key="hn_code", n_buckets=16
+        )
+        self.state = HashBucketedTable(
+            spark, f"{base_dir}/state_phones", key="hn_code", n_buckets=16
+        )
         self.log = ParquetTable(spark, f"{base_dir}/migrate_log_customer")
 
     # ---- audit log (K5/K6/A1/A2) ----------------------------------------
@@ -175,12 +184,14 @@ class ContactEtlJob:
                     .withColumn("rectype", F.lit("BIGDATA"))
                 )
                 upsert_by_key(self.sink, sink_rows, key="hn_code")
-                # state := state ⊕ merged (same commit — no drift, K7/K8)
-                new_state = (
-                    state_df.join(merged.select("hn_code"), "hn_code", "left_anti")
-                    .unionByName(merged.select("hn_code", "slots", "extras"))
+                # state := state ⊕ merged (same commit cycle — no drift,
+                # K7/K8); bucket-pruned like the sink, so per-batch state
+                # write cost ∝ batch keys, not state size
+                upsert_by_key(
+                    self.state,
+                    merged.select("hn_code", "slots", "extras"),
+                    key="hn_code",
                 )
-                self.state.replace(new_state)
                 timings["writeSink"] = time.perf_counter() - t0
 
             res.last_id = new_last

@@ -1,35 +1,75 @@
-"""Parquet-backed table with atomic replace — the test-harness stand-in
+"""Parquet-backed tables with atomic replace — the test-harness stand-in
 for a transactional table format (Delta/Iceberg) or a JDBC sink.
 
 The reference relies on Postgres transactions (X3) and ON CONFLICT
 (PH10); Spark's equivalent in a plain-files world is write-new +
-atomic-rename. A production deployment swaps this class for Delta
+atomic-rename. A production deployment swaps these classes for Delta
 (`MERGE INTO`, `replaceWhere`) or the JDBC staging-table pattern in
 sinks/upsert.py — call sites don't change.
+
+Two flavors:
+
+- ``ParquetTable``: whole-table replace. Fine for small control tables
+  (audit log) and as the legacy harness path.
+- ``HashBucketedTable``: directory-partitioned by ``pmod(xxhash64(key),
+  n_buckets)`` with **bucket-pruned replace** — per-batch write cost
+  scales with the batch's key buckets, not the table size. This is the
+  plain-files analogue of Delta ``replaceWhere`` and matches the
+  reference's touch-only-the-batch's-rows behavior
+  (saveToPostgres.js:315-409).
 """
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class ParquetTable:
-    """A named parquet directory with read / append / atomic-replace."""
+    """A named parquet directory with read / append / replace.
+
+    Replace is crash-SAFE rather than strictly atomic: a reader sees the
+    old table or the new one, and a crash in the rename window is
+    repaired on the next ``exists()``/``read()`` (a lone ``.old-*`` dir
+    is renamed back). The un-recoverable window is the two ``os.rename``
+    calls themselves — microseconds, and a re-run's X2 recovery delete
+    makes even that idempotent."""
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
 
-    def exists(self) -> bool:
+    # -- crash recovery ----------------------------------------------------
+    def _recover(self) -> None:
+        """If a crash between the two renames in ``replace`` left the
+        table path missing with data stranded in a ``.old-*`` dir,
+        restore the old table instead of silently reporting 'empty'."""
+        if os.path.exists(self.path):
+            return
+        olds = sorted(glob.glob(f"{self.path}.old-*"))
+        if olds:
+            os.rename(olds[0], self.path)
+            for leftover in olds[1:]:
+                shutil.rmtree(leftover, ignore_errors=True)
+        for stale in glob.glob(f"{self.path}.trash-*"):
+            shutil.rmtree(stale, ignore_errors=True)
+
+    def _has_parquet(self) -> bool:
         return os.path.isdir(self.path) and any(
             f.endswith(".parquet") for f in os.listdir(self.path)
         )
 
+    def exists(self) -> bool:
+        self._recover()
+        return self._has_parquet()
+
     def read(self) -> DataFrame:
+        self._recover()
         return self.spark.read.parquet(self.path)
 
     def read_or_empty(self, schema) -> DataFrame:
@@ -40,16 +80,109 @@ class ParquetTable:
     def append(self, df: DataFrame) -> None:
         df.write.mode("append").parquet(self.path)
 
+    def _write(self, df: DataFrame, path: str) -> None:
+        df.write.mode("overwrite").parquet(path)
+
     def replace(self, df: DataFrame) -> None:
-        """Atomic overwrite: write to a scratch dir, swap via rename.
-        Readers see the old or the new table, never a partial one —
-        the file-level analogue of the reference's transaction commit
-        (X3) and the key to idempotent re-runs (X2)."""
+        """Overwrite via write-to-scratch + rename swap. Readers see the
+        old or the new table; a crash mid-swap is repaired by
+        ``_recover`` (X3 analogue, key to idempotent re-runs X2)."""
         tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
         old = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(tmp)
+        self._write(df, tmp)
         if os.path.exists(self.path):
             os.rename(self.path, old)
         os.rename(tmp, self.path)
         if os.path.exists(old):
             shutil.rmtree(old, ignore_errors=True)
+
+
+class HashBucketedTable(ParquetTable):
+    """Parquet table directory-partitioned on a stable key hash with
+    partition-pruned replace.
+
+    Layout: ``path/_bucket=N/part-*.parquet`` where
+    ``_bucket = pmod(xxhash64(key), n_buckets)``. ``replace_buckets``
+    rewrites ONLY the bucket directories named — untouched buckets'
+    files are not read, not rewritten, not even listed by the write.
+    At 100 TB, size ``n_buckets`` so a bucket ≈ a few GB (e.g. 4096);
+    a micro-batch then rewrites ~|batch keys| buckets, not the table.
+    On Delta/Iceberg the same call site becomes
+    ``MERGE INTO``/``replaceWhere`` — semantics identical.
+    """
+
+    BUCKET_COL = "_bucket"
+
+    def __init__(self, spark: SparkSession, path: str, key: str, n_buckets: int = 32):
+        super().__init__(spark, path)
+        self.key = key
+        self.n_buckets = n_buckets
+
+    def bucket_expr(self) -> Column:
+        return F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets)).cast("int")
+
+    def _has_parquet(self) -> bool:
+        if not os.path.isdir(self.path):
+            return False
+        return bool(glob.glob(os.path.join(self.path, "_bucket=*", "*.parquet")))
+
+    def read(self) -> DataFrame:
+        """Full read (bucket column stays internal)."""
+        self._recover()
+        return self.spark.read.parquet(self.path).drop(self.BUCKET_COL)
+
+    def append(self, df: DataFrame) -> None:
+        df.withColumn(self.BUCKET_COL, self.bucket_expr()).write.mode(
+            "append"
+        ).partitionBy(self.BUCKET_COL).parquet(self.path)
+
+    def read_buckets(self, buckets: list[int]) -> DataFrame:
+        """Partition-pruned read: only the named bucket directories are
+        scanned (the filter is on the partition column, so Spark prunes
+        at file-listing time, not per-row)."""
+        self._recover()
+        return (
+            self.spark.read.parquet(self.path)
+            .where(F.col(self.BUCKET_COL).isin([int(b) for b in buckets]))
+            .drop(self.BUCKET_COL)
+        )
+
+    def buckets_of(self, df: DataFrame) -> list[int]:
+        """Distinct buckets the given rows' keys hash to (≤ n_buckets
+        values — a driver-side scalar set, like a watermark read)."""
+        return [
+            int(r[0])
+            for r in df.select(self.bucket_expr().alias("b")).distinct().collect()
+        ]
+
+    def _write(self, df: DataFrame, path: str) -> None:
+        df.withColumn(self.BUCKET_COL, self.bucket_expr()).write.mode(
+            "overwrite"
+        ).partitionBy(self.BUCKET_COL).parquet(path)
+
+    def replace_buckets(self, df: DataFrame, buckets: list[int]) -> None:
+        """Rewrite ONLY the named bucket dirs with ``df``'s rows (caller
+        guarantees df's keys hash into ``buckets``). A bucket with no
+        rows in ``df`` is removed — that's how pruned deletes empty a
+        bucket. Each bucket swap is a rename; a crash mid-loop leaves a
+        bucket-consistent table (some buckets new, some old) that the
+        pipeline's X2 recovery delete repairs on re-run."""
+        if not os.path.isdir(self.path):
+            self.replace(df)
+            return
+        tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
+        self._write(df, tmp)
+        try:
+            for b in buckets:
+                src = os.path.join(tmp, f"{self.BUCKET_COL}={int(b)}")
+                dst = os.path.join(self.path, f"{self.BUCKET_COL}={int(b)}")
+                # trash lives OUTSIDE the table root: a crash must never
+                # leave a non-partition dir where partition discovery walks
+                trash = f"{self.path}.trash-{uuid.uuid4().hex[:8]}"
+                if os.path.exists(dst):
+                    os.rename(dst, trash)
+                if os.path.isdir(src):
+                    os.rename(src, dst)
+                shutil.rmtree(trash, ignore_errors=True)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)

@@ -15,15 +15,29 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from etl_migrate_api_spark.sinks.tables import ParquetTable
+from etl_migrate_api_spark.sinks.tables import HashBucketedTable, ParquetTable
 
 
 def upsert_by_key(table: ParquetTable, batch: DataFrame, key: str) -> None:
     """MERGE semantics: replace existing rows with matching key, insert
     the rest (K2+K3 combined: the reference writes each key once with
-    its final merged value). One anti-join + union + atomic replace."""
+    its final merged value — saveToPostgres.js:315-409 touches only the
+    batch's rows).
+
+    On a ``HashBucketedTable`` this is partition-pruned: only the key
+    buckets present in the batch are read (anti-join side) and
+    rewritten — per-batch cost ∝ batch's buckets, not table size. On a
+    plain ``ParquetTable`` it falls back to whole-table replace (the
+    documented harness stand-in for Delta MERGE / JDBC staging+MERGE)."""
     if not table.exists():
         table.replace(batch)
+        return
+    if isinstance(table, HashBucketedTable):
+        assert table.key == key, f"table bucketed on {table.key!r}, upsert on {key!r}"
+        buckets = table.buckets_of(batch)
+        current = table.read_buckets(buckets)
+        kept = current.join(batch.select(key).distinct(), key, "left_anti")
+        table.replace_buckets(kept.unionByName(batch), buckets)
         return
     current = table.read()
     kept = current.join(batch.select(key).distinct(), key, "left_anti")
@@ -36,13 +50,26 @@ def delete_beyond_watermark(
     """X2 recovery: drop rows a failed previous run may have written
     (``recid > lastId AND rectype = …``) before re-writing the batch.
     Returns the number of rows removed. The chunked-DELETE dance of the
-    reference (D1/D2) collapses to one filtered atomic replace."""
+    reference (D1/D2) collapses to one filtered replace.
+
+    On a ``HashBucketedTable`` only buckets that actually contain
+    victims are rewritten (the victim scan still reads the full table —
+    the predicate is on arbitrary columns, not the bucket key; at scale
+    a recid-ordered sort within files makes that scan min/max-prunable)."""
     if not table.exists():
         return 0
     current = table.read()
     # NULL predicate ≡ not a victim: plain where(~pred) would silently
     # drop rows where the predicate evaluates to NULL (NOT NULL = NULL)
     is_victim = F.coalesce(predicate, F.lit(False))
+    if isinstance(table, HashBucketedTable):
+        victim_rows = current.where(is_victim)
+        victims = victim_rows.count()
+        if victims:
+            buckets = table.buckets_of(victim_rows)
+            survivors = table.read_buckets(buckets).where(~is_victim)
+            table.replace_buckets(survivors, buckets)
+        return victims
     victims = current.where(is_victim).count()
     if victims:
         table.replace(current.where(~is_victim))
