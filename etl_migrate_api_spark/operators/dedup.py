@@ -36,7 +36,11 @@ def _materialize_and_release(out: DataFrame, *caches: DataFrame) -> DataFrame:
     """Eagerly compute the (small) result, then free the fat intermediate
     caches. Repeated operator invocations in a long-lived session would
     otherwise accumulate orphaned cached blocks (each call builds fresh
-    DataFrames, so old caches are never reused — only leaked)."""
+    DataFrames, so old caches are never reused — only leaked).
+
+    The RETURNED DataFrame stays persisted (it's small — pairs/groups,
+    not the corpus): callers that invoke an operator repeatedly in a
+    long-lived session own calling ``.unpersist()`` when done with it."""
     out = out.persist()
     out.count()
     for c in caches:
@@ -311,9 +315,17 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.3,
 ) -> DataFrame:
-    """Word n-gram Jaccard similarity for pairs within a blocking key
-    (full cross-join is never acceptable at scale — callers block on
-    lang/source/length-band)."""
+    """Word n-gram Jaccard ≥ threshold for pairs within a blocking key,
+    via a LOSSLESS prefix filter (AllPairs / PPJoin, Bayardo et al.
+    WWW'07): under a global token order, two sets with Jaccard ≥ t must
+    share a token within each side's first |g| - ceil(t·|g|) + 1 tokens.
+    Candidates come from an equi-join on (blk, prefix-token); exact
+    Jaccard is verified on candidates only. Ordering tokens by ascending
+    global frequency puts rare grams in the prefix, so a hot block (one
+    dominant source) no longer goes |block|² — pair cost follows shared-
+    rare-gram document frequency, and results are EXACTLY the all-pairs
+    answer (the filter has zero false negatives, so the oracle stays the
+    plain within-block formulation)."""
     # tokens as an attribute column first (PERF NOTE above), then n-grams
     # as cheap slice/join over the attribute
     toks = F.filter(
@@ -339,17 +351,49 @@ def ngram_jaccard_pairs(
         .select("id", "blk", F.array_distinct(grams).alias("g"))
         .persist()
     )
-    a = base.alias("a")
-    b = base.alias("b")
-    inter = F.size(F.array_intersect("a.g", "b.g")).cast("double")
-    union = F.size(F.array_union("a.g", "b.g")).cast("double")
-    out = (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            (inter / union).alias("jaccard"),
+    base.count()  # eager: freq + prefix + verify branches reuse it
+
+    # global ascending-frequency token order (ties broken by gram text):
+    # one extra shuffle pair (count + regroup), linear in corpus size
+    ex = base.select("id", "blk", F.explode("g").alias("gram"))
+    freq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df_g"))
+    ordered = (
+        ex.join(freq, "gram")
+        .groupBy("id", "blk")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df_g", "gram"))),
+                lambda s: s["gram"],
+            ).alias("gs")
         )
+        .persist()
+    )
+    ordered.count()
+    sz = F.size("gs")
+    plen = (sz - F.ceil(F.lit(threshold) * sz) + 1).cast("int")
+    pref = ordered.select(
+        "id", "blk", F.explode(F.slice("gs", 1, plen)).alias("gram")
+    )
+    a = pref.alias("a")
+    b = pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ga = base.select(F.col("id").alias("id_a"), F.col("g").alias("ga"))
+    gb = base.select(F.col("id").alias("id_b"), F.col("g").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    union = F.size(F.array_union("ga", "gb")).cast("double")
+    out = (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
-    return _materialize_and_release(out, base)
+    return _materialize_and_release(out, base, ordered)

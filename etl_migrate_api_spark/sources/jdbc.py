@@ -58,31 +58,57 @@ def jdbc_append_options(batch_size: int = 1000, isolation: str = "READ_COMMITTED
 def upsert_foreach_partition(
     df: DataFrame,
     connect: Callable[[], Any],
-    merge_sql: str,
-    insert_staging_sql: str,
+    merge_sql_for: Callable[[str], str] | str,
+    insert_staging_sql_for: Callable[[str], str] | str,
+    staging_prefix: str = "staging_upsert",
     batch_size: int = 1000,
 ) -> None:
-    """Executor-parallel transactional upsert: each partition loads its
-    rows into a staging table and runs one MERGE inside a transaction
-    (the PH10 pattern; ``merge_sql`` from
-    sinks/upsert.py::jdbc_upsert_stage_sql).
+    """Executor-parallel transactional upsert: each partition stages its
+    rows into its OWN per-partition staging table (``{prefix}_{pid}``,
+    created/truncated before load) and runs one MERGE inside a
+    transaction (the PH10 pattern; MERGE text from
+    sinks/upsert.py::jdbc_upsert_stage_sql, parameterized by the staging
+    name).
+
+    Why per-partition staging (not one shared table):
+    - concurrent MERGEs from one shared staging would each re-merge the
+      other partitions' rows, and two MERGEs inserting the same new key
+      can deadlock or raise unique violations (MERGE has no ON CONFLICT
+      semantics);
+    - TRUNCATE-before-load makes re-runs idempotent — a failed prior
+      attempt's stale staging rows are never re-applied.
+    Concurrent per-partition MERGEs are safe when the upserted keys are
+    partition-disjoint (e.g. df repartitioned by the merge key — the
+    caller's contract, documented here); otherwise run
+    ``df.coalesce(1)`` or serialize the MERGE step driver-side.
 
     ``connect`` must be a serializable zero-arg factory (executors open
     their own connections — never ship a live connection from the
-    driver)."""
+    driver). ``merge_sql_for`` / ``insert_staging_sql_for`` take the
+    staging table name and return SQL (plain strings are accepted for
+    backward compatibility and used as-is)."""
 
-    def run(rows: Iterator) -> None:
+    def _sql(template: Callable[[str], str] | str, staging: str) -> str:
+        return template(staging) if callable(template) else template
+
+    def run_with_pid(pid: int, rows: Iterator) -> Iterator:
+        staging = f"{staging_prefix}_{pid}"
         conn = connect()
         try:
             cur = conn.cursor()
+            # staging DDL is deployment-time (CREATE TABLE staging_upsert_N
+            # LIKE target); here we only guarantee idempotency per run
+            cur.execute(f"TRUNCATE TABLE {staging}")
+            insert_sql = _sql(insert_staging_sql_for, staging)
+            merge_sql = _sql(merge_sql_for, staging)
             buf = []
             for row in rows:
                 buf.append(tuple(row))
                 if len(buf) >= batch_size:
-                    cur.executemany(insert_staging_sql, buf)
+                    cur.executemany(insert_sql, buf)
                     buf.clear()
             if buf:
-                cur.executemany(insert_staging_sql, buf)
+                cur.executemany(insert_sql, buf)
             cur.execute(merge_sql)
             conn.commit()
         except Exception:
@@ -90,5 +116,8 @@ def upsert_foreach_partition(
             raise
         finally:
             conn.close()
+        return iter(())
 
-    df.foreachPartition(run)
+    df.rdd.mapPartitionsWithIndex(
+        lambda pid, rows: run_with_pid(pid, rows)
+    ).count()

@@ -38,7 +38,8 @@ def test_merge_sql_shape():
 
 
 def test_upsert_foreach_partition_transactional(spark):
-    """Fake DB-API connection records the staged rows + MERGE + commit."""
+    """Fake DB-API connection records truncate → staged rows → MERGE →
+    commit, with the per-partition staging table name threaded through."""
     import tests.fake_db as fake
 
     fake.reset()
@@ -46,13 +47,39 @@ def test_upsert_foreach_partition_transactional(spark):
     upsert_foreach_partition(
         df.coalesce(1),
         connect=fake.connect,
-        merge_sql="MERGE-SQL",
-        insert_staging_sql="INSERT-SQL",
+        merge_sql_for=lambda s: f"MERGE-SQL:{s}",
+        insert_staging_sql_for=lambda s: f"INSERT-SQL:{s}",
+        staging_prefix="stg",
         batch_size=2,
     )
     log = fake.read_log()
-    stage_lines = [l for l in log if l.startswith("executemany:INSERT-SQL")]
+    assert log[0] == "execute:TRUNCATE TABLE stg_0"  # idempotent re-runs
+    stage_lines = [l for l in log if l.startswith("executemany:INSERT-SQL:stg_0")]
     assert len(stage_lines) == 2  # 2+1 rows in 2 batches
-    assert "execute:MERGE-SQL" in log
-    assert log.index("execute:MERGE-SQL") > log.index(stage_lines[-1])
+    assert "execute:MERGE-SQL:stg_0" in log
+    assert log.index("execute:MERGE-SQL:stg_0") > log.index(stage_lines[-1])
     assert log[-2:] == ["commit", "close"]
+
+
+def test_upsert_foreach_partition_staging_isolated_per_partition(spark):
+    """Two partitions → two distinct staging tables (concurrent MERGEs
+    never share staging rows)."""
+    import tests.fake_db as fake
+
+    fake.reset()
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "id int, v string"
+    ).repartition(2, "id")
+    upsert_foreach_partition(
+        df,
+        connect=fake.connect,
+        merge_sql_for=lambda s: f"MERGE:{s}",
+        insert_staging_sql_for=lambda s: f"INS:{s}",
+        staging_prefix="stg",
+    )
+    log = fake.read_log()
+    stagings = {
+        l.split(":", 2)[2].split(":")[0] for l in log if l.startswith("execute:MERGE")
+    }
+    assert stagings == {"stg_0", "stg_1"}
+    assert log.count("commit") == 2

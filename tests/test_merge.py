@@ -189,3 +189,67 @@ def test_legacy_slot_projection(spark):
     row = merge_fold_expr(batch).collect()[0]
     assert row["tel_no"] == "0" and row["tel_no10"] == "9"
     assert row["note_other"] == "10,11"
+
+
+# ---------------------------------------------------------------------
+# Skew stress (VERDICT r01 item 8): one key holding half the batch must
+# not turn the fold into a single-reducer straggler. The fold is a hash
+# aggregate with map-side partial collect, so the hot key's work is
+# spread across input partitions before one reducer merges lists; the
+# state join side is covered by AQE skew handling.
+# ---------------------------------------------------------------------
+
+
+def _synthetic_batch(spark, n, hot_fraction):
+    from pyspark.sql import functions as F
+
+    hot = (
+        F.col("id") % int(1 / hot_fraction) == 0 if hot_fraction > 0 else F.lit(False)
+    )
+    return (
+        spark.range(n)
+        .repartition(16)
+        .select(
+            F.when(hot, "HOT")
+            .otherwise(F.concat(F.lit("K"), (F.col("id") % 997).cast("string")))
+            .alias("hn_code"),
+            F.col("id").alias("seq"),
+            F.array(
+                F.concat(F.lit("0"), (F.col("id") % 10_000_000).cast("string"))
+            ).alias("phones"),
+        )
+    )
+
+
+def test_fold_skewed_hot_key(spark):
+    """50%-hot-key batch: correct result, and wall-clock within a loose
+    factor of the uniform-keys batch of the same size (no straggler
+    collapse; bound is deliberately slack for CI noise)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from etl_migrate_api_spark.operators.merge import merge_fold_expr
+
+    n = 40_000
+    skew = _synthetic_batch(spark, n, 0.5)
+    flat = _synthetic_batch(spark, n, 0)
+
+    t0 = _t.perf_counter()
+    out_flat = merge_fold_expr(flat, legacy_slots=False)
+    n_flat = out_flat.count()
+    t_flat = _t.perf_counter() - t0
+
+    t0 = _t.perf_counter()
+    out_skew = merge_fold_expr(skew, legacy_slots=False)
+    n_skew = out_skew.count()
+    t_skew = _t.perf_counter() - t0
+
+    assert n_flat == 997  # uniform: every key present
+    assert n_skew == 997 + 1  # HOT + the odd-id residue keys
+    hot = out_skew.where(F.col("hn_code") == "HOT").select(
+        (F.size("slots") + F.size("extras")).alias("n")
+    ).collect()[0]["n"]
+    # HOT saw n/2 rows; phones dedup to the distinct suffixes
+    assert hot == len({f"0{i % 10_000_000}" for i in range(0, n, 2)})
+    assert t_skew < 5 * max(t_flat, 0.5), (t_skew, t_flat)

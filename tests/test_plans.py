@@ -43,6 +43,14 @@ def test_dim_joins_are_broadcast(spark, sf_dir, queries):
         assert "SortMergeJoin" not in plan, q
 
 
+def test_q5_region_filter_pushed_to_scan(spark, sf_dir, queries):
+    """The r_name='ASIA' filter must reach the region parquet scan (it
+    feeds a broadcast — filtering after broadcast would ship and probe
+    the whole dim)."""
+    plan = _plan(queries["q5_local_supplier_volume"].fn(spark, sf_dir))
+    assert "EqualTo(r_name,ASIA)" in plan
+
+
 def test_no_python_in_expression_paths(spark, sf_dir, queries):
     for q in (
         "contact_merge_fold",
@@ -54,6 +62,27 @@ def test_no_python_in_expression_paths(spark, sf_dir, queries):
         plan = _plan(queries[q].fn(spark, sf_dir))
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, q
         assert "MapInPandas" not in plan, q
+
+
+def test_neardup_joins_are_prefiltered(spark, sf_dir):
+    """The two formerly-quadratic operators must never join on the
+    blocking key alone: candidates come from (blk, prefix-gram) /
+    (blk, band) equi-joins, so a skewed block can't go O(n²)."""
+    from etl_migrate_api_spark.operators.dedup import ngram_jaccard_pairs
+    from etl_migrate_api_spark.operators.similarity import embedding_neardup_pairs
+    from etl_migrate_api_spark.plans.llm_ops import planted_docs, planted_embeddings
+
+    ng = ngram_jaccard_pairs(
+        planted_docs(spark, sf_dir), block_col="source", n=3, threshold=0.3
+    )
+    plan = _plan(ng)
+    assert "gram" in plan  # candidate join carries the prefix-token key
+    ng.unpersist()
+
+    emb = embedding_neardup_pairs(planted_embeddings(spark, sf_dir), threshold=0.95)
+    plan = _plan(emb)
+    assert "band_key" in plan  # candidate join carries the LSH band key
+    emb.unpersist()
 
 
 def test_merge_fold_single_shuffle(spark, sf_dir, queries):

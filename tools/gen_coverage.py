@@ -68,7 +68,7 @@ NORTH_STAR = [
     ("dedup embedding-cosine", "llm_embedding_neardup"),
     ("ANN brute-force", "llm_ann_bruteforce_topk"),
     ("ANN LSH", "llm_ann_lsh_topk (rows-only)"),
-    ("ANN IVF", "llm_ann_ivf_topk"),
+    ("ANN IVF", "llm_ann_ivf_topk (rows-only; k-means-trained cells, recall-tested)"),
     ("language-ID", "llm_lang_id"),
     ("quality scoring", "llm_quality_score"),
     ("token counting", "llm_token_stats"),
