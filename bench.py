@@ -27,8 +27,30 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM/codegen once (tiny query, not timed)
+    # warm the session once, untimed: JVM/codegen, the Python worker
+    # pool (first pandas_udf pays ~1 spawn+numpy import per core), and
+    # HOF codegen — so per-query numbers measure steady-state
+    # throughput, not one-time session setup
+    import pandas as pd
+    from pyspark.sql import functions as F
+
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    def _identity(s):
+        return s
+
+    _identity.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _warm_udf = F.pandas_udf("long")(_identity)
+    spark.range(1024).repartition(32).select(
+        _warm_udf(F.col("id")).alias("x")
+    ).agg(F.sum("x")).collect()
+    spark.range(128).select(
+        F.aggregate(
+            F.transform(F.array(F.col("id").cast("double")), lambda x: x * 2.0),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("s")
+    ).agg(F.sum("s")).collect()
 
     timings: dict[str, float] = {}
     for name in headline_names():
