@@ -156,6 +156,31 @@ def fingerprint(c: ColumnOrName) -> Column:
     return F.md5(normalized)
 
 
+ROLLING_P = 2_147_483_647  # 2^31 - 1, same modulus as the MinHash family
+ROLLING_B = 131
+
+
+def rolling_fingerprint(c: ColumnOrName) -> Column:
+    """Polynomial rolling-hash document fingerprint (Rabin-Karp style)
+    over whitespace tokens: H = fold(tokens, (acc, t) → (acc·B +
+    h(t)) mod P) with h(t) = 60-bit md5 int mod P. Token-order
+    sensitive (unlike the bag-of-bytes md5 fingerprint) and
+    incrementally updatable at a stream boundary. Engine-agnostic: the
+    DuckDB oracle computes the identical fold via list_reduce (its
+    first-element seed equals our 0-seed because (0·B + h₁) = h₁);
+    empty docs hash to 0. All intermediates stay < 2³¹·B < 2⁶³."""
+    th = F.transform(
+        tokens(c),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+        % ROLLING_P,
+    )
+    return F.aggregate(
+        th,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * ROLLING_B + h) % ROLLING_P,
+    )
+
+
 def char_shingles(c: ColumnOrName, k: int = 5) -> Column:
     """All k-character shingles of the normalized text → array<string>.
     Pure HOF (sequence + transform + substring) — stays JVM-side.

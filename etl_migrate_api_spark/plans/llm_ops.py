@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from etl_migrate_api_spark.catalog import load
 from etl_migrate_api_spark.functions.text import (
     bpe_ish_token_count,
+    rolling_fingerprint,
     lang_id,
     quality_score,
     token_count,
@@ -467,20 +468,34 @@ _TEXT_METRIC_SQL = f"""
 @register(
     "llm_token_stats",
     oracle=f"""
-      with docs as (select doc_id, text from documents)
+      with docs as (select doc_id, text from documents),
+      toks as (
+        select doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') as tk,
+               text
+        from docs
+      )
       select doc_id,
-             cast(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) as bigint) as n_tok,
-             cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) as bigint) as n_bpe
-      from docs
+             cast(len(tk) as bigint) as n_tok,
+             cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) as bigint) as n_bpe,
+             cast(case when len(tk) = 0 then 0
+                  else list_reduce(
+                         list_transform(tk, t ->
+                           cast(concat('0x', substr(md5(t), 1, 15)) as bigint) % 2147483647),
+                         (acc, h) -> (acc * 131 + h) % 2147483647)
+                  end as bigint) as fp_roll
+      from toks
     """,
 )
 def llm_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens + BPE-ish word-piece proxy."""
+    """Token counting (whitespace + BPE-ish word-piece proxy) + the
+    order-sensitive rolling-hash document fingerprint."""
     docs = load(spark, "documents", sf_dir)
     return docs.select(
         "doc_id",
         token_count("text").alias("n_tok"),
         bpe_ish_token_count("text").alias("n_bpe"),
+        rolling_fingerprint("text").alias("fp_roll"),
     )
 
 
