@@ -157,6 +157,99 @@ def lsh_band_keys(sig: Column, n_hashes: int = N_HASHES, band_size: int = BAND_S
     )
 
 
+def minhash_signature_tables(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """(signatures, bands) for a corpus — the write-once MinHash store
+    that makes near-dup detection INCREMENTAL at 100 TB.
+
+    ``signatures``: (id, hv array<bigint>) — distinct shingle-hash ints
+    (what exact-Jaccard verification needs).
+    ``bands``: (id, band_idx, band_key) — the LSH index side.
+
+    Persist both once (bands bucketed/partitioned by (band_idx,
+    band_key), signatures by id); then each new ingest batch runs
+    :func:`minhash_lsh_candidates_incremental` against them — cost ∝
+    batch, not corpus. Deterministic md5 hashing means append-only
+    updates never invalidate existing rows."""
+    base = (
+        _spread(df.select(F.col(id_col).alias("id"), _norm_text(text_col).alias("t")))
+        .where(F.length("t") >= 5)
+        .select(
+            "id",
+            F.array_distinct(shingle_hashes(_shingles_of_attr("t"))).alias("hv"),
+        )
+    )
+    bands = base.select(
+        "id",
+        F.posexplode(lsh_band_keys(minhash_signature_from_hashes(F.col("hv")))).alias(
+            "band_idx", "band_key"
+        ),
+    ).select("id", "band_idx", "band_key")
+    return base, bands
+
+
+def minhash_lsh_candidates_incremental(
+    new_df: DataFrame,
+    corpus_signatures: DataFrame,
+    corpus_bands: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup candidates of a NEW batch against an existing corpus
+    store (plus within the batch itself), exact-Jaccard verified —
+    without touching corpus text. Returns (id_a, id_b, jaccard) with
+    id_a < id_b under the same contract as minhash_lsh_candidates.
+
+    Scale shape: batch signatures are small → the bands join probes the
+    corpus band index on (band_idx, band_key) (partition-pruned when the
+    store is bucketed by band); the verify join fetches only candidate
+    ids' signatures."""
+    new_sigs, new_bands = minhash_signature_tables(new_df, text_col, id_col)
+    new_sigs = new_sigs.persist()
+    new_sigs.count()
+
+    nb = new_bands.persist()
+    nb.count()
+    # batch × corpus candidates
+    cross = (
+        nb.alias("n")
+        .join(
+            corpus_bands.alias("c"),
+            (F.col("n.band_idx") == F.col("c.band_idx"))
+            & (F.col("n.band_key") == F.col("c.band_key"))
+            & (F.col("n.id") != F.col("c.id")),
+        )
+        .select(
+            F.least("n.id", "c.id").alias("id_a"),
+            F.greatest("n.id", "c.id").alias("id_b"),
+        )
+    )
+    # batch × batch candidates
+    within = (
+        nb.alias("a")
+        .join(
+            nb.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    pairs = cross.unionByName(within).distinct()
+    sigs = corpus_signatures.unionByName(new_sigs)
+    sh_a = sigs.select(F.col("id").alias("id_a"), F.col("hv").alias("sh_a"))
+    sh_b = sigs.select(F.col("id").alias("id_b"), F.col("hv").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    out = (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+    )
+    return _materialize_and_release(out, new_sigs, nb)
+
+
 def minhash_lsh_candidates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
