@@ -364,37 +364,73 @@ def simhash_df(
     return th.select("id", lo.alias("simhash_lo"), hi.alias("simhash_hi"))
 
 
+# The classic Manku/Jain/Das Sarma (WWW'07) 64-bit layout: 4 × 16-bit
+# chunks. Pigeonhole: hamming ≤ 3 < 4 chunks ⇒ at least one chunk is
+# IDENTICAL, so equality-blocking on chunks has guaranteed 100% recall —
+# this is the full-scale SimHash index layout, not a lossy approximation.
+SIMHASH_CHUNKS: list[tuple[str, int, int]] = [
+    # (half, start_bit_within_half, width)
+    ("simhash_lo", 0, 16),
+    ("simhash_lo", 16, 16),
+    ("simhash_hi", 0, 16),
+    ("simhash_hi", 16, 16),
+]
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_hamming: int = 8,
+    max_hamming: int = 3,
 ) -> DataFrame:
-    """Pairs with simhash hamming distance ≤ max_hamming.
+    """ALL pairs with simhash hamming distance ≤ max_hamming (default 3,
+    the production near-dup threshold for 64-bit SimHash).
 
-    Scale path: block on the hi half (near-dups almost always agree on
-    32 bits) → equi-join instead of cross-join; the residual cross
-    within a block is tiny. At 100 TB one would block on 4×16-bit
-    chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal); hi-half
-    blocking is the same idea at this SF.
-    """
+    Scale path: each signature is cut into 4 × 16-bit chunks;
+    candidates are pairs sharing any (chunk_idx, chunk_value) — an
+    equi-join, never a cross-join — and exact hamming is verified on
+    candidates. By pigeonhole (max_hamming < 4) the blocking loses
+    NOTHING, so the result is the exact ≤-max_hamming pair set and the
+    oracle is the plain all-pairs formulation."""
+    if max_hamming >= len(SIMHASH_CHUNKS):
+        raise ValueError(
+            f"pigeonhole recall guarantee needs max_hamming < {len(SIMHASH_CHUNKS)}"
+        )
     s = simhash_df(df, text_col, id_col).persist()  # both sides of the self-join
-    a = s.alias("a")
-    b = s.alias("b")
-    ham = F.expr(
-        "bit_count(a.simhash_lo ^ b.simhash_lo) + bit_count(a.simhash_hi ^ b.simhash_hi)"
+    s.count()
+    chunks = F.array(
+        *[
+            F.shiftright(F.col(half), start).bitwiseAND(F.lit((1 << width) - 1))
+            for half, start, width in SIMHASH_CHUNKS
+        ]
     )
+    banded = s.select("id", F.posexplode(chunks).alias("ci", "cv"))
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.ci") == F.col("y.ci"))
+            & (F.col("x.cv") == F.col("y.cv"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    sa = s.select(
+        F.col("id").alias("id_a"),
+        F.col("simhash_lo").alias("lo_a"),
+        F.col("simhash_hi").alias("hi_a"),
+    )
+    sb = s.select(
+        F.col("id").alias("id_b"),
+        F.col("simhash_lo").alias("lo_b"),
+        F.col("simhash_hi").alias("hi_b"),
+    )
+    ham = F.expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)")
     out = (
-        a.join(
-            b,
-            (F.col("a.simhash_hi") == F.col("b.simhash_hi"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            ham.cast("int").alias("hamming"),
-        )
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
     return _materialize_and_release(out, s)
