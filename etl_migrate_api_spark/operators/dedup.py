@@ -472,12 +472,17 @@ def ngram_jaccard_pairs(
         F.sequence(F.lit(1), cnt - F.lit(n - 1)),
         lambda i: F.array_join(F.slice(F.col("tk"), i, n), " "),
     )
-    # guard on the cheap token count, not on size(grams) — a size filter
+    # gram STRINGS never leave this projection: downstream (frequency
+    # count, prefix explode, exact-Jaccard verify) works on md5-derived
+    # 60-bit ints — ~10× cheaper to shuffle/cache/intersect, and
+    # distinct-gram counts are identical barring 2⁻⁶⁰ collisions (the
+    # same accepted trade as the MinHash shingle path above).
+    # Guard on the cheap token count, not on size(grams) — a size filter
     # would be predicate-pushed below the repartition and re-evaluate the
-    # gram chain at input parallelism (see minhash note above)
+    # gram chain at input parallelism (see minhash note above).
     base = (
         with_toks.where(cnt >= n)
-        .select("id", "blk", F.array_distinct(grams).alias("g"))
+        .select("id", "blk", F.array_distinct(shingle_hashes(grams)).alias("g"))
         .persist()
     )
     base.count()  # eager: freq + prefix + verify branches reuse it
