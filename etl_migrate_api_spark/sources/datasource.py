@@ -72,11 +72,13 @@ class HttpCursorReader(DataSourceReader):
             rows = payload.get("data") or []
             if not rows:
                 return
+            # no ordering assumption on the page: filter (not return) on
+            # the partition's upper bound — an id-descending page would
+            # otherwise discard its in-range tail; the next partition
+            # owns rows beyond end
             for r in rows:
-                rid = r["id"]
-                if rid > partition.end:
-                    return  # the next partition owns this row
-                yield tuple(r.get(f) for f in fields)
+                if r["id"] <= partition.end:
+                    yield tuple(r.get(f) for f in fields)
             # advance by the page's MAX id, not rows[-1]: an unsorted
             # page would otherwise re-fetch rows forever; and if the
             # server fails to advance the cursor, stop rather than loop

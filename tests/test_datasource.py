@@ -28,6 +28,11 @@ class _Handler(BaseHTTPRequestHandler):
         last_id = int(q.get("lastId", ["0"])[0])
         limit = int(q.get("limit", ["1000"])[0])
         data = _rows(last_id, limit)
+        if "unsorted" in self.path:
+            data = list(reversed(data))  # pages arrive id-descending
+        if "stuck" in self.path and data:
+            # misbehaving server: echoes the same page forever
+            data = _rows(0, limit)
         body = json.dumps({"data": data, "count": len(data)}).encode()
         self.send_response(200)
         self.send_header("Content-Type", "application/json")
@@ -67,6 +72,45 @@ def test_http_cursor_datasource_parallel_read(spark, http_server):
     assert {r["id"] for r in rows} == set(range(1, N_ROWS + 1))
     one = [r for r in rows if r["id"] == 123][0]
     assert one["hn_code"] == "N023" and one["tel_no"] == "p4,p2"
+
+
+def test_http_cursor_unsorted_page_no_duplicates(spark, http_server):
+    """A server returning id-DESCENDING pages must not re-fetch rows:
+    the cursor advances by max(id), not the last row's id."""
+    from etl_migrate_api_spark.sources.datasource import HttpCursorDataSource
+
+    spark.dataSource.register(HttpCursorDataSource)
+    df = (
+        spark.read.format("http_cursor")
+        .option("base_url", http_server + "/unsorted")
+        .option("max_id", str(N_ROWS))
+        .option("page_size", "100")
+        .option("slices", "2")
+        .schema("id bigint, hn_code string, tel_no string")
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == N_ROWS
+    assert {r["id"] for r in rows} == set(range(1, N_ROWS + 1))
+
+
+def test_http_cursor_non_advancing_server_terminates(spark, http_server):
+    """A server that echoes the same page forever must terminate (cursor
+    non-advance guard), not loop."""
+    from etl_migrate_api_spark.sources.datasource import HttpCursorDataSource
+
+    spark.dataSource.register(HttpCursorDataSource)
+    df = (
+        spark.read.format("http_cursor")
+        .option("base_url", http_server + "/stuck")
+        .option("max_id", "400")
+        .option("page_size", "100")
+        .option("slices", "1")
+        .schema("id bigint, hn_code string, tel_no string")
+        .load()
+    )
+    rows = df.collect()  # finite because the reader stops on non-advance
+    assert {r["id"] for r in rows} == set(range(1, 101))
 
 
 def test_http_cursor_requires_schema(spark, http_server):
