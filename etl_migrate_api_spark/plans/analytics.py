@@ -35,7 +35,7 @@ def _dbl(c) -> F.Column:
                             * cast(1 + l_tax as decimal(18,2))), 2) as double) as sum_charge,
              count(*) as count_order
       from lineitem
-      where l_shipdate <= timestamp '2024-06-01 00:00:00'
+      where l_shipdate <= timestamp '2001-05-01 00:00:00'
       group by l_returnflag, l_linestatus
     """,
     headline=True,
@@ -50,7 +50,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = (F.lit(1) - F.col("l_discount")).cast(_DEC)
     tax = (F.lit(1) + F.col("l_tax")).cast(_DEC)
     return (
-        li.where(F.col("l_shipdate") <= F.lit("2024-06-01 00:00:00").cast("timestamp"))
+        li.where(F.col("l_shipdate") <= F.lit("2001-05-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _dbl(F.sum(qty)).alias("sum_qty"),
@@ -73,8 +73,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
       join orders on c_custkey = o_custkey
       join lineitem on l_orderkey = o_orderkey
       where c_mktsegment = 'BUILDING'
-        and o_orderdate < timestamp '2024-03-01 00:00:00'
-        and l_shipdate > timestamp '2024-03-01 00:00:00'
+        and o_orderdate < timestamp '1998-06-01 00:00:00'
+        and l_shipdate > timestamp '1998-06-01 00:00:00'
       group by l_orderkey, o_orderdate
       order by revenue desc, l_orderkey
       limit 10
@@ -85,7 +85,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → fact join → agg → top-k.
     Customer side is broadcast; lineitem filter pushes to the scan."""
-    cutoff = F.lit("2024-03-01 00:00:00").cast("timestamp")
+    cutoff = F.lit("1998-06-01 00:00:00").cast("timestamp")
     c = load(spark, "customer", sf_dir).where(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, "orders", sf_dir).where(F.col("o_orderdate") < cutoff)
     li = load(spark, "lineitem", sf_dir).where(F.col("l_shipdate") > cutoff)
