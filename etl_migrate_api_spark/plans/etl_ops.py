@@ -941,6 +941,74 @@ def array_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_asof_join",
+    oracle="""
+      with tagged as (
+        select user_id, ts, event_id, event_type, value
+        from events where event_type in ('view', 'click')
+      ),
+      carried as (
+        select user_id, ts, event_id, event_type,
+               last_value(case when event_type = 'view' then event_id end
+                          ignore nulls)
+                 over (partition by user_id order by ts, event_id
+                       rows between unbounded preceding and current row)
+                 as view_event_id,
+               last_value(case when event_type = 'view' then ts end
+                          ignore nulls)
+                 over (partition by user_id order by ts, event_id
+                       rows between unbounded preceding and current row)
+                 as view_ts
+        from tagged
+      )
+      select event_id as click_id, user_id, view_event_id,
+             case when view_ts is not null
+                  then cast(date_diff('microsecond', view_ts, ts) as bigint)
+             end as gap_us
+      from carried
+      where event_type = 'click'
+    """,
+    survey_refs=("W2", "J2"),
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join — an operator Spark has no native form of — as a
+    composition: for every click, the nearest preceding (or same-
+    instant, tie-broken by event_id) view of the same user. Union the
+    two sides, carry the last non-null view id/ts forward with
+    last(ignorenulls) over (user, ts, event_id), keep click rows. ONE
+    shuffle on user_id at any scale — never a per-row lookup or a
+    range cross-join; time-ordered training-data joins (event →
+    attribution, trade → quote) are this exact shape."""
+    ev = load(spark, "events", sf_dir).where(
+        F.col("event_type").isin("view", "click")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    view_id = F.when(F.col("event_type") == "view", F.col("event_id"))
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    carried = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.last(view_id, ignorenulls=True).over(w).alias("view_event_id"),
+        F.last(view_ts, ignorenulls=True).over(w).alias("view_ts"),
+    )
+    return carried.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        "view_event_id",
+        F.when(
+            F.col("view_ts").isNotNull(),
+            F.unix_micros("ts") - F.unix_micros("view_ts"),
+        ).alias("gap_us"),
+    )
+
+
+@register(
     "agg_skew_bucket_battery",
     oracle="""
       select 'events_bucket' as src,
@@ -998,9 +1066,11 @@ def agg_skew_bucket_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
-# Tail: redundant-coverage queries (every survey_ref below is also
-# driver-gated via a query above). Registered last ON PURPOSE — if the
-# driver caps the gate at 50 queries, these are the ones that fall out.
+# Tail: redundant-coverage queries (every survey_ref here — including
+# agg_skew_bucket_battery just above, position 50 — is also driver-gated
+# via a query above; the salting pattern itself stays pytest-verified).
+# Registered last ON PURPOSE — if the driver caps the gate at 50
+# queries, these are the ones that fall out.
 # ---------------------------------------------------------------------
 
 
