@@ -1100,3 +1100,43 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.count_distinct("user_id").alias("exact_users"),
     )
+
+
+@register(
+    "join_range_bands",
+    oracle="""
+      select band, count(*) as n,
+             cast(round(sum(cast(o_totalprice as decimal(18,2))), 2) as double)
+               as total
+      from orders
+      join (values ('small', 0.0, 100000.0),
+                   ('mid', 100000.0, 250000.0),
+                   ('big', 250000.0, 100000000.0)) bands(band, lo, hi)
+        on o_totalprice >= lo and o_totalprice < hi
+      group by band
+    """,
+    survey_refs=("J2", "F2"),
+)
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join (absent joint category in the reference): fact ×
+    interval dim on a non-equi predicate. The interval side is broadcast
+    → BroadcastNestedLoopJoin, the right physical plan for small
+    interval sets at any fact size; large×large range joins bucketize
+    the range instead (the events_asof_join pattern)."""
+    bands = spark.createDataFrame(
+        [
+            ("small", 0.0, 100_000.0),
+            ("mid", 100_000.0, 250_000.0),
+            ("big", 250_000.0, 100_000_000.0),
+        ],
+        "band string, lo double, hi double",
+    )
+    o = load(spark, "orders", sf_dir)
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"), _money_sum("o_totalprice").alias("total"))
+    )
