@@ -1140,3 +1140,50 @@ def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(F.count(F.lit(1)).alias("n"), _money_sum("o_totalprice").alias("total"))
     )
+
+
+@register(
+    "map_functions_battery",
+    oracle="""
+      select o_orderkey,
+             'clerk,prio,status' as keys,
+             concat('C', cast(o_custkey % 100 as string), '|', o_orderpriority, '|', o_orderstatus) as vals,
+             o_orderstatus as status,
+             3 as n_entries,
+             upper(o_orderpriority) as prio_uc,
+             'prio,status' as keys_noclerk
+      from orders where o_orderkey <= 2000
+    """,
+    survey_refs=("P1", "T2"),
+)
+def map_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column battery (absent category): create_map /
+    map_concat / map_keys / map_values / element_at / map_filter /
+    transform_values — all JVM-side map expressions. Map internals stay
+    engine-local; the oracle states the projected results (maps
+    themselves never cross the comparison boundary — entry order is
+    engine-specific, strings are not)."""
+    o = load(spark, "orders", sf_dir).where(F.col("o_orderkey") <= 2000)
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("prio"), F.col("o_orderpriority"),
+    )
+    clerk = F.concat(F.lit("C"), (F.col("o_custkey") % 100).cast("string"))
+    m2 = F.map_concat(m, F.create_map(F.lit("clerk"), clerk))
+    sorted_keys = F.array_join(F.array_sort(F.map_keys(m2)), ",")
+    # values in key order: rebuild via element_at over the sorted keys
+    vals_in_key_order = F.array_join(
+        F.transform(F.array_sort(F.map_keys(m2)), lambda k: F.element_at(m2, k)),
+        "|",
+    )
+    no_clerk = F.map_filter(m2, lambda k, v: k != F.lit("clerk"))
+    upped = F.transform_values(m2, lambda k, v: F.upper(v))
+    return o.select(
+        "o_orderkey",
+        sorted_keys.alias("keys"),
+        vals_in_key_order.alias("vals"),
+        F.element_at(m2, F.lit("status")).alias("status"),
+        F.size(m2).alias("n_entries"),
+        F.element_at(upped, F.lit("prio")).alias("prio_uc"),
+        F.array_join(F.array_sort(F.map_keys(no_clerk)), ",").alias("keys_noclerk"),
+    )
