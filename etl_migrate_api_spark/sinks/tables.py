@@ -83,6 +83,24 @@ class ParquetTable:
     def _write(self, df: DataFrame, path: str) -> None:
         df.write.mode("overwrite").parquet(path)
 
+    def compact(self) -> int:
+        """Rewrite the table as one compacted copy and return the file
+        count before compaction. Append-only tables (the audit log)
+        accumulate one small file per append — at 100k micro-batches
+        that's 100k-file read amplification; run this periodically (the
+        plain-files analogue of Delta OPTIMIZE). Safe concurrent with
+        readers (same swap as ``replace``)."""
+        if not self.exists():
+            return 0
+        n_files = sum(
+            1
+            for _root, _dirs, files in os.walk(self.path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        self.replace(self.read())
+        return n_files
+
     def replace(self, df: DataFrame) -> None:
         """Overwrite via write-to-scratch + rename swap. Readers see the
         old or the new table; a crash mid-swap is repaired by

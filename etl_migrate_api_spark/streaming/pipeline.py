@@ -74,6 +74,44 @@ def windowed_event_counts_stream(
     )
 
 
+def dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    watermark: str = "1 hour",
+) -> StreamingQuery:
+    """Streaming exact-dedup with bounded state: first occurrence per
+    content fingerprint wins; duplicates arriving within the event-time
+    watermark are dropped, and state older than the watermark is evicted
+    (``dropDuplicatesWithinWatermark`` — unbounded-corpus dedup with
+    bounded memory, the streaming face of llm_exact_dedup). Append-mode
+    parquet sink; availableNow trigger in tests."""
+    from etl_migrate_api_spark.functions.text import fingerprint
+
+    schema = spark.read.parquet(source_dir).schema
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in schema)["ts"]
+    if ts_type != "timestamp":
+        raise ValueError(
+            f"'ts' must be a timestamp column, got {ts_type}; land the "
+            "source through catalog.load (ns→µs conversion) first"
+        )
+    events = spark.readStream.schema(schema).parquet(source_dir)
+    deduped = (
+        events.withColumn("fp", fingerprint("props"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def contact_stream(
     spark: SparkSession,
     source_dir: str,

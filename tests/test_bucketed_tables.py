@@ -92,6 +92,22 @@ def test_delete_can_empty_a_bucket(spark, tmp_path):
     assert not t.exists() or t.read().count() == 0
 
 
+def test_compact_append_only_log(spark, tmp_path):
+    """Repeated appends accumulate files; compact() collapses them and
+    preserves every row (the audit-log maintenance path)."""
+    t = ParquetTable(spark, str(tmp_path / "log"))
+    for i in range(5):
+        t.append(_rows(spark, [(f"k{i}", i)]).coalesce(1))
+    before = t.compact()
+    assert before >= 5
+    assert sorted(r["v"] for r in t.read().collect()) == [0, 1, 2, 3, 4]
+    after = sum(
+        1 for _r, _d, files in __import__("os").walk(t.path)
+        for f in files if f.endswith(".parquet")
+    )
+    assert after < before
+
+
 def test_crash_recovery_restores_old_dir(spark, tmp_path):
     t = ParquetTable(spark, str(tmp_path / "t3"))
     t.replace(_rows(spark, [("a", 1)]))

@@ -7,6 +7,7 @@ import pyspark.sql.functions as F
 
 from etl_migrate_api_spark.streaming.pipeline import (
     contact_stream,
+    dedup_stream,
     windowed_event_counts_stream,
 )
 
@@ -46,6 +47,33 @@ def test_windowed_counts_match_batch(spark, sf_small, tmp_path):
     w = {tuple(r) for r in want.collect()}
     assert g.issubset(w)
     assert len(g) >= len(w) - 5 * 2  # at most last window per type held back
+
+
+def test_dedup_stream_first_occurrence_wins(spark, sf_small, tmp_path):
+    """Streaming exact-dedup: with a watermark wide enough that no state
+    evicts over the bounded input, the output holds exactly one row per
+    content fingerprint (the streaming twin of llm_exact_dedup)."""
+    from etl_migrate_api_spark.catalog import load
+    from etl_migrate_api_spark.functions.text import fingerprint
+
+    src = str(tmp_path / "events_landed_dd")
+    load(spark, "events", sf_small).write.parquet(src)
+    q = dedup_stream(
+        spark,
+        src,
+        str(tmp_path / "ckpt_dd"),
+        str(tmp_path / "out_dd"),
+        watermark="3650 days",  # no eviction over the bounded input
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out_dd"))
+    n_distinct = (
+        spark.read.parquet(src).select(fingerprint("props").alias("fp")).distinct().count()
+    )
+    assert got.count() == n_distinct
+    assert got.select("fp").distinct().count() == n_distinct  # one row per fp
+    # the input genuinely contained duplicates (the operator did work)
+    assert spark.read.parquet(src).count() > n_distinct
 
 
 def test_contact_stream_foreachbatch(spark, tmp_path):
