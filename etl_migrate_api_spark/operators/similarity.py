@@ -394,6 +394,83 @@ NEARDUP_N_BANDS = 4
 NEARDUP_BAND_SIZE = 4
 
 
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build the persisted IVF layout: train deterministic k-means, then
+    write the corpus parquet-partitioned by cell (``path/cell=N/``) with
+    the centroids alongside (``path``.centroids). This is the write-once
+    index the in-line ivf_topk docstring promises: repeated queries scan
+    only their probed cells' directories (partition pruning at
+    file-listing time) — at 100 TB a query touches nprobe/k of the
+    corpus bytes, and the index rebuilds only when centroids do."""
+    cents = kmeans_centroids(corpus, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    cent_rows = [
+        (int(r["cent_id"]), [float(x) for x in r["cent_v"]]) for r in cents.collect()
+    ]
+    assign = _cell_assign_udf(cent_rows)
+    corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        assign(F.col(vec_col)).alias("cell"),
+    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+    cents.write.mode("overwrite").parquet(f"{path}.centroids")
+
+
+def ivf_topk_from_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF index: assign each query to its nprobe
+    nearest cells (centroids are driver-side constants — a pure
+    projection), then scan ONLY those cell partitions and rank. The cell
+    filter is on the partition column, so pruning happens at file
+    listing, not per row."""
+    cent_rows = [
+        (int(r["cent_id"]), [float(x) for x in r["cent_v"]])
+        for r in spark.read.parquet(f"{path}.centroids").collect()
+    ]
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(_nearest_cells_expr(F.col(vec_col), cent_rows, nprobe)).alias("cell"),
+    )
+    probed = [int(r["cell"]) for r in q.select("cell").distinct().collect()]
+    c = spark.read.parquet(path).where(F.col("cell").isin(probed))
+    scored = (
+        F.broadcast(q)
+        .join(c, "cell")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "cell",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_similarity(F.col("qv"), F.col("embedding")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int"),
+            "neighbor_id",
+            F.col("cell").cast("int"),
+        )
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

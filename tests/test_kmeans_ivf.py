@@ -65,6 +65,31 @@ def test_ivf_recall_vs_bruteforce(spark, emb):
     assert len(exact & ap1) / len(exact) > 1 / 8
 
 
+def test_persisted_ivf_index_matches_inline(spark, emb, tmp_path):
+    """write_ivf_index + ivf_topk_from_index must return exactly the
+    in-line ivf_topk results (training is deterministic), and the cell
+    filter must prune partitions at the scan."""
+    from etl_migrate_api_spark.operators.similarity import (
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, path)
+    queries = emb.where(F.col("vec_id") < 10)
+    from_index = ivf_topk_from_index(spark, path, queries, k=5, nprobe=3)
+    inline = ivf_topk(emb, queries, k=5, nprobe=3)
+    assert sorted(map(tuple, from_index.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+    plan = from_index._jdf.queryExecution().executedPlan().toString()
+    # some scan in the plan (the index side) must carry the cell filter
+    # as a PARTITION filter, not a row filter
+    assert any(
+        "cell" in seg[:200] for seg in plan.split("PartitionFilters")[1:]
+    ), plan
+
+
 def test_ivf_accepts_external_centroids(spark, emb):
     """Caller-supplied centroids still work (the pre-trained path)."""
     out = ivf_topk(
