@@ -394,6 +394,114 @@ NEARDUP_N_BANDS = 4
 NEARDUP_BAND_SIZE = 4
 
 
+def embedding_band_table(
+    df: DataFrame,
+    block_col: str | None = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bands: int = NEARDUP_N_BANDS,
+    band_size: int = NEARDUP_BAND_SIZE,
+) -> DataFrame:
+    """(id, blk, band_idx, band_key, v) — the write-once LSH index side
+    for embedding near-dup. Persist bucketed by (band_idx, band_key);
+    each new ingest batch then runs
+    :func:`embedding_neardup_incremental` against it — cost ∝ batch,
+    not corpus. Deterministic hyperplane weights make the store
+    append-only-safe (see hyperplane_weights)."""
+    bits = hyperplane_sign_bits(F.col("v"), n_bands * band_size, dim)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        (F.col(block_col) if block_col else F.lit(1)).alias("blk"),
+        F.col(vec_col).alias("v"),
+    ).withColumn("bits", bits)
+    return base.select(
+        "id",
+        "blk",
+        "v",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.substring(F.col("bits"), b * band_size + 1, band_size),
+            )
+        ).alias("band_idx", "band_key"),
+    )
+
+
+def embedding_neardup_incremental(
+    new_df: DataFrame,
+    corpus_bands: DataFrame,
+    threshold: float = 0.95,
+    block_col: str | None = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Near-dup pairs of a NEW embedding batch against an existing
+    corpus band table (plus within the batch), exact cosine verified —
+    the corpus is only probed on (blk, band) buckets, never rescanned.
+    Same candidate contract as embedding_neardup_pairs; assumes disjoint
+    id spaces between batch and corpus."""
+    nb = embedding_band_table(
+        new_df, block_col=block_col, id_col=id_col, vec_col=vec_col, dim=dim
+    ).persist()
+    nb.count()
+    join_keys = ["blk", "band_idx", "band_key"]
+
+    def bands_side(bdf: DataFrame, tag: str) -> DataFrame:
+        return bdf.select(
+            F.col("id").alias(f"id_{tag}"),
+            F.col("v").alias(f"v_{tag}"),
+            *join_keys,
+        )
+
+    cross = (
+        bands_side(nb, "n")
+        .join(bands_side(corpus_bands, "c"), join_keys)
+        .where(F.col("id_n") != F.col("id_c"))
+        .select(
+            F.least("id_n", "id_c").alias("id_a"),
+            F.greatest("id_n", "id_c").alias("id_b"),
+            F.when(F.col("id_n") < F.col("id_c"), F.col("v_n"))
+            .otherwise(F.col("v_c"))
+            .alias("va"),
+            F.when(F.col("id_n") < F.col("id_c"), F.col("v_c"))
+            .otherwise(F.col("v_n"))
+            .alias("vb"),
+        )
+    )
+    within = (
+        bands_side(nb, "n")
+        .join(
+            bands_side(nb, "c").withColumnRenamed("id_c", "id_w").withColumnRenamed(
+                "v_c", "v_w"
+            ),
+            join_keys,
+        )
+        .where(F.col("id_n") < F.col("id_w"))
+        .select(
+            F.col("id_n").alias("id_a"),
+            F.col("id_w").alias("id_b"),
+            F.col("v_n").alias("va"),
+            F.col("v_w").alias("vb"),
+        )
+    )
+    out = (
+        cross.unionByName(within)
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            cosine_similarity(F.col("va"), F.col("vb")).alias("sim"),
+        )
+        .where(F.col("sim") > threshold)
+    )
+    out = out.persist()
+    out.count()
+    nb.unpersist()
+    return out
+
+
 def write_ivf_index(
     corpus: DataFrame,
     path: str,

@@ -21,6 +21,37 @@ def _pairs(df) -> dict[tuple[int, int], float]:
     }
 
 
+def test_embedding_incremental_equals_full(spark, sf_small):
+    """Same contract for the embedding family: corpus-band-probed
+    incremental near-dup + corpus-only pairs == full recompute."""
+    from etl_migrate_api_spark.operators.similarity import (
+        embedding_band_table,
+        embedding_neardup_incremental,
+        embedding_neardup_pairs,
+    )
+    from etl_migrate_api_spark.plans.llm_ops import planted_embeddings
+
+    emb = planted_embeddings(spark, sf_small)
+    corpus = emb.where(F.col("vec_id") % 2 == 0)
+    batch = emb.where(F.col("vec_id") % 2 == 1)
+
+    def pairs(df):
+        return {(r["id_a"], r["id_b"]): round(r["sim"], 9) for r in df.collect()}
+
+    full_df = embedding_neardup_pairs(emb, threshold=0.95)
+    full = pairs(full_df)
+    full_df.unpersist()
+    corpus_df = embedding_neardup_pairs(corpus, threshold=0.95)
+    inc_df = embedding_neardup_incremental(
+        batch, embedding_band_table(corpus), threshold=0.95
+    )
+    got = pairs(corpus_df) | pairs(inc_df)
+    corpus_df.unpersist()
+    inc_df.unpersist()
+    assert got == full
+    assert full  # planted scaled copies guarantee non-empty
+
+
 def test_incremental_equals_full_recompute(spark, sf_small):
     docs = planted_docs(spark, sf_small)
     corpus = docs.where(F.col("doc_id") % 2 == 0)
