@@ -106,27 +106,49 @@ def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
+    n_bands: int = 4,
+    band_size: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: rank only within the query's LSH bucket.
+    """Approximate top-k: rank within the union of the query's LSH band
+    buckets (multi-band OR — a candidate needs to agree on any one of
+    ``n_bands`` sign-bit bands, far better recall than one monolithic
+    bucket at the same total bit budget).
 
-    Returns (query_id, rank, neighbor_id, bucket). Recall < 1 by design;
-    compare against bruteforce_topk for quality measurement."""
-    key = hyperplane_sign_bits(F.col(vec_col), n_planes, dim)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), key.alias("bucket")
-    )
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), key.alias("bucket")
+    Returns (query_id, rank, neighbor_id, bucket) where bucket is the
+    first band key that matched. Recall < 1 by design; compare against
+    bruteforce_topk for quality measurement."""
+    bands = F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda b: F.substring(F.col("bits"), b * band_size + 1, band_size),
         )
     )
-    scored = q.join(c, "bucket").where(
-        F.col("query_id") != F.col("neighbor_id")
-    ).select(
+
+    def banded(df: DataFrame, idc: str, vc: str) -> DataFrame:
+        return (
+            df.select(F.col(id_col).alias(idc), F.col(vec_col).alias(vc))
+            .withColumn(
+                "bits", hyperplane_sign_bits(F.col(vc), n_bands * band_size, dim)
+            )
+            .select(idc, vc, bands.alias("band_idx", "band_key"))
+        )
+
+    c = banded(corpus, "neighbor_id", "cv")
+    q = F.broadcast(banded(queries, "query_id", "qv"))
+    cand = (
+        q.join(c, ["band_idx", "band_key"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.first("qv").alias("qv"),
+            F.first("cv").alias("cv"),
+            F.min(F.concat("band_idx", F.lit(":"), "band_key")).alias("bucket"),
+        )
+    )
+    scored = cand.select(
         "query_id",
         "bucket",
         "neighbor_id",
