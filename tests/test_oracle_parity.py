@@ -37,6 +37,35 @@ def test_query_matches_oracle(spark, sf_dir, con, qname):
     compare(df, con, spec.oracle)
 
 
+_CROSS_SF_SPOT = [
+    # one per family: agg, join, window, fold, dedup, text — catches
+    # SF-dependent assumptions (filters, planted-dup arithmetic,
+    # shingle-length guards) that a single-SF gate would never see
+    "q1_pricing_summary",
+    "join_lookup_dim",
+    "window_first_last_per_key",
+    "contact_merge_fold_stateful",
+    "llm_minhash_lsh_dedup",
+    "llm_quality_score",
+    "events_asof_join",
+]
+
+
+@pytest.fixture(scope="module")
+def con_small(sf_small):
+    c = duckdb_conn(sf_small)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("spot", _CROSS_SF_SPOT)
+def test_query_matches_oracle_at_second_sf(spark, sf_small, con_small, spot):
+    """The gate runs at one SF only; these spot checks re-verify a
+    representative query per family at sf0.001."""
+    spec = _specs()[spot]
+    compare(spec.fn(spark, sf_small), con_small, spec.oracle)
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
