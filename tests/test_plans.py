@@ -85,6 +85,23 @@ def test_neardup_joins_are_prefiltered(spark, sf_dir):
     emb.unpersist()
 
 
+def test_topk_plans_take_ordered(spark, sf_dir, queries):
+    """ORDER BY + LIMIT must plan TakeOrderedAndProject (per-partition
+    top-k + driver merge), never a global sort."""
+    plan = _plan(queries["order_limit_battery"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # no global (single-partition) sort anywhere in the battery
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_first_last_is_aggregate_not_window(spark, sf_dir, queries):
+    """First/last-per-key runs as min_by/max_by hash aggregation — no
+    per-key sort window in the plan."""
+    plan = _plan(queries["window_first_last_per_key"].fn(spark, sf_dir))
+    assert "min_by" in plan and "max_by" in plan
+    assert "Window" not in plan
+
+
 def test_merge_fold_single_shuffle(spark, sf_dir, queries):
     """The fold is one hash aggregate: exactly one exchange for the
     stateless variant (plus broadcast for the stateful join)."""
