@@ -1,0 +1,48 @@
+"""The round driver builds its OWN vanilla SparkSession and calls the
+__spark_entry__ contract with it — none of session.py's confs are
+pre-applied. ensure_engine_confs (wrapped around every registry entry)
+must make that work, including the ns-timestamp parquet reads that
+throw without nanosAsLong. Run in a subprocess: the in-process test
+session already carries the tuned confs, so it can't exercise this."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+_DRIVER_SCRIPT = """
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName("vanilla-driver")
+    .getOrCreate()
+)
+import __spark_entry__ as e
+
+df = e.entry(spark)
+assert df.count() > 0, "entry() empty"
+
+qs = e.queries()
+# events carries TIMESTAMP(NANOS) parquet — reads throw on a vanilla
+# session unless the registry wrapper applied the legacy conf
+n = qs["events_extract_battery"](spark, "/root/testdata/sf0.001").count()
+assert n > 0, "events read failed"
+n = qs["llm_token_stats"](spark, "/root/testdata/sf0.001").count()
+assert n > 0, "llm query failed"
+assert set(e.oracle_sql()).issubset(set(qs))
+print("CONTRACT-OK")
+"""
+
+
+def test_vanilla_session_driver_contract():
+    out = subprocess.run(
+        [sys.executable, "-c", _DRIVER_SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "CONTRACT-OK" in out.stdout
