@@ -18,6 +18,25 @@ from pyspark.sql import functions as F
 from etl_migrate_api_spark.functions.vectors import cosine_similarity
 
 
+def _rank_topk(scored: DataFrame, k: int, *tail_cols: Column) -> DataFrame:
+    """Shared tail of every top-k operator: per-query rank by
+    (sim desc, neighbor_id) — a total order, so results are
+    engine-agnostic — and keep the top k."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            *tail_cols,
+        )
+    )
+
+
 def bruteforce_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -27,8 +46,7 @@ def bruteforce_topk(
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, rank, neighbor_id).
 
-    The query side is broadcast; ranking tie-breaks on neighbor id so the
-    result is a total order (engine-agnostic)."""
+    The query side is broadcast; the corpus never shuffles."""
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
@@ -40,14 +58,7 @@ def bruteforce_topk(
         "neighbor_id",
         cosine_similarity(F.col("qv"), F.col("cv")).alias("sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id")
-    )
+    return _rank_topk(scored, k)
 
 
 def hyperplane_weights(n_planes: int, dim: int) -> list[list[int]]:
@@ -154,12 +165,7 @@ def lsh_topk(
         "neighbor_id",
         cosine_similarity(F.col("qv"), F.col("cv")).alias("sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "bucket")
-    )
+    return _rank_topk(scored, k, F.col("bucket"))
 
 
 def _nearest_cells_expr(
@@ -339,19 +345,7 @@ def ivf_topk(
                 cosine_similarity(F.col("qv"), F.col("cv")).alias("sim"),
             )
         )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("sim").desc(), F.col("neighbor_id")
-        )
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select(
-                "query_id",
-                F.col("rank").cast("int"),
-                "neighbor_id",
-                F.col("cell").cast("int"),
-            )
-        )
+        return _rank_topk(scored, k, F.col("cell").cast("int").alias("cell"))
     cent = F.broadcast(
         centroids.select(
             F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v")
@@ -404,12 +398,7 @@ def ivf_topk(
             cosine_similarity(F.col("qv"), F.col("cv")).alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", F.col("rank").cast("int"), "neighbor_id", F.col("cell").cast("int"))
-    )
+    return _rank_topk(scored, k, F.col("cell").cast("int").alias("cell"))
 
 
 NEARDUP_N_BANDS = 4
@@ -588,17 +577,7 @@ def ivf_topk_from_index(
             cosine_similarity(F.col("qv"), F.col("embedding")).alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id",
-            F.col("rank").cast("int"),
-            "neighbor_id",
-            F.col("cell").cast("int"),
-        )
-    )
+    return _rank_topk(scored, k, F.col("cell").cast("int").alias("cell"))
 
 
 def embedding_neardup_pairs(
