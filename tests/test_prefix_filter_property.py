@@ -41,6 +41,54 @@ def _brute_pairs(docs, threshold: float, n: int = 3):
     return out
 
 
+@pytest.mark.parametrize("seed", [11, 42])
+def test_fuzzy_match_equals_bruteforce_with_shorts(spark, seed):
+    """ED-Join prefix-filtered fuzzy matching == brute-force Levenshtein,
+    including SHORT strings (≤ k·n grams) that ride the length-window
+    fallback path — absent from the parquet fixtures, so synthesized."""
+    import random
+
+    from etl_migrate_api_spark.operators.dedup import fuzzy_match_pairs
+
+    rng = random.Random(seed)
+    alpha = "abcdef"
+    rows = []
+    for i in range(80):
+        ln = rng.choice([2, 3, 4, 9, 10, 11, 12])  # shorts AND longs
+        rows.append((i, f"b{rng.randint(0, 1)}", "".join(rng.choice(alpha) for _ in range(ln))))
+    # plant near-matches
+    for i in range(4):
+        _id, blk, t = rows[i]
+        mutated = t[:-1] + rng.choice(alpha) if len(t) > 1 else t
+        rows.append((200 + i, blk, mutated))
+
+    df = spark.createDataFrame(rows, "id long, blk string, nm string")
+    got_df = fuzzy_match_pairs(df, text_col="nm", id_col="id", block_col="blk", max_edit=2)
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in got_df.collect()}
+    got_df.unpersist()
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {}
+    for i, (ida, ba, ta) in enumerate(rows):
+        for idb, bb, tb in rows[i + 1 :]:
+            if ba != bb:
+                continue
+            d = lev(ta, tb)
+            if d <= 2:
+                x, y = sorted((ida, idb))
+                want[(x, y)] = d
+    assert got == want
+    assert want  # planted mutations guarantee matches
+
+
 @pytest.mark.parametrize("seed", [7, 23, 99])
 def test_prefix_filter_equals_bruteforce(spark, seed):
     rng = random.Random(seed)
