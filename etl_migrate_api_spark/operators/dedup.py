@@ -305,7 +305,12 @@ def minhash_lsh_candidates_incremental(
     Scale shape: batch signatures are small → the bands join probes the
     corpus band index on (band_idx, band_key) (partition-pruned when the
     store is bucketed by band); the verify join fetches only candidate
-    ids' signatures."""
+    ids' signatures.
+
+    CONTRACT: batch and corpus id spaces must be disjoint (same as the
+    embedding twin) — a re-ingested id would duplicate signature rows
+    and multiply its verify-join output; dedupe upstream by dropping
+    already-stored ids from the batch first."""
     new_sigs, new_bands = minhash_signature_tables(new_df, text_col, id_col)
     new_sigs = new_sigs.persist()
     new_sigs.count()

@@ -93,8 +93,10 @@ def _decode_header(content: bytes) -> tuple[int, int, str]:
         width, height = struct.unpack("<ii", b[18:26])
         return (abs(int(width)), abs(int(height)), "BGR")
     # STUB fallback for pixel formats the container can't decode:
-    # deterministic dims from content bytes keep tests stable
-    return ((b[0] % 32 + 1) * 16, (b[1] % 32 + 1) * 16, "RGB" if b[2] % 2 == 0 else "L")
+    # deterministic dims from content bytes keep tests stable (pad
+    # truncated blobs so 1-2-byte content can't IndexError the task)
+    p = b + b"\x00\x00\x00"
+    return ((p[0] % 32 + 1) * 16, (p[1] % 32 + 1) * 16, "RGB" if p[2] % 2 == 0 else "L")
 
 
 _DECODE_SCHEMA = "media_id bigint, width int, height int, mode string, n_bytes int"

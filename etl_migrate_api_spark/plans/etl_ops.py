@@ -1066,11 +1066,11 @@ def agg_skew_bucket_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
-# Tail: redundant-coverage queries (every survey_ref here — including
-# agg_skew_bucket_battery just above, position 50 — is also driver-gated
+# Tail: redundant-coverage queries (every survey_ref from
+# agg_skew_bucket_battery just above — registration position 50, the
+# first entry a 50-query gate cap drops — onward is also driver-gated
 # via a query above; the salting pattern itself stays pytest-verified).
-# Registered last ON PURPOSE — if the driver caps the gate at 50
-# queries, these are the ones that fall out.
+# Registered last ON PURPOSE.
 # ---------------------------------------------------------------------
 
 

@@ -56,8 +56,6 @@ class ParquetTable:
             os.rename(olds[0], self.path)
             for leftover in olds[1:]:
                 shutil.rmtree(leftover, ignore_errors=True)
-        for stale in glob.glob(f"{self.path}.trash-*"):
-            shutil.rmtree(stale, ignore_errors=True)
 
     def _has_parquet(self) -> bool:
         return os.path.isdir(self.path) and any(
@@ -139,10 +137,35 @@ class HashBucketedTable(ParquetTable):
     def bucket_expr(self) -> Column:
         return F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets)).cast("int")
 
+    def _recover(self) -> None:
+        """On top of the whole-table recovery: restore any bucket dir
+        stranded mid-swap by a crash in ``replace_buckets`` (renamed to
+        ``path.bucketold-N-*`` but never replaced). Restoring is always
+        the safe direction — it can only re-expose rows a crashed
+        delete targeted, and the X2 recovery re-run re-deletes those."""
+        super()._recover()
+        for trash in glob.glob(f"{self.path}.bucketold-*"):
+            b = os.path.basename(trash).split("bucketold-", 1)[1].split("-", 1)[0]
+            dst = os.path.join(self.path, f"{self.BUCKET_COL}={b}")
+            if os.path.isdir(dst):
+                shutil.rmtree(trash, ignore_errors=True)
+            else:
+                os.rename(trash, dst)
+
     def _has_parquet(self) -> bool:
         if not os.path.isdir(self.path):
             return False
-        return bool(glob.glob(os.path.join(self.path, "_bucket=*", "*.parquet")))
+        if glob.glob(os.path.join(self.path, "_bucket=*", "*.parquet")):
+            return True
+        if glob.glob(os.path.join(self.path, "*.parquet")):
+            # refuse to silently treat (and later clobber) a legacy
+            # flat-layout table as empty — migrate explicitly:
+            #   HashBucketedTable(...).replace(ParquetTable(...).read())
+            raise ValueError(
+                f"{self.path} holds a non-bucketed parquet table; migrate "
+                "it explicitly with replace() before bucketed use"
+            )
+        return False
 
     def read(self) -> DataFrame:
         """Full read (bucket column stays internal)."""
@@ -182,8 +205,10 @@ class HashBucketedTable(ParquetTable):
         """Rewrite ONLY the named bucket dirs with ``df``'s rows (caller
         guarantees df's keys hash into ``buckets``). A bucket with no
         rows in ``df`` is removed — that's how pruned deletes empty a
-        bucket. Each bucket swap is a rename; a crash mid-loop leaves a
-        bucket-consistent table (some buckets new, some old) that the
+        bucket. Each bucket swap is a rename pair; a crash mid-swap
+        leaves the old bucket in a recoverable ``.bucketold-N-*`` dir
+        that ``_recover`` restores on the next read (never data loss),
+        and a crash mid-loop leaves a bucket-consistent table that the
         pipeline's X2 recovery delete repairs on re-run."""
         if not os.path.isdir(self.path):
             self.replace(df)
@@ -194,9 +219,10 @@ class HashBucketedTable(ParquetTable):
             for b in buckets:
                 src = os.path.join(tmp, f"{self.BUCKET_COL}={int(b)}")
                 dst = os.path.join(self.path, f"{self.BUCKET_COL}={int(b)}")
-                # trash lives OUTSIDE the table root: a crash must never
-                # leave a non-partition dir where partition discovery walks
-                trash = f"{self.path}.trash-{uuid.uuid4().hex[:8]}"
+                # trash lives OUTSIDE the table root (partition discovery
+                # must never see it) and names its bucket so _recover can
+                # put it back if we die between the two renames
+                trash = f"{self.path}.bucketold-{int(b)}-{uuid.uuid4().hex[:8]}"
                 if os.path.exists(dst):
                     os.rename(dst, trash)
                 if os.path.isdir(src):

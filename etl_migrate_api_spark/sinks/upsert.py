@@ -34,10 +34,17 @@ def upsert_by_key(table: ParquetTable, batch: DataFrame, key: str) -> None:
         return
     if isinstance(table, HashBucketedTable):
         assert table.key == key, f"table bucketed on {table.key!r}, upsert on {key!r}"
-        buckets = table.buckets_of(batch)
-        current = table.read_buckets(buckets)
-        kept = current.join(batch.select(key).distinct(), key, "left_anti")
-        table.replace_buckets(kept.unionByName(batch), buckets)
+        # the batch is evaluated twice (bucket collect + the write) —
+        # persist it so an expensive upstream plan (the merge fold)
+        # computes once per micro-batch
+        batch = batch.persist()
+        try:
+            buckets = table.buckets_of(batch)
+            current = table.read_buckets(buckets)
+            kept = current.join(batch.select(key).distinct(), key, "left_anti")
+            table.replace_buckets(kept.unionByName(batch), buckets)
+        finally:
+            batch.unpersist()
         return
     current = table.read()
     kept = current.join(batch.select(key).distinct(), key, "left_anti")

@@ -73,11 +73,13 @@ class HttpCursorReader(DataSourceReader):
             if not rows:
                 return
             # no ordering assumption on the page: filter (not return) on
-            # the partition's upper bound — an id-descending page would
-            # otherwise discard its in-range tail; the next partition
-            # owns rows beyond end
+            # the partition's bounds — an id-descending page would
+            # otherwise discard its in-range tail. Lower bound is the
+            # CURSOR, not partition.start: a misbehaving server that
+            # overlaps or repeats pages must not re-emit rows already
+            # yielded (exactly-once within the partition).
             for r in rows:
-                if r["id"] <= partition.end:
+                if cursor < r["id"] <= partition.end:
                     yield tuple(r.get(f) for f in fields)
             # advance by the page's MAX id, not rows[-1]: an unsorted
             # page would otherwise re-fetch rows forever; and if the

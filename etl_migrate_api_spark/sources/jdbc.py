@@ -58,8 +58,8 @@ def jdbc_append_options(batch_size: int = 1000, isolation: str = "READ_COMMITTED
 def upsert_foreach_partition(
     df: DataFrame,
     connect: Callable[[], Any],
-    merge_sql_for: Callable[[str], str] | str,
-    insert_staging_sql_for: Callable[[str], str] | str,
+    merge_sql_for: Callable[[str], str],
+    insert_staging_sql_for: Callable[[str], str],
     staging_prefix: str = "staging_upsert",
     batch_size: int = 1000,
 ) -> None:
@@ -84,12 +84,15 @@ def upsert_foreach_partition(
 
     ``connect`` must be a serializable zero-arg factory (executors open
     their own connections — never ship a live connection from the
-    driver). ``merge_sql_for`` / ``insert_staging_sql_for`` take the
-    staging table name and return SQL (plain strings are accepted for
-    backward compatibility and used as-is)."""
-
-    def _sql(template: Callable[[str], str] | str, staging: str) -> str:
-        return template(staging) if callable(template) else template
+    driver). ``merge_sql_for`` / ``insert_staging_sql_for`` MUST be
+    callables taking the per-partition staging table name — the runner
+    owns that name (it truncates the table before loading), so SQL that
+    references a different staging table cannot be expressed."""
+    if not callable(merge_sql_for) or not callable(insert_staging_sql_for):
+        raise TypeError(
+            "merge_sql_for/insert_staging_sql_for must be callables taking "
+            "the staging table name (the runner truncates that exact table)"
+        )
 
     def run_with_pid(pid: int, rows: Iterator) -> Iterator:
         staging = f"{staging_prefix}_{pid}"
@@ -99,8 +102,8 @@ def upsert_foreach_partition(
             # staging DDL is deployment-time (CREATE TABLE staging_upsert_N
             # LIKE target); here we only guarantee idempotency per run
             cur.execute(f"TRUNCATE TABLE {staging}")
-            insert_sql = _sql(insert_staging_sql_for, staging)
-            merge_sql = _sql(merge_sql_for, staging)
+            insert_sql = insert_staging_sql_for(staging)
+            merge_sql = merge_sql_for(staging)
             buf = []
             for row in rows:
                 buf.append(tuple(row))

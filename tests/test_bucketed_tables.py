@@ -108,6 +108,33 @@ def test_compact_append_only_log(spark, tmp_path):
     assert after < before
 
 
+def test_bucket_swap_crash_recovery(spark, table):
+    """A crash between the two renames of a bucket swap leaves the old
+    bucket in path.bucketold-N-*; the next read must restore it rather
+    than lose the bucket's rows."""
+    before = sorted(map(tuple, table.read().collect()))
+    bdir = os.path.join(table.path, "_bucket=3")
+    assert os.path.isdir(bdir)
+    os.rename(bdir, f"{table.path}.bucketold-3-deadbeef")  # simulated crash
+    after = sorted(map(tuple, table.read().collect()))  # recovery on read
+    assert after == before
+    assert os.path.isdir(bdir)
+    assert not glob.glob(f"{table.path}.bucketold-*")
+
+
+def test_bucketed_refuses_flat_layout(spark, tmp_path):
+    """Pointing a bucketed table at a legacy flat-layout dir must raise,
+    not silently report 'empty' and clobber it on the first upsert."""
+    legacy = ParquetTable(spark, str(tmp_path / "flat"))
+    legacy.replace(_rows(spark, [("a", 1)]))
+    bucketed = HashBucketedTable(spark, legacy.path, key="hn_code", n_buckets=8)
+    with pytest.raises(ValueError, match="non-bucketed"):
+        bucketed.exists()
+    # explicit migration path works
+    bucketed.replace(legacy.read())
+    assert bucketed.exists() and bucketed.read().count() == 1
+
+
 def test_crash_recovery_restores_old_dir(spark, tmp_path):
     t = ParquetTable(spark, str(tmp_path / "t3"))
     t.replace(_rows(spark, [("a", 1)]))

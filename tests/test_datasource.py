@@ -110,6 +110,9 @@ def test_http_cursor_non_advancing_server_terminates(spark, http_server):
         .load()
     )
     rows = df.collect()  # finite because the reader stops on non-advance
+    # exactly-once even though the server repeats the page: 100 ROWS,
+    # not just 100 distinct ids (a set-compare would mask duplicates)
+    assert len(rows) == 100
     assert {r["id"] for r in rows} == set(range(1, 101))
 
 
