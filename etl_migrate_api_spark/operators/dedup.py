@@ -157,6 +157,46 @@ def lsh_band_keys(sig: Column, n_hashes: int = N_HASHES, band_size: int = BAND_S
     )
 
 
+def _prefix_filter_candidates(base: DataFrame, prefix_len) -> DataFrame:
+    """Shared AllPairs prefix-filter scaffold (used by both the Jaccard
+    and the edit-distance matcher): give every token a global rare-first
+    order (ascending document frequency, ties by token), explode each
+    row's prefix, and equi-join on (blk, prefix-token).
+
+    ``base``: (id, blk, g array) — persisted by the caller.
+    ``prefix_len``: size-Column → length-Column; the operator-specific
+    lossless bound (|g|-ceil(t·|g|)+1 for Jaccard ≥ t, k·n+1 for edit
+    distance ≤ k). Returns distinct candidate pairs (id_a < id_b)."""
+    ex = base.select("id", "blk", F.explode("g").alias("gram"))
+    freq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df_g"))
+    ordered = (
+        ex.join(freq, "gram")
+        .groupBy("id", "blk")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df_g", "gram"))),
+                lambda s: s["gram"],
+            ).alias("gs")
+        )
+    )
+    pref = ordered.select(
+        "id",
+        "blk",
+        F.explode(F.slice("gs", 1, prefix_len(F.size("gs")))).alias("gram"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def fuzzy_match_pairs(
     df: DataFrame,
     text_col: str = "nm",
@@ -203,31 +243,7 @@ def fuzzy_match_pairs(
     base.count()
 
     longs = base.where(F.size("g") > kn)
-    ex = longs.select("id", "blk", F.explode("g").alias("gram"))
-    freq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df_g"))
-    ordered = (
-        ex.join(freq, "gram")
-        .groupBy("id", "blk")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("df_g", "gram"))),
-                lambda x: x["gram"],
-            ).alias("gs")
-        )
-    )
-    pref = ordered.select(
-        "id", "blk", F.explode(F.slice("gs", 1, kn + 1)).alias("gram")
-    )
-    a, b = pref.alias("a"), pref.alias("b")
-    cand_long = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-    )
+    cand_long = _prefix_filter_candidates(longs, lambda sz: F.lit(kn + 1))
     # short-string fallback: no count-filter guarantee → candidate with
     # every same-block string within the edit-distance length window
     shorts = base.where(F.size("g") <= kn).select("id", "blk", F.length("t").alias("ln"))
@@ -593,38 +609,9 @@ def ngram_jaccard_pairs(
     )
     base.count()  # eager: freq + prefix + verify branches reuse it
 
-    # global ascending-frequency token order (ties broken by gram text):
-    # one extra shuffle pair (count + regroup), linear in corpus size
-    ex = base.select("id", "blk", F.explode("g").alias("gram"))
-    freq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df_g"))
-    ordered = (
-        ex.join(freq, "gram")
-        .groupBy("id", "blk")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("df_g", "gram"))),
-                lambda s: s["gram"],
-            ).alias("gs")
-        )
-        .persist()
-    )
-    ordered.count()
-    sz = F.size("gs")
-    plen = (sz - F.ceil(F.lit(threshold) * sz) + 1).cast("int")
-    pref = ordered.select(
-        "id", "blk", F.explode(F.slice("gs", 1, plen)).alias("gram")
-    )
-    a = pref.alias("a")
-    b = pref.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    cand = _prefix_filter_candidates(
+        base,
+        lambda sz: (sz - F.ceil(F.lit(threshold) * sz) + 1).cast("int"),
     )
     ga = base.select(F.col("id").alias("id_a"), F.col("g").alias("ga"))
     gb = base.select(F.col("id").alias("id_b"), F.col("g").alias("gb"))
@@ -636,4 +623,4 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", (inter / union).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
-    return _materialize_and_release(out, base, ordered)
+    return _materialize_and_release(out, base)

@@ -131,12 +131,7 @@ def lsh_topk(
     Returns (query_id, rank, neighbor_id, bucket) where bucket is the
     first band key that matched. Recall < 1 by design; compare against
     bruteforce_topk for quality measurement."""
-    bands = F.posexplode(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_bands - 1)),
-            lambda b: F.substring(F.col("bits"), b * band_size + 1, band_size),
-        )
-    )
+    bands = _band_explode(F.col("bits"), n_bands, band_size)
 
     def banded(df: DataFrame, idc: str, vc: str) -> DataFrame:
         return (
@@ -405,6 +400,17 @@ NEARDUP_N_BANDS = 4
 NEARDUP_BAND_SIZE = 4
 
 
+def _band_explode(bits_col: Column, n_bands: int, band_size: int):
+    """posexplode generator over a sign-bit string's bands — the shared
+    (band_idx, band_key) expansion for every banded-LSH operator."""
+    return F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda b: F.substring(bits_col, b * band_size + 1, band_size),
+        )
+    )
+
+
 def embedding_band_table(
     df: DataFrame,
     block_col: str | None = "label",
@@ -430,12 +436,7 @@ def embedding_band_table(
         "id",
         "blk",
         "v",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.substring(F.col("bits"), b * band_size + 1, band_size),
-            )
-        ).alias("band_idx", "band_key"),
+        _band_explode(F.col("bits"), n_bands, band_size).alias("band_idx", "band_key"),
     )
 
 
@@ -616,12 +617,7 @@ def embedding_neardup_pairs(
     banded = base.select(
         "id",
         "blk",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.substring(F.col("bits"), b * band_size + 1, band_size),
-            )
-        ).alias("band_idx", "band_key"),
+        _band_explode(F.col("bits"), n_bands, band_size).alias("band_idx", "band_key"),
     )
     a = banded.alias("a")
     b = banded.alias("b")
