@@ -112,6 +112,72 @@ def dedup_stream(
     )
 
 
+def neardup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    store_dir: str,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> StreamingQuery:
+    """Continuous near-duplicate detection: every micro-batch of new
+    documents is MinHash-deduped against the PERSISTED signature store
+    (cost ∝ batch, never the corpus — see
+    operators/dedup.py::minhash_lsh_candidates_incremental), the pair
+    results land under ``out_dir/batch=N`` and the batch's signatures
+    join the store under ``store_dir/{sigs,bands}/batch=N``.
+
+    Exactly-once without a transactional format: every write is an
+    OVERWRITE of the batch_id-scoped directory, so Spark's foreachBatch
+    retry (same batch_id) rewrites the same dirs instead of duplicating
+    rows — the same idempotency trick the audit log uses, applied to a
+    growing store. Late/duplicate doc_ids across batches are the
+    caller's contract (disjoint ids), as in the batch operator."""
+    import glob as _glob
+    import os as _os
+
+    from etl_migrate_api_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_lsh_candidates_incremental,
+        minhash_signature_tables,
+    )
+
+    schema = spark.read.parquet(source_dir).schema
+
+    def _store(kind: str) -> DataFrame | None:
+        root = f"{store_dir}/{kind}"
+        if not _glob.glob(_os.path.join(root, "batch=*", "*.parquet")):
+            return None
+        # drop the batch partition column — the operators' store schema
+        # is (id, hv) / (id, band_idx, band_key)
+        return spark.read.parquet(root).drop("batch")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sigs, bands = _store("sigs"), _store("bands")
+        if sigs is not None and bands is not None:
+            pairs = minhash_lsh_candidates_incremental(
+                batch_df, sigs, bands, text_col, id_col
+            )
+        else:
+            pairs = minhash_lsh_candidates(batch_df, text_col, id_col)
+        pairs.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        pairs.unpersist()
+        new_sigs, new_bands = minhash_signature_tables(batch_df, text_col, id_col)
+        new_sigs.write.mode("overwrite").parquet(f"{store_dir}/sigs/batch={batch_id}")
+        new_bands.write.mode("overwrite").parquet(f"{store_dir}/bands/batch={batch_id}")
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        source_dir
+    )
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def contact_stream(
     spark: SparkSession,
     source_dir: str,

@@ -76,6 +76,49 @@ def test_dedup_stream_first_occurrence_wins(spark, sf_small, tmp_path):
     assert spark.read.parquet(src).count() > n_distinct
 
 
+def test_neardup_stream_union_equals_full_recompute(spark, sf_small, tmp_path):
+    """Continuous near-dup: stream the planted docs in two micro-batches
+    through the signature-store pipeline; the union of per-batch pair
+    outputs must equal the one-shot batch computation (each pair is
+    emitted exactly once — in the batch where its later member arrives)."""
+    from etl_migrate_api_spark.operators.dedup import minhash_lsh_candidates
+    from etl_migrate_api_spark.plans.llm_ops import planted_docs
+    from etl_migrate_api_spark.streaming.pipeline import neardup_stream
+
+    docs = planted_docs(spark, sf_small)
+    src = str(tmp_path / "docs_landed")
+    # two files → two micro-batches (maxFilesPerTrigger=1)
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    q = neardup_stream(
+        spark,
+        src,
+        str(tmp_path / "ckpt_nd"),
+        str(tmp_path / "store_nd"),
+        str(tmp_path / "pairs_nd"),
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 12)
+        for r in spark.read.parquet(str(tmp_path / "pairs_nd")).collect()
+    }
+    full_df = minhash_lsh_candidates(docs)
+    want = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 12) for r in full_df.collect()
+    }
+    full_df.unpersist()
+    assert got == want
+    assert want  # planted dups guarantee pairs exist
+    # BOTH code paths ran: batch 0 bootstrapped the store (within-batch
+    # path), batch 1 probed it (incremental path)
+    import glob as _glob
+
+    assert len(_glob.glob(str(tmp_path / "store_nd" / "sigs" / "batch=*"))) == 2
+    assert len(_glob.glob(str(tmp_path / "pairs_nd" / "batch=*"))) == 2
+
+
 def test_contact_stream_foreachbatch(spark, tmp_path):
     # land two pages of contact records as parquet "arrivals"
     rows = [
