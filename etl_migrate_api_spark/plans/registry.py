@@ -61,6 +61,7 @@ def _load_all() -> None:
     from etl_migrate_api_spark.plans import contact_etl  # noqa: F401
     from etl_migrate_api_spark.plans import llm_ops  # noqa: F401
     from etl_migrate_api_spark.plans import etl_ops  # noqa: F401
+    from etl_migrate_api_spark.plans import extras  # noqa: F401
 
 
 def query_map() -> dict[str, QueryFn]:
