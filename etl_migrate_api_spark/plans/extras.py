@@ -14,6 +14,39 @@ from etl_migrate_api_spark.plans.llm_ops import _minhash_oracle, planted_docs
 from etl_migrate_api_spark.plans.registry import register
 
 
+@register(
+    "sample_class_balanced",
+    oracle="""
+      select lang, doc_id
+      from (select lang, doc_id,
+                   row_number() over (partition by lang
+                                      order by md5(cast(doc_id as string)), doc_id) as rn
+            from documents) t
+      where rn <= 100
+    """,
+    survey_refs=("F2", "W1"),
+)
+def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class-balanced downsampling — the training-data
+    curation op for rebalancing skewed label distributions: keep exactly
+    k docs per class, chosen by md5 rank (reproducible across runs,
+    engines, and re-partitioning, unlike rand(seed)-based sampleBy whose
+    draws depend on row order). One shuffle on the class key."""
+    from pyspark.sql import Window
+
+    from etl_migrate_api_spark.catalog import load
+
+    docs = load(spark, "documents", sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 100)
+        .select("lang", "doc_id")
+    )
+
+
 def _minhash_incremental_oracle() -> str:
     """The incremental operator's output (batch = odd doc_ids, store =
     even doc_ids) is EXACTLY the full-corpus result restricted to pairs
