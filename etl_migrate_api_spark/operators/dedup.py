@@ -274,6 +274,72 @@ def fuzzy_match_pairs(
     return _materialize_and_release(out, base)
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, root) component labels for the undirected pair graph — the
+    clustering step between near-dup PAIRS and a deduplicated corpus
+    (keep one doc per component). Iterative min-label propagation:
+    every node repeatedly adopts the smallest label among itself and
+    its neighbors until a fixed point; root = the component's minimum
+    id, so labels are deterministic.
+
+    Each iteration is one join + one aggregate over the EDGE list
+    (O(|E|) per round, ≤ diameter rounds — near-dup graphs are shallow
+    star-ish clusters, so 2-3 rounds in practice); convergence is
+    driver-checked, the standard Spark iterative-graph pattern. Label
+    propagation is the scalable CC algorithm (GraphX/GraphFrames use
+    the same shape)."""
+    # localCheckpoint (not persist): iterative self-referencing plans
+    # grow EXPONENTIALLY in the optimizer (each round embeds the prior
+    # round's plan twice) — lineage must be truncated per round. On a
+    # real cluster with lineage-loss concerns, swap for checkpoint()
+    # against reliable storage.
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("root", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.id)
+            .groupBy("u")
+            .agg(F.min("root").alias("nbr_root"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.u, "left_outer")
+            .select(
+                "id",
+                F.least(
+                    F.col("root"), F.coalesce(F.col("nbr_root"), F.col("root"))
+                ).alias("root"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.root") != F.col("o.root"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def minhash_signature_tables(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> tuple[DataFrame, DataFrame]:

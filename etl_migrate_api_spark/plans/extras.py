@@ -47,6 +47,53 @@ def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _neardup_clusters_oracle() -> str:
+    """Components of the SimHash hamming ≤ 3 pair graph via a recursive
+    transitive closure (fine for the oracle's small gate-scale graph;
+    the Spark side is the scalable label propagation)."""
+    from etl_migrate_api_spark.plans.llm_ops import _SIMHASH_DOC_SQL
+
+    # the recursive CTE requires WITH RECURSIVE at the head of the chain
+    sig_sql = _SIMHASH_DOC_SQL.replace("\nwith docs", "\nwith recursive docs", 1)
+    return (
+        sig_sql
+        + """,
+      p as (
+        select a.id as id_a, b.id as id_b
+        from sig a join sig b on a.id < b.id
+        where bit_count(xor(a.simhash_lo, b.simhash_lo))
+              + bit_count(xor(a.simhash_hi, b.simhash_hi)) <= 3
+      ),
+      edges as (
+        select id_a as u, id_b as v from p
+        union
+        select id_b as u, id_a as v from p
+      ),
+      reach(u, v) as (
+        select u, v from edges
+        union
+        select r.u, e.v from reach r join edges e on r.v = e.u
+      )
+      select u as id, least(u, min(v)) as root
+      from reach group by u
+    """
+    )
+
+
+@register("llm_neardup_clusters", oracle=_neardup_clusters_oracle())
+def llm_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the SimHash
+    hamming ≤ 3 pair graph — the step between pair detection and a
+    deduplicated corpus (keep root per component). Spark side is
+    iterative min-label propagation (operators/dedup.py::
+    connected_components); the oracle computes the same components by
+    recursive transitive closure."""
+    pairs = dd.simhash_neardup_pairs(planted_docs(spark, sf_dir))
+    out = dd.connected_components(pairs)
+    pairs.unpersist()
+    return out
+
+
 def _minhash_incremental_oracle() -> str:
     """The incremental operator's output (batch = odd doc_ids, store =
     even doc_ids) is EXACTLY the full-corpus result restricted to pairs

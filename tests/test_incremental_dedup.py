@@ -73,3 +73,22 @@ def test_incremental_equals_full_recompute(spark, sf_small):
     # (planted dup pairs share parity, so each split holds some)
     assert corpus_pairs and inc_pairs
     assert all(a % 2 == 1 or b % 2 == 1 for a, b in inc_pairs)
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Label propagation must label a 4-node chain with its min id,
+    keep separate clusters separate, and converge deterministically."""
+    from etl_migrate_api_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    out = {r["id"]: r["root"] for r in connected_components(pairs).collect()}
+    assert out == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+    again = {r["id"]: r["root"] for r in connected_components(pairs).collect()}
+    assert again == out
