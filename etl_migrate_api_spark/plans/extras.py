@@ -94,6 +94,49 @@ def llm_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register(
+    "llm_dedup_corpus",
+    oracle="""
+      with docs as (
+        select doc_id, text, lang, source from documents
+        union all
+        select doc_id + 100000, text || ' near duplicate tail marker', lang, source
+        from documents where doc_id % 25 = 0
+        union all
+        select doc_id + 200000, text, lang, source
+        from documents where doc_id % 20 = 5
+      ),
+      fps as (
+        select doc_id,
+               md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) as fp
+        from docs
+      ),
+      keepers as (select fp, min(doc_id) as keeper from fps group by fp)
+      select f.doc_id, d.lang, d.source
+      from fps f
+      join keepers k on f.fp = k.fp and f.doc_id = k.keeper
+      join docs d on d.doc_id = f.doc_id
+    """,
+    survey_refs=("E1", "E2"),
+)
+def llm_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACT half of exact dedup: the deduplicated corpus itself —
+    first occurrence (min doc_id) per content fingerprint survives.
+    One hash shuffle on the fingerprint (min_by carries the keeper);
+    this is the query a training pipeline actually materializes."""
+    docs = planted_docs(spark, sf_dir)
+    from etl_migrate_api_spark.functions.text import fingerprint
+
+    keepers = (
+        docs.select("doc_id", fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return docs.join(keepers, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source"
+    )
+
+
 def _minhash_incremental_oracle() -> str:
     """The incremental operator's output (batch = odd doc_ids, store =
     even doc_ids) is EXACTLY the full-corpus result restricted to pairs
