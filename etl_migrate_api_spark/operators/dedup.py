@@ -337,6 +337,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter) — raise max_iter; "
+            "returning partial labels would silently split components"
+        )
     return labels
 
 

@@ -122,18 +122,18 @@ def llm_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ACT half of exact dedup: the deduplicated corpus itself —
     first occurrence (min doc_id) per content fingerprint survives.
-    One hash shuffle on the fingerprint (min_by carries the keeper);
-    this is the query a training pipeline actually materializes."""
+    Genuinely ONE hash shuffle: min_by carries the keeper's whole row
+    through the fingerprint aggregation, no join-back. This is the
+    query a training pipeline actually materializes."""
     docs = planted_docs(spark, sf_dir)
     from etl_migrate_api_spark.functions.text import fingerprint
 
-    keepers = (
-        docs.select("doc_id", fingerprint("text").alias("fp"))
+    keeper = F.min_by(F.struct("doc_id", "lang", "source"), F.col("doc_id"))
+    return (
+        docs.select(fingerprint("text").alias("fp"), "doc_id", "lang", "source")
         .groupBy("fp")
-        .agg(F.min("doc_id").alias("doc_id"))
-    )
-    return docs.join(keepers, "doc_id", "left_semi").select(
-        "doc_id", "lang", "source"
+        .agg(keeper.alias("k"))
+        .select("k.doc_id", "k.lang", "k.source")
     )
 
 
@@ -158,5 +158,13 @@ def llm_minhash_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = planted_docs(spark, sf_dir)
     corpus = docs.where(F.col("doc_id") % 2 == 0)
     batch = docs.where(F.col("doc_id") % 2 == 1)
+    # materialize the store the way a real deployment would — the
+    # operator's "never rescan corpus text" contract holds only when
+    # sigs/bands aren't lazy views over the corpus (its verify joins
+    # would otherwise re-run the shingle chain per branch)
     sigs, bands = dd.minhash_signature_tables(corpus)
-    return dd.minhash_lsh_candidates_incremental(batch, sigs, bands)
+    sigs, bands = sigs.persist(), bands.persist()
+    out = dd.minhash_lsh_candidates_incremental(batch, sigs, bands)
+    sigs.unpersist()
+    bands.unpersist()
+    return out

@@ -134,9 +134,6 @@ def neardup_stream(
     rows — the same idempotency trick the audit log uses, applied to a
     growing store. Late/duplicate doc_ids across batches are the
     caller's contract (disjoint ids), as in the batch operator."""
-    import glob as _glob
-    import os as _os
-
     from etl_migrate_api_spark.operators.dedup import (
         minhash_lsh_candidates,
         minhash_lsh_candidates_incremental,
@@ -145,16 +142,23 @@ def neardup_stream(
 
     schema = spark.read.parquet(source_dir).schema
 
-    def _store(kind: str) -> DataFrame | None:
-        root = f"{store_dir}/{kind}"
-        if not _glob.glob(_os.path.join(root, "batch=*", "*.parquet")):
-            return None
-        # drop the batch partition column — the operators' store schema
-        # is (id, hv) / (id, band_idx, band_key)
-        return spark.read.parquet(root).drop("batch")
+    def _store(kind: str, batch_id: int) -> DataFrame | None:
+        """Prior batches' store rows, via Spark's own FS layer (a
+        driver-local glob would silently miss hdfs://-style stores).
+        The `batch < batch_id` filter is load-bearing for exactly-once:
+        a foreachBatch RETRY re-runs with the same batch_id after the
+        crashed attempt may already have written batch=N — reading it
+        back would double this batch's signatures and violate the
+        incremental operator's disjoint-id contract."""
+        try:
+            df = spark.read.parquet(f"{store_dir}/{kind}")
+        except Exception:
+            return None  # store not created yet
+        prior = df.where(F.col("batch") < batch_id).drop("batch")
+        return None if prior.isEmpty() else prior
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        sigs, bands = _store("sigs"), _store("bands")
+        sigs, bands = _store("sigs", batch_id), _store("bands", batch_id)
         if sigs is not None and bands is not None:
             pairs = minhash_lsh_candidates_incremental(
                 batch_df, sigs, bands, text_col, id_col
@@ -164,8 +168,12 @@ def neardup_stream(
         pairs.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
         pairs.unpersist()
         new_sigs, new_bands = minhash_signature_tables(batch_df, text_col, id_col)
+        # each write would otherwise re-run the whole shingle+md5 chain
+        new_sigs, new_bands = new_sigs.persist(), new_bands.persist()
         new_sigs.write.mode("overwrite").parquet(f"{store_dir}/sigs/batch={batch_id}")
         new_bands.write.mode("overwrite").parquet(f"{store_dir}/bands/batch={batch_id}")
+        new_sigs.unpersist()
+        new_bands.unpersist()
 
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
         source_dir

@@ -118,6 +118,22 @@ def test_neardup_stream_union_equals_full_recompute(spark, sf_small, tmp_path):
     assert len(_glob.glob(str(tmp_path / "store_nd" / "sigs" / "batch=*"))) == 2
     assert len(_glob.glob(str(tmp_path / "pairs_nd" / "batch=*"))) == 2
 
+    # restart with the same checkpoint: no new files → nothing re-runs,
+    # outputs byte-for-byte semantics preserved
+    q2 = neardup_stream(
+        spark,
+        src,
+        str(tmp_path / "ckpt_nd"),
+        str(tmp_path / "store_nd"),
+        str(tmp_path / "pairs_nd"),
+    )
+    q2.awaitTermination(120)
+    again = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 12)
+        for r in spark.read.parquet(str(tmp_path / "pairs_nd")).collect()
+    }
+    assert again == want
+
 
 def test_contact_stream_foreachbatch(spark, tmp_path):
     # land two pages of contact records as parquet "arrivals"
