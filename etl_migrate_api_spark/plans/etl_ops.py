@@ -42,7 +42,9 @@ def _money_sum(c) -> F.Column:
         where rn = 1
       ),
       b as (
-        select cast(coalesce(max(cast(value as int)), 0) + 1 as int) as batch_no
+        -- floor, not a bare int cast: value is a double, and DuckDB's
+        -- double->int cast ROUNDS while Spark's TRUNCATES
+        select cast(coalesce(max(cast(floor(value) as int)), 0) + 1 as int) as batch_no
         from events
         where cast(ts as date) = (select max(cast(ts as date)) from events)
           and event_type = 'signup'
@@ -70,7 +72,7 @@ def wm_watermark_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("event_type") == "signup")
         )
         .agg(
-            (F.coalesce(F.max(F.col("value").cast("int")), F.lit(0)) + 1)
+            (F.coalesce(F.max(F.floor("value").cast("int")), F.lit(0)) + 1)
             .cast("int")
             .alias("batch_no")
         )

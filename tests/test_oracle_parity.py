@@ -42,6 +42,7 @@ _CROSS_SF_SPOT = [
     # SF-dependent assumptions (filters, planted-dup arithmetic,
     # shingle-length guards) that a single-SF gate would never see
     "q1_pricing_summary",
+    "wm_watermark_scalars",  # caught the double->int cast divergence
     "join_lookup_dim",
     "window_first_last_per_key",
     "contact_merge_fold_stateful",
