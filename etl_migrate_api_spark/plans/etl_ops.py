@@ -711,7 +711,7 @@ _PO_BATCH_SQL = """
          o.o_orderkey as po_no,
          l.l_linenumber as line_no,
          cast(l.l_partkey as string) as ProductDetail,
-         cast(l.l_quantity as int) as QTY,
+         cast(floor(l.l_quantity) as int) as QTY,
          l.l_extendedprice / l.l_quantity as PricePerUnit,
          l.l_extendedprice as TotalPrice,
          case when o.o_custkey % 2 = 0 then 'M' else 'F' end as Sex,
@@ -755,7 +755,7 @@ def po_projection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("po_no"),
         F.col("l_linenumber").alias("line_no"),
         F.col("l_partkey").cast("string").alias("ProductDetail"),
-        F.col("l_quantity").cast("int").alias("QTY"),
+        F.floor("l_quantity").cast("int").alias("QTY"),
         (F.col("l_extendedprice") / F.col("l_quantity")).alias("PricePerUnit"),
         F.col("l_extendedprice").alias("TotalPrice"),
         F.when(F.col("o_custkey") % 2 == 0, "M").otherwise("F").alias("Sex"),
