@@ -151,3 +151,19 @@ def test_bucketed_read_prunes_partitions(spark, table):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "_bucket" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_compact_bucketed_table(spark, table):
+    """compact() on a bucketed table must preserve rows AND the bucketed
+    directory layout (partition pruning still works afterwards)."""
+    # create small-file accumulation inside buckets
+    table.append(_rows(spark, [("k1", 100)]).coalesce(1))
+    table.append(_rows(spark, [("k2", 200)]).coalesce(1))
+    before_rows = sorted(map(tuple, table.read().collect()))
+    n_files = table.compact()
+    assert n_files > 8  # more files than buckets before compaction
+    assert sorted(map(tuple, table.read().collect())) == before_rows
+    # layout preserved: still bucket dirs, still prunable
+    assert glob.glob(os.path.join(table.path, "_bucket=*", "*.parquet"))
+    plan = table.read_buckets([0])._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
