@@ -92,3 +92,20 @@ def test_connected_components_chain_and_islands(spark):
     }
     again = {r["id"]: r["root"] for r in connected_components(pairs).collect()}
     assert again == out
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A component whose diameter exceeds max_iter must raise, never
+    return silently split labels."""
+    import pytest as _pytest
+
+    from etl_migrate_api_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    # and with enough rounds the same chain labels correctly
+    out = {r["id"]: r["root"] for r in connected_components(chain).collect()}
+    assert set(out.values()) == {0}
