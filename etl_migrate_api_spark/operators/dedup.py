@@ -49,10 +49,24 @@ def _materialize_and_release(out: DataFrame, *caches: DataFrame) -> DataFrame:
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Repartition to the session's default parallelism: a barrier against
-    projection collapse + parallelism for CPU-heavy narrow maps over
-    small file counts. At 100 TB input splits already provide both."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    """Projection barrier + parallelism for CPU-heavy narrow maps.
+
+    Under-parallel inputs (a handful of parquet splits — the sf gate's
+    single small files) get a real repartition: it spreads the regex /
+    shingle CPU across every core AND blocks CollapseProject from
+    inlining the materialized projection back into per-element lambda
+    bodies (the measured 25× trap in the PERF NOTE above).
+
+    Inputs that already arrive in >= defaultParallelism splits (any real
+    100 TB scan) must NOT pay a corpus-wide shuffle just for the barrier:
+    ``coalesce(n)`` plans a shuffle-free ``Repartition n, false`` node,
+    which is an equally effective CollapseProject fence (plan-asserted in
+    tests/test_plans.py) with zero data movement."""
+    n = df.rdd.getNumPartitions()
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if n < parallelism:
+        return df.repartition(parallelism)
+    return df.coalesce(n)
 
 
 def _norm_text(c: str) -> Column:

@@ -85,6 +85,40 @@ def test_neardup_joins_are_prefiltered(spark, sf_dir):
     emb.unpersist()
 
 
+def test_spread_no_shuffle_when_already_parallel(spark):
+    """_spread (the dedup family's projection barrier) must not pay a
+    corpus-wide round-robin shuffle when the input already arrives in
+    >= defaultParallelism splits (any real large scan) — there it plans
+    a shuffle-free Repartition that still fences CollapseProject, so
+    the materialized token-hash column is not inlined back into the
+    64-bit-formula lambdas."""
+    from pyspark.sql import functions as F
+
+    from etl_migrate_api_spark.operators.dedup import simhash_df
+
+    par = spark.sparkContext.defaultParallelism
+
+    def docs(n_splits: int):
+        return spark.range(0, 1000, 1, n_splits).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("some doc text "), F.col("id")).alias("text"),
+        )
+
+    wide = simhash_df(docs(par * 2))
+    phys = wide._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" not in phys, phys[:2000]
+    opt = wide._jdf.queryExecution().optimizedPlan().toString()
+    # barrier held: md5 tokenization only BELOW the Repartition node,
+    # never inlined into the bit-formula project above it
+    above_barrier = opt.split("Repartition")[0]
+    assert "Repartition" in opt and "md5" not in above_barrier, opt[:2000]
+
+    # under-parallel inputs still get the real repartition (parallelism)
+    narrow = simhash_df(docs(1))
+    phys2 = narrow._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in phys2, phys2[:2000]
+
+
 def test_topk_plans_take_ordered(spark, sf_dir, queries):
     """ORDER BY + LIMIT must plan TakeOrderedAndProject (per-partition
     top-k + driver merge), never a global sort."""
