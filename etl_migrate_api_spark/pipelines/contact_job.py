@@ -68,8 +68,15 @@ class ContactEtlJob:
         # semantics on plain files — reference saveToPostgres.js:315-409
         # touches only the batch's rows). At 100 TB raise n_buckets so a
         # bucket stays a few GB. The audit log is append-only → plain.
+        # track_max("recid"): every sink write bumps a footer-stats upper
+        # bound on max(recid), so the per-batch X2 recovery delete can
+        # prove "no rows beyond the watermark" without scanning the table
         self.sink = HashBucketedTable(
-            spark, f"{base_dir}/etl_customer_crm", key="hn_code", n_buckets=16
+            spark,
+            f"{base_dir}/etl_customer_crm",
+            key="hn_code",
+            n_buckets=16,
+            track_max=("recid",),
         )
         self.state = HashBucketedTable(
             spark, f"{base_dir}/state_phones", key="hn_code", n_buckets=16
@@ -150,6 +157,7 @@ class ContactEtlJob:
                 delete_beyond_watermark(
                     self.sink,
                     (F.col("recid") > last_id) & (F.col("rectype") == "BIGDATA"),
+                    bound=("recid", last_id),
                 )
             timings["deleteOldRecords"] = time.perf_counter() - t0
 

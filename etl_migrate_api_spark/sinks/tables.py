@@ -22,12 +22,56 @@ Two flavors:
 from __future__ import annotations
 
 import glob
+import json
 import os
 import shutil
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _footer_max(dirpath: str, cols: tuple[str, ...]) -> dict[str, object]:
+    """Per-column max over every parquet file under ``dirpath``, read
+    from ROW-GROUP FOOTER STATISTICS only — no data pages are touched,
+    no Spark job runs. A column missing stats in any row group (or with
+    a non-JSON-serializable max) is omitted: 'unknown' is the safe
+    answer for an upper bound."""
+    import pyarrow.parquet as pq
+
+    maxes: dict[str, object] = {}
+    poisoned: set[str] = set()
+    for root, _dirs, files in os.walk(dirpath):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(root, fn))
+            for rg in range(md.num_row_groups):
+                group = md.row_group(rg)
+                for ci in range(group.num_columns):
+                    col = group.column(ci)
+                    name = col.path_in_schema
+                    if name not in cols:
+                        continue
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        poisoned.add(name)
+                        continue
+                    v = st.max
+                    prev = maxes.get(name)
+                    maxes[name] = v if prev is None or v > prev else prev
+    out: dict[str, object] = {}
+    for c, v in maxes.items():
+        try:
+            json.dumps(v)
+        except TypeError:
+            poisoned.add(c)
+    for c in poisoned:
+        out[c] = None  # rows exist but their max is unknowable
+    for c, v in maxes.items():
+        if c not in poisoned:
+            out[c] = v
+    return out
 
 
 class ParquetTable:
@@ -40,9 +84,73 @@ class ParquetTable:
     calls themselves — microseconds, and a re-run's X2 recovery delete
     makes even that idempotent."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    #: sidecar with an UPPER BOUND on max(col) for each tracked column —
+    #: underscore-prefixed so Spark's file listing ignores it. Written
+    #: with overestimate-safe ordering (bounds land before the data they
+    #: cover becomes visible), so a crash can only leave a bound that is
+    #: too high — which merely disables a short-circuit, never skips a
+    #: real victim. Deletes shrink the true max and leave the bound as a
+    #: stale (still valid) overestimate.
+    MAXBOUND_FILE = "_maxbound.json"
+
+    def __init__(
+        self, spark: SparkSession, path: str, track_max: tuple[str, ...] = ()
+    ):
         self.spark = spark
         self.path = path
+        self.track_max = tuple(track_max)
+
+    # -- max-bound sidecar -------------------------------------------------
+    def max_bound(self, col: str):
+        """Upper bound on max(col) over the table, or None when unknown
+        (untracked column, pre-sidecar table, or stats unavailable).
+        ``delete_beyond_watermark`` uses this to skip the victim scan
+        entirely when the watermark already covers the whole table."""
+        self._recover()
+        p = os.path.join(self.path, self.MAXBOUND_FILE)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f).get(col)
+
+    def _write_bounds(self, dirpath: str, bounds: dict[str, object]) -> None:
+        tmp = os.path.join(dirpath, f".{self.MAXBOUND_FILE}.tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump(bounds, f)
+        os.replace(tmp, os.path.join(dirpath, self.MAXBOUND_FILE))
+
+    def _bump_bounds(self, new_bounds: dict[str, object]) -> None:
+        """Raise the live sidecar to cover ``new_bounds`` (max-merge).
+        A table that predates the sidecar and already holds data stays
+        'unknown': creating a sidecar from one batch's stats would
+        UNDER-state the table max and make a later short-circuit skip
+        real victims."""
+        if not self.track_max:
+            return
+        p = os.path.join(self.path, self.MAXBOUND_FILE)
+        had_sidecar = os.path.exists(p)
+        if had_sidecar:
+            with open(p) as f:
+                cur = json.load(f)
+        elif self._has_parquet():
+            return  # pre-existing data of unknown provenance
+        else:
+            cur = {}
+        for c in self.track_max:
+            if c not in new_bounds:
+                continue  # nothing written for c — existing bound holds
+            v = new_bounds[c]
+            if c in cur:
+                old = cur[c]
+                # None is sticky: once the max is unknown it stays
+                # unknown until a full replace() refreshes exact stats
+                cur[c] = None if (v is None or old is None) else max(old, v)
+            else:
+                # no recorded bound: trustworthy only when this sidecar
+                # is being created fresh for a previously-empty table
+                cur[c] = v if not had_sidecar else None
+        os.makedirs(self.path, exist_ok=True)
+        self._write_bounds(self.path, cur)
 
     # -- crash recovery ----------------------------------------------------
     def _recover(self) -> None:
@@ -76,10 +184,23 @@ class ParquetTable:
         return self.spark.createDataFrame([], schema=schema)
 
     def append(self, df: DataFrame) -> None:
+        if self.track_max:
+            # bounds must cover the batch BEFORE its rows land (a crash
+            # in between leaves an overestimate — safe); costs one extra
+            # pass over the (batch-sized) df
+            row = df.agg(
+                *[F.max(c).alias(c) for c in self.track_max]
+            ).collect()[0]
+            self._bump_bounds(row.asDict())
         df.write.mode("append").parquet(self.path)
 
     def _write(self, df: DataFrame, path: str) -> None:
         df.write.mode("overwrite").parquet(path)
+        if self.track_max:
+            # fresh exact stats from the just-written files' footers
+            # (metadata-only, no extra scan); becomes visible with the
+            # same rename that publishes the data
+            self._write_bounds(path, _footer_max(path, self.track_max))
 
     def compact(self) -> int:
         """Rewrite the table as one compacted copy and return the file
@@ -129,8 +250,15 @@ class HashBucketedTable(ParquetTable):
 
     BUCKET_COL = "_bucket"
 
-    def __init__(self, spark: SparkSession, path: str, key: str, n_buckets: int = 32):
-        super().__init__(spark, path)
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key: str,
+        n_buckets: int = 32,
+        track_max: tuple[str, ...] = (),
+    ):
+        super().__init__(spark, path, track_max=track_max)
         self.key = key
         self.n_buckets = n_buckets
 
@@ -200,6 +328,8 @@ class HashBucketedTable(ParquetTable):
         df.withColumn(self.BUCKET_COL, self.bucket_expr()).write.mode(
             "overwrite"
         ).partitionBy(self.BUCKET_COL).parquet(path)
+        if self.track_max:
+            self._write_bounds(path, _footer_max(path, self.track_max))
 
     def replace_buckets(self, df: DataFrame, buckets: list[int]) -> None:
         """Rewrite ONLY the named bucket dirs with ``df``'s rows (caller
@@ -215,6 +345,11 @@ class HashBucketedTable(ParquetTable):
             return
         tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
         self._write(df, tmp)
+        if self.track_max:
+            # raise the live sidecar over the new rows BEFORE any bucket
+            # becomes visible (tmp's own sidecar is discarded with tmp);
+            # a crash here leaves an overestimate, which is safe
+            self._bump_bounds(_footer_max(tmp, self.track_max))
         try:
             for b in buckets:
                 src = os.path.join(tmp, f"{self.BUCKET_COL}={int(b)}")

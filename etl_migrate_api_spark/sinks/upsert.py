@@ -52,19 +52,34 @@ def upsert_by_key(table: ParquetTable, batch: DataFrame, key: str) -> None:
 
 
 def delete_beyond_watermark(
-    table: ParquetTable, predicate: Column
+    table: ParquetTable,
+    predicate: Column,
+    bound: tuple[str, object] | None = None,
 ) -> int:
     """X2 recovery: drop rows a failed previous run may have written
     (``recid > lastId AND rectype = …``) before re-writing the batch.
     Returns the number of rows removed. The chunked-DELETE dance of the
     reference (D1/D2) collapses to one filtered replace.
 
-    On a ``HashBucketedTable`` only buckets that actually contain
-    victims are rewritten (the victim scan still reads the full table —
-    the predicate is on arbitrary columns, not the bucket key; at scale
-    a recid-ordered sort within files makes that scan min/max-prunable)."""
+    ``bound=(col, wm)`` declares that every victim satisfies
+    ``col > wm`` (the caller's own predicate must imply it). When the
+    table tracks an upper bound on ``max(col)`` (``track_max=`` +
+    ``_maxbound.json`` sidecar) and that bound is ≤ wm, NO row can be a
+    victim and the call returns 0 without reading a single data file —
+    the common per-batch case on a healthy pipeline, where an unbounded
+    recovery scan of a 100 TB sink would dominate the batch cost.
+
+    Otherwise, on a ``HashBucketedTable`` only buckets that actually
+    contain victims are rewritten (the victim scan reads the full
+    table — the predicate is on arbitrary columns, not the bucket
+    key)."""
     if not table.exists():
         return 0
+    if bound is not None:
+        col, wm = bound
+        ub = table.max_bound(col)
+        if ub is not None and wm is not None and ub <= wm:
+            return 0
     current = table.read()
     # NULL predicate ≡ not a victim: plain where(~pred) would silently
     # drop rows where the predicate evaluates to NULL (NOT NULL = NULL)

@@ -167,3 +167,94 @@ def test_compact_bucketed_table(spark, table):
     assert glob.glob(os.path.join(table.path, "_bucket=*", "*.parquet"))
     plan = table.read_buckets([0])._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+# ---- max-bound sidecar + bounded recovery (X2 at scale) -------------------
+
+
+def _recid_rows(spark, triples):
+    return spark.createDataFrame(
+        triples, schema="hn_code string, recid bigint, rectype string"
+    )
+
+
+@pytest.fixture()
+def tracked(spark, tmp_path):
+    t = HashBucketedTable(
+        spark, str(tmp_path / "sink"), key="hn_code", n_buckets=8,
+        track_max=("recid",),
+    )
+    t.replace(
+        _recid_rows(spark, [(f"k{i}", i, "BIGDATA") for i in range(1, 51)])
+    )
+    return t
+
+
+def test_bounded_recovery_on_clean_table_reads_nothing(spark, tracked):
+    """The healthy-pipeline case: watermark >= every recid. The sidecar
+    bound proves zero victims, so recovery must return 0 WITHOUT reading
+    any data file (on a 100 TB sink the unbounded scan would dominate
+    the micro-batch)."""
+    assert tracked.max_bound("recid") == 50
+    before = _bucket_files(tracked.path)
+
+    def boom(*a, **k):  # any table read = the scan we must not pay
+        raise AssertionError("bounded recovery read the table")
+
+    tracked.read = boom
+    tracked.read_buckets = boom
+    removed = delete_beyond_watermark(
+        tracked,
+        (F.col("recid") > 50) & (F.col("rectype") == "BIGDATA"),
+        bound=("recid", 50),
+    )
+    assert removed == 0
+    assert _bucket_files(tracked.path) == before  # byte-identical
+
+
+def test_bounded_recovery_still_deletes_real_victims(spark, tracked):
+    """wm below the bound -> the normal pruned victim scan runs (X2)."""
+    removed = delete_beyond_watermark(
+        tracked,
+        (F.col("recid") > 40) & (F.col("rectype") == "BIGDATA"),
+        bound=("recid", 40),
+    )
+    assert removed == 10
+    assert tracked.read().count() == 40
+    # the bound is a stale overestimate after the delete -- still valid
+    assert tracked.max_bound("recid") >= 40
+
+
+def test_upsert_bumps_bound_before_data_visible(spark, tracked):
+    upsert_by_key(
+        tracked, _recid_rows(spark, [("k3", 300, "BIGDATA")]), key="hn_code"
+    )
+    assert tracked.max_bound("recid") == 300
+    # a second upsert with a LOWER recid must not shrink the bound
+    upsert_by_key(
+        tracked, _recid_rows(spark, [("k4", 7, "BIGDATA")]), key="hn_code"
+    )
+    assert tracked.max_bound("recid") == 300
+
+
+def test_pre_sidecar_table_stays_unknown(spark, tmp_path):
+    """A table that predates the sidecar must NOT gain a bound from one
+    batch's stats (it would under-state the table max and skip real
+    victims); a full replace() heals it with exact stats."""
+    plain = HashBucketedTable(
+        spark, str(tmp_path / "old"), key="hn_code", n_buckets=8
+    )
+    plain.replace(_recid_rows(spark, [("a", 999, "BIGDATA")]))
+    t = HashBucketedTable(
+        spark, str(tmp_path / "old"), key="hn_code", n_buckets=8,
+        track_max=("recid",),
+    )
+    upsert_by_key(t, _recid_rows(spark, [("b", 5, "BIGDATA")]), key="hn_code")
+    assert t.max_bound("recid") is None  # unknown, not 5
+    # unknown bound -> no short-circuit -> the real scan still works
+    removed = delete_beyond_watermark(
+        t, F.col("recid") > 10, bound=("recid", 10)
+    )
+    assert removed == 1
+    t.replace(t.read())  # compaction/replace refreshes exact stats
+    assert t.max_bound("recid") == 5
