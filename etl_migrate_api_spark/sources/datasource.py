@@ -27,7 +27,6 @@ them), which keeps results exactly-once without upstream coordination.
 
 from __future__ import annotations
 
-import json
 from collections.abc import Iterator
 from dataclasses import dataclass
 
@@ -61,14 +60,19 @@ class HttpCursorReader(DataSourceReader):
         ]
 
     def read(self, partition: _IdRange) -> Iterator[tuple]:
-        from urllib.request import urlopen
+        # executor-side import: the reader object is pickled to tasks
+        from etl_migrate_api_spark.sources.retry import get_json
 
         fields = [f.name for f in self.schema_.fields]
         cursor = partition.start
         while cursor < partition.end:
-            url = f"{self.base_url}?lastId={cursor}&limit={self.page_size}"
-            with urlopen(url, timeout=30) as resp:  # noqa: S310
-                payload = json.loads(resp.read().decode("utf-8"))
+            # transient 5xx/connection failures retry with backoff
+            # (retry.py); a persistent failure raises and Spark's task
+            # retry re-reads this id range idempotently
+            payload = get_json(
+                f"{self.base_url}?lastId={cursor}&limit={self.page_size}",
+                timeout=30,
+            )
             rows = payload.get("data") or []
             if not rows:
                 return

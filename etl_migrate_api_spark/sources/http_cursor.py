@@ -12,7 +12,6 @@ cursor as a source offset (streaming/pipeline.py).
 
 from __future__ import annotations
 
-import json
 from collections.abc import Callable, Iterator
 from dataclasses import dataclass
 from typing import Any
@@ -25,16 +24,16 @@ FetchFn = Callable[[int, int], dict[str, Any]]
 
 
 def fetch_http_page(base_url: str, last_id: int, limit: int, timeout: float = 30.0) -> dict[str, Any]:
-    """Real HTTP fetch (stdlib only): GET {base_url}?lastId=&limit=.
+    """Real HTTP fetch (stdlib only): GET {base_url}?lastId=&limit=,
+    with transient-failure retry/backoff (sources/retry.py — the
+    reference's reconnect policy).
 
     Kept separate from the loop so tests inject a fake FetchFn; no
     network access happens unless this function is passed explicitly.
     """
-    from urllib.request import urlopen
+    from etl_migrate_api_spark.sources.retry import get_json
 
-    url = f"{base_url}?lastId={last_id}&limit={limit}"
-    with urlopen(url, timeout=timeout) as resp:  # noqa: S310 (caller-controlled URL)
-        return json.loads(resp.read().decode("utf-8"))
+    return get_json(f"{base_url}?lastId={last_id}&limit={limit}", timeout=timeout)
 
 
 @dataclass

@@ -23,10 +23,23 @@ def _rows(last_id: int, limit: int):
 
 
 class _Handler(BaseHTTPRequestHandler):
+    # {url_path_with_query: times_failed} — /flaky pages 503 twice each
+    # before serving (exercises the retry/backoff path end-to-end)
+    fail_counts: dict[str, int] = {}
+
     def do_GET(self):
         q = parse_qs(urlparse(self.path).query)
         last_id = int(q.get("lastId", ["0"])[0])
         limit = int(q.get("limit", ["1000"])[0])
+        if "flaky" in self.path:
+            failed = self.fail_counts.get(self.path, 0)
+            if failed < 2:
+                self.fail_counts[self.path] = failed + 1
+                self.send_error(503, "transient")
+                return
+        if "notfound" in self.path:
+            self.send_error(404, "nope")
+            return
         data = _rows(last_id, limit)
         if "unsorted" in self.path:
             data = list(reversed(data))  # pages arrive id-descending
@@ -114,6 +127,62 @@ def test_http_cursor_non_advancing_server_terminates(spark, http_server):
     # not just 100 distinct ids (a set-compare would mask duplicates)
     assert len(rows) == 100
     assert {r["id"] for r in rows} == set(range(1, 101))
+
+
+def test_flaky_server_retries_to_exact_rows(spark, http_server):
+    """Every page 503s twice before serving; the retry/backoff in
+    sources/retry.py (the reference's reconnect policy) must absorb the
+    failures — exact row counts, no dupes, no dropped pages."""
+    from etl_migrate_api_spark.sources.datasource import HttpCursorDataSource
+    from etl_migrate_api_spark.sources.http_cursor import CursorSource, fetch_http_page
+
+    # executor-parallel DataSource path
+    spark.dataSource.register(HttpCursorDataSource)
+    df = (
+        spark.read.format("http_cursor")
+        .option("base_url", http_server + "/flaky")
+        .option("max_id", str(N_ROWS))
+        .option("page_size", "100")
+        .option("slices", "3")
+        .schema("id bigint, hn_code string, tel_no string")
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == N_ROWS
+    assert {r["id"] for r in rows} == set(range(1, N_ROWS + 1))
+
+    # driver-loop CursorSource path (fetch_http_page shares the policy)
+    src = CursorSource(
+        spark,
+        fetch=lambda last_id, limit: fetch_http_page(
+            http_server + "/flaky2", last_id, limit
+        ),
+        schema="id bigint, hn_code string, tel_no string",
+        limit=200,
+    )
+    total = sum(df.count() for df, _ in src.pages(0))
+    assert total == N_ROWS
+
+
+def test_get_json_4xx_fails_fast_5xx_backs_off(http_server):
+    """A 4xx is a caller bug: exactly one request, no retry. Transient
+    5xx retries follow the reference's linear-capped backoff."""
+    from urllib.error import HTTPError
+
+    from etl_migrate_api_spark.sources.retry import backoff_seconds, get_json
+
+    _Handler.fail_counts.clear()
+    with pytest.raises(HTTPError) as ex:
+        get_json(http_server + "/notfound?lastId=0&limit=1", sleep=lambda s: None)
+    assert ex.value.code == 404
+
+    slept: list[float] = []
+    payload = get_json(
+        http_server + "/flaky3?lastId=0&limit=5", sleep=slept.append
+    )
+    assert len(payload["data"]) == 5
+    assert slept == [backoff_seconds(1), backoff_seconds(2)] == [0.1, 0.2]
+    assert backoff_seconds(100) == 3.0  # cap
 
 
 def test_http_cursor_requires_schema(spark, http_server):
