@@ -55,13 +55,21 @@ def jdbc_append_options(batch_size: int = 1000, isolation: str = "READ_COMMITTED
     return {"batchsize": str(batch_size), "isolationLevel": isolation}
 
 
+def default_lock_sql(staging: str) -> str:
+    """Postgres attempt-serialization lock on the staging table (held to
+    end of transaction)."""
+    return f"LOCK TABLE {staging} IN ACCESS EXCLUSIVE MODE"
+
+
 def upsert_foreach_partition(
     df: DataFrame,
+    key: str | list[str],
     connect: Callable[[], Any],
     merge_sql_for: Callable[[str], str],
     insert_staging_sql_for: Callable[[str], str],
     staging_prefix: str = "staging_upsert",
     batch_size: int = 1000,
+    lock_sql_for: Callable[[str], str] | None = default_lock_sql,
 ) -> None:
     """Executor-parallel transactional upsert: each partition stages its
     rows into its OWN per-partition staging table (``{prefix}_{pid}``,
@@ -77,10 +85,23 @@ def upsert_foreach_partition(
       semantics);
     - TRUNCATE-before-load makes re-runs idempotent — a failed prior
       attempt's stale staging rows are never re-applied.
-    Concurrent per-partition MERGEs are safe when the upserted keys are
-    partition-disjoint (e.g. df repartitioned by the merge key — the
-    caller's contract, documented here); otherwise run
-    ``df.coalesce(1)`` or serialize the MERGE step driver-side.
+
+    Concurrent per-partition MERGEs require the upserted keys to be
+    partition-disjoint, so the runner ENFORCES it: ``df`` is hash-
+    repartitioned on ``key`` here (an extra shuffle of the batch — cheap
+    insurance against the silent same-key-in-two-MERGEs deadlock/lost-
+    update a mis-partitioned caller would otherwise hit).
+
+    Stage retries / speculative duplicates of the SAME partition share
+    one staging table, so the transaction's first statement locks it
+    (``lock_sql_for``, default Postgres ``LOCK TABLE … IN ACCESS
+    EXCLUSIVE MODE``): two live attempts serialize — the loser re-runs
+    TRUNCATE → load → MERGE after the winner commits, and re-merging
+    identical rows is idempotent. (Postgres' TRUNCATE takes the same
+    lock implicitly; the explicit statement makes the guarantee hold on
+    engines where it doesn't.) Pass ``lock_sql_for=None`` explicitly
+    only if ``spark.speculation`` is disabled and stage retries are
+    acceptable risks.
 
     ``connect`` must be a serializable zero-arg factory (executors open
     their own connections — never ship a live connection from the
@@ -93,12 +114,20 @@ def upsert_foreach_partition(
             "merge_sql_for/insert_staging_sql_for must be callables taking "
             "the staging table name (the runner truncates that exact table)"
         )
+    key_cols = [key] if isinstance(key, str) else list(key)
+    # enforce the disjointness contract: same key -> same partition ->
+    # same staging table, whatever partitioning the caller handed us
+    df = df.repartition(df.rdd.getNumPartitions(), *key_cols)
 
     def run_with_pid(pid: int, rows: Iterator) -> Iterator:
         staging = f"{staging_prefix}_{pid}"
         conn = connect()
         try:
             cur = conn.cursor()
+            if lock_sql_for is not None:
+                # serialize concurrent attempts of this partition (stage
+                # retry / speculation) on the shared staging table
+                cur.execute(lock_sql_for(staging))
             # staging DDL is deployment-time (CREATE TABLE staging_upsert_N
             # LIKE target); here we only guarantee idempotency per run
             cur.execute(f"TRUNCATE TABLE {staging}")

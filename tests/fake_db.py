@@ -29,7 +29,8 @@ class _Cursor:
         _log(f"execute:{sql}")
 
     def executemany(self, sql, rows):
-        _log(f"executemany:{sql}:{len(list(rows))}rows")
+        rows = list(rows)
+        _log(f"executemany:{sql}:{len(rows)}rows:{rows!r}")
 
 
 class _Conn:

@@ -46,6 +46,7 @@ def test_upsert_foreach_partition_transactional(spark):
     df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id int, v string")
     upsert_foreach_partition(
         df.coalesce(1),
+        key="id",
         connect=fake.connect,
         merge_sql_for=lambda s: f"MERGE-SQL:{s}",
         insert_staging_sql_for=lambda s: f"INSERT-SQL:{s}",
@@ -53,7 +54,9 @@ def test_upsert_foreach_partition_transactional(spark):
         batch_size=2,
     )
     log = fake.read_log()
-    assert log[0] == "execute:TRUNCATE TABLE stg_0"  # idempotent re-runs
+    # attempt-serialization lock first, then idempotent truncate
+    assert log[0] == "execute:LOCK TABLE stg_0 IN ACCESS EXCLUSIVE MODE"
+    assert log[1] == "execute:TRUNCATE TABLE stg_0"  # idempotent re-runs
     stage_lines = [l for l in log if l.startswith("executemany:INSERT-SQL:stg_0")]
     assert len(stage_lines) == 2  # 2+1 rows in 2 batches
     assert "execute:MERGE-SQL:stg_0" in log
@@ -72,6 +75,7 @@ def test_upsert_foreach_partition_staging_isolated_per_partition(spark):
     ).repartition(2, "id")
     upsert_foreach_partition(
         df,
+        key="id",
         connect=fake.connect,
         merge_sql_for=lambda s: f"MERGE:{s}",
         insert_staging_sql_for=lambda s: f"INS:{s}",
@@ -83,3 +87,58 @@ def test_upsert_foreach_partition_staging_isolated_per_partition(spark):
     }
     assert stagings == {"stg_0", "stg_1"}
     assert log.count("commit") == 2
+
+
+def test_upsert_enforces_key_disjoint_partitions(spark):
+    """A caller handing over a round-robin-partitioned batch with the
+    SAME key in multiple partitions must not get two concurrent MERGEs
+    on that key (deadlock / lost update): the runner repartitions by the
+    merge key, so every occurrence of a key stages in ONE table."""
+    import ast
+
+    import tests.fake_db as fake
+
+    fake.reset()
+    # 3 rows per key, deliberately spread round-robin across 3 partitions
+    rows = [(k, f"v{k}-{i}") for k in (1, 2, 3, 4) for i in range(3)]
+    df = spark.createDataFrame(rows, "id int, v string").repartition(3)
+    upsert_foreach_partition(
+        df,
+        key="id",
+        connect=fake.connect,
+        merge_sql_for=lambda s: f"MERGE:{s}",
+        insert_staging_sql_for=lambda s: f"INS:{s}",
+        staging_prefix="stg",
+    )
+    keys_by_staging: dict[str, set[int]] = {}
+    for line in fake.read_log():
+        if not line.startswith("executemany:INS:"):
+            continue
+        staging = line.split(":")[2]
+        staged = ast.literal_eval(line.split(":", 4)[4])
+        keys_by_staging.setdefault(staging, set()).update(r[0] for r in staged)
+    assert sum(len(v) for v in keys_by_staging.values()) >= 4
+    seen: set[int] = set()
+    for staging, keys in keys_by_staging.items():
+        assert not (keys & seen), f"key staged in two tables ({staging})"
+        seen |= keys
+    assert seen == {1, 2, 3, 4}
+
+
+def test_upsert_lock_optout(spark):
+    import tests.fake_db as fake
+
+    fake.reset()
+    df = spark.createDataFrame([(1, "a")], "id int, v string")
+    upsert_foreach_partition(
+        df.coalesce(1),
+        key="id",
+        connect=fake.connect,
+        merge_sql_for=lambda s: f"M:{s}",
+        insert_staging_sql_for=lambda s: f"I:{s}",
+        staging_prefix="stg",
+        lock_sql_for=None,
+    )
+    log = fake.read_log()
+    assert not any("LOCK TABLE" in l for l in log)
+    assert log[0].startswith("execute:TRUNCATE")
