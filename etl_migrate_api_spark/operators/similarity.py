@@ -232,7 +232,14 @@ def kmeans_centroids(
     the IVF coarse-quantizer trainer. Returns (cent_id, cent_v).
 
     - Init: the k corpus vectors with smallest md5(id) — a seeded
-      random sample with no RNG state (rerun-identical on any cluster).
+      random sample with no RNG state. Init is rerun-identical anywhere;
+      the ITERATIONS are rerun-identical in a single process (this
+      harness), but on a real multi-executor cluster F.avg merges
+      partial float sums in shuffle-fetch order, so a 1-ULP mean
+      difference can flip an argmax cell assignment between reruns.
+      Bit-exact cluster reruns would need an order-independent mean
+      (fixed-point/decimal accumulation) — not worth it for a coarse
+      quantizer whose recall is insensitive to one boundary vector.
     - Iterate: broadcast centroids → assign each vector to its argmax-
       cosine cell (tie-break on cent_id) → new centroid = element-wise
       mean of the cell (posexplode → groupBy(cell, pos) avg → re-collect

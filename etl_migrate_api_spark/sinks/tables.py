@@ -159,8 +159,13 @@ class ParquetTable:
         restore the old table instead of silently reporting 'empty'."""
         if os.path.exists(self.path):
             return
-        olds = sorted(glob.glob(f"{self.path}.old-*"))
+        olds = glob.glob(f"{self.path}.old-*")
         if olds:
+            # multiple .old-* dirs are possible after a silently-failed
+            # rmtree (ignore_errors); uuid order is arbitrary, so pick
+            # the NEWEST snapshot — restoring an older one would
+            # resurrect stale data and delete the newer state
+            olds.sort(key=os.path.getmtime, reverse=True)
             os.rename(olds[0], self.path)
             for leftover in olds[1:]:
                 shutil.rmtree(leftover, ignore_errors=True)

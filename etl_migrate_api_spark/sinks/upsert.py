@@ -33,7 +33,12 @@ def upsert_by_key(table: ParquetTable, batch: DataFrame, key: str) -> None:
         table.replace(batch)
         return
     if isinstance(table, HashBucketedTable):
-        assert table.key == key, f"table bucketed on {table.key!r}, upsert on {key!r}"
+        if table.key != key:
+            # hard error, not assert: stripped asserts (python -O) would
+            # let rows land in wrong buckets and pruned reads miss them
+            raise ValueError(
+                f"table bucketed on {table.key!r}, upsert on {key!r}"
+            )
         # the batch is evaluated twice (bucket collect + the write) —
         # persist it so an expensive upstream plan (the merge fold)
         # computes once per micro-batch

@@ -44,8 +44,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
             return v
         return v
 
-    # numpy arrays from duckdb LIST columns
-    out = df.applymap(
+    # numpy arrays from duckdb LIST columns. (DataFrame.map, not the
+    # deprecated applymap — same elementwise semantics, no FutureWarning)
+    out = df.map(
         lambda v: norm_cell(list(v)) if hasattr(v, "__len__") and not isinstance(v, (str, bytes, dict)) else norm_cell(v)
     )
     out = out.sort_values(by=list(out.columns), key=lambda s: s.map(repr)).reset_index(
