@@ -7,6 +7,11 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is materialized through the noop sink (full execution, no
 driver collect, no result-size bias).
+
+Isolation mode (the container CPU is noisy — cgroup burst/throttle can
+swing totals 2× between identical runs): ``python bench.py q1 q2``
+times only the named queries; ``--repeat N`` re-times each N times and
+reports the MINIMUM (the least-throttled run is the real cost).
 """
 
 from __future__ import annotations
@@ -52,12 +57,28 @@ def main() -> None:
         ).alias("s")
     ).agg(F.sum("s")).collect()
 
+    args = sys.argv[1:]
+    repeat = 1
+    if "--repeat" in args:
+        i = args.index("--repeat")
+        repeat = int(args[i + 1])
+        args = args[:i] + args[i + 2 :]
+    names = headline_names()
+    if args:
+        unknown = [a for a in args if a not in QUERIES]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+        names = args
+
     timings: dict[str, float] = {}
-    for name in headline_names():
+    for name in names:
         fn = QUERIES[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

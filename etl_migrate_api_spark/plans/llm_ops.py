@@ -12,6 +12,8 @@ ids % 20 == 5, scaled embedding copies for vec_id % 40 == 0.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -341,15 +343,32 @@ def llm_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("llm_ann_ivf_topk", oracle=None, headline=True)
 def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-k, nprobe=1, with coarse cells
-    trained in-line by the deterministic k-means
-    (operators/similarity.py::kmeans_centroids — md5-sampled init +
-    Lloyd's over DataFrame aggs). Rows-only gate: centroid training
+    """IVF approximate top-k over the PERSISTED index — the scale path:
+    build the write-once layout (corpus parquet-partitioned by coarse
+    cell + centroids alongside, operators/similarity.py::write_ivf_index),
+    then answer the query from it with a partition-PRUNED scan of only
+    the nprobe probed cells (file-listing-time pruning, plan-asserted in
+    tests/test_kmeans_ivf.py). The timed number includes the index
+    build (training is the deterministic md5-init k-means) — one-time
+    at scale, amortized over every later query; the inline-trained
+    variant (sim.ivf_topk) stays as the ad-hoc API and is
+    parity-tested against this path. Rows-only gate: centroid training
     iterates float means, which no cross-engine SQL mirror can
     reproduce bit-exactly; determinism and recall-vs-bruteforce are
     asserted in tests/test_kmeans_ivf.py instead."""
+    import tempfile
+
     emb = load(spark, "embeddings", sf_dir)
-    return sim.ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5, nprobe=3)
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = os.path.join(
+        tempfile.gettempdir(), "spark_graft_ivf", f"index_{tag}"
+    )
+    # rebuilt every invocation: the gate must measure build+query
+    # honestly, never read a stale index from an earlier code version
+    sim.write_ivf_index(emb, path, k=8, n_iter=2)
+    return sim.ivf_topk_from_index(
+        spark, path, emb.where(F.col("vec_id") < 10), k=5, nprobe=3
+    )
 
 
 @register("llm_ann_lsh_topk", oracle=None)
