@@ -58,7 +58,10 @@ def main() -> None:
     ).agg(F.sum("s")).collect()
 
     args = sys.argv[1:]
-    repeat = 1
+    # default best-of-2: the container CPU throttles in bursts (measured
+    # 2x swings on identical code), so a single timing is a coin flip —
+    # the minimum of two is the better throughput estimate
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
     if "--repeat" in args:
         i = args.index("--repeat")
         repeat = int(args[i + 1])
@@ -78,6 +81,11 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+            # release blocks the query's operators left persisted (their
+            # contract: callers own the unpersist) — each query's number
+            # must measure that query, not earlier queries' cache
+            # pressure, and no query may ride an earlier query's cache
+            spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
