@@ -1,0 +1,428 @@
+"""Training-data curation operators beyond the dedup/ANN families —
+the day-2 ops of a 100 TB pretraining pipeline: PII scrubbing,
+benchmark decontamination, repetition-based quality filtering, URL
+canonicalization, and temperature-weighted domain mixing.
+
+Registered AFTER the driver's 50-query window (plans/registry.py
+DRIVER_WINDOW): every query here still carries a full DuckDB oracle and
+is hash-verified by the pytest mirror (tests/test_oracle_parity.py) and
+tools/driver_sim.py on every run.
+
+All operators are pure column expressions or explode→agg shapes (one
+shuffle on a well-distributed key, map-side combined) — no Python in
+the hot path, no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_migrate_api_spark.catalog import load
+from etl_migrate_api_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Patterns kept to syntax with identical semantics in Java regex (Spark)
+# and RE2 (DuckDB): char classes, bounded repeats — no backrefs, no
+# lookaround. Redaction order (email → phone → ip) is fixed and
+# mirrored, so overlapping matches resolve identically.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+1-\d{3}-\d{4}"
+_PII_IPV4 = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+
+def _planted_pii_sql() -> str:
+    """The deterministic PII plant, as DuckDB SQL (the corpus carries no
+    real PII, so both engines inject the same synthetic contacts)."""
+    return """
+      concat(text,
+        case when doc_id % 3 = 0
+             then ' contact user' || cast(doc_id as varchar) || '@example.com'
+             else '' end,
+        case when doc_id % 4 = 0
+             then ' tel +1-202-' || lpad(cast(doc_id % 10000 as varchar), 4, '0')
+             else '' end,
+        case when doc_id % 5 = 0
+             then ' from 10.' || cast(doc_id % 256 as varchar) || '.0.1'
+             else '' end)
+    """
+
+
+def _planted_pii_col() -> F.Column:
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" tel +1-202-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" from 10."), (did % 256).cast("string"), F.lit(".0.1")),
+        ).otherwise(F.lit("")),
+    )
+
+
+@register(
+    "llm_pii_redact",
+    oracle=f"""
+      with planted as (
+        select doc_id, {_planted_pii_sql()} as text from documents
+      )
+      select doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IPV4}', '<IP>', 'g') as redacted,
+             cast(len(regexp_extract_all(text, '{_PII_EMAIL}')) as int) as n_emails,
+             cast(len(regexp_extract_all(text, '{_PII_PHONE}')) as int) as n_phones,
+             cast(len(regexp_extract_all(
+               regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                              '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IPV4}')) as int) as n_ips
+      from planted
+    """,
+    survey_refs=("T1", "U1"),
+)
+def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub for training corpora: detect + redact emails, phone
+    numbers, and IPv4 addresses with pure regexp expressions (the same
+    extract/replace machinery as the reference's extractPhones,
+    utils/util.js:1-13, turned outward to redaction). Counts come from
+    regexp_extract_all sizes; ip counting runs AFTER email/phone
+    redaction (mirrored in the oracle) so an address inside an already-
+    redacted span can't double-count. Pure narrow projections — no
+    shuffle at all; at 100 TB this is scan-speed."""
+    docs = load(spark, "documents", sf_dir)
+    planted = docs.select("doc_id", _planted_pii_col().alias("text"))
+    after_email = F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>")
+    after_phone = F.regexp_replace(after_email, _PII_PHONE, "<PHONE>")
+    return planted.select(
+        "doc_id",
+        F.regexp_replace(after_phone, _PII_IPV4, "<IP>").alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("int")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_PHONE), F.lit(0)))
+        .cast("int")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all(after_phone, F.lit(_PII_IPV4), F.lit(0)))
+        .cast("int")
+        .alias("n_ips"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+_CONTAM_N = 5  # word n-gram size
+_CONTAM_MIN_SHARED = 3  # pairs sharing fewer distinct n-grams are noise
+
+
+@register(
+    "llm_contamination_ngrams",
+    oracle=f"""
+      with toks as (
+        select doc_id, source,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x <> '') as t
+        from documents
+      ),
+      grams as (
+        select distinct doc_id, source,
+               cast(concat('0x', substr(md5(g), 1, 15)) as bigint) as gh
+        from (
+          select doc_id, source,
+                 unnest([array_to_string(t[i:i+{_CONTAM_N - 1}], ' ')
+                         for i in range(1, greatest(len(t) - {_CONTAM_N - 2}, 1))]) as g
+          from toks
+        )
+      )
+      select c.doc_id as corpus_doc_id, e.doc_id as eval_doc_id,
+             cast(count(distinct c.gh) as bigint) as n_shared
+      from grams e
+      join grams c on e.gh = c.gh and c.source <> 'src0'
+      where e.source = 'src0'
+      group by 1, 2
+      having count(distinct c.gh) >= {_CONTAM_MIN_SHARED}
+    """,
+    survey_refs=("J2", "E1"),
+)
+def llm_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: find corpus documents sharing ≥3
+    distinct {n}-word n-grams with any doc of the held-out set (source
+    'src0' stands in for an eval benchmark). The industry-standard
+    pre-training hygiene check (n-gram overlap á la GPT-3 appendix C /
+    PaLM): tokenize → n-gram → md5→60-bit int (identical on both
+    engines) → equi-join on the gram hash → count distinct shared grams
+    per (corpus_doc, eval_doc) pair.
+
+    100 TB shape: the join is corpus-grams ⨝ eval-grams on an int key —
+    the eval side is tiny (a benchmark), so AQE broadcasts it and the
+    corpus side never shuffles; the distinct-gram dedup is map-side
+    combined on (doc, gram)."""
+    toks = F.array_remove(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), "")
+    n = _CONTAM_N
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 2), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    gh = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("bigint")
+    base = (
+        load(spark, "documents", sf_dir)
+        .select("doc_id", "source", F.explode(grams).alias("g"))
+        .select("doc_id", "source", gh.alias("gh"))
+        .distinct()
+    )
+    ev = base.where(F.col("source") == "src0").select(
+        F.col("doc_id").alias("eval_doc_id"), "gh"
+    )
+    corpus = base.where(F.col("source") != "src0").select(
+        F.col("doc_id").alias("corpus_doc_id"), "gh"
+    )
+    return (
+        corpus.join(F.broadcast(ev), "gh")
+        .groupBy("corpus_doc_id", "eval_doc_id")
+        .agg(F.count_distinct("gh").alias("n_shared"))
+        .where(F.col("n_shared") >= _CONTAM_MIN_SHARED)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality filtering (Gopher-style)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_quality_repetition",
+    oracle="""
+      with words as (
+        select doc_id, unnest(list_filter(
+                 string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) as w
+        from documents
+      ),
+      freq as (
+        select doc_id, w, count(*) as c from words group by doc_id, w
+      )
+      select doc_id,
+             cast(sum(c) as bigint) as n_words,
+             cast(count(*) as bigint) as n_distinct,
+             1.0 - cast(count(*) as double) / cast(sum(c) as double)
+               as dup_word_frac,
+             cast(max(c) as double) / cast(sum(c) as double) as top_word_frac,
+             (1.0 - cast(count(*) as double) / cast(sum(c) as double)) > 0.8
+               or cast(max(c) as double) / cast(sum(c) as double) > 0.2
+               as flagged
+      from freq
+      group by doc_id
+    """,
+    survey_refs=("A3", "A4"),
+)
+def llm_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate-
+    word fraction and most-frequent-word fraction, with the filter flag
+    (Rae et al. 2021 §A1.1 use these to drop boilerplate/spam docs
+    whose token loops poison training). Two-level aggregate — explode
+    words → count per (doc, word) → per-doc stats — one shuffle on the
+    (doc, word) key, fully map-side combinable, no skew (keys are
+    per-doc). The fractions are single-division IEEE doubles: bit-
+    identical across engines, no rounding needed."""
+    toks = F.array_remove(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), "")
+    words = load(spark, "documents", sf_dir).select(
+        "doc_id", F.explode(toks).alias("w")
+    )
+    freq = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    total = F.sum("c").cast("bigint")
+    dup_frac = F.lit(1.0) - F.count(F.lit(1)).cast("double") / total.cast("double")
+    top_frac = F.max("c").cast("double") / total.cast("double")
+    return freq.groupBy("doc_id").agg(
+        total.alias("n_words"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        dup_frac.alias("dup_word_frac"),
+        top_frac.alias("top_word_frac"),
+        ((dup_frac > 0.8) | (top_frac > 0.2)).alias("flagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + dedup
+# ---------------------------------------------------------------------------
+
+
+def _planted_url_sql() -> str:
+    return """
+      'https://'
+      || case doc_id % 4 when 0 then 'WWW.Example.COM'
+                         when 1 then 'www.example.com:443'
+                         when 2 then 'blog.example.org'
+                         else 'Example.Net' end
+      || '/p/' || cast(doc_id % 50 as varchar)
+      || case when doc_id % 3 = 0 then '/' else '' end
+      || case when doc_id % 2 = 0
+              then '?utm_source=feed&id=' || cast(doc_id % 7 as varchar)
+              when doc_id % 5 = 1 then '?id=' || cast(doc_id % 7 as varchar)
+              else '' end
+      || case when doc_id % 6 = 0 then '#frag' else '' end
+    """
+
+
+def _planted_url_col() -> F.Column:
+    did = F.col("doc_id")
+    host = (
+        F.when(did % 4 == 0, F.lit("WWW.Example.COM"))
+        .when(did % 4 == 1, F.lit("www.example.com:443"))
+        .when(did % 4 == 2, F.lit("blog.example.org"))
+        .otherwise(F.lit("Example.Net"))
+    )
+    query = (
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit("?utm_source=feed&id="), (did % 7).cast("string")),
+        )
+        .when(did % 5 == 1, F.concat(F.lit("?id="), (did % 7).cast("string")))
+        .otherwise(F.lit(""))
+    )
+    return F.concat(
+        F.lit("https://"),
+        host,
+        F.lit("/p/"),
+        (did % 50).cast("string"),
+        F.when(did % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        query,
+        F.when(did % 6 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
+
+# canonicalization pipeline (identical order both engines):
+# strip #fragment → strip utm_* params → strip dangling ?/& → drop
+# default :443 port → lowercase → strip trailing slash. 'www.' is NOT
+# stripped: www and apex may serve different content.
+_URL_STEPS_SPARK = [
+    (r"#.*$", ""),
+    (r"utm_[^&#]*&?", ""),
+    (r"[?&]$", ""),
+    (r":443/", "/"),
+    (r"/$", ""),
+]
+
+
+@register(
+    "llm_url_canonical_dedup",
+    oracle=f"""
+      with urls as (
+        select doc_id, {_planted_url_sql()} as url from documents
+      ),
+      canon as (
+        select doc_id,
+               regexp_replace(
+                 lower(replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(url, '#.*$', ''),
+                       'utm_[^&#]*&?', '', 'g'),
+                     '[?&]$', ''),
+                   ':443/', '/')),
+                 '/$', '') as curl
+        from urls
+      )
+      select curl, cast(count(*) as bigint) as n_dups,
+             cast(min(doc_id) as bigint) as keeper_doc_id
+      from canon
+      group by curl
+      having count(*) > 1
+    """,
+    survey_refs=("E1", "T2"),
+)
+def llm_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus URL dedup: canonicalize (strip fragment, tracking
+    params, dangling separators, default port; lowercase; strip
+    trailing slash — the CommonCrawl-style normalization) and group
+    exact duplicates, electing min(doc_id) as the keeper. URLs are
+    planted deterministically (corpus docs carry none) with the same
+    expression on both engines. Pure projection + one hash aggregate on
+    the canonical URL — the exact-dedup shape at web scale."""
+    docs = load(spark, "documents", sf_dir)
+    url = F.regexp_replace(
+        _planted_url_col(), _URL_STEPS_SPARK[0][0], _URL_STEPS_SPARK[0][1]
+    )
+    url = F.regexp_replace(url, _URL_STEPS_SPARK[1][0], _URL_STEPS_SPARK[1][1])
+    url = F.regexp_replace(url, _URL_STEPS_SPARK[2][0], _URL_STEPS_SPARK[2][1])
+    url = F.replace(url, F.lit(":443/"), F.lit("/"))
+    url = F.regexp_replace(F.lower(url), _URL_STEPS_SPARK[4][0], _URL_STEPS_SPARK[4][1])
+    return (
+        docs.select("doc_id", url.alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-weighted domain mixing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_domain_mix_sample",
+    oracle="""
+      with quota as (
+        select lang, cast(floor(4.0 * sqrt(cast(count(*) as double))) as bigint) as q
+        from documents group by lang
+      ),
+      ranked as (
+        select lang, doc_id,
+               row_number() over (partition by lang
+                                  order by md5(cast(doc_id as varchar)), doc_id) as rn
+        from documents
+      )
+      select r.lang, cast(r.doc_id as bigint) as doc_id
+      from ranked r join quota using (lang)
+      where r.rn <= quota.q
+    """,
+    survey_refs=("W1", "A3"),
+)
+def llm_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened domain mixing (T=0.5): per-language quota
+    ∝ √count, so low-resource languages are up-weighted relative to
+    their share — the standard multilingual pretraining re-balance
+    (e.g. mT5's α-sampling with α=0.5). √ via IEEE sqrt (correctly
+    rounded — bit-identical across engines, unlike pow(x, 0.7));
+    selection is the md5-rank deterministic draw shared with
+    sample_class_balanced. One shuffle on the class key; the quota side
+    is a per-class scalar broadcast. Full normalized mixing (quota ∝
+    N·wᵢ/Σw) is this same plan with the Σw normalizer computed as a
+    driver-side scalar, like the watermark reads."""
+    from pyspark.sql import Window
+
+    docs = load(spark, "documents", sf_dir)
+    quota = docs.groupBy("lang").agg(
+        F.floor(F.lit(4.0) * F.sqrt(F.count(F.lit(1)).cast("double")))
+        .cast("bigint")
+        .alias("q")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select(
+        "lang", "doc_id", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.join(F.broadcast(quota), "lang")
+        .where(F.col("rn") <= F.col("q"))
+        .select("lang", F.col("doc_id").cast("bigint").alias("doc_id"))
+    )

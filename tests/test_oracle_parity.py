@@ -49,6 +49,8 @@ _CROSS_SF_SPOT = [
     "llm_minhash_lsh_dedup",
     "llm_quality_score",
     "events_asof_join",
+    "llm_contamination_ngrams",  # n-gram join regime shifts with corpus size
+    "llm_domain_mix_sample",  # sqrt-quota boundary depends on class counts
 ]
 
 

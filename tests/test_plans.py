@@ -85,6 +85,27 @@ def test_neardup_joins_are_prefiltered(spark, sf_dir):
     emb.unpersist()
 
 
+def test_curation_ops_plan_shapes(spark, sf_dir, queries):
+    """The new curation family: no Python in any path; decontamination
+    broadcasts the (small) eval side so the corpus never shuffles for
+    the join; PII redaction is a pure projection with no exchange at
+    all."""
+    for q in (
+        "llm_pii_redact",
+        "llm_contamination_ngrams",
+        "llm_quality_repetition",
+        "llm_url_canonical_dedup",
+        "llm_domain_mix_sample",
+    ):
+        plan = _plan(queries[q].fn(spark, sf_dir))
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, q
+    plan = _plan(queries["llm_contamination_ngrams"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    plan = _plan(queries["llm_pii_redact"].fn(spark, sf_dir))
+    assert "Exchange" not in plan  # scan-speed projection
+
+
 def test_spread_no_shuffle_when_already_parallel(spark):
     """_spread (the dedup family's projection barrier) must not pay a
     corpus-wide round-robin shuffle when the input already arrives in
