@@ -306,6 +306,13 @@ class HashBucketedTable(ParquetTable):
         return self.spark.read.parquet(self.path).drop(self.BUCKET_COL)
 
     def append(self, df: DataFrame) -> None:
+        if self.track_max:
+            # same bump-before-write ordering as the parent: a crash in
+            # between leaves an overestimate, never a silent underbound
+            row = df.agg(
+                *[F.max(c).alias(c) for c in self.track_max]
+            ).collect()[0]
+            self._bump_bounds(row.asDict())
         df.withColumn(self.BUCKET_COL, self.bucket_expr()).write.mode(
             "append"
         ).partitionBy(self.BUCKET_COL).parquet(self.path)

@@ -258,3 +258,15 @@ def test_pre_sidecar_table_stays_unknown(spark, tmp_path):
     assert removed == 1
     t.replace(t.read())  # compaction/replace refreshes exact stats
     assert t.max_bound("recid") == 5
+
+
+def test_append_bumps_bound_on_bucketed_table(spark, tracked):
+    """The bucketed append override must keep the max-bound invariant:
+    appended rows beyond the bound would otherwise make the recovery
+    short-circuit skip real victims."""
+    tracked.append(_recid_rows(spark, [("zz", 777, "BIGDATA")]).coalesce(1))
+    assert tracked.max_bound("recid") == 777
+    removed = delete_beyond_watermark(
+        tracked, F.col("recid") > 700, bound=("recid", 700)
+    )
+    assert removed == 1
