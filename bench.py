@@ -64,7 +64,10 @@ def main() -> None:
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
     if "--repeat" in args:
         i = args.index("--repeat")
-        repeat = int(args[i + 1])
+        try:
+            repeat = int(args[i + 1])
+        except (IndexError, ValueError):
+            raise SystemExit("usage: bench.py [query ...] [--repeat N]")
         args = args[:i] + args[i + 2 :]
     names = headline_names()
     if args:

@@ -21,6 +21,14 @@ from pyspark.sql import functions as F
 from etl_migrate_api_spark.catalog import load
 from etl_migrate_api_spark.plans.registry import register
 
+
+def _ws_tokens(col: str) -> F.Column:
+    """Whitespace tokens of lower(trim(col)), empties removed — the ONE
+    tokenization both curation operators and their DuckDB mirrors
+    (``list_filter(string_split_regex(lower(trim(text)), '\\s+'), x ->
+    x <> '')``) must agree on. Change it only together with the SQL."""
+    return F.array_remove(F.split(F.lower(F.trim(F.col(col))), r"\s+"), "")
+
 # ---------------------------------------------------------------------------
 # PII scrubbing
 # ---------------------------------------------------------------------------
@@ -173,12 +181,19 @@ def llm_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the eval side is tiny (a benchmark), so AQE broadcasts it and the
     corpus side never shuffles; the distinct-gram dedup is map-side
     combined on (doc, gram)."""
-    toks = F.array_remove(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), "")
+    toks = _ws_tokens("text")
     n = _CONTAM_N
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 2), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    # guard BEFORE building the range: sequence(1, 0) is DESCENDING
+    # [1, 0] (slice start 0 then throws), and an unguarded upper bound
+    # of size-(n-2) emitted a trailing (n-1)-word gram the oracle's
+    # stop-exclusive range() never generates
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     gh = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("bigint")
     base = (
         load(spark, "documents", sf_dir)
@@ -239,9 +254,8 @@ def llm_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, word) key, fully map-side combinable, no skew (keys are
     per-doc). The fractions are single-division IEEE doubles: bit-
     identical across engines, no rounding needed."""
-    toks = F.array_remove(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), "")
     words = load(spark, "documents", sf_dir).select(
-        "doc_id", F.explode(toks).alias("w")
+        "doc_id", F.explode(_ws_tokens("text")).alias("w")
     )
     freq = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
     total = F.sum("c").cast("bigint")

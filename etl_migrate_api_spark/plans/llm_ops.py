@@ -357,14 +357,20 @@ def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduce bit-exactly; determinism and recall-vs-bruteforce are
     asserted in tests/test_kmeans_ivf.py instead."""
     import tempfile
+    import uuid
 
     emb = load(spark, "embeddings", sf_dir)
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    # per-invocation unique dir: a fixed path would let two concurrent
+    # sessions (pytest + bench, or two users) overwrite each other's
+    # index mid-read. Rebuilt every invocation so the gate measures
+    # build+query honestly, never a stale index from older code; the
+    # leaked gate-SF-sized dirs land under the OS tempdir.
     path = os.path.join(
-        tempfile.gettempdir(), "spark_graft_ivf", f"index_{tag}"
+        tempfile.gettempdir(),
+        "spark_graft_ivf",
+        f"index_{tag}_{uuid.uuid4().hex[:8]}",
     )
-    # rebuilt every invocation: the gate must measure build+query
-    # honestly, never read a stale index from an earlier code version
     sim.write_ivf_index(emb, path, k=8, n_iter=2)
     return sim.ivf_topk_from_index(
         spark, path, emb.where(F.col("vec_id") < 10), k=5, nprobe=3

@@ -188,15 +188,24 @@ class ParquetTable:
             return self.read()
         return self.spark.createDataFrame([], schema=schema)
 
+    def _append_bump(self, df: DataFrame) -> DataFrame:
+        """Bound maintenance for append paths: snapshot the batch
+        (localCheckpoint — the agg and the write must see the SAME rows;
+        two separate evaluations of a nondeterministic source could
+        write rows above the bound the agg saw), then bump bounds
+        BEFORE the write so a crash in between leaves an overestimate.
+        A max of None (empty batch / all-NULL column) is dropped, not
+        recorded: no rows were added that could raise the true max, and
+        NULL values can never satisfy a ``col > wm`` predicate — the
+        existing bound stays valid."""
+        df = df.localCheckpoint(eager=True)
+        row = df.agg(*[F.max(c).alias(c) for c in self.track_max]).collect()[0]
+        self._bump_bounds({c: v for c, v in row.asDict().items() if v is not None})
+        return df
+
     def append(self, df: DataFrame) -> None:
         if self.track_max:
-            # bounds must cover the batch BEFORE its rows land (a crash
-            # in between leaves an overestimate — safe); costs one extra
-            # pass over the (batch-sized) df
-            row = df.agg(
-                *[F.max(c).alias(c) for c in self.track_max]
-            ).collect()[0]
-            self._bump_bounds(row.asDict())
+            df = self._append_bump(df)
         df.write.mode("append").parquet(self.path)
 
     def _write(self, df: DataFrame, path: str) -> None:
@@ -307,12 +316,7 @@ class HashBucketedTable(ParquetTable):
 
     def append(self, df: DataFrame) -> None:
         if self.track_max:
-            # same bump-before-write ordering as the parent: a crash in
-            # between leaves an overestimate, never a silent underbound
-            row = df.agg(
-                *[F.max(c).alias(c) for c in self.track_max]
-            ).collect()[0]
-            self._bump_bounds(row.asDict())
+            df = self._append_bump(df)
         df.withColumn(self.BUCKET_COL, self.bucket_expr()).write.mode(
             "append"
         ).partitionBy(self.BUCKET_COL).parquet(self.path)

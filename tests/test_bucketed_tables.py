@@ -270,3 +270,13 @@ def test_append_bumps_bound_on_bucketed_table(spark, tracked):
         tracked, F.col("recid") > 700, bound=("recid", 700)
     )
     assert removed == 1
+
+
+def test_empty_append_keeps_bound(spark, tracked):
+    """A zero-row micro-batch (the common no-new-data case) must not
+    poison the bound to unknown — it adds nothing that could raise the
+    true max, and losing the bound re-enables the full recovery scan."""
+    tracked.append(
+        spark.createDataFrame([], "hn_code string, recid bigint, rectype string")
+    )
+    assert tracked.max_bound("recid") == 50

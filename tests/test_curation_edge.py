@@ -1,0 +1,60 @@
+"""Edge regressions for the curation operators (found in review):
+short documents and the n-gram window bound."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_contamination_grams_short_and_boundary_docs(spark):
+    """Docs with < n tokens must produce zero grams, not a slice crash
+    (sequence(1,0) is DESCENDING [1,0]); docs with exactly n must
+    produce one full n-gram and NO trailing shorter gram (the oracle's
+    stop-exclusive range never emits one)."""
+    from etl_migrate_api_spark.plans.llm_curation import _CONTAM_N, _ws_tokens
+
+    n = _CONTAM_N
+    toks = _ws_tokens("text")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    df = spark.createDataFrame(
+        [
+            (1, ""),  # empty
+            (2, "one two three"),  # < n tokens
+            (3, "a b c d e"),  # exactly n
+            (4, "a b c d e f"),  # n + 1
+        ],
+        "doc_id bigint, text string",
+    ).select("doc_id", grams.alias("g"))
+    got = {r["doc_id"]: list(r["g"]) for r in df.collect()}
+    assert got[1] == [] and got[2] == []
+    assert got[3] == ["a b c d e"]
+    # two full 5-grams, no trailing 4-gram
+    assert got[4] == ["a b c d e", "b c d e f"]
+
+
+def test_contamination_query_survives_short_docs(spark, tmp_path):
+    """End-to-end: a corpus containing sub-n-token docs must not crash
+    the registered query (it did: slice start 0 raised)."""
+    from etl_migrate_api_spark.plans.registry import QUERIES, _load_all
+
+    _load_all()
+    docs = spark.createDataFrame(
+        [
+            (1, "short doc", "en", "src0", 9),
+            (2, "x", "en", "src1", 1),
+            (3, "alpha beta gamma delta epsilon zeta", "en", "src1", 36),
+            (4, "alpha beta gamma delta epsilon zeta", "en", "src0", 36),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = QUERIES["llm_contamination_ngrams"].fn(spark, str(tmp_path)).collect()
+    # docs 3 (corpus) and 4 (eval) share both 5-grams but that's only 2
+    # distinct grams -> below the >=3 threshold; the point is no crash
+    assert isinstance(out, list)
