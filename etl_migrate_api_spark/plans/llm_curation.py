@@ -387,6 +387,140 @@ def llm_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedding storage quantization
+# ---------------------------------------------------------------------------
+
+_EMB_DIM = 64
+
+
+@register(
+    "llm_embedding_quantize",
+    oracle=f"""
+      with scaled as (
+        select vec_id, embedding,
+               127.0 / greatest(list_max(list_transform(embedding, x -> abs(x))),
+                                1e-12) as scale
+        from embeddings
+      ),
+      quant as (
+        select vec_id, embedding, scale,
+               list_transform(embedding,
+                              x -> cast(floor(x * scale + 0.5) as int)) as q
+        from scaled
+      )
+      select vec_id, q, scale,
+             list_reduce(
+               list_transform(range(1, {_EMB_DIM + 1}),
+                              i -> abs(embedding[i] - q[i] / scale)),
+               (a, b) -> a + b) / {_EMB_DIM}.0 as mean_abs_err
+      from quant
+    """,
+    survey_refs=("T8", "U1"),
+)
+def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column —
+    the 4× storage/bandwidth cut applied before shipping a 100 TB vector
+    corpus to an ANN index (faiss-style scalar quantization). Per
+    vector: scale = 127/max|x| (epsilon-guarded with greatest(), no
+    division-by-zero branch whose inf/NULL semantics differ between
+    engines), q = floor(x·scale + 0.5) — identical round-half-up on
+    both engines, unlike round() (Spark half-up vs DuckDB half-even) —
+    plus the mean |x − q/scale| reconstruction error as a strict
+    left-fold (order-identical to the oracle's list_reduce). Pure
+    narrow projections: zero shuffles, scan-speed."""
+    emb = load(spark, "embeddings", sf_dir)
+    scale = F.lit(127.0) / F.greatest(
+        F.array_max(F.transform(F.col("embedding"), F.abs)), F.lit(1e-12)
+    )
+    with_scale = emb.select("vec_id", "embedding", scale.alias("scale"))
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x * F.col("scale") + F.lit(0.5)).cast("int"),
+    )
+    with_q = with_scale.withColumn("q", q)
+    abs_diffs = F.zip_with(
+        F.col("embedding"),
+        F.col("q"),
+        lambda x, qq: F.abs(x - qq / F.col("scale")),
+    )
+    err = (
+        F.aggregate(abs_diffs, F.lit(0.0), lambda a, x: a + x) / float(_EMB_DIM)
+    ).alias("mean_abs_err")
+    return with_q.select("vec_id", "q", "scale", err)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk)
+# ---------------------------------------------------------------------------
+
+_PACK_CTX = 256  # tokens per training sequence
+
+
+@register(
+    "llm_sequence_pack",
+    oracle=f"""
+      with toks as (
+        select lang, doc_id,
+               cast(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                    x -> x <> '')) as bigint) as tok
+        from documents
+      ),
+      offsets as (
+        select lang, doc_id, tok,
+               sum(tok) over (partition by lang order by doc_id
+                              rows between unbounded preceding and current row)
+                 as cum
+        from toks
+      )
+      select lang, cast((cum - tok) // {_PACK_CTX} as bigint) as seq_id,
+             cast(count(*) as bigint) as n_docs,
+             cast(sum(tok) as bigint) as seq_tokens,
+             cast(min(doc_id) as bigint) as first_doc,
+             cast(max(doc_id) as bigint) as last_doc
+      from offsets
+      group by lang, cast((cum - tok) // {_PACK_CTX} as bigint)
+    """,
+    survey_refs=("W2", "A3"),
+)
+def llm_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay documents end-to-end in
+    deterministic order and assign each to the {ctx}-token training
+    sequence containing its start offset — the standard pretraining
+    batching layout (GPT-style packing). Per-sequence doc counts, token
+    sums and doc-id spans come out for the loader manifest.
+
+    100 TB shape: the running offset is a window cumsum PER LANGUAGE
+    shard (monolingual sequences — and no global single-partition
+    window; shard further by any coarse key for more parallelism, the
+    packing is embarrassingly parallel across shards). All integer
+    arithmetic — bit-exact on any engine."""
+    from pyspark.sql import Window
+
+    toks = load(spark, "documents", sf_dir).select(
+        "lang",
+        "doc_id",
+        F.size(_ws_tokens("text")).cast("bigint").alias("tok"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = toks.withColumn("cum", F.sum("tok").over(w))
+    seq_id = F.expr(f"(cum - tok) div {_PACK_CTX}").alias("seq_id")
+    return (
+        offsets.select("lang", "doc_id", "tok", seq_id)
+        .groupBy("lang", "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("tok").cast("bigint").alias("seq_tokens"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Temperature-weighted domain mixing
 # ---------------------------------------------------------------------------
 

@@ -96,6 +96,8 @@ def test_curation_ops_plan_shapes(spark, sf_dir, queries):
         "llm_quality_repetition",
         "llm_url_canonical_dedup",
         "llm_domain_mix_sample",
+        "llm_embedding_quantize",
+        "llm_sequence_pack",
     ):
         plan = _plan(queries[q].fn(spark, sf_dir))
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, q
