@@ -29,6 +29,26 @@ def _ws_tokens(col: str) -> F.Column:
     x <> '')``) must agree on. Change it only together with the SQL."""
     return F.array_remove(F.split(F.lower(F.trim(F.col(col))), r"\s+"), "")
 
+
+def _word_ngrams(toks_attr: str, n: int) -> F.Column:
+    """Space-joined word n-grams of an ALREADY-MATERIALIZED token
+    attribute column (never pass a token *expression*: anything inside
+    the transform lambda is re-evaluated per gram — the measured 25×
+    trap, see operators/dedup.py PERF NOTE). Guarded BEFORE building the
+    range: sequence(1, 0) is DESCENDING [1, 0] (slice start 0 throws),
+    and the stop-inclusive upper bound must be size-(n-1) to match the
+    oracle's stop-exclusive range() — one past it emits a trailing
+    (n-1)-word gram the oracle never generates. Shared by the
+    registered query and its edge tests."""
+    toks = F.col(toks_attr)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
 # ---------------------------------------------------------------------------
 # PII scrubbing
 # ---------------------------------------------------------------------------
@@ -181,23 +201,24 @@ def llm_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the eval side is tiny (a benchmark), so AQE broadcasts it and the
     corpus side never shuffles; the distinct-gram dedup is map-side
     combined on (doc, gram)."""
-    toks = _ws_tokens("text")
-    n = _CONTAM_N
-    # guard BEFORE building the range: sequence(1, 0) is DESCENDING
-    # [1, 0] (slice start 0 then throws), and an unguarded upper bound
-    # of size-(n-2) emitted a trailing (n-1)-word gram the oracle's
-    # stop-exclusive range() never generates
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from etl_migrate_api_spark.operators.dedup import _spread
+
     gh = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("bigint")
+    # tokens materialized as an attribute behind _spread's projection
+    # barrier, then grams built over the attribute — inlining the
+    # tokenizer expression into the gram lambda would re-split the doc
+    # once PER GRAM (O(tokens²) per doc, the measured 25× trap)
+    tokenized = _spread(
+        load(spark, "documents", sf_dir).select(
+            "doc_id", "source", _ws_tokens("text").alias("toks")
+        )
+    )
     base = (
-        load(spark, "documents", sf_dir)
-        .select("doc_id", "source", F.explode(grams).alias("g"))
+        tokenized.select(
+            "doc_id",
+            "source",
+            F.explode(_word_ngrams("toks", _CONTAM_N)).alias("g"),
+        )
         .select("doc_id", "source", gh.alias("gh"))
         .distinct()
     )

@@ -356,7 +356,9 @@ def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterates float means, which no cross-engine SQL mirror can
     reproduce bit-exactly; determinism and recall-vs-bruteforce are
     asserted in tests/test_kmeans_ivf.py instead."""
+    import shutil
     import tempfile
+    import time
     import uuid
 
     emb = load(spark, "embeddings", sf_dir)
@@ -364,13 +366,20 @@ def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-invocation unique dir: a fixed path would let two concurrent
     # sessions (pytest + bench, or two users) overwrite each other's
     # index mid-read. Rebuilt every invocation so the gate measures
-    # build+query honestly, never a stale index from older code; the
-    # leaked gate-SF-sized dirs land under the OS tempdir.
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_ivf",
-        f"index_{tag}_{uuid.uuid4().hex[:8]}",
-    )
+    # build+query honestly, never a stale index from older code.
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_ivf")
+    # bound the leak: sweep sibling index dirs no live run can still be
+    # reading (a gate/bench invocation lives minutes, not an hour)
+    cutoff = time.time() - 3600
+    for stale in (
+        os.path.join(root, d) for d in (os.listdir(root) if os.path.isdir(root) else [])
+    ):
+        try:
+            if os.path.getmtime(stale) < cutoff:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass  # a concurrent sweep already took it
+    path = os.path.join(root, f"index_{tag}_{uuid.uuid4().hex[:8]}")
     sim.write_ivf_index(emb, path, k=8, n_iter=2)
     return sim.ivf_topk_from_index(
         spark, path, emb.where(F.col("vec_id") < 10), k=5, nprobe=3

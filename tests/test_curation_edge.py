@@ -11,26 +11,27 @@ def test_contamination_grams_short_and_boundary_docs(spark):
     (sequence(1,0) is DESCENDING [1,0]); docs with exactly n must
     produce one full n-gram and NO trailing shorter gram (the oracle's
     stop-exclusive range never emits one)."""
-    from etl_migrate_api_spark.plans.llm_curation import _CONTAM_N, _ws_tokens
+    from etl_migrate_api_spark.plans.llm_curation import (
+        _CONTAM_N,
+        _word_ngrams,
+        _ws_tokens,
+    )
 
-    n = _CONTAM_N
-    toks = _ws_tokens("text")
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    df = spark.createDataFrame(
-        [
-            (1, ""),  # empty
-            (2, "one two three"),  # < n tokens
-            (3, "a b c d e"),  # exactly n
-            (4, "a b c d e f"),  # n + 1
-        ],
-        "doc_id bigint, text string",
-    ).select("doc_id", grams.alias("g"))
+    # the PRODUCTION helper, not a local copy — a regression in the
+    # query's gram construction must fail here
+    df = (
+        spark.createDataFrame(
+            [
+                (1, ""),  # empty
+                (2, "one two three"),  # < n tokens
+                (3, "a b c d e"),  # exactly n
+                (4, "a b c d e f"),  # n + 1
+            ],
+            "doc_id bigint, text string",
+        )
+        .select("doc_id", _ws_tokens("text").alias("toks"))
+        .select("doc_id", _word_ngrams("toks", _CONTAM_N).alias("g"))
+    )
     got = {r["doc_id"]: list(r["g"]) for r in df.collect()}
     assert got[1] == [] and got[2] == []
     assert got[3] == ["a b c d e"]

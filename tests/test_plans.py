@@ -101,9 +101,17 @@ def test_curation_ops_plan_shapes(spark, sf_dir, queries):
     ):
         plan = _plan(queries[q].fn(spark, sf_dir))
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, q
-    plan = _plan(queries["llm_contamination_ngrams"].fn(spark, sf_dir))
+    contam = queries["llm_contamination_ngrams"].fn(spark, sf_dir)
+    plan = _plan(contam)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    # the tokenizer must stay a materialized attribute BELOW the gram
+    # lambda — inlined it would re-split the doc once per gram (the
+    # measured 25x HOF-CSE trap)
+    import re
+
+    opt = contam._jdf.queryExecution().optimizedPlan().toString()
+    assert not re.search(r"lambdafunction[^\n]*array_remove", opt)
     plan = _plan(queries["llm_pii_redact"].fn(spark, sf_dir))
     assert "Exchange" not in plan  # scan-speed projection
 
