@@ -42,6 +42,23 @@ def norm_str(c: ColumnOrName) -> Column:
     return F.nullif(F.trim(_col(c).cast("string")), F.lit(""))
 
 
+# PII patterns: syntax with identical semantics in Java regex (Spark)
+# and RE2 (DuckDB oracle) — char classes, bounded repeats; no backrefs,
+# no lookaround. Consumed by plans/llm_curation.py (batch + oracle) and
+# streaming/pipeline.py (continuous curation).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+1-\d{3}-\d{4}"
+PII_IPV4 = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+
+def redact_pii(c: ColumnOrName) -> Column:
+    """Redact emails → phones → IPv4s (fixed order — overlapping
+    matches resolve identically everywhere this chain is mirrored)."""
+    after_email = F.regexp_replace(_col(c), PII_EMAIL, "<EMAIL>")
+    after_phone = F.regexp_replace(after_email, PII_PHONE, "<PHONE>")
+    return F.regexp_replace(after_phone, PII_IPV4, "<IP>")
+
+
 def split_csv(c: ColumnOrName) -> Column:
     """Comma-split + trim + drop blanks → array<string> (note_other parse,
     reference groupContact.js:65-67). Null → empty array."""

@@ -53,13 +53,13 @@ def _word_ngrams(toks_attr: str, n: int) -> F.Column:
 # PII scrubbing
 # ---------------------------------------------------------------------------
 
-# Patterns kept to syntax with identical semantics in Java regex (Spark)
-# and RE2 (DuckDB): char classes, bounded repeats — no backrefs, no
-# lookaround. Redaction order (email → phone → ip) is fixed and
-# mirrored, so overlapping matches resolve identically.
-_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PII_PHONE = r"\+1-\d{3}-\d{4}"
-_PII_IPV4 = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+# Patterns + redaction order live in functions/text.py (shared with the
+# streaming curation pass); the oracle SQL below mirrors them verbatim.
+from etl_migrate_api_spark.functions.text import (  # noqa: E402
+    PII_EMAIL as _PII_EMAIL,
+    PII_IPV4 as _PII_IPV4,
+    PII_PHONE as _PII_PHONE,
+)
 
 
 def _planted_pii_sql() -> str:

@@ -74,6 +74,52 @@ def windowed_event_counts_stream(
     )
 
 
+def curation_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    max_dup_word_frac: float = 0.8,
+    min_tokens: int = 5,
+) -> StreamingQuery:
+    """Continuous corpus curation: documents stream through the same
+    quality gate + PII redaction the batch operators apply
+    (functions/text.py::redact_pii; the duplicate-word fraction here is
+    the per-row array form of llm_quality_repetition's signal), and only
+    keepers land in the curated sink. Fully STATELESS — every signal is
+    a per-row column expression, so there is no watermark, no state
+    store, and arbitrary scale-out: the stream is a projection+filter
+    the micro-batch scheduler drives. Append-mode parquet sink;
+    availableNow trigger in tests."""
+    from etl_migrate_api_spark.functions.text import redact_pii
+
+    schema = spark.read.parquet(source_dir).schema
+    docs = spark.readStream.schema(schema).parquet(source_dir)
+    toks = F.array_remove(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), "")
+    n_tokens = F.size(toks)
+    dup_frac = F.when(
+        n_tokens > 0,
+        F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n_tokens,
+    ).otherwise(F.lit(1.0))
+    curated = (
+        docs.withColumn("n_tokens", n_tokens)
+        .withColumn("dup_word_frac", dup_frac)
+        .where(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("dup_word_frac") <= max_dup_word_frac)
+        )
+        .withColumn("text", redact_pii("text"))
+    )
+    return (
+        curated.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def dedup_stream(
     spark: SparkSession,
     source_dir: str,

@@ -170,3 +170,44 @@ def test_contact_stream_foreachbatch(spark, tmp_path):
     q2 = contact_stream(spark, src_dir, str(tmp_path / "ckpt2"), process)
     q2.awaitTermination(120)
     assert sink.read().count() == 2
+
+
+def test_curation_stream_matches_batch(spark, sf_small, tmp_path):
+    """The continuous curation pass must produce exactly the batch
+    result of the same gate+redaction over the same landed docs —
+    including actually redacting planted PII."""
+    from etl_migrate_api_spark.functions.text import redact_pii
+    from etl_migrate_api_spark.streaming.pipeline import curation_stream
+
+    src = str(tmp_path / "docs_landed")
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    # plant one email + one junk doc to see both gate arms act
+    docs = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == 1,
+            F.concat(F.col("text"), F.lit(" mail me at a.b@example.com")),
+        )
+        .when(F.col("doc_id") == 2, F.lit("spam spam spam spam spam spam"))
+        .otherwise(F.col("text")),
+    )
+    docs.write.parquet(src)
+
+    q = curation_stream(spark, src, str(tmp_path / "ckpt"), str(tmp_path / "out"))
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out"))
+
+    toks = F.array_remove(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), "")
+    dup = F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    want = (
+        spark.read.parquet(src)
+        .withColumn("n_tokens", F.size(toks))
+        .withColumn("dup_word_frac", dup)
+        .where((F.col("n_tokens") >= 5) & (F.col("dup_word_frac") <= 0.8))
+        .withColumn("text", redact_pii("text"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # the spam doc was gated out, the email was redacted
+    assert got.where(F.col("doc_id") == 2).count() == 0
+    redacted = got.where(F.col("doc_id") == 1).collect()[0]["text"]
+    assert "<EMAIL>" in redacted and "example.com" not in redacted
