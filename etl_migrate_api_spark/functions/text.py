@@ -59,6 +59,37 @@ def redact_pii(c: ColumnOrName) -> Column:
     return F.regexp_replace(after_phone, PII_IPV4, "<IP>")
 
 
+def ws_tokens(c: ColumnOrName) -> Column:
+    """Whitespace tokens of lower(trim(c)), empties removed — the ONE
+    tokenization the curation operators, the streaming curation pass,
+    and their DuckDB mirrors (``list_filter(string_split_regex(
+    lower(trim(text)), '\\s+'), x -> x <> '')``) must agree on. Change
+    it only together with the SQL."""
+    return F.array_remove(F.split(F.lower(F.trim(_col(c))), r"\s+"), "")
+
+
+def top_token_run(toks: Column) -> Column:
+    """Count of the most frequent element of a (token) array, as a
+    per-row O(n log n) expression: sort, then fold counting the longest
+    equal-run. The array form of the explode→group max-frequency signal
+    (llm_quality_repetition) for stateless/streaming contexts. Empty
+    array → 0."""
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    run = lambda a, x: F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1))  # noqa: E731
+    folded = F.aggregate(
+        F.array_sort(toks),
+        acc0,
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            run(a, x).alias("run"),
+            F.greatest(a["best"], run(a, x)).alias("best"),
+        ),
+    )
+    return folded["best"]
+
+
 def split_csv(c: ColumnOrName) -> Column:
     """Comma-split + trim + drop blanks → array<string> (note_other parse,
     reference groupContact.js:65-67). Null → empty array."""

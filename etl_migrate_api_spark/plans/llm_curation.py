@@ -22,12 +22,9 @@ from etl_migrate_api_spark.catalog import load
 from etl_migrate_api_spark.plans.registry import register
 
 
-def _ws_tokens(col: str) -> F.Column:
-    """Whitespace tokens of lower(trim(col)), empties removed — the ONE
-    tokenization both curation operators and their DuckDB mirrors
-    (``list_filter(string_split_regex(lower(trim(text)), '\\s+'), x ->
-    x <> '')``) must agree on. Change it only together with the SQL."""
-    return F.array_remove(F.split(F.lower(F.trim(F.col(col))), r"\s+"), "")
+# the ONE tokenization shared with the streaming pass and the SQL
+# mirrors — lives in functions/text.py
+from etl_migrate_api_spark.functions.text import ws_tokens as _ws_tokens  # noqa: E402
 
 
 def _word_ngrams(toks_attr: str, n: int) -> F.Column:
@@ -132,13 +129,17 @@ def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     redaction (mirrored in the oracle) so an address inside an already-
     redacted span can't double-count. Pure narrow projections — no
     shuffle at all; at 100 TB this is scan-speed."""
+    from etl_migrate_api_spark.functions.text import redact_pii
+
     docs = load(spark, "documents", sf_dir)
     planted = docs.select("doc_id", _planted_pii_col().alias("text"))
+    # the counts need the email+phone intermediate; the redacted column
+    # itself comes from the ONE shared chain (streaming uses it too)
     after_email = F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>")
     after_phone = F.regexp_replace(after_email, _PII_PHONE, "<PHONE>")
     return planted.select(
         "doc_id",
-        F.regexp_replace(after_phone, _PII_IPV4, "<IP>").alias("redacted"),
+        redact_pii("text").alias("redacted"),
         F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), F.lit(0)))
         .cast("int")
         .alias("n_emails"),
@@ -353,6 +354,18 @@ _URL_STEPS_SPARK = [
 ]
 
 
+def _canon_url(col: F.Column) -> F.Column:
+    """THE canonicalization chain — the registered query and the
+    idempotence property test must exercise this same function."""
+    url = F.regexp_replace(col, _URL_STEPS_SPARK[0][0], _URL_STEPS_SPARK[0][1])
+    url = F.regexp_replace(url, _URL_STEPS_SPARK[1][0], _URL_STEPS_SPARK[1][1])
+    url = F.regexp_replace(url, _URL_STEPS_SPARK[2][0], _URL_STEPS_SPARK[2][1])
+    url = F.replace(url, F.lit(":443/"), F.lit("/"))
+    return F.regexp_replace(
+        F.lower(url), _URL_STEPS_SPARK[4][0], _URL_STEPS_SPARK[4][1]
+    )
+
+
 @register(
     "llm_url_canonical_dedup",
     oracle=f"""
@@ -389,15 +402,8 @@ def llm_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression on both engines. Pure projection + one hash aggregate on
     the canonical URL — the exact-dedup shape at web scale."""
     docs = load(spark, "documents", sf_dir)
-    url = F.regexp_replace(
-        _planted_url_col(), _URL_STEPS_SPARK[0][0], _URL_STEPS_SPARK[0][1]
-    )
-    url = F.regexp_replace(url, _URL_STEPS_SPARK[1][0], _URL_STEPS_SPARK[1][1])
-    url = F.regexp_replace(url, _URL_STEPS_SPARK[2][0], _URL_STEPS_SPARK[2][1])
-    url = F.replace(url, F.lit(":443/"), F.lit("/"))
-    url = F.regexp_replace(F.lower(url), _URL_STEPS_SPARK[4][0], _URL_STEPS_SPARK[4][1])
     return (
-        docs.select("doc_id", url.alias("curl"))
+        docs.select("doc_id", _canon_url(_planted_url_col()).alias("curl"))
         .groupBy("curl")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_dups"),

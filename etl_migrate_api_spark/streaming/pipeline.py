@@ -80,33 +80,47 @@ def curation_stream(
     checkpoint_dir: str,
     out_dir: str,
     max_dup_word_frac: float = 0.8,
+    max_top_word_frac: float = 0.2,
     min_tokens: int = 5,
+    schema=None,
 ) -> StreamingQuery:
-    """Continuous corpus curation: documents stream through the same
-    quality gate + PII redaction the batch operators apply
-    (functions/text.py::redact_pii; the duplicate-word fraction here is
-    the per-row array form of llm_quality_repetition's signal), and only
-    keepers land in the curated sink. Fully STATELESS — every signal is
-    a per-row column expression, so there is no watermark, no state
-    store, and arbitrary scale-out: the stream is a projection+filter
-    the micro-batch scheduler drives. Append-mode parquet sink;
+    """Continuous corpus curation: documents stream through the SAME
+    quality gate as the batch operator — both llm_quality_repetition
+    arms (duplicate-word fraction AND top-word fraction, as per-row
+    array expressions via functions/text.py::ws_tokens/top_token_run) —
+    then PII redaction (the shared redact_pii chain); only keepers land
+    in the curated sink. Fully STATELESS — no watermark, no state
+    store, arbitrary scale-out: a projection+filter the micro-batch
+    scheduler drives. Pass ``schema`` to start on an empty landing dir
+    (a continuous pipeline exists before its first file); default
+    infers from the already-landed files. Append-mode parquet sink;
     availableNow trigger in tests."""
-    from etl_migrate_api_spark.functions.text import redact_pii
+    from etl_migrate_api_spark.functions.text import (
+        redact_pii,
+        top_token_run,
+        ws_tokens,
+    )
 
-    schema = spark.read.parquet(source_dir).schema
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
     docs = spark.readStream.schema(schema).parquet(source_dir)
-    toks = F.array_remove(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), "")
+    toks = ws_tokens("text")
     n_tokens = F.size(toks)
     dup_frac = F.when(
         n_tokens > 0,
         F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n_tokens,
     ).otherwise(F.lit(1.0))
+    top_frac = F.when(
+        n_tokens > 0, top_token_run(toks).cast("double") / n_tokens
+    ).otherwise(F.lit(1.0))
     curated = (
         docs.withColumn("n_tokens", n_tokens)
         .withColumn("dup_word_frac", dup_frac)
+        .withColumn("top_word_frac", top_frac)
         .where(
             (F.col("n_tokens") >= min_tokens)
             & (F.col("dup_word_frac") <= max_dup_word_frac)
+            & (F.col("top_word_frac") <= max_top_word_frac)
         )
         .withColumn("text", redact_pii("text"))
     )

@@ -98,21 +98,45 @@ def test_pii_redaction_idempotent(spark):
 
 def test_url_canonicalization_idempotent(spark, tmp_path):
     """Canonical URLs are fixed points of the canonicalization chain."""
-    from etl_migrate_api_spark.plans.llm_curation import (
-        _planted_url_col,
-        _URL_STEPS_SPARK,
-    )
-
-    def canon(col):
-        url = F.regexp_replace(col, _URL_STEPS_SPARK[0][0], _URL_STEPS_SPARK[0][1])
-        url = F.regexp_replace(url, _URL_STEPS_SPARK[1][0], _URL_STEPS_SPARK[1][1])
-        url = F.regexp_replace(url, _URL_STEPS_SPARK[2][0], _URL_STEPS_SPARK[2][1])
-        url = F.replace(url, F.lit(":443/"), F.lit("/"))
-        return F.regexp_replace(
-            F.lower(url), _URL_STEPS_SPARK[4][0], _URL_STEPS_SPARK[4][1]
-        )
+    # the PRODUCTION chain, not a local copy
+    from etl_migrate_api_spark.plans.llm_curation import _canon_url, _planted_url_col
 
     df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
-    once = df.select(canon(_planted_url_col()).alias("u"))
-    twice = once.select(canon(F.col("u")).alias("u"))
+    once = df.select(_canon_url(_planted_url_col()).alias("u"))
+    twice = once.select(_canon_url(F.col("u")).alias("u"))
     assert [r["u"] for r in once.collect()] == [r["u"] for r in twice.collect()]
+
+
+def test_top_token_run_matches_explode_count(spark):
+    """top_token_run (the streaming gate's per-row form) must equal the
+    explode->group max frequency on arbitrary token arrays."""
+    import numpy as np
+
+    from etl_migrate_api_spark.functions.text import top_token_run, ws_tokens
+
+    rng = np.random.default_rng(3)
+    vocab = ["a", "bb", "ccc", "dd", "e"]
+    rows = [
+        (int(i), " ".join(rng.choice(vocab, rng.integers(0, 25))))
+        for i in range(200)
+    ] + [(1000, ""), (1001, "solo")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r["top"]
+        for r in df.select(
+            "doc_id", top_token_run(ws_tokens("text")).alias("top")
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r["top"]
+        for r in df.select("doc_id", F.explode(ws_tokens("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top"))
+        .collect()
+    }
+    for d, t in want.items():
+        assert got[d] == t, d
+    assert got[1000] == 0  # empty text -> no tokens -> run 0
+    assert got[1001] == 1

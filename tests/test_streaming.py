@@ -173,15 +173,21 @@ def test_contact_stream_foreachbatch(spark, tmp_path):
 
 
 def test_curation_stream_matches_batch(spark, sf_small, tmp_path):
-    """The continuous curation pass must produce exactly the batch
-    result of the same gate+redaction over the same landed docs —
-    including actually redacting planted PII."""
-    from etl_migrate_api_spark.functions.text import redact_pii
+    """The continuous curation pass must agree with the BATCH quality
+    operator: every doc llm_quality_repetition flags is absent from the
+    curated sink, every unflagged (long-enough) doc is present with its
+    PII redacted."""
+    from etl_migrate_api_spark.functions.text import redact_pii, ws_tokens
+    from etl_migrate_api_spark.plans.registry import QUERIES, _load_all
     from etl_migrate_api_spark.streaming.pipeline import curation_stream
 
-    src = str(tmp_path / "docs_landed")
+    _load_all()
+    src_root = tmp_path / "landing"
+    src_root.mkdir()
+    src = str(src_root / "documents.parquet")
     docs = spark.read.parquet(f"{sf_small}/documents.parquet")
-    # plant one email + one junk doc to see both gate arms act
+    # plant: an email; a dup-arm spam doc; a top-arm spam doc (the
+    # counterexample from review: dup_frac low, one dominant token)
     docs = docs.withColumn(
         "text",
         F.when(
@@ -189,6 +195,10 @@ def test_curation_stream_matches_batch(spark, sf_small, tmp_path):
             F.concat(F.col("text"), F.lit(" mail me at a.b@example.com")),
         )
         .when(F.col("doc_id") == 2, F.lit("spam spam spam spam spam spam"))
+        .when(
+            F.col("doc_id") == 3,
+            F.lit("the the the the alpha beta gamma delta eps zeta"),
+        )
         .otherwise(F.col("text")),
     )
     docs.write.parquet(src)
@@ -197,17 +207,30 @@ def test_curation_stream_matches_batch(spark, sf_small, tmp_path):
     q.awaitTermination(120)
     got = spark.read.parquet(str(tmp_path / "out"))
 
-    toks = F.array_remove(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), "")
-    dup = F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
-    want = (
-        spark.read.parquet(src)
-        .withColumn("n_tokens", F.size(toks))
-        .withColumn("dup_word_frac", dup)
-        .where((F.col("n_tokens") >= 5) & (F.col("dup_word_frac") <= 0.8))
-        .withColumn("text", redact_pii("text"))
-    )
-    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
-    # the spam doc was gated out, the email was redacted
-    assert got.where(F.col("doc_id") == 2).count() == 0
+    # batch ground truth: the registered quality operator's flag
+    quality = {
+        r["doc_id"]: r["flagged"]
+        for r in QUERIES["llm_quality_repetition"].fn(spark, str(src_root)).collect()
+    }
+    n_toks = {
+        r["doc_id"]: r["n"]
+        for r in spark.read.parquet(src)
+        .select("doc_id", F.size(ws_tokens("text")).alias("n"))
+        .collect()
+    }
+    expect_kept = {
+        d for d, flagged in quality.items() if not flagged and n_toks[d] >= 5
+    }
+    assert {r["doc_id"] for r in got.collect()} == expect_kept
+    assert 2 not in expect_kept and 3 not in expect_kept  # both spam arms gated
+    # kept docs carry the shared redaction
+    want_text = {
+        r["doc_id"]: r["t"]
+        for r in spark.read.parquet(src)
+        .select("doc_id", redact_pii("text").alias("t"))
+        .collect()
+    }
+    for r in got.collect():
+        assert r["text"] == want_text[r["doc_id"]]
     redacted = got.where(F.col("doc_id") == 1).collect()[0]["text"]
     assert "<EMAIL>" in redacted and "example.com" not in redacted
