@@ -234,3 +234,29 @@ def test_curation_stream_matches_batch(spark, sf_small, tmp_path):
         assert r["text"] == want_text[r["doc_id"]]
     redacted = got.where(F.col("doc_id") == 1).collect()[0]["text"]
     assert "<EMAIL>" in redacted and "example.com" not in redacted
+
+
+def test_curation_stream_starts_on_empty_landing_dir(spark, tmp_path):
+    """A continuous pipeline exists before its producer's first file:
+    with an explicit schema the stream must start (and terminate clean
+    under availableNow) on an empty directory."""
+    from etl_migrate_api_spark.streaming.pipeline import curation_stream
+
+    src = tmp_path / "empty_landing"
+    src.mkdir()
+    q = curation_stream(
+        spark,
+        str(src),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+        schema="doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    q.awaitTermination(120)
+    # the sink dir holds at most stream metadata — no data rows
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        n = spark.read.parquet(str(tmp_path / "out")).count()
+    except AnalysisException:
+        n = 0  # nothing written at all
+    assert n == 0
