@@ -69,6 +69,8 @@ def main() -> None:
         except (IndexError, ValueError):
             raise SystemExit("usage: bench.py [query ...] [--repeat N]")
         args = args[:i] + args[i + 2 :]
+    # repeat < 1 would leave best=inf and emit non-RFC 'Infinity' JSON
+    repeat = max(1, repeat)
     names = headline_names()
     if args:
         unknown = [a for a in args if a not in QUERIES]

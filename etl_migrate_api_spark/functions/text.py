@@ -59,13 +59,20 @@ def redact_pii(c: ColumnOrName) -> Column:
     return F.regexp_replace(after_phone, PII_IPV4, "<IP>")
 
 
+#: the ONE whitespace class, as an explicit char set: Java's \s includes
+#: \x0B (vertical tab) while RE2's (DuckDB) does not, so a bare \s+
+#: would silently tokenize differently across engines. The SQL mirrors
+#: must use this same class: '[ \t\r\n\f]+'.
+WS_CLASS = r"[ \t\r\n\f]+"
+
+
 def ws_tokens(c: ColumnOrName) -> Column:
     """Whitespace tokens of lower(trim(c)), empties removed — the ONE
     tokenization the curation operators, the streaming curation pass,
     and their DuckDB mirrors (``list_filter(string_split_regex(
-    lower(trim(text)), '\\s+'), x -> x <> '')``) must agree on. Change
-    it only together with the SQL."""
-    return F.array_remove(F.split(F.lower(F.trim(_col(c))), r"\s+"), "")
+    lower(trim(text)), '[ \\t\\r\\n\\f]+'), x -> x <> '')``) must agree
+    on. Change it only together with the SQL (WS_CLASS)."""
+    return F.array_remove(F.split(F.lower(F.trim(_col(c))), WS_CLASS), "")
 
 
 def top_token_run(toks: Column) -> Column:

@@ -165,7 +165,7 @@ _CONTAM_MIN_SHARED = 3  # pairs sharing fewer distinct n-grams are noise
     oracle=f"""
       with toks as (
         select doc_id, source,
-               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+               list_filter(string_split_regex(lower(trim(text)), '[ \\t\\r\\n\\f]+'),
                            x -> x <> '') as t
         from documents
       ),
@@ -247,7 +247,7 @@ def llm_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
       with words as (
         select doc_id, unnest(list_filter(
-                 string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) as w
+                 string_split_regex(lower(trim(text)), '[ \\t\\r\\n\\f]+'), x -> x <> '')) as w
         from documents
       ),
       freq as (
@@ -343,27 +343,32 @@ def _planted_url_col() -> F.Column:
 
 # canonicalization pipeline (identical order both engines):
 # strip #fragment → strip utm_* params → strip dangling ?/& → drop
-# default :443 port → lowercase → strip trailing slash. 'www.' is NOT
+# default :443 port (literal replace — no backrefs, $1 vs \1 differs
+# across engines) → lowercase → strip trailing slash. 'www.' is NOT
 # stripped: www and apex may serve different content.
-_URL_STEPS_SPARK = [
-    (r"#.*$", ""),
-    (r"utm_[^&#]*&?", ""),
-    (r"[?&]$", ""),
-    (r":443/", "/"),
-    (r"/$", ""),
+_URL_STEPS = [
+    ("re", r"#.*$", ""),
+    ("re", r"utm_[^&#]*&?", ""),
+    ("re", r"[?&]$", ""),
+    ("lit", ":443/", "/"),
+    ("lower", "", ""),
+    ("re", r"/$", ""),
 ]
 
 
 def _canon_url(col: F.Column) -> F.Column:
-    """THE canonicalization chain — the registered query and the
-    idempotence property test must exercise this same function."""
-    url = F.regexp_replace(col, _URL_STEPS_SPARK[0][0], _URL_STEPS_SPARK[0][1])
-    url = F.regexp_replace(url, _URL_STEPS_SPARK[1][0], _URL_STEPS_SPARK[1][1])
-    url = F.regexp_replace(url, _URL_STEPS_SPARK[2][0], _URL_STEPS_SPARK[2][1])
-    url = F.replace(url, F.lit(":443/"), F.lit("/"))
-    return F.regexp_replace(
-        F.lower(url), _URL_STEPS_SPARK[4][0], _URL_STEPS_SPARK[4][1]
-    )
+    """THE canonicalization chain, driven entirely by ``_URL_STEPS`` —
+    the registered query and the idempotence property test exercise this
+    same function; the oracle SQL mirrors the list step-for-step."""
+    url = col
+    for kind, pat, repl in _URL_STEPS:
+        if kind == "re":
+            url = F.regexp_replace(url, pat, repl)
+        elif kind == "lit":
+            url = F.replace(url, F.lit(pat), F.lit(repl))
+        else:
+            url = F.lower(url)
+    return url
 
 
 @register(
@@ -488,7 +493,7 @@ _PACK_CTX = 256  # tokens per training sequence
     oracle=f"""
       with toks as (
         select lang, doc_id,
-               cast(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+               cast(len(list_filter(string_split_regex(lower(trim(text)), '[ \\t\\r\\n\\f]+'),
                                     x -> x <> '')) as bigint) as tok
         from documents
       ),

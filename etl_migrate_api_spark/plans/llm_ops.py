@@ -368,9 +368,12 @@ def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # index mid-read. Rebuilt every invocation so the gate measures
     # build+query honestly, never a stale index from older code.
     root = os.path.join(tempfile.gettempdir(), "spark_graft_ivf")
-    # bound the leak: sweep sibling index dirs no live run can still be
-    # reading (a gate/bench invocation lives minutes, not an hour)
-    cutoff = time.time() - 3600
+    # bound the leak: sweep sibling index dirs old enough that no live
+    # run plausibly still reads them (6 h >> any gate/bench/pytest
+    # session; dir mtime = build time, so a sweep can in principle race
+    # an unmaterialized DataFrame held across sessions that long — the
+    # failure is a clean FileNotFoundException on a stale handle)
+    cutoff = time.time() - 6 * 3600
     for stale in (
         os.path.join(root, d) for d in (os.listdir(root) if os.path.isdir(root) else [])
     ):

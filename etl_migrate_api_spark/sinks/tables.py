@@ -84,14 +84,22 @@ class ParquetTable:
     calls themselves — microseconds, and a re-run's X2 recovery delete
     makes even that idempotent."""
 
-    #: sidecar with an UPPER BOUND on max(col) for each tracked column —
-    #: underscore-prefixed so Spark's file listing ignores it. Written
-    #: with overestimate-safe ordering (bounds land before the data they
-    #: cover becomes visible), so a crash can only leave a bound that is
-    #: too high — which merely disables a short-circuit, never skips a
-    #: real victim. Deletes shrink the true max and leave the bound as a
-    #: stale (still valid) overestimate.
+    #: Max-bound sidecars: an UPPER BOUND on max(col) per tracked column,
+    #: underscore-prefixed so Spark's file listing ignores them. The BASE
+    #: file is written only by full rewrites (``replace``/``compact`` via
+    #: ``_write``) and marks "tracking covers everything in this dir";
+    #: incremental writes (append / bucket-pruned upsert) each publish
+    #: their OWN uuid-named shard — no read-modify-write anywhere, so
+    #: concurrent writers can never clobber each other's bound (a lost
+    #: update would UNDER-state the max and let bounded recovery skip
+    #: real victims). ``max_bound`` merges base + shards; a full replace
+    #: swaps the directory, discarding stale shards with it. Ordering is
+    #: overestimate-safe: bounds land before the data they cover becomes
+    #: visible, so a crash can only leave a bound that is too high —
+    #: which merely disables a short-circuit. Deletes shrink the true
+    #: max and leave the bound a stale (still valid) overestimate.
     MAXBOUND_FILE = "_maxbound.json"
+    MAXBOUND_SHARD_GLOB = "_maxbound-*.json"
 
     def __init__(
         self, spark: SparkSession, path: str, track_max: tuple[str, ...] = ()
@@ -102,55 +110,51 @@ class ParquetTable:
 
     # -- max-bound sidecar -------------------------------------------------
     def max_bound(self, col: str):
-        """Upper bound on max(col) over the table, or None when unknown
-        (untracked column, pre-sidecar table, or stats unavailable).
-        ``delete_beyond_watermark`` uses this to skip the victim scan
-        entirely when the watermark already covers the whole table."""
+        """Upper bound on max(col) over the table, or None when unknown.
+        Unknown when: the base sidecar is absent (untracked column, a
+        table predating tracking, or one never fully rewritten while
+        tracked — a shard alone can't vouch for pre-existing rows), any
+        record poisons the column to null (footer stats unavailable), or
+        a sidecar is unreadable. ``delete_beyond_watermark`` uses this
+        to skip the victim scan when the watermark covers the table."""
         self._recover()
-        p = os.path.join(self.path, self.MAXBOUND_FILE)
-        if not os.path.exists(p):
+        base = os.path.join(self.path, self.MAXBOUND_FILE)
+        if not os.path.exists(base):
             return None
-        with open(p) as f:
-            return json.load(f).get(col)
+        vals = []
+        for p in [base, *glob.glob(os.path.join(self.path, self.MAXBOUND_SHARD_GLOB))]:
+            try:
+                with open(p) as f:
+                    rec = json.load(f)
+            except (OSError, ValueError):
+                return None  # torn/unreadable record — unknown is safe
+            if col in rec:
+                if rec[col] is None:
+                    return None  # poisoned: stats were unavailable
+                vals.append(rec[col])
+        return max(vals) if vals else None
 
     def _write_bounds(self, dirpath: str, bounds: dict[str, object]) -> None:
+        """The BASE sidecar (full-rewrite path) — atomic tmp+rename."""
         tmp = os.path.join(dirpath, f".{self.MAXBOUND_FILE}.tmp-{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as f:
             json.dump(bounds, f)
         os.replace(tmp, os.path.join(dirpath, self.MAXBOUND_FILE))
 
-    def _bump_bounds(self, new_bounds: dict[str, object]) -> None:
-        """Raise the live sidecar to cover ``new_bounds`` (max-merge).
-        A table that predates the sidecar and already holds data stays
-        'unknown': creating a sidecar from one batch's stats would
-        UNDER-state the table max and make a later short-circuit skip
-        real victims."""
-        if not self.track_max:
+    def _publish_bound_shard(self, bounds: dict[str, object]) -> None:
+        """Publish one incremental writer's bounds as a NEW uuid shard —
+        lock-free (no read of other writers' records, nothing to lose in
+        a race). Empty bounds publish nothing: an empty batch cannot
+        raise the true max. Shards accumulate one file per incremental
+        write until the next full replace/compact sweeps them."""
+        if not self.track_max or not bounds:
             return
-        p = os.path.join(self.path, self.MAXBOUND_FILE)
-        had_sidecar = os.path.exists(p)
-        if had_sidecar:
-            with open(p) as f:
-                cur = json.load(f)
-        elif self._has_parquet():
-            return  # pre-existing data of unknown provenance
-        else:
-            cur = {}
-        for c in self.track_max:
-            if c not in new_bounds:
-                continue  # nothing written for c — existing bound holds
-            v = new_bounds[c]
-            if c in cur:
-                old = cur[c]
-                # None is sticky: once the max is unknown it stays
-                # unknown until a full replace() refreshes exact stats
-                cur[c] = None if (v is None or old is None) else max(old, v)
-            else:
-                # no recorded bound: trustworthy only when this sidecar
-                # is being created fresh for a previously-empty table
-                cur[c] = v if not had_sidecar else None
         os.makedirs(self.path, exist_ok=True)
-        self._write_bounds(self.path, cur)
+        name = f"_maxbound-{uuid.uuid4().hex[:8]}.json"
+        tmp = os.path.join(self.path, f".{name}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(bounds, f)
+        os.replace(tmp, os.path.join(self.path, name))
 
     # -- crash recovery ----------------------------------------------------
     def _recover(self) -> None:
@@ -192,7 +196,7 @@ class ParquetTable:
         """Bound maintenance for append paths: snapshot the batch
         (localCheckpoint — the agg and the write must see the SAME rows;
         two separate evaluations of a nondeterministic source could
-        write rows above the bound the agg saw), then bump bounds
+        write rows above the bound the agg saw), then publish the shard
         BEFORE the write so a crash in between leaves an overestimate.
         A max of None (empty batch / all-NULL column) is dropped, not
         recorded: no rows were added that could raise the true max, and
@@ -200,7 +204,9 @@ class ParquetTable:
         existing bound stays valid."""
         df = df.localCheckpoint(eager=True)
         row = df.agg(*[F.max(c).alias(c) for c in self.track_max]).collect()[0]
-        self._bump_bounds({c: v for c, v in row.asDict().items() if v is not None})
+        self._publish_bound_shard(
+            {c: v for c, v in row.asDict().items() if v is not None}
+        )
         return df
 
     def append(self, df: DataFrame) -> None:
@@ -362,10 +368,13 @@ class HashBucketedTable(ParquetTable):
         tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
         self._write(df, tmp)
         if self.track_max:
-            # raise the live sidecar over the new rows BEFORE any bucket
-            # becomes visible (tmp's own sidecar is discarded with tmp);
-            # a crash here leaves an overestimate, which is safe
-            self._bump_bounds(_footer_max(tmp, self.track_max))
+            # publish the new rows' bounds as a shard BEFORE any bucket
+            # becomes visible (crash in between = overestimate, safe).
+            # tmp's own base sidecar — just computed by _write from the
+            # written footers — is the source, so the footers aren't
+            # walked a second time; it is then discarded with tmp.
+            with open(os.path.join(tmp, self.MAXBOUND_FILE)) as f:
+                self._publish_bound_shard(json.load(f))
         try:
             for b in buckets:
                 src = os.path.join(tmp, f"{self.BUCKET_COL}={int(b)}")

@@ -280,3 +280,22 @@ def test_empty_append_keeps_bound(spark, tracked):
         spark.createDataFrame([], "hn_code string, recid bigint, rectype string")
     )
     assert tracked.max_bound("recid") == 50
+
+
+def test_concurrent_writer_bounds_never_lost(spark, tracked):
+    """The lock-free shard design: interleaved incremental writers each
+    publish their own bound record, so no read-modify-write race can
+    clobber a higher bound with a lower one (the lost update would make
+    bounded recovery skip real victims)."""
+    a = _recid_rows(spark, [("wa", 100, "BIGDATA")])
+    b = _recid_rows(spark, [("wb", 60, "BIGDATA")])
+    # simulate the interleaving that clobbered a RMW sidecar: A's bound
+    # lands first, B's (lower) lands second — B must not mask A
+    upsert_by_key(tracked, a, key="hn_code")
+    upsert_by_key(tracked, b, key="hn_code")
+    assert tracked.max_bound("recid") == 100
+    # recovery with wm=60 must still find A's rows beyond the watermark
+    removed = delete_beyond_watermark(
+        tracked, F.col("recid") > 60, bound=("recid", 60)
+    )
+    assert removed == 1  # the recid=100 row
