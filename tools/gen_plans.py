@@ -1,0 +1,48 @@
+"""Generate PLANS.md: the formatted physical plan of every headline
+query (the scale story, readable without a Spark session). Run after
+plan-affecting changes: python3 tools/gen_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HEADER = """# PLANS — physical plans of the headline queries (auto-generated)
+
+`python3 tools/gen_plans.py` at {sf}. What to look for, per the design
+positions in README.md: filters pushed into `PushedFilters`, pruned
+`ReadSchema`, `BroadcastHashJoin` for dim/small sides (never a
+SortMergeJoin on them), wide `WholeStageCodegen` spans, no
+`BatchEvalPython`/`ArrowEvalPython` in expression-only paths, and
+exchanges only where a shuffle is semantically required (one hash
+aggregate for the merge fold; band/prefix equi-joins for the dedup
+family; `TakeOrderedAndProject` for top-k).
+"""
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from etl_migrate_api_spark.plans.registry import QUERIES, headline_names
+    from etl_migrate_api_spark.session import get_spark
+
+    spark = get_spark(app_name="gen-plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = [HEADER.format(sf=sf)]
+    for name in headline_names():
+        df = QUERIES[name].fn(spark, sf)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        out.append(f"\n## {name}\n\n```\n{plan.rstrip()}\n```\n")
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+        f.write("".join(out))
+    print(f"wrote PLANS.md ({len(headline_names())} queries)")
+
+
+if __name__ == "__main__":
+    main()
