@@ -59,3 +59,37 @@ def test_contamination_query_survives_short_docs(spark, tmp_path):
     # docs 3 (corpus) and 4 (eval) share both 5-grams but that's only 2
     # distinct grams -> below the >=3 threshold; the point is no crash
     assert isinstance(out, list)
+
+
+def test_contamination_survives_hot_gram_skew(spark, tmp_path):
+    """A gram shared by EVERY doc (boilerplate header — the classic web
+    skew) must not blow up the candidate join: the eval side is
+    broadcast and the shared-gram pairs are absorbed by the count
+    aggregate, while a genuinely contaminated pair is still detected."""
+    from etl_migrate_api_spark.plans.registry import QUERIES, _load_all
+
+    _load_all()
+    hot = "common header line repeated everywhere"  # one shared 5-gram
+    secret = "alpha beta gamma delta epsilon zeta eta"  # 3 shared 5-grams
+    rows = [
+        (int(i), f"{hot} filler{i} fill{i}er f{i}ller", "en",
+         "src%d" % (1 + i % 3), 0)
+        for i in range(200)
+    ]
+    rows += [(900, f"{hot} {secret}", "en", "src1", 0)]  # corpus twin
+    rows += [
+        (int(1000 + i), f"{hot} evalfill{i} ev{i}al e{i}v", "en", "src0", 0)
+        for i in range(20)
+    ]
+    rows += [(1100, f"{hot} {secret}", "en", "src0", 0)]  # eval twin
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = QUERIES["llm_contamination_ngrams"].fn(spark, str(tmp_path)).collect()
+    pairs = {(r["corpus_doc_id"], r["eval_doc_id"]): r["n_shared"] for r in out}
+    # only the planted twins share >= 3 distinct grams; the hot gram
+    # alone (1 shared) never crosses the threshold for the other
+    # 200 x 21 candidate pairs
+    assert set(pairs) == {(900, 1100)}
+    assert pairs[(900, 1100)] >= 3
