@@ -6,6 +6,7 @@ plan-affecting changes: python3 tools/gen_plans.py [sf_dir]
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -38,6 +39,11 @@ def main() -> None:
                 "formatted"
             )
         )
+        # normalize session-volatile ids so regeneration is diff-stable
+        plan = re.sub(r"#\d+", "#N", plan)
+        plan = re.sub(r"plan_id=\d+", "plan_id=N", plan)
+        plan = re.sub(r"codegen id : \d+", "codegen id : N", plan)
+        plan = re.sub(r"cachedrdd-\d+", "cachedrdd-N", plan)
         out.append(f"\n## {name}\n\n```\n{plan.rstrip()}\n```\n")
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("".join(out))
