@@ -30,7 +30,9 @@ def _batch_with_phones(spark: SparkSession, sf_dir: str) -> DataFrame:
     "contact_merge_fold",
     oracle=synthetic.merge_fold_oracle_sql(with_state=False),
     headline=True,
-    survey_refs=("T1", "U2", "A6", "W2", "W3", "E2", "E3", "E4", "T2", "T3", "T4"),
+    # F5: extract_phones drops blank tokens (functions/text.py) — the
+    # reference's non-blank filter runs inside this fold's extract stage.
+    survey_refs=("T1", "F5", "U2", "A6", "W2", "W3", "E2", "E3", "E4", "T2", "T3", "T4"),
 )
 def contact_merge_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key ordered fold from empty state → legacy 10-slot + note_other."""

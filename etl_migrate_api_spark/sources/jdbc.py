@@ -61,6 +61,43 @@ def default_lock_sql(staging: str) -> str:
     return f"LOCK TABLE {staging} IN ACCESS EXCLUSIVE MODE"
 
 
+def default_truncate_sql(staging: str) -> str:
+    """Postgres/ANSI staging wipe. Engines without TRUNCATE (sqlite)
+    pass ``truncate_sql_for=lambda s: f"DELETE FROM {s}"`` — same
+    idempotency guarantee, both run inside the upsert transaction."""
+    return f"TRUNCATE TABLE {staging}"
+
+
+def satisfies_hash_on_key(df: DataFrame, key_cols: list[str]) -> bool:
+    """True when ``df`` is already hash-partitioned such that every row
+    sharing the full merge key lands in one partition — i.e. its plan's
+    top node is a ``RepartitionByExpression`` over plain column
+    references forming a non-empty SUBSET of ``key_cols``.
+
+    Subset (not equality) is the right containment: hashing on fewer
+    columns is coarser, so equal full keys still collide into the same
+    partition; hashing on any column OUTSIDE the key would split equal
+    keys and break MERGE disjointness. Conservative by design — any
+    plan shape this can't prove (filters above the repartition, joins,
+    AQE-coalesced exchanges) returns False and the caller repartitions;
+    a false negative costs one batch shuffle, a false positive would
+    cost silent lost updates."""
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        if node.getClass().getSimpleName() != "RepartitionByExpression":
+            return False
+        exprs = node.partitionExpressions()
+        cols = []
+        for i in range(exprs.size()):
+            e = exprs.apply(i)
+            if e.getClass().getSimpleName() != "AttributeReference":
+                return False
+            cols.append(e.name())
+        return bool(cols) and set(cols) <= set(key_cols)
+    except Exception:  # any py4j/plan-shape surprise → shuffle (safe)
+        return False
+
+
 def upsert_foreach_partition(
     df: DataFrame,
     key: str | list[str],
@@ -70,6 +107,7 @@ def upsert_foreach_partition(
     staging_prefix: str = "staging_upsert",
     batch_size: int = 1000,
     lock_sql_for: Callable[[str], str] | None = default_lock_sql,
+    truncate_sql_for: Callable[[str], str] = default_truncate_sql,
 ) -> None:
     """Executor-parallel transactional upsert: each partition stages its
     rows into its OWN per-partition staging table (``{prefix}_{pid}``,
@@ -90,7 +128,10 @@ def upsert_foreach_partition(
     partition-disjoint, so the runner ENFORCES it: ``df`` is hash-
     repartitioned on ``key`` here (an extra shuffle of the batch — cheap
     insurance against the silent same-key-in-two-MERGEs deadlock/lost-
-    update a mis-partitioned caller would otherwise hit).
+    update a mis-partitioned caller would otherwise hit). A caller that
+    already ``repartition(n, key)``-ed pays nothing: the insurance
+    shuffle is skipped when ``satisfies_hash_on_key`` proves the plan is
+    hash-on-key at the top.
 
     Stage retries / speculative duplicates of the SAME partition share
     one staging table, so the transaction's first statement locks it
@@ -116,8 +157,10 @@ def upsert_foreach_partition(
         )
     key_cols = [key] if isinstance(key, str) else list(key)
     # enforce the disjointness contract: same key -> same partition ->
-    # same staging table, whatever partitioning the caller handed us
-    df = df.repartition(df.rdd.getNumPartitions(), *key_cols)
+    # same staging table — but skip the insurance shuffle when the
+    # caller's plan provably already hash-partitions on the key
+    if not satisfies_hash_on_key(df, key_cols):
+        df = df.repartition(df.rdd.getNumPartitions(), *key_cols)
 
     def run_with_pid(pid: int, rows: Iterator) -> Iterator:
         staging = f"{staging_prefix}_{pid}"
@@ -130,7 +173,7 @@ def upsert_foreach_partition(
                 cur.execute(lock_sql_for(staging))
             # staging DDL is deployment-time (CREATE TABLE staging_upsert_N
             # LIKE target); here we only guarantee idempotency per run
-            cur.execute(f"TRUNCATE TABLE {staging}")
+            cur.execute(truncate_sql_for(staging))
             insert_sql = insert_staging_sql_for(staging)
             merge_sql = merge_sql_for(staging)
             buf = []

@@ -40,8 +40,8 @@ print("CONTRACT-OK")
 def test_driver_window_is_50_unique_oracled_queries():
     """The driver gates only the first 50 queries() entries (registration
     order). That window must hold exactly DRIVER_WINDOW: 50 queries, every
-    one oracle-checked, including the six uniquely-covered queries that
-    sat past the cap in round 2."""
+    one oracle-checked, including (round 4) the seven curation queries
+    rotated in per the r3 verdict."""
     from etl_migrate_api_spark.plans.registry import (
         DRIVER_WINDOW,
         oracle_sql_map,
@@ -59,13 +59,59 @@ def test_driver_window_is_50_unique_oracled_queries():
         "llm_dedup_corpus",
         "llm_minhash_incremental_dedup",
         "join_range_bands",
-        "map_functions_battery",
         "sample_class_balanced",
+        # r4 rotation: the curation family gets driver CORRECTNESS rows
+        "llm_pii_redact",
+        "llm_contamination_ngrams",
+        "llm_quality_repetition",
+        "llm_url_canonical_dedup",
+        "llm_domain_mix_sample",
+        "llm_embedding_quantize",
+        "llm_sequence_pack",
     ):
         assert q in names[:50], f"{q} fell out of the driver window"
-    # tail queries must still exist (coverage inventory + rows-only pytest)
-    for q in ("llm_ann_ivf_topk", "llm_multimodal_decode", "contact_phone_extract"):
-        assert q in names[50:]
+    # tail queries must still exist (coverage inventory + rows-only pytest;
+    # the rotated-out batteries keep their pytest oracle-parity checks)
+    for q in (
+        "llm_ann_ivf_topk",
+        "llm_multimodal_decode",
+        "contact_phone_extract",
+        "scalar_math_funcs",
+        "date_arithmetic_battery",
+        "set_ops_battery",
+        "array_functions_battery",
+        "map_functions_battery",
+        "join_semi_exists_battery",
+        "window_first_last_per_key",
+    ):
+        assert q in names[50:], f"{q} missing from the tail"
+
+
+def test_no_survey_item_orphaned_by_window_rotation():
+    """Every SURVEY §2 item that is covered by ANY registered query must
+    keep at least one carrier inside the driver's 50-slot window — the
+    r4 rotation may not trade the curation family's driver rows for a §2
+    item's only hard-gate check. Items with no registry carrier at all
+    (infrastructure verified in pytest: S1, K-sinks, X-txn, …) are out of
+    scope here; gen_coverage.py documents their homes."""
+    from etl_migrate_api_spark.plans.registry import (
+        DRIVER_WINDOW,
+        QUERIES,
+        _load_all,
+    )
+
+    _load_all()
+    window = set(DRIVER_WINDOW)
+    by_ref: dict[str, set[str]] = {}
+    for name, spec in QUERIES.items():
+        for ref in spec.survey_refs:
+            by_ref.setdefault(ref, set()).add(name)
+    orphaned = {
+        ref: sorted(carriers)
+        for ref, carriers in by_ref.items()
+        if not carriers & window
+    }
+    assert not orphaned, f"§2 items with no in-window carrier: {orphaned}"
 
 
 def test_vanilla_session_driver_contract():
