@@ -39,7 +39,10 @@ def main() -> None:
     import pandas as pd
     from pyspark.sql import functions as F
 
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    try:
+        spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    except Exception:
+        pass  # warm-up only — a missing table fails per-query below, not here
 
     def _identity(s):
         return s
@@ -79,36 +82,46 @@ def main() -> None:
         names = args
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         fn = QUERIES[name].fn
         best = float("inf")
         for _ in range(repeat):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-            # release blocks the query's operators left persisted (their
-            # contract: callers own the unpersist) — each query's number
-            # must measure that query, not earlier queries' cache
-            # pressure, and no query may ride an earlier query's cache
-            spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+            # per-query isolation: one broken query must not zero the
+            # whole bench run (a single uncaught exception here erased
+            # the round-5 perf signal for 14 healthy queries)
+            try:
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            except Exception as exc:  # noqa: BLE001 — record, keep benching
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                break
+            finally:
+                # release blocks the query's operators left persisted
+                # (their contract: callers own the unpersist) — each
+                # query's number must measure that query, not earlier
+                # queries' cache pressure, and no query may ride an
+                # earlier query's cache
+                spark.catalog.clearCache()
+        if name not in errors:
+            timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    payload: dict = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -43,11 +43,20 @@ def load(spark: SparkSession, name: str, base_dir: str | None = None) -> DataFra
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     base = base_dir or sf_dir()
     df = spark.read.parquet(f"{base}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division — double division would lose µs precision at 1e18 ns
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # The driver regenerates testdata between rounds and the physical
+    # temporal types have drifted before (nanos-as-long → micros NTZ,
+    # round 5). Normalize every TIMESTAMP_NTZ column to a session
+    # timestamp: the session TZ is pinned UTC (session.py), so the cast
+    # is value-preserving and restores unix_micros()/interval semantics
+    # that NTZ columns reject.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

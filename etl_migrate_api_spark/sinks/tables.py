@@ -155,6 +155,55 @@ class ParquetTable:
         with open(tmp, "w") as f:
             json.dump(bounds, f)
         os.replace(tmp, os.path.join(self.path, name))
+        self._merge_bound_shards()
+
+    #: Fold shards into one record once this many accumulate. Without a
+    #: bound, an append-only table grows one sidecar file per micro-batch
+    #: forever — at 100k batches, max_bound() pays a 100k-file listing +
+    #: parse on every recovery check.
+    MAXBOUND_MERGE_THRESHOLD = 16
+
+    def _merge_bound_shards(self) -> None:
+        """Bound the shard count: past the threshold, fold the current
+        shards into ONE merged shard and delete exactly the files that
+        were folded in. Lock-free and crash-safe by ordering: the merged
+        record is published (atomic tmp+rename) BEFORE any source is
+        deleted, so every intermediate state holds redundant — never
+        missing — bounds. Concurrent publishers are untouched (a shard
+        that appears after the glob is not in the fold set, so it is
+        never deleted); two concurrent mergers produce two valid merged
+        records and tolerate each other's deletes."""
+        shards = glob.glob(os.path.join(self.path, self.MAXBOUND_SHARD_GLOB))
+        if len(shards) < self.MAXBOUND_MERGE_THRESHOLD:
+            return
+        merged: dict[str, object] = {}
+        folded: list[str] = []
+        for p in shards:
+            try:
+                with open(p) as f:
+                    rec = json.load(f)
+            except (OSError, ValueError):
+                continue  # unreadable: leave in place; max_bound handles it
+            for c, v in rec.items():
+                if v is None or merged.get(c, v) is None:
+                    merged[c] = None  # a poisoned column stays poisoned
+                elif c in merged:
+                    merged[c] = max(merged[c], v)
+                else:
+                    merged[c] = v
+            folded.append(p)
+        if len(folded) < 2:
+            return
+        name = f"_maxbound-{uuid.uuid4().hex[:8]}.json"
+        tmp = os.path.join(self.path, f".{name}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(merged, f)
+        os.replace(tmp, os.path.join(self.path, name))
+        for p in folded:
+            try:
+                os.remove(p)
+            except OSError:
+                pass  # a racing merger got it first — already gone
 
     # -- crash recovery ----------------------------------------------------
     def _recover(self) -> None:

@@ -299,3 +299,53 @@ def test_concurrent_writer_bounds_never_lost(spark, tracked):
         tracked, F.col("recid") > 60, bound=("recid", 60)
     )
     assert removed == 1  # the recid=100 row
+
+
+def test_append_heavy_shard_count_bounded(spark, tracked):
+    """Item: sidecar shards must not grow one-file-per-append forever.
+    Past MAXBOUND_MERGE_THRESHOLD the table folds shards into one merged
+    record and deletes exactly the folded files — with the bound itself
+    (and therefore bounded recovery) intact throughout."""
+    import glob
+    import os
+
+    n = tracked.MAXBOUND_MERGE_THRESHOLD * 2 + 3
+    for i in range(n):
+        upsert_by_key(
+            tracked,
+            _recid_rows(spark, [(f"app{i}", 1000 + i, "BIGDATA")]),
+            key="hn_code",
+        )
+        shards = glob.glob(
+            os.path.join(tracked.path, tracked.MAXBOUND_SHARD_GLOB)
+        )
+        assert len(shards) <= tracked.MAXBOUND_MERGE_THRESHOLD, (
+            f"shard count {len(shards)} unbounded after {i + 1} appends"
+        )
+    # the fold preserved the true upper bound across every merge
+    assert tracked.max_bound("recid") == 1000 + n - 1
+    # and bounded recovery still sees the merged bound
+    removed = delete_beyond_watermark(
+        tracked, F.col("recid") > 1000, bound=("recid", 1000)
+    )
+    assert removed == n - 1
+
+
+def test_merge_preserves_poisoned_column(spark, tmp_path):
+    """A shard recording NULL (stats unavailable) for a column poisons
+    the bound to unknown; the fold must keep the poison rather than
+    dropping the record and silently un-poisoning the column."""
+    import glob
+    import os
+
+    t = HashBucketedTable(
+        spark, str(tmp_path / "poison"), key="hn_code", n_buckets=4,
+        track_max=("recid",),
+    )
+    t.replace(_recid_rows(spark, [("k1", 10, "BIGDATA")]))
+    t._publish_bound_shard({"recid": None})  # poisoned record
+    for i in range(t.MAXBOUND_MERGE_THRESHOLD + 1):
+        t._publish_bound_shard({"recid": 20 + i})
+    shards = glob.glob(os.path.join(t.path, t.MAXBOUND_SHARD_GLOB))
+    assert len(shards) <= t.MAXBOUND_MERGE_THRESHOLD
+    assert t.max_bound("recid") is None  # poison survived the fold

@@ -31,7 +31,10 @@ def test_quantization_roundtrip_error_bound(spark, rand_embeddings, tmp_path):
     out = QUERIES["llm_embedding_quantize"].fn(spark, src).collect()
     assert len(out) == 200
     for r in out:
-        q, s = r["q"], r["scale"]
+        # q ships as a CSV string (array cells break the driver's
+        # pandas-lexsort canonicalization) — parse it back for the bound
+        q = [int(v) for v in r["q_csv"].split(",")]
+        s = r["scale"]
         assert all(-127 <= v <= 127 for v in q)
         assert r["mean_abs_err"] <= 0.5 / s + 1e-9
 

@@ -90,3 +90,164 @@ def test_sample_frames_pure_expr(media):
     # no Python in the plan: frame sampling must not show mapInPandas/Python eval
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+# --- real pixel decode -----------------------------------------------------
+
+
+def _make_png(width, height, pixels, color_type=2, filters=None):
+    """Minimal PNG encoder for fixtures: 8-bit, non-interlaced. ``pixels``
+    is raw channel-interleaved bytes; ``filters`` optionally applies a
+    per-row filter type (testing the unfilter paths)."""
+    import struct
+    import zlib
+
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    stride = width * ch
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    filters = filters or [0] * height
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = pixels[y * stride : (y + 1) * stride]
+        f = filters[y]
+        raw.append(f)
+        if f == 0:
+            raw += row
+        elif f == 1:  # Sub
+            raw += bytes(
+                (row[x] - (row[x - ch] if x >= ch else 0)) & 0xFF
+                for x in range(stride)
+            )
+        elif f == 2:  # Up
+            raw += bytes((row[x] - prev[x]) & 0xFF for x in range(stride))
+        elif f == 3:  # Average
+            raw += bytes(
+                (row[x] - (((row[x - ch] if x >= ch else 0) + prev[x]) >> 1)) & 0xFF
+                for x in range(stride)
+            )
+        elif f == 4:  # Paeth
+            out = bytearray()
+            for x in range(stride):
+                a = row[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out.append((row[x] - pred) & 0xFF)
+            raw += out
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _make_bmp(width, height, bgr):
+    """24-bit uncompressed BMP, bottom-up rows, 4-byte row padding."""
+    import struct
+
+    row_stride = (width * 3 + 3) & ~3
+    pad = b"\x00" * (row_stride - width * 3)
+    body = b"".join(
+        bgr[y * width * 3 : (y + 1) * width * 3] + pad
+        for y in reversed(range(height))
+    )
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 0, 0, 0, 0)
+    )
+    return header + body
+
+
+def test_png_pixel_decode_all_filters_exact():
+    """PNG decode must reproduce the exact pixel bytes through every
+    scanline filter type (None/Sub/Up/Average/Paeth)."""
+    import zlib
+
+    from etl_migrate_api_spark.operators.multimodal import decode_pixels_one
+
+    w, h = 5, 5
+    pixels = bytes((x * 37 + 11) % 256 for x in range(w * h * 3))
+    for filters in ([0] * h, [1] * h, [2] * h, [3] * h, [4] * h, [0, 1, 2, 3, 4]):
+        png = _make_png(w, h, pixels, color_type=2, filters=filters)
+        dw, dh, mode, px = decode_pixels_one(png)
+        assert (dw, dh, mode) == (w, h, "RGB"), filters
+        assert px == pixels, f"pixel mismatch with filters {filters}"
+        assert zlib.crc32(px) == zlib.crc32(pixels)
+
+
+def test_png_grayscale_and_rgba():
+    from etl_migrate_api_spark.operators.multimodal import decode_pixels_one
+
+    gray = bytes(range(16))
+    dw, dh, mode, px = decode_pixels_one(_make_png(4, 4, gray, color_type=0))
+    assert (dw, dh, mode, px) == (4, 4, "L", gray)
+    rgba = bytes((x * 7) % 256 for x in range(3 * 2 * 4))
+    dw, dh, mode, px = decode_pixels_one(_make_png(3, 2, rgba, color_type=6, filters=[4, 2]))
+    assert (dw, dh, mode, px) == (3, 2, "RGBA", rgba)
+
+
+def test_bmp_pixel_decode_exact():
+    from etl_migrate_api_spark.operators.multimodal import decode_pixels_one
+
+    w, h = 3, 2  # stride 9 → padded to 12: exercises row padding
+    bgr = bytes((x * 19 + 5) % 256 for x in range(w * h * 3))
+    dw, dh, mode, px = decode_pixels_one(_make_bmp(w, h, bgr))
+    assert (dw, dh, mode) == (w, h, "BGR")
+    assert px == bgr  # decoder restores top-down row order
+
+
+def test_ppm_pgm_pixel_decode_exact():
+    from etl_migrate_api_spark.operators.multimodal import decode_pixels_one
+
+    rgb = bytes((x * 3) % 256 for x in range(2 * 2 * 3))
+    ppm = b"P6\n# a comment\n2 2\n255\n" + rgb
+    assert decode_pixels_one(ppm) == (2, 2, "RGB", rgb)
+    gray = bytes([0, 128, 255, 7])
+    pgm = b"P5 2 2 255 " + gray
+    assert decode_pixels_one(pgm) == (2, 2, "L", gray)
+
+
+def test_decode_pixels_mapinpandas_exact_crc(spark):
+    """End-to-end through the Spark plan: exact pixel CRCs for decodable
+    blobs, honest (ok=false, err) rows for corrupt/unsupported ones."""
+    import zlib
+
+    w, h = 4, 3
+    pixels = bytes((x * 13 + 1) % 256 for x in range(w * h * 3))
+    png = _make_png(w, h, pixels, color_type=2, filters=[4, 1, 3])
+    bgr = bytes((x * 29) % 256 for x in range(2 * 2 * 3))
+    bmp = _make_bmp(2, 2, bgr)
+    ppm_px = bytes([9, 8, 7, 6, 5, 4])
+    ppm = b"P6\n2 1\n255\n" + ppm_px
+    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 16  # PIL absent → NotImplementedError
+    junk = b"\x00\x01\x02\x03not an image"
+    df = spark.createDataFrame(
+        [(1, "image", png), (2, "image", bmp), (3, "image", ppm),
+         (4, "image", jpeg), (5, "image", junk)],
+        "media_id long, media_type string, content binary",
+    )
+    from etl_migrate_api_spark.operators.multimodal import decode_pixels
+
+    out = {r["media_id"]: r for r in decode_pixels(df).collect()}
+    assert out[1]["ok"] and out[1]["px_crc32"] == zlib.crc32(pixels)
+    assert (out[1]["width"], out[1]["height"], out[1]["mode"]) == (w, h, "RGB")
+    assert out[2]["ok"] and out[2]["px_crc32"] == zlib.crc32(bgr)
+    assert out[3]["ok"] and out[3]["px_crc32"] == zlib.crc32(ppm_px)
+    assert out[3]["mean_px"] == sum(ppm_px) / len(ppm_px)
+    assert not out[4]["ok"] and "PIL" in out[4]["err"]
+    assert not out[5]["ok"] and "unknown image container" in out[5]["err"]
