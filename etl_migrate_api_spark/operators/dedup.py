@@ -360,6 +360,27 @@ def connected_components(
     return labels
 
 
+def band_self_join_pairs(banded: DataFrame, idx_col: str, key_col: str) -> DataFrame:
+    """Candidate pairs (id_a < id_b) sharing a band: the ONE join shape
+    behind the whole LSH family (MinHash bands and SimHash chunks both
+    route through here). Kept as a named function so the skew-hardening
+    tests exercise the exact production join: a boilerplate-heavy corpus
+    makes one (idx, key) shuffle partition quadratically hot, and AQE
+    skew-join splitting (enabled in session.py) is the mitigation."""
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{idx_col}") == F.col(f"b.{idx_col}"))
+            & (F.col(f"a.{key_col}") == F.col(f"b.{key_col}"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def minhash_signature_tables(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> tuple[DataFrame, DataFrame]:
@@ -495,18 +516,7 @@ def minhash_lsh_candidates(
             "band_idx", "band_key"
         ),
     ).persist()
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    pairs = band_self_join_pairs(banded, "band_idx", "band_key")
     sh_a = base.select(F.col("id").alias("id_a"), F.col("hv").alias("sh_a"))
     sh_b = base.select(F.col("id").alias("id_b"), F.col("hv").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -613,17 +623,7 @@ def simhash_neardup_pairs(
         ]
     )
     banded = s.select("id", F.posexplode(chunks).alias("ci", "cv"))
-    cand = (
-        banded.alias("x")
-        .join(
-            banded.alias("y"),
-            (F.col("x.ci") == F.col("y.ci"))
-            & (F.col("x.cv") == F.col("y.cv"))
-            & (F.col("x.id") < F.col("y.id")),
-        )
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
-    )
+    cand = band_self_join_pairs(banded, "ci", "cv")
     sa = s.select(
         F.col("id").alias("id_a"),
         F.col("simhash_lo").alias("lo_a"),
