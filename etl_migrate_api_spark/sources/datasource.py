@@ -61,9 +61,22 @@ class HttpCursorReader(DataSourceReader):
 
     def read(self, partition: _IdRange) -> Iterator[tuple]:
         # executor-side import: the reader object is pickled to tasks
+        import json as _json
+
         from etl_migrate_api_spark.sources.retry import get_json
+        from pyspark.sql.types import StringType
 
         fields = [f.name for f in self.schema_.fields]
+        str_fields = {f.name for f in self.schema_.fields if isinstance(f.dataType, StringType)}
+
+        def _coerce(name: str, v):
+            # string-typed fields accept anything upstream sends: nested
+            # objects/arrays and type-wobbling scalars are JSON-stringified
+            # (the inference fallback and explicit-string schemas both rely
+            # on this; downstream re-parses with from_json when needed)
+            if v is None or name not in str_fields or isinstance(v, str):
+                return v
+            return _json.dumps(v, separators=(",", ":"))
         cursor = partition.start
         while cursor < partition.end:
             # transient 5xx/connection failures retry with backoff
@@ -84,7 +97,7 @@ class HttpCursorReader(DataSourceReader):
             # yielded (exactly-once within the partition).
             for r in rows:
                 if cursor < r["id"] <= partition.end:
-                    yield tuple(r.get(f) for f in fields)
+                    yield tuple(_coerce(f, r.get(f)) for f in fields)
             # advance by the page's MAX id, not rows[-1]: an unsorted
             # page would otherwise re-fetch rows forever; and if the
             # server fails to advance the cursor, stop rather than loop
@@ -94,16 +107,69 @@ class HttpCursorReader(DataSourceReader):
             cursor = new_cursor
 
 
+def _infer_field_type(values: list) -> str:
+    """Spark SQL type for one JSON field from its sampled non-null values
+    — the same widening ladder ``spark.read.json`` uses: bool → bigint →
+    double, anything mixed/nested falls back to string (upstream can then
+    be parsed explicitly with from_json once the shape is known)."""
+    non_null = [v for v in values if v is not None]
+    if not non_null:
+        return "string"  # null-only sample: string loses nothing
+    types = {type(v) for v in non_null}
+    if types == {bool}:
+        return "boolean"
+    if types <= {int}:
+        return "bigint"
+    if types <= {int, float}:
+        return "double"
+    if types == {str}:
+        return "string"
+    return "string"  # mixed / nested (dict, list): stringified downstream
+
+
 class HttpCursorDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
         return "http_cursor"
 
     def schema(self) -> str:
-        raise NotImplementedError(
-            "http_cursor: pass an explicit .schema(...) — upstream JSON is "
-            "dynamically typed (SURVEY.md §1: schema implicit on ingest)"
-        )
+        """Explicit schema is the contract (upstream JSON is dynamically
+        typed — SURVEY.md §1: schema implicit on ingest); opt in to
+        sampled inference with ``.option("infer_schema", "true")``:
+        fetches ONE page from the driver (bounded by ``page_size``) and
+        infers a flat schema spark.read.json-style. Inference is a
+        driver-side convenience for exploration — production jobs pin
+        the schema so an upstream type wobble fails loudly at read time
+        instead of silently re-typing a column."""
+        if str(self.options.get("infer_schema", "")).lower() not in ("true", "1"):
+            raise NotImplementedError(
+                "http_cursor: pass an explicit .schema(...) — upstream JSON is "
+                "dynamically typed (SURVEY.md §1: schema implicit on ingest); "
+                "or opt in to sampling with .option('infer_schema', 'true')"
+            )
+        from etl_migrate_api_spark.sources.retry import get_json
+
+        base_url = self.options.get("base_url")
+        if not base_url:
+            raise ValueError("http_cursor: option 'base_url' is required")
+        limit = int(self.options.get("page_size", "1000"))
+        payload = get_json(f"{base_url}?lastId=0&limit={limit}", timeout=30)
+        rows = payload.get("data") or []
+        if not rows:
+            raise ValueError(
+                "http_cursor: cannot infer schema from an empty first page — "
+                "pass an explicit .schema(...)"
+            )
+        # first-seen key order across the whole sample: rows may be
+        # heterogeneous (a key absent early must still make the schema)
+        cols: dict[str, list] = {}
+        for r in rows:
+            for k in r:
+                cols.setdefault(k, [])
+        for r in rows:
+            for k, vals in cols.items():
+                vals.append(r.get(k))
+        return ", ".join(f"`{k}` {_infer_field_type(v)}" for k, v in cols.items())
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return HttpCursorReader(schema, self.options)

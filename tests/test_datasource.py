@@ -40,6 +40,31 @@ class _Handler(BaseHTTPRequestHandler):
         if "notfound" in self.path:
             self.send_error(404, "nope")
             return
+        if "typed" in self.path:
+            # heterogeneous typed rows for schema inference: score mixes
+            # int and float (→ double), extra is absent early (→ still in
+            # schema), tags/meta are nested (→ stringified), gone is
+            # null-only (→ string)
+            data = [
+                {
+                    "id": i,
+                    "name": f"n{i}",
+                    "score": i * 1.5 if i % 2 else i,
+                    "active": i % 3 == 0,
+                    "tags": [f"t{i % 3}", "x"],
+                    "meta": {"k": i},
+                    "gone": None,
+                    **({"extra": i} if i > 2 else {}),
+                }
+                for i in range(last_id + 1, min(last_id + 1 + limit, 8))
+            ]
+            body = json.dumps({"data": data, "count": len(data)}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
         data = _rows(last_id, limit)
         if "unsorted" in self.path:
             data = list(reversed(data))  # pages arrive id-descending
@@ -191,3 +216,52 @@ def test_http_cursor_requires_schema(spark, http_server):
     spark.dataSource.register(HttpCursorDataSource)
     with pytest.raises(Exception, match="schema"):
         spark.read.format("http_cursor").option("base_url", http_server).load().collect()
+
+
+def test_http_cursor_schema_inference_opt_in(spark, http_server):
+    """.option('infer_schema', 'true') samples one page and infers a
+    flat spark.read.json-style schema: bool/bigint/double/string, with
+    nested values stringified and keys absent from early rows included."""
+    import json as _json
+
+    from etl_migrate_api_spark.sources.datasource import HttpCursorDataSource
+
+    spark.dataSource.register(HttpCursorDataSource)
+    df = (
+        spark.read.format("http_cursor")
+        .option("base_url", http_server + "/typed")
+        .option("infer_schema", "true")
+        .option("max_id", "7")
+        .option("page_size", "100")
+        .option("slices", "1")
+        .load()
+    )
+    assert dict(df.dtypes) == {
+        "id": "bigint",
+        "name": "string",
+        "score": "double",  # int/float mix widened
+        "active": "boolean",
+        "tags": "string",  # nested list stringified
+        "meta": "string",  # nested object stringified
+        "gone": "string",  # null-only falls back to string
+        "extra": "bigint",  # absent from rows 1-2, still inferred
+    }
+    rows = {r["id"]: r for r in df.collect()}
+    assert len(rows) == 7
+    assert rows[3]["score"] == 4.5 and rows[4]["score"] == 4.0
+    assert rows[3]["active"] is True and rows[4]["active"] is False
+    assert _json.loads(rows[5]["meta"]) == {"k": 5}
+    assert _json.loads(rows[5]["tags"]) == ["t2", "x"]
+    assert rows[1]["extra"] is None and rows[5]["extra"] == 5
+
+
+def test_inference_type_ladder():
+    from etl_migrate_api_spark.sources.datasource import _infer_field_type
+
+    assert _infer_field_type([True, False, None]) == "boolean"
+    assert _infer_field_type([1, 2, None]) == "bigint"
+    assert _infer_field_type([1, 2.5]) == "double"
+    assert _infer_field_type(["a", None]) == "string"
+    assert _infer_field_type([None, None]) == "string"
+    assert _infer_field_type([1, "a"]) == "string"  # mixed → string
+    assert _infer_field_type([{"k": 1}]) == "string"  # nested → string
