@@ -616,3 +616,86 @@ def llm_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= F.col("q"))
         .select("lang", F.col("doc_id").cast("bigint").alias("doc_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling + split assignment
+# ---------------------------------------------------------------------------
+# Both use the same primitive: an md5-derived uniform draw compared
+# lexicographically against a HEX-STRING threshold. Lowercase hex is
+# order-isomorphic to the number it encodes, and Spark's md5() and
+# DuckDB's md5() produce identical digests — so the sample is
+# deterministic, seed-stable, engine-portable, and needs no numeric
+# hex parse (Spark's conv() has no DuckDB twin). At 100 TB this is the
+# only sampling shape that works: no global count, no orderBy, no rand()
+# (which breaks retry idempotency — a re-executed task would draw a
+# different sample); a pure narrow filter the scan can stream through.
+
+# floor(rate * 16^8) rendered as 8 lowercase hex chars
+_STRAT_THRESHOLDS = {"en": "0ccccccc", "_other": "40000000"}  # 5% / 25%
+
+
+@register(
+    "llm_stratified_sample",
+    oracle="""
+      select lang, cast(doc_id as bigint) as doc_id
+      from documents
+      where substring(md5('strat' || cast(doc_id as varchar)), 1, 8) <
+            case when lang = 'en' then '0ccccccc' else '40000000' end
+    """,
+    survey_refs=("F1", "T8"),
+)
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic Bernoulli sampling — downsample the
+    head domain (en: 5%) while keeping the tail (25%), the everyday
+    re-balance before pretraining-mix assembly. The draw for a doc is
+    fixed by its id alone: re-runs, task retries, and both engines
+    select the SAME rows (no rand(), no global count, no sort). Plan is
+    a narrow filter fused into the parquet scan."""
+    docs = load(spark, "documents", sf_dir)
+    draw = F.substring(
+        F.md5(F.concat(F.lit("strat"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    thr = F.when(
+        F.col("lang") == "en", F.lit(_STRAT_THRESHOLDS["en"])
+    ).otherwise(F.lit(_STRAT_THRESHOLDS["_other"]))
+    return docs.where(draw < thr).select(
+        "lang", F.col("doc_id").cast("bigint").alias("doc_id")
+    )
+
+
+@register(
+    "llm_split_assign",
+    oracle="""
+      with assigned as (
+        select lang,
+               case when substring(md5('split' || cast(doc_id as varchar)), 1, 2) < 'f6'
+                    then 'train'
+                    when substring(md5('split' || cast(doc_id as varchar)), 1, 2) < 'fb'
+                    then 'val'
+                    else 'test' end as split
+        from documents
+      )
+      select lang, split, cast(count(*) as bigint) as n_docs
+      from assigned group by lang, split
+    """,
+    survey_refs=("A3", "F3"),
+)
+def llm_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-assigned train/val/test split (246/5/5 of 256 ≈ 96/2/2%)
+    with per-(lang, split) counts. Membership is a pure function of
+    doc_id — adding documents never reshuffles existing assignments
+    (the property that keeps eval sets uncontaminated across dataset
+    versions). One map-side-combined aggregation; no other shuffle."""
+    docs = load(spark, "documents", sf_dir)
+    b = F.substring(
+        F.md5(F.concat(F.lit("split"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    split = (
+        F.when(b < "f6", "train").when(b < "fb", "val").otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
