@@ -1189,3 +1189,60 @@ def map_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(upped, F.lit("prio")).alias("prio_uc"),
         F.array_join(F.array_sort(F.map_keys(no_clerk)), ",").alias("keys_noclerk"),
     )
+
+
+@register(
+    "events_interval_attribution",
+    oracle="""
+      select p.event_id as purchase_id,
+             cast(p.user_id as bigint) as user_id,
+             cast(count(v.event_id) as bigint) as n_views_1h,
+             min(v.event_id) as first_view_id
+      from events p
+      left join events v
+        on v.user_id = p.user_id
+       and v.event_type = 'view'
+       and v.ts <= p.ts
+       and v.ts >= p.ts - interval 1 hour
+      where p.event_type = 'purchase'
+      group by 1, 2
+    """,
+    survey_refs=("J2", "F2", "A3"),
+)
+def events_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL (range) join — every purchase attributed to the same
+    user's views in the preceding hour (count + earliest view id; LEFT
+    join keeps view-less purchases with n=0). The batch twin of
+    ``streaming.pipeline.attribution_stream``: identical join predicate,
+    so the stream's append-mode output can be reconciled row-for-row
+    against this query (tests/test_streaming.py does).
+
+    Scale shape: equi-key ``user_id`` carries the shuffle; the time
+    range rides along as a join filter inside the sort-merge join —
+    never a cross join (Spark would need a broadcast-nested-loop only if
+    the equi-key were missing). State ∝ per-user events, the same bound
+    the streaming twin's watermark enforces."""
+    ev = load(spark, "events", sf_dir)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    joined = p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("p_ts"))
+        & (F.col("view_ts") >= F.col("p_ts") - F.expr("interval 1 hour")),
+        "left",
+    )
+    return joined.groupBy(
+        "purchase_id", F.col("p_user").cast("bigint").alias("user_id")
+    ).agg(
+        F.count("view_id").cast("bigint").alias("n_views_1h"),
+        F.min("view_id").alias("first_view_id"),
+    )

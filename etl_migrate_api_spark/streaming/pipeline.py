@@ -267,3 +267,66 @@ def contact_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def attribution_stream(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    max_gap: str = "1 hour",
+    lateness: str = "1 hour",
+) -> StreamingQuery:
+    """STREAM-STREAM interval join: attribute each purchase to the views
+    the same user made in the preceding ``max_gap`` — the canonical
+    watermarked two-stream join (Spark requires BOTH watermarks plus a
+    time-range join condition so it can bound the buffered state; without
+    them the view buffer grows forever).
+
+    State story at scale: each side keeps only rows younger than
+    watermark + gap, partitioned by ``user_id`` — steady-state memory is
+    (arrival rate × window), independent of stream lifetime. Late events
+    beyond ``lateness`` are dropped by the watermark, identically on
+    both sides.
+
+    Output (append mode — rows emit once the watermark passes them):
+    one row per (purchase, qualifying view) pair."""
+    schema = spark.read.parquet(src_dir).schema
+    views = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", lateness)
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", lateness)
+    )
+    joined = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"interval {max_gap}")),
+        "inner",
+    ).drop("v_user")
+    return (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -175,3 +175,14 @@ def test_merge_fold_single_shuffle(spark, sf_dir, queries):
         "Exchange hashpartitioning" in line for line in plan.splitlines()
     )
     assert n_exchanges == 1, plan[:2000]
+
+
+def test_interval_join_keeps_equi_key(spark, sf_dir, queries):
+    """The interval attribution join must ride the user_id equi-key
+    (hash or sort-merge join with the time range as a join filter) —
+    never a nested-loop/cartesian, which at 100 TB is the difference
+    between one shuffle and an O(n²) stage."""
+    plan = _plan(queries["events_interval_attribution"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)

@@ -73,9 +73,14 @@ NORTH_STAR = [
     ("quality scoring", "llm_quality_score"),
     ("token counting", "llm_token_stats"),
     ("fingerprinting", "llm_exact_dedup (md5 fingerprint)"),
-    ("multimodal decode", "llm_multimodal_decode (stubbed decoder, real plumbing)"),
+    ("multimodal decode", "llm_multimodal_decode + operators/multimodal.py::decode_pixels "
+     "(REAL stdlib PNG/BMP/PPM pixel decode, exact-CRC tested; JPEG env-gated behind PIL)"),
     ("multimodal frames", "llm_multimodal_frames"),
     ("sessionization", "events_sessionize + streaming/stateful.py"),
+    ("stratified sampling", "llm_stratified_sample (md5-threshold Bernoulli, per-stratum rates)"),
+    ("split assignment", "llm_split_assign (hash-bucketed train/val/test, version-stable)"),
+    ("interval/range join", "events_interval_attribution + streaming/pipeline.py::attribution_stream "
+     "(stream-stream watermarked twin)"),
 ]
 
 
