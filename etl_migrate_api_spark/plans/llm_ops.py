@@ -578,3 +578,100 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style heuristic quality score per document."""
     docs = load(spark, "documents", sf_dir)
     return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS scheme)
+# ---------------------------------------------------------------------------
+
+_WINNOW_N = 3  # word n-gram size
+_WINNOW_W = 4  # winnowing window (grams per window)
+_WINNOW_P = 2_147_483_647  # same 31-bit md5-reduction as shingle_hashes
+
+
+@register(
+    "llm_winnow_fingerprints",
+    oracle=f"""
+      with toks as (
+        select doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '[ \\t\\r\\n\\f]+'),
+                           x -> x <> '') as t
+        from documents
+      ),
+      hv as (
+        select doc_id,
+               list_transform(
+                 [array_to_string(t[i:i+{_WINNOW_N - 1}], ' ')
+                  for i in range(1, greatest(len(t) - {_WINNOW_N - 2}, 1))],
+                 g -> cast(concat('0x', substr(md5(g), 1, 15)) as bigint)
+                      % {_WINNOW_P}) as h
+        from toks
+      ),
+      wins as (
+        select doc_id,
+               case when len(h) = 0 then []
+                    when len(h) < {_WINNOW_W} then [list_min(h)]
+                    else [list_min(h[i:i+{_WINNOW_W - 1}])
+                          for i in range(1, greatest(len(h) - {_WINNOW_W - 2}, 1))]
+               end as m
+        from hv
+      )
+      select distinct doc_id, unnest(m) as fp
+      from wins where len(m) > 0
+    """,
+)
+def llm_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting by WINNOWING — per window of
+    ``_WINNOW_W`` consecutive word-3-gram hashes keep the minimum
+    (Schleimer/Wilkerson/Aiken's MOSS scheme): position-robust LOCAL
+    fingerprints that survive insertions/reorderings a whole-document
+    hash cannot (guarantee: any shared run of ≥ w+n-1 words yields at
+    least one shared fingerprint). Complements the order-sensitive
+    rolling hash in ``llm_token_stats`` and the set-similarity families
+    — this is the partial-overlap / clone-detection primitive.
+
+    Plan: two projection-barriered narrow maps (tokens → gram hashes →
+    window mins; attribute columns between stages so HOF lambdas never
+    re-evaluate upstream chains — the measured 25× trap), then
+    posexplode+distinct. ONE shuffle (the distinct); fingerprints are
+    ints, ~|tokens|/w per doc — at 100 TB this is the cheap first pass
+    before any pairwise clone join."""
+    docs = load(spark, "documents", sf_dir)
+    from etl_migrate_api_spark.functions.text import ws_tokens
+
+    toks = dd._spread(docs.select("doc_id", ws_tokens("text").alias("t")))
+    grams = toks.select(
+        "doc_id",
+        F.when(
+            F.size("t") >= _WINNOW_N,
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - F.lit(_WINNOW_N - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, _WINNOW_N)),
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("g"),
+    )
+    hv = grams.select(
+        "doc_id",
+        F.transform(
+            F.col("g"),
+            lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("bigint")
+            % _WINNOW_P,
+        ).alias("h"),
+    )
+    mins = hv.select(
+        "doc_id",
+        F.when(F.size("h") == 0, F.array().cast("array<bigint>"))
+        .when(F.size("h") < _WINNOW_W, F.array(F.array_min("h")))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size("h") - F.lit(_WINNOW_W - 1)),
+                lambda i: F.array_min(F.slice(F.col("h"), i, _WINNOW_W)),
+            )
+        )
+        .alias("m"),
+    )
+    return (
+        mins.where(F.size("m") > 0)
+        .select("doc_id", F.explode(F.array_distinct("m")).alias("fp"))
+        .distinct()
+    )

@@ -143,3 +143,27 @@ def test_top_token_run_matches_explode_count(spark):
         assert got[d] == t, d
     assert got[1000] == 0  # empty text -> no tokens -> run 0
     assert got[1001] == 1
+
+
+def test_winnowing_shared_run_guarantee(spark, tmp_path):
+    """Winnowing's defining property (Schleimer et al. §3): any shared
+    word run of length >= w + n - 1 (= 6 here) must yield at least one
+    shared fingerprint; disjoint texts share none."""
+    from etl_migrate_api_spark.plans.registry import QUERIES, _load_all
+
+    _load_all()
+    shared_run = "alpha beta gamma delta epsilon zeta"  # 6 words
+    rows = [
+        (1, f"one two three {shared_run} four five six", "en", "s", 1),
+        (2, f"seven eight {shared_run} nine ten eleven twelve", "en", "s", 1),
+        (3, "completely different words with nothing common here", "en", "s", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = QUERIES["llm_winnow_fingerprints"].fn(spark, str(tmp_path)).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2], "shared 6-word run must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])

@@ -72,7 +72,7 @@ NORTH_STAR = [
     ("language-ID", "llm_lang_id"),
     ("quality scoring", "llm_quality_score"),
     ("token counting", "llm_token_stats"),
-    ("fingerprinting", "llm_exact_dedup (md5 fingerprint)"),
+    ("fingerprinting", "llm_exact_dedup (md5) + llm_token_stats (rolling hash) + llm_winnow_fingerprints (MOSS winnowing: window-min of k-gram rolling hashes)"),
     ("multimodal decode", "llm_multimodal_decode + operators/multimodal.py::decode_pixels "
      "(REAL stdlib PNG/BMP/PPM pixel decode, exact-CRC tested; JPEG env-gated behind PIL)"),
     ("multimodal frames", "llm_multimodal_frames"),
