@@ -675,3 +675,69 @@ def llm_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.array_distinct("m")).alias("fp"))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM scoring (CCNet-style perplexity-proxy filtering)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_unigram_logprob_score",
+    oracle="""
+      with toks as (
+        select doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '[ \\t\\r\\n\\f]+'),
+                           x -> x <> '') as t
+        from documents
+      ),
+      tf as (
+        select doc_id, tok, count(*) as f
+        from (select doc_id, unnest(t) as tok from toks)
+        group by doc_id, tok
+      ),
+      cnt as (select tok, cast(sum(f) as double) as c from tf group by tok),
+      tot as (select cast(sum(f) as double) as n from tf)
+      select tf.doc_id,
+             cast(sum(tf.f) as bigint) as n_tok,
+             round(sum(tf.f * ln(cnt.c / tot.n)) / sum(tf.f), 4) as avg_logprob
+      from tf join cnt using (tok) cross join tot
+      group by tf.doc_id
+    """,
+)
+def llm_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM score per document — the perplexity-
+    proxy quality filter (CCNet trains KenLM and keeps the low-
+    perplexity tercile; the unigram LM is the engine-portable,
+    oracle-checkable form of the same shape: train = one aggregation
+    over the corpus, score = one join + one aggregation).
+
+    Scale shape: per-doc term frequencies FIRST (groupBy(doc_id, tok) —
+    shrinks the join input to distinct doc-token pairs), then join the
+    vocab counts on tok and fold tf·ln(p) per doc. The tok join is hot
+    on stopwords ('the' appears in every doc) — exactly the skew AQE's
+    skew-join splitting handles (session.py enables it; the LSH band
+    joins' skew tests cover the mechanism). The 1-row total rides a
+    broadcast cross join. avg_logprob rounded to 4dp: double summation
+    order differs between engines and 1e-12-scale tails must not flip
+    the hash."""
+    from etl_migrate_api_spark.functions.text import ws_tokens
+
+    docs = load(spark, "documents", sf_dir)
+    ex = dd._spread(docs.select("doc_id", ws_tokens("text").alias("t"))).select(
+        "doc_id", F.explode("t").alias("tok")
+    )
+    tf = ex.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("f"))
+    cnt = tf.groupBy("tok").agg(F.sum("f").cast("double").alias("c"))
+    tot = tf.agg(F.sum("f").cast("double").alias("n"))
+    return (
+        tf.join(cnt, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("f").cast("bigint").alias("n_tok"),
+            F.round(
+                F.sum(F.col("f") * F.log(F.col("c") / F.col("n"))) / F.sum("f"), 4
+            ).alias("avg_logprob"),
+        )
+    )

@@ -70,7 +70,7 @@ NORTH_STAR = [
     ("ANN LSH", "llm_ann_lsh_topk (rows-only)"),
     ("ANN IVF", "llm_ann_ivf_topk (rows-only; k-means-trained cells, recall-tested)"),
     ("language-ID", "llm_lang_id"),
-    ("quality scoring", "llm_quality_score"),
+    ("quality scoring", "llm_quality_score + llm_quality_repetition + llm_unigram_logprob_score (CCNet-style perplexity proxy)"),
     ("token counting", "llm_token_stats"),
     ("fingerprinting", "llm_exact_dedup (md5) + llm_token_stats (rolling hash) + llm_winnow_fingerprints (MOSS winnowing: window-min of k-gram rolling hashes)"),
     ("multimodal decode", "llm_multimodal_decode + operators/multimodal.py::decode_pixels "
