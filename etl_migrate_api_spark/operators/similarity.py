@@ -227,66 +227,69 @@ def kmeans_centroids(
     n_iter: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_cap: int = 4096,
 ) -> DataFrame:
-    """Deterministic spherical k-means (Lloyd's) over DataFrame aggs —
-    the IVF coarse-quantizer trainer. Returns (cent_id, cent_v).
+    """Deterministic spherical k-means (Lloyd's) — the IVF coarse-
+    quantizer trainer. Returns (cent_id, cent_v).
 
-    - Init: the k corpus vectors with smallest md5(id) — a seeded
-      random sample with no RNG state. Init is rerun-identical anywhere;
-      the ITERATIONS are rerun-identical in a single process (this
-      harness), but on a real multi-executor cluster F.avg merges
-      partial float sums in shuffle-fetch order, so a 1-ULP mean
-      difference can flip an argmax cell assignment between reruns.
-      Bit-exact cluster reruns would need an order-independent mean
-      (fixed-point/decimal accumulation) — not worth it for a coarse
-      quantizer whose recall is insensitive to one boundary vector.
-    - Iterate: broadcast centroids → assign each vector to its argmax-
-      cosine cell (tie-break on cent_id) → new centroid = element-wise
-      mean of the cell (posexplode → groupBy(cell, pos) avg → re-collect
-      ordered array). Cosine to the mean equals cosine to the normalized
-      mean, so no normalization step is needed.
-    - Each iteration is ONE linear pass over the corpus with zero joins:
-      centroids are k×dim driver-side constants between iterations (the
-      standard Spark iterative-ML pattern — pyspark.ml.KMeans does the
-      same), so the cell assignment is a literal-array expression in the
-      projection, and the only shuffles are the dim-exploded partial avg
-      + array regroup (both map-side-combined).
-    - Cells that lose all members drop out (k can shrink); determinism
-      is unaffected.
+    - Sample: ONE distributed top-k pass picks the ``train_cap``
+      corpus vectors with smallest md5(id) (seeded random sample, no
+      RNG state); the first k of them seed the centroids.
+    - Iterate driver-side in numpy over the collected sample: assign
+      each vector to its argmax-cosine cell (unit-normalized centroids,
+      ties to the lowest cent_id — same math as _cell_assign_udf), new
+      centroid = element-wise float64 mean of the cell. Cosine to the
+      mean equals cosine to the normalized mean, so no normalization
+      step is needed between iterations.
+    - Fully rerun-identical even on a multi-executor cluster: the only
+      distributed step is the order-defined top-k sample; every float
+      accumulation happens in one process in one fixed order (the old
+      cluster-side F.avg variant could flip a boundary assignment by
+      1 ULP depending on shuffle-fetch merge order).
+    - Cells that lose all members drop out (k can shrink).
     """
+    import numpy as np
+
     spark = corpus.sparkSession
-    # k smallest md5(id): TakeOrderedAndProject (per-partition top-k +
-    # driver merge), NOT a row_number window — that would global-sort
-    # the corpus into a single partition
-    init = (
-        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("cent_v"))
+    # Train on a bounded DETERMINISTIC sample, driver-side — the faiss
+    # recipe (≥256 vectors per centroid suffices for a coarse quantizer;
+    # faiss itself trains on a subsample, outside the index). Lloyd over
+    # the full corpus is the one part of IVF that must not scale with
+    # the data: at 100 TB each iteration would be a full-corpus pass for
+    # a k×dim artifact a 4k-row sample estimates equally well — and a
+    # ≤train_cap×dim float block (~2 MB) iterated in numpy costs
+    # milliseconds where each cluster-side iteration costs whole jobs.
+    # The sample is the train_cap smallest md5(id) rows:
+    # TakeOrderedAndProject (per-partition top-k + driver merge, never a
+    # global sort), rerun-identical; its first k rows seed the
+    # centroids — identical to the previous seeding rule.
+    sample = (
+        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
         .orderBy(F.md5(F.col("vid").cast("string")), "vid")
-        .limit(k)
+        .limit(max(train_cap, k))
         .collect()
     )
-    cent_rows: list[tuple[int, list[float]]] = [
-        (i, [float(x) for x in r["cent_v"]]) for i, r in enumerate(init)
-    ]
-    vecs = corpus.select(F.col(vec_col).alias("v"))
+    X = np.asarray([list(r["v"]) for r in sample], dtype=np.float64)
+    cent_ids = list(range(min(k, len(X))))
+    cents = X[: len(cent_ids)].copy()
     for _ in range(n_iter):
-        cell = _cell_assign_udf(cent_rows)(F.col("v"))
-        means = (
-            vecs.select(cell.alias("cell"), "v")  # cell evaluated once/row
-            .select("cell", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"].cast("float"),
-                ).alias("cent_v")
-            )
-        )
-        cent_rows = [
-            (int(r["cell"]), [float(x) for x in r["cent_v"]])
-            for r in means.collect()  # k×dim floats — driver iteration
-        ]
+        # same math as _cell_assign_udf: unit-normalize centroids,
+        # argmax of <v, ĉ>, ties to the lowest cent_id (np.argmax takes
+        # the first maximum over cid-ascending rows)
+        nrm = np.linalg.norm(cents, axis=1, keepdims=True)
+        cn = np.divide(cents, nrm, out=cents.copy(), where=nrm > 0)
+        cell = np.argmax(X @ cn.T, axis=1)
+        kept_ids, kept_cents = [], []
+        for j, cid in enumerate(cent_ids):
+            members = X[cell == j]
+            if len(members):  # empty cells drop out (k can shrink)
+                kept_ids.append(cid)
+                kept_cents.append(members.mean(axis=0))
+        cent_ids = kept_ids
+        cents = np.asarray(kept_cents)
+    cent_rows = [
+        (cid, [float(x) for x in cv]) for cid, cv in zip(cent_ids, cents)
+    ]
     return spark.createDataFrame(
         cent_rows, schema="cent_id int, cent_v array<float>"
     )
