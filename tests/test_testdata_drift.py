@@ -33,3 +33,23 @@ def test_no_raw_temporal_dtypes_survive_load(spark, sf_small, name):
 def test_all_tables_nonempty(spark, sf_small):
     for name in catalog.TABLES:
         assert catalog.load(spark, name, sf_small).limit(1).count() == 1, name
+
+
+def test_load_bearing_column_types_pinned(spark, sf_small):
+    """Columns whose types the operator families depend on: a silent
+    regeneration changing any of these must fail here, not in the
+    driver's gate (the round-5 lesson, generalized past timestamps)."""
+    pins = {
+        "events": {"event_id": "bigint", "user_id": "bigint", "value": "double"},
+        "documents": {"doc_id": "bigint", "text": "string", "lang": "string"},
+        "lineitem": {"l_orderkey": "bigint", "l_quantity": "double"},
+        "orders": {"o_orderkey": "bigint", "o_custkey": "bigint"},
+    }
+    for table, cols in pins.items():
+        dtypes = dict(catalog.load(spark, table, sf_small).dtypes)
+        for col, want in cols.items():
+            assert dtypes.get(col) == want, (table, col, dtypes.get(col))
+    emb = dict(catalog.load(spark, "embeddings", sf_small).dtypes)
+    assert emb.get("vec_id") == "bigint", emb
+    # the ANN/dedup family needs a numeric array; float vs double both work
+    assert emb.get("embedding", "").startswith("array<"), emb
