@@ -251,3 +251,69 @@ def test_decode_pixels_mapinpandas_exact_crc(spark):
     assert out[3]["mean_px"] == sum(ppm_px) / len(ppm_px)
     assert not out[4]["ok"] and "PIL" in out[4]["err"]
     assert not out[5]["ok"] and "unknown image container" in out[5]["err"]
+
+
+# --- real audio decode -----------------------------------------------------
+
+
+def _make_wav(samples, rate=8000, bits=16, n_ch=1, extra_chunk=False):
+    """Minimal RIFF/WAVE writer: PCM, optional junk chunk before fmt
+    (exercises the chunk walk), word-aligned."""
+    import struct
+
+    if bits == 16:
+        data = struct.pack(f"<{len(samples)}h", *samples)
+    elif bits == 8:
+        data = bytes(samples)
+    else:
+        data = struct.pack(f"<{len(samples)}i", *samples)
+    block = n_ch * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * block, block, bits)
+    chunks = b""
+    if extra_chunk:
+        junk = b"junkdata!"  # odd length: forces the word-align skip
+        chunks += b"JUNK" + struct.pack("<I", len(junk)) + junk + b"\x00"
+    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_decode_exact():
+    import math
+
+    from etl_migrate_api_spark.operators.multimodal import decode_wav_one
+
+    samples = [0, 16384, -16384, 32767, -32768, 0]
+    n_ch, rate, bits, n_frames, pcm = decode_wav_one(
+        _make_wav(samples, rate=16000, extra_chunk=True)
+    )
+    assert (n_ch, rate, bits, n_frames) == (1, 16000, 16, 6)
+    import struct
+
+    assert list(struct.unpack("<6h", pcm)) == samples
+    # 8-bit unsigned path
+    n_ch, rate, bits, n_frames, pcm = decode_wav_one(
+        _make_wav([128, 255, 0, 128], bits=8)
+    )
+    assert (bits, n_frames, list(pcm)) == (8, 4, [128, 255, 0, 128])
+
+
+def test_decode_audio_mapinpandas(spark):
+    import math
+
+    from etl_migrate_api_spark.operators.multimodal import decode_audio
+
+    full = _make_wav([32767, -32768] * 100, rate=8000)  # full-scale square
+    silent = _make_wav([0] * 400, rate=8000)
+    junk = b"not audio at all"
+    df = spark.createDataFrame(
+        [(1, full), (2, silent), (3, junk)],
+        "media_id long, content binary",
+    )
+    out = {r["media_id"]: r for r in decode_audio(df).collect()}
+    assert out[1]["ok"] and out[1]["n_frames"] == 200
+    assert out[1]["duration_s"] == 200 / 8000
+    # full-scale square wave: rms ~1.0 (32767/32768 and 32768/32768)
+    assert abs(out[1]["rms"] - 1.0) < 1e-4
+    assert out[2]["ok"] and out[2]["rms"] == 0.0  # silence gate signal
+    assert not out[3]["ok"] and "RIFF" in out[3]["err"]
