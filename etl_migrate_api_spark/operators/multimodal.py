@@ -53,9 +53,33 @@ def fake_media_table(docs: DataFrame) -> DataFrame:
             F.lit("0802000000" + "00000000"),
         )
     )
-    content = F.when(
-        media_type == "image", F.concat(png_header, payload)
-    ).otherwise(payload)
+    # AUDIO rows carry a fully VALID 16-bit mono PCM WAV: the RIFF/fmt/
+    # data header is pure struct fields (no checksum, unlike zlib), so
+    # it is constructible as a hex literal around the fixed 64-byte
+    # payload — 32 frames @ 8 kHz of md5-derived "noise" that
+    # decode_audio really decodes (rate/duration/RMS), not just parses.
+    wav_header = F.unhex(
+        F.lit(
+            "52494646"  # 'RIFF'
+            "64000000"  # chunk size = 36 + 64 data bytes (LE)
+            "57415645"  # 'WAVE'
+            "666D7420"  # 'fmt '
+            "10000000"  # fmt length 16 (LE)
+            "0100"  # PCM
+            "0100"  # mono
+            "401F0000"  # 8000 Hz (LE)
+            "803E0000"  # byte rate 16000 (LE)
+            "0200"  # block align 2
+            "1000"  # 16 bits
+            "64617461"  # 'data'
+            "40000000"  # data length 64 (LE)
+        )
+    )
+    content = (
+        F.when(media_type == "image", F.concat(png_header, payload))
+        .when(media_type == "audio", F.concat(wav_header, payload))
+        .otherwise(payload)
+    )
     return docs.select(
         F.col("doc_id").alias("media_id"),
         media_type.alias("media_type"),

@@ -439,8 +439,9 @@ def llm_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image metadata decode over binary media columns (mapInPandas,
-    Arrow-batched; decoder stubbed deterministically — see
-    operators/multimodal.py)."""
+    Arrow-batched): real PNG IHDR/BMP header parsing — see
+    operators/multimodal.py (full pixel decode lives in
+    decode_pixels; audio in llm_multimodal_audio)."""
     from etl_migrate_api_spark.operators.multimodal import (
         decode_images,
         fake_media_table,
@@ -448,6 +449,27 @@ def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, "documents", sf_dir)
     return decode_images(fake_media_table(docs))
+
+
+@register("llm_multimodal_audio", oracle=None)
+def llm_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode over the media table's WAV rows (mapInPandas):
+    fake_media_table plants valid 16-bit mono PCM WAVs (the header is
+    pure struct fields, built as a hex literal in SQL), so rate /
+    duration / RMS here come from an actual RIFF+PCM decode of every
+    row — rows-only check (signal stats have no SQL twin), exactness
+    covered by the fixture tests in tests/test_multimodal.py."""
+    from etl_migrate_api_spark.operators.multimodal import (
+        decode_audio,
+        fake_media_table,
+    )
+
+    docs = load(spark, "documents", sf_dir)
+    media = fake_media_table(docs).where(F.col("media_type") == "audio")
+    return decode_audio(media).select(
+        "media_id", "sample_rate", "n_frames", "duration_s",
+        F.round("rms", 6).alias("rms"), "ok",
+    )
 
 
 @register("llm_multimodal_frames", oracle=None)

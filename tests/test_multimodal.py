@@ -25,10 +25,13 @@ def test_media_schema(media):
     assert dict(media.dtypes)["meta"].startswith("struct<n_bytes:int")
     types = {r["media_type"] for r in media.select("media_type").distinct().collect()}
     assert types == {"image", "audio", "video"}
-    # audio/video payload = 4 chained md5s = 64 bytes;
-    # image = 33-byte PNG signature+IHDR header ++ the 64-byte payload
+    # payload = 4 chained md5s = 64 bytes; image = 33-byte PNG
+    # signature+IHDR ++ payload; audio = 44-byte WAV header ++ payload
     assert media.where(
-        (F.col("media_type") != "image") & (F.length("content") != 64)
+        (F.col("media_type") == "video") & (F.length("content") != 64)
+    ).count() == 0
+    assert media.where(
+        (F.col("media_type") == "audio") & (F.length("content") != 108)
     ).count() == 0
     assert media.where(
         (F.col("media_type") == "image") & (F.length("content") != 97)
@@ -317,3 +320,19 @@ def test_decode_audio_mapinpandas(spark):
     assert abs(out[1]["rms"] - 1.0) < 1e-4
     assert out[2]["ok"] and out[2]["rms"] == 0.0  # silence gate signal
     assert not out[3]["ok"] and "RIFF" in out[3]["err"]
+
+
+def test_planted_wav_rows_really_decode(media):
+    """Every audio row in the fake media table must decode as a valid
+    16-bit mono 8 kHz WAV with 32 frames of real PCM (not ok=false
+    plumbing): the registered llm_multimodal_audio query rides this."""
+    from etl_migrate_api_spark.operators.multimodal import decode_audio
+
+    rows = decode_audio(
+        media.where(F.col("media_type") == "audio")
+    ).collect()
+    assert rows and all(r["ok"] for r in rows)
+    for r in rows:
+        assert (r["n_channels"], r["sample_rate"], r["bits"]) == (1, 8000, 16)
+        assert r["n_frames"] == 32 and r["duration_s"] == 32 / 8000
+        assert 0.0 < r["rms"] <= 1.0  # md5 noise: nonzero, in range

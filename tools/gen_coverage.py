@@ -75,6 +75,7 @@ NORTH_STAR = [
     ("fingerprinting", "llm_exact_dedup (md5) + llm_token_stats (rolling hash) + llm_winnow_fingerprints (MOSS winnowing: window-min of k-gram rolling hashes)"),
     ("multimodal decode", "llm_multimodal_decode + operators/multimodal.py::decode_pixels "
      "(REAL stdlib PNG/BMP/PPM pixel decode, exact-CRC tested; JPEG env-gated behind PIL)"),
+    ("multimodal audio", "llm_multimodal_audio (real RIFF/PCM decode of planted WAV rows: rate/duration/RMS)"),
     ("multimodal frames", "llm_multimodal_frames"),
     ("sessionization", "events_sessionize + streaming/stateful.py"),
     ("stratified sampling", "llm_stratified_sample (md5-threshold Bernoulli, per-stratum rates)"),
