@@ -544,11 +544,19 @@ def write_ivf_index(
         (int(r["cent_id"]), [float(x) for x in r["cent_v"]]) for r in cents.collect()
     ]
     assign = _cell_assign_udf(cent_rows)
+    # repartition on the partition column before the partitioned write:
+    # without it every input task writes one file per cell it touches
+    # (tasks × k files — the classic small-files explosion; 1000
+    # executors × 64 cells = 64k files per write). One shuffle keyed on
+    # cell makes each cell directory a handful of whole files; AQE
+    # splits a skewed cell's oversized shuffle partition.
     corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
         assign(F.col(vec_col)).alias("cell"),
-    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+    ).repartition(F.col("cell")).write.mode("overwrite").partitionBy("cell").parquet(
+        path
+    )
     cents.write.mode("overwrite").parquet(f"{path}.centroids")
 
 
