@@ -12,7 +12,8 @@ per-row (ok=false, err) instead of failing the task.
 Scale notes: media bytes never hit the driver; ``mapInPandas`` streams
 Arrow batches through executors, and ``spark.sql.execution.arrow.
 maxRecordsPerBatch`` bounds memory per batch. Frame sampling is a pure
-binary-slice expression (no Python) — substring works on BinaryType.
+binary-slice expression (no Python) — substring works on BinaryType;
+real container-aware video decode (Y4M) lives in ``operators/video.py``.
 """
 
 from __future__ import annotations
@@ -75,10 +76,25 @@ def fake_media_table(docs: DataFrame) -> DataFrame:
             "40000000"  # data length 64 (LE)
         )
     )
+    # VIDEO rows carry a fully VALID YUV4MPEG2 stream: text header
+    # "YUV4MPEG2 W4 H4 F25:1 Cmono\n" then 4 frames, each "FRAME\n" +
+    # a 16-byte (4x4 mono) luma plane sliced from the payload — so
+    # video.decode_video really walks a container and extracts frames,
+    # like the WAV/PNG plants do for audio/images. Total 116 bytes.
+    y4m_header = F.unhex(
+        F.lit("595556344D50454732205734204834204632353A3120436D6F6E6F0A")
+    )
+    frame_marker = F.unhex(F.lit("4652414D450A"))
+    y4m_frames = F.concat(
+        *[
+            F.concat(frame_marker, F.substring(payload, i * 16 + 1, 16))
+            for i in range(4)
+        ]
+    )
     content = (
         F.when(media_type == "image", F.concat(png_header, payload))
         .when(media_type == "audio", F.concat(wav_header, payload))
-        .otherwise(payload)
+        .otherwise(F.concat(y4m_header, y4m_frames))
     )
     return docs.select(
         F.col("doc_id").alias("media_id"),
@@ -376,7 +392,9 @@ def decode_pixels(media: DataFrame) -> DataFrame:
                     rows.append(
                         (int(mid), w, h, mode, zlib.crc32(px), mean, True, None)
                     )
-                except (ValueError, NotImplementedError) as exc:
+                # broad by design: zlib.error / struct.error / Unicode
+                # failures on adversarial bytes are data, not bugs
+                except Exception as exc:  # noqa: BLE001
                     rows.append(
                         (int(mid), 0, 0, None, 0, 0.0, False, str(exc)[:200])
                     )
@@ -390,6 +408,139 @@ def decode_pixels(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "content").mapInPandas(
         decode, schema=_PIXEL_SCHEMA
+    )
+
+
+# --- encode ----------------------------------------------------------------
+
+
+_PNG_COLOR_TYPE = {"L": 0, "RGB": 2, "LA": 4, "RGBA": 6}
+
+
+def encode_png_one(px: bytes, width: int, height: int, mode: str = "RGB") -> bytes:
+    """Minimal REAL PNG writer (8-bit, non-interlaced, filter-0 rows,
+    stdlib zlib) — the inverse of ``_decode_png_pixels``; roundtrips
+    byte-exactly through it."""
+    import struct
+    import zlib
+
+    ch = len(mode)
+    if mode not in _PNG_COLOR_TYPE:
+        raise ValueError(f"unsupported PNG mode {mode!r}")
+    if len(px) != width * height * ch:
+        raise ValueError(
+            f"pixel buffer {len(px)} != {width}x{height}x{ch} for mode {mode}"
+        )
+    stride = width * ch
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    raw = b"".join(
+        b"\x00" + px[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, _PNG_COLOR_TYPE[mode], 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_images(
+    pixels_df: DataFrame, width: int, height: int, mode: str = "RGB"
+) -> DataFrame:
+    """Encode raw pixel buffers into real PNG blobs over mapInPandas:
+    input ``(media_id, pixels binary)`` with fixed dims, output
+    ``(media_id, content binary)``. Paired with ``decode_pixels`` /
+    ``resize_images`` this closes the encode→decode loop entirely
+    executor-side — the write half of a thumbnailing pipeline."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "content": [
+                        encode_png_one(bytes(p), width, height, mode)
+                        for p in pdf["pixels"]
+                    ],
+                }
+            )
+
+    return pixels_df.select("media_id", "pixels").mapInPandas(
+        run, schema="media_id bigint, content binary"
+    )
+
+
+# --- resize ----------------------------------------------------------------
+
+
+def resize_nearest_one(
+    px: bytes, width: int, height: int, channels: int, out_w: int, out_h: int
+) -> bytes:
+    """Nearest-neighbor resample of raw interleaved pixels (numpy fancy
+    indexing — vectorized, no Python pixel loop). Index map is the
+    standard floor scale ``src = (dst * src_dim) // dst_dim`` so results
+    are exact integers and engine-portable."""
+    import numpy as np
+
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(height, width, channels)
+    yi = (np.arange(out_h) * height) // out_h
+    xi = (np.arange(out_w) * width) // out_w
+    return arr[yi][:, xi].tobytes()
+
+
+_RESIZE_SCHEMA = (
+    "media_id bigint, src_w int, src_h int, out_w int, out_h int, "
+    "mode string, px_crc32 bigint, mean_px double, ok boolean, err string"
+)
+
+
+def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Decode + nearest-neighbor resize to a fixed thumbnail size over
+    mapInPandas — the normalize-resolution step in front of a vision
+    encoder. Emits the resized buffer's CRC32 + mean (exact-result
+    proof) rather than the pixels; a production pipeline would instead
+    re-encode and write the thumbnail column. Per-row (ok=false, err)
+    on undecodable blobs, like decode_pixels."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    w, h, mode, px = decode_pixels_one(c)
+                    ch = len(mode)  # L/LA/RGB/RGBA/BGR/BGRA → 1/2/3/4
+                    out = resize_nearest_one(px, w, h, ch, out_w, out_h)
+                    mean = (sum(out) / len(out)) if out else 0.0
+                    rows.append(
+                        (int(mid), w, h, out_w, out_h, mode,
+                         zlib.crc32(out), mean, True, None)
+                    )
+                except Exception as exc:  # noqa: BLE001 — corrupt blob = data
+                    rows.append(
+                        (int(mid), 0, 0, out_w, out_h, None, 0, 0.0,
+                         False, str(exc)[:200])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "src_w", "src_h", "out_w", "out_h",
+                    "mode", "px_crc32", "mean_px", "ok", "err",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run, schema=_RESIZE_SCHEMA
     )
 
 

@@ -225,3 +225,152 @@ def q_daily_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             flag("purchase").alias("n_purchase"),
         )
     )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+      select o_orderpriority, count(*) as order_count
+      from orders o
+      where o.o_orderdate >= timestamp '1997-01-01 00:00:00'
+        and o.o_orderdate <  timestamp '1997-07-01 00:00:00'
+        and exists (select 1 from lineitem l
+                    where l.l_orderkey = o.o_orderkey
+                      and l.l_returnflag = 'R')
+      group by o_orderpriority
+    """,
+    survey_refs=("J1", "F2", "A3"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape adapted to this schema (no commitdate column):
+    order-priority counts for a date window where EXISTS a returned
+    lineitem — a fact-fact LEFT SEMI join. Scale: the date filter
+    pushes to the orders scan; the returnflag filter pushes to the
+    lineitem scan BEFORE the shuffle, so the semi join moves only
+    returned lines; AQE coalesces the post-join partitions."""
+    o = load(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    returned = (
+        load(spark, "lineitem", sf_dir)
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle="""
+      select sn.n_name as supp_nation, cn.n_name as cust_nation,
+             cast(extract(year from l.l_shipdate) as int) as l_year,
+             cast(round(sum(cast(l.l_extendedprice as decimal(18,2))
+                            * cast(1 - l.l_discount as decimal(18,2))), 2) as double) as revenue
+      from lineitem l
+      join orders o   on l.l_orderkey = o.o_orderkey
+      join customer c on o.o_custkey = c.c_custkey
+      join nation cn  on c.c_nationkey = cn.n_nationkey
+      join supplier s on l.l_suppkey = s.s_suppkey
+      join nation sn  on s.s_nationkey = sn.n_nationkey
+      where sn.n_name in ('NATION_1','NATION_2')
+        and cn.n_name in ('NATION_1','NATION_2')
+        and sn.n_name <> cn.n_name
+      group by 1, 2, 3
+    """,
+    survey_refs=("J2", "A3", "PH2", "T8"),
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year. Scale: nation/supplier/customer are broadcast (the only
+    shuffle is the orders⋈lineitem fact-fact join on orderkey); the
+    nation-pair filter is applied on the broadcast sides so the fact
+    shuffle carries only qualifying rows."""
+    nations = ("NATION_1", "NATION_2")
+    li = load(spark, "lineitem", sf_dir)
+    o = load(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    n = load(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    cust_n = (
+        load(spark, "customer", sf_dir)
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name").isin(*nations))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    supp_n = (
+        load(spark, "supplier", sf_dir)
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name").isin(*nations))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    rev = (F.col("l_extendedprice").cast(_DEC)
+           * (F.lit(1) - F.col("l_discount")).cast(_DEC))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_n), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_n), li.l_suppkey == F.col("s_suppkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(_dbl(F.sum(rev)).alias("revenue"))
+    )
+
+
+@register(
+    "window_rank_battery",
+    oracle="""
+      with w as (
+        select o_custkey, o_orderkey, o_totalprice,
+               rank()         over pw as rnk,
+               dense_rank()   over pw as drnk,
+               ntile(4)       over pw as quartile,
+               percent_rank() over pw as prnk,
+               cume_dist()    over pw as cdist
+        from orders
+        window pw as (partition by o_custkey
+                      order by o_totalprice desc, o_orderkey)
+      )
+      select o_custkey, o_orderkey,
+             cast(rnk as int) as rnk, cast(drnk as int) as drnk,
+             cast(quartile as int) as quartile,
+             cast(round(prnk, 6) as double) as prnk,
+             cast(round(cdist, 6) as double) as cdist
+      from w
+      where rnk <= 8
+    """,
+    survey_refs=("W2", "W3", "O1", "O2"),
+)
+def window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function battery per customer: rank / dense_rank /
+    ntile(4) / percent_rank / cume_dist in ONE window spec (single
+    shuffle+sort on o_custkey — Spark collapses same-spec window
+    functions into one Window node). The o_orderkey tiebreak makes
+    ntile engine-deterministic (ntile splits ties by row order)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    )
+    o = load(spark, "orders", sf_dir)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("prnk"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        )
+        .where(F.col("rnk") <= 8)
+        .select(
+            "o_custkey", "o_orderkey", "rnk", "drnk", "quartile", "prnk", "cdist"
+        )
+    )

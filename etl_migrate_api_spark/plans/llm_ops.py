@@ -487,6 +487,53 @@ def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("llm_multimodal_video", oracle=None)
+def llm_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode over the media table's Y4M rows (mapInPandas):
+    fake_media_table plants valid YUV4MPEG2 streams (text header + 4
+    FRAME-delimited 4x4 mono luma planes built as hex-literal SQL), so
+    width/fps/per-frame luma stats here come from an actual container
+    walk + frame extraction of every row. Rows-only check (frame CRCs
+    have no SQL twin); exactness covered by tests/test_multimodal.py
+    (planted rows cross-checked against the pure-python decoder)."""
+    from etl_migrate_api_spark.operators.multimodal import fake_media_table
+    from etl_migrate_api_spark.operators.video import decode_video
+
+    docs = load(spark, "documents", sf_dir)
+    media = fake_media_table(docs).where(F.col("media_type") == "video")
+    return decode_video(media).select(
+        "media_id", "frame_idx", "width", "height", "fps",
+        F.round("y_mean", 6).alias("y_mean"), "y_crc32", "ok",
+    )
+
+
+@register("llm_image_resize", oracle=None)
+def llm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full executor-side image pipeline: encode the media payload bytes
+    into REAL 4x4 RGB PNGs (stdlib zlib writer), then decode + resize to
+    8x8 thumbnails — encode→decode→resize entirely in mapInPandas, the
+    resolution-normalization step before a vision encoder. Rows-only
+    check; exact resized-buffer CRCs verified in tests/test_multimodal.py."""
+    from etl_migrate_api_spark.operators.multimodal import (
+        encode_images,
+        fake_media_table,
+        resize_images,
+    )
+
+    docs = load(spark, "documents", sf_dir)
+    media = fake_media_table(docs).where(F.col("media_type") == "image")
+    # payload = bytes 34..97 of the planted blob (after the 33-byte
+    # PNG signature+IHDR plant); first 48 bytes = 4x4 RGB pixels
+    pixels = media.select(
+        "media_id", F.substring("content", 34, 48).alias("pixels")
+    )
+    pngs = encode_images(pixels, 4, 4, "RGB")
+    return resize_images(pngs, 8, 8).select(
+        "media_id", "src_w", "src_h", "out_w", "out_h",
+        "px_crc32", F.round("mean_px", 6).alias("mean_px"), "ok",
+    )
+
+
 # ---------------------------------------------------------------- text analysis
 
 _STOPWORD_SQL_LIST = (

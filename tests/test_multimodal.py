@@ -26,9 +26,10 @@ def test_media_schema(media):
     types = {r["media_type"] for r in media.select("media_type").distinct().collect()}
     assert types == {"image", "audio", "video"}
     # payload = 4 chained md5s = 64 bytes; image = 33-byte PNG
-    # signature+IHDR ++ payload; audio = 44-byte WAV header ++ payload
+    # signature+IHDR ++ payload; audio = 44-byte WAV header ++ payload;
+    # video = 28-byte Y4M header ++ 4 × (6-byte FRAME marker + 16 bytes)
     assert media.where(
-        (F.col("media_type") == "video") & (F.length("content") != 64)
+        (F.col("media_type") == "video") & (F.length("content") != 116)
     ).count() == 0
     assert media.where(
         (F.col("media_type") == "audio") & (F.length("content") != 108)
@@ -87,9 +88,9 @@ def test_sample_frames_pure_expr(media):
     out = sample_frames(media, frame_bytes=16)
     rows = out.collect()
     n_videos = media.where(F.col("media_type") == "video").count()
-    assert len(rows) == n_videos * 4  # 64 bytes / 16
+    assert len(rows) == n_videos * 7  # floor(116 bytes / 16)
     assert all(len(r["frame"]) == 16 for r in rows)
-    assert {r["frame_idx"] for r in rows} == {0, 1, 2, 3}
+    assert {r["frame_idx"] for r in rows} == set(range(7))
     # no Python in the plan: frame sampling must not show mapInPandas/Python eval
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
@@ -336,3 +337,182 @@ def test_planted_wav_rows_really_decode(media):
         assert (r["n_channels"], r["sample_rate"], r["bits"]) == (1, 8000, 16)
         assert r["n_frames"] == 32 and r["duration_s"] == 32 / 8000
         assert 0.0 < r["rms"] <= 1.0  # md5 noise: nonzero, in range
+
+
+# --- real video decode (Y4M) -----------------------------------------------
+
+
+def _make_y4m(width, height, y_planes, colorspace="mono", fps=(30, 1)):
+    """Minimal YUV4MPEG2 writer; for non-mono colorspaces the chroma
+    planes are zero-filled to the correct length."""
+    from etl_migrate_api_spark.operators.video import _frame_bytes
+
+    hdr = f"YUV4MPEG2 W{width} H{height} F{fps[0]}:{fps[1]} C{colorspace}\n".encode()
+    fsize = _frame_bytes(width, height, colorspace)
+    body = b""
+    for y in y_planes:
+        assert len(y) == width * height
+        body += b"FRAME\n" + y + b"\x00" * (fsize - len(y))
+    return hdr + body
+
+
+def test_y4m_decode_exact():
+    from etl_migrate_api_spark.operators.video import decode_y4m_one
+
+    planes = [bytes((x * 31 + i) % 256 for x in range(12)) for i in range(3)]
+    w, h, num, den, cs, got = decode_y4m_one(_make_y4m(4, 3, planes, fps=(25, 1)))
+    assert (w, h, num, den, cs) == (4, 3, 25, 1, "mono")
+    assert got == planes
+    # 4:2:0 chroma subsampling: frame = w*h*3/2, luma still first w*h
+    w, h, num, den, cs, got = decode_y4m_one(
+        _make_y4m(4, 2, [bytes(range(8))], colorspace="420jpeg")
+    )
+    assert (w, h, cs) == (4, 2, "420jpeg") and got == [bytes(range(8))]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        decode_y4m_one(b"RIFF....WAVE")
+    with _pytest.raises(ValueError, match="truncated frame"):
+        decode_y4m_one(_make_y4m(4, 3, [planes[0]])[:-5])
+
+
+def test_decode_video_mapinpandas(spark):
+    import zlib
+
+    from etl_migrate_api_spark.operators.video import decode_video
+
+    planes = [bytes((x * 7 + i * 3) % 256 for x in range(16)) for i in range(5)]
+    good = _make_y4m(4, 4, planes, fps=(24, 1))
+    junk = b"definitely not video"
+    df = spark.createDataFrame(
+        [(1, good), (2, junk)], "media_id long, content binary"
+    )
+    rows = decode_video(df).collect()
+    good_rows = sorted(
+        (r for r in rows if r["media_id"] == 1), key=lambda r: r["frame_idx"]
+    )
+    assert len(good_rows) == 5
+    for i, r in enumerate(good_rows):
+        assert r["ok"] and (r["width"], r["height"], r["fps"]) == (4, 4, 24.0)
+        assert r["y_crc32"] == zlib.crc32(planes[i])
+        assert r["y_mean"] == sum(planes[i]) / 16
+    # frame_stride samples every other frame
+    strided = decode_video(df.where("media_id = 1"), frame_stride=2).collect()
+    assert sorted(r["frame_idx"] for r in strided) == [0, 2, 4]
+    bad = [r for r in rows if r["media_id"] == 2]
+    assert len(bad) == 1 and not bad[0]["ok"] and "YUV4MPEG2" in bad[0]["err"]
+
+
+def test_planted_y4m_rows_really_decode(media):
+    """Every video row in the fake media table must decode as a valid
+    4x4 mono 25fps Y4M with 4 frames whose luma planes are exactly the
+    16-byte payload slices — the registered llm_multimodal_video query
+    rides this."""
+    import zlib
+
+    from etl_migrate_api_spark.operators.video import decode_video, decode_y4m_one
+
+    vids = media.where(F.col("media_type") == "video")
+    rows = decode_video(vids).collect()
+    n_videos = vids.count()
+    assert len(rows) == n_videos * 4 and all(r["ok"] for r in rows)
+    for r in rows:
+        assert (r["width"], r["height"], r["fps"]) == (4, 4, 25.0)
+    # cross-check one blob end-to-end against the pure-python decoder
+    blob = vids.limit(1).collect()[0]
+    _, _, _, _, _, planes = decode_y4m_one(bytes(blob["content"]))
+    spark_rows = sorted(
+        (r for r in rows if r["media_id"] == blob["media_id"]),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["y_crc32"] for r in spark_rows] == [zlib.crc32(p) for p in planes]
+
+
+# --- resize ----------------------------------------------------------------
+
+
+def test_resize_nearest_exact():
+    import numpy as np
+
+    from etl_migrate_api_spark.operators.multimodal import resize_nearest_one
+
+    # 2x2 RGB doubled → each source pixel becomes a 2x2 block (kron)
+    src = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    up = resize_nearest_one(src.tobytes(), 2, 2, 3, 4, 4)
+    expect = np.kron(src.transpose(2, 0, 1), np.ones((2, 2), np.uint8)).transpose(1, 2, 0)
+    assert up == np.ascontiguousarray(expect).tobytes()
+    # downscale 4x4 → 2x2 picks pixels at src index (dst*4)//2 = 0, 2
+    src = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    down = resize_nearest_one(src.tobytes(), 4, 4, 1, 2, 2)
+    assert list(down) == [0, 2, 8, 10]
+    # non-integer ratio 3 → 2: indices (0*3)//2=0, (1*3)//2=1
+    src = np.arange(9, dtype=np.uint8).reshape(3, 3, 1)
+    assert list(resize_nearest_one(src.tobytes(), 3, 3, 1, 2, 2)) == [0, 1, 3, 4]
+
+
+def test_resize_images_mapinpandas(spark):
+    """Resize through the Spark plan equals pure-python decode+resize,
+    bad rows degrade per-row."""
+    import zlib
+
+    from etl_migrate_api_spark.operators.multimodal import (
+        decode_pixels_one,
+        resize_images,
+        resize_nearest_one,
+    )
+
+    w, h = 6, 4
+    pixels = bytes((x * 17 + 3) % 256 for x in range(w * h * 3))
+    png = _make_png(w, h, pixels, color_type=2, filters=[0, 1, 2, 3])
+    df = spark.createDataFrame(
+        [(1, png), (2, b"garbage")], "media_id long, content binary"
+    )
+    out = {r["media_id"]: r for r in resize_images(df, 3, 2).collect()}
+    dw, dh, mode, px = decode_pixels_one(png)
+    expect = resize_nearest_one(px, dw, dh, 3, 3, 2)
+    assert out[1]["ok"] and out[1]["px_crc32"] == zlib.crc32(expect)
+    assert (out[1]["src_w"], out[1]["src_h"]) == (w, h)
+    assert (out[1]["out_w"], out[1]["out_h"]) == (3, 2)
+    assert out[1]["mean_px"] == sum(expect) / len(expect)
+    assert not out[2]["ok"]
+
+
+def test_png_encode_roundtrip():
+    from etl_migrate_api_spark.operators.multimodal import (
+        decode_pixels_one,
+        encode_png_one,
+    )
+
+    px = bytes((x * 23 + 9) % 256 for x in range(4 * 4 * 3))
+    blob = encode_png_one(px, 4, 4, "RGB")
+    assert decode_pixels_one(blob) == (4, 4, "RGB", px)
+    gray = bytes(range(12))
+    assert decode_pixels_one(encode_png_one(gray, 4, 3, "L")) == (4, 3, "L", gray)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pixel buffer"):
+        encode_png_one(px[:-1], 4, 4, "RGB")
+
+
+def test_encode_resize_pipeline_spark(spark):
+    """encode_images → resize_images through Spark equals the pure-python
+    path for every row (the llm_image_resize query shape)."""
+    import zlib
+
+    from etl_migrate_api_spark.operators.multimodal import (
+        encode_images,
+        resize_images,
+        resize_nearest_one,
+    )
+
+    data = [
+        (i, bytes((x * (i + 3) + i) % 256 for x in range(4 * 4 * 3)))
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(data, "media_id long, pixels binary")
+    out = {r["media_id"]: r for r in resize_images(encode_images(df, 4, 4, "RGB"), 8, 8).collect()}
+    assert len(out) == 5
+    for i, px in data:
+        expect = resize_nearest_one(px, 4, 4, 3, 8, 8)
+        assert out[i]["ok"] and out[i]["px_crc32"] == zlib.crc32(expect)
+        assert (out[i]["src_w"], out[i]["src_h"]) == (4, 4)
