@@ -286,10 +286,11 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volume between two nations by
-    ship year. Scale: nation/supplier/customer are broadcast (the only
-    shuffle is the orders⋈lineitem fact-fact join on orderkey); the
-    nation-pair filter is applied on the broadcast sides so the fact
-    shuffle carries only qualifying rows."""
+    ship year. Scale: only the fixed-size nation dim gets a broadcast
+    HINT — customer/supplier scale with SF, so AQE decides their join
+    strategy from runtime sizes (broadcast at test scale, shuffle at
+    100 TB). The nation-pair filter lands on the dim sides before the
+    fact join so the orderkey shuffle carries only qualifying rows."""
     nations = ("NATION_1", "NATION_2")
     li = load(spark, "lineitem", sf_dir)
     o = load(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
@@ -312,8 +313,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
            * (F.lit(1) - F.col("l_discount")).cast(_DEC))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cust_n), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp_n), li.l_suppkey == F.col("s_suppkey"))
+        .join(cust_n, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_n, li.l_suppkey == F.col("s_suppkey"))
         .where(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
             "supp_nation",
@@ -373,4 +374,54 @@ def window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey", "o_orderkey", "rnk", "drnk", "quartile", "prnk", "cdist"
         )
+    )
+
+
+@register(
+    "q10_returned_revenue",
+    oracle="""
+      select c.c_custkey, c.c_name, n.n_name,
+             cast(round(sum(cast(l.l_extendedprice as decimal(18,2))
+                            * cast(1 - l.l_discount as decimal(18,2))), 2) as double) as revenue
+      from customer c
+      join orders o   on c.c_custkey = o.o_custkey
+      join lineitem l on o.o_orderkey = l.l_orderkey
+      join nation n   on c.c_nationkey = n.n_nationkey
+      where o.o_orderdate >= timestamp '1997-01-01 00:00:00'
+        and o.o_orderdate <  timestamp '1997-04-01 00:00:00'
+        and l.l_returnflag = 'R'
+      group by 1, 2, 3
+      order by revenue desc, c.c_custkey
+      limit 20
+    """,
+    survey_refs=("J2", "A3", "O2", "PH2"),
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer,
+    top 20. Scale: date filter pushes to the orders scan and returnflag
+    to the lineitem scan; one fact-fact shuffle on orderkey; nation is
+    hint-broadcast, customer (SF-scaled) is left to AQE — broadcast at
+    test scale, shuffle join against a 100 TB-scale customer table;
+    TakeOrderedAndProject caps the sort at k=20
+    per partition instead of a global sort. The c_custkey tiebreak
+    makes the LIMIT engine-deterministic under revenue ties."""
+    o = load(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load(spark, "lineitem", sf_dir).where(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    c = load(spark, "customer", sf_dir).select("c_custkey", "c_name", "c_nationkey")
+    n = load(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    rev = (F.col("l_extendedprice").cast(_DEC)
+           * (F.lit(1) - F.col("l_discount")).cast(_DEC))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_dbl(F.sum(rev)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
     )

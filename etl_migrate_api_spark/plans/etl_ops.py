@@ -1246,3 +1246,72 @@ def events_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("view_id").cast("bigint").alias("n_views_1h"),
         F.min("view_id").alias("first_view_id"),
     )
+
+
+@register(
+    "agg_countmin_counts",
+    oracle="""
+      select event_type, count(*) as cm_count
+      from events group by event_type
+    """,
+    survey_refs=("A3", "PH2"),
+)
+def agg_countmin_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries: one mergeable sketch built with a
+    distributed aggregate (F.count_min_sketch — partial sketches merged
+    map-side), then per-key estimates read from the final KB-sized
+    sketch on the driver (bounded: one sketch + the distinct key list).
+
+    Oracle legitimacy: CM estimates only OVER-count on hash collisions;
+    with width 2719 (eps=0.001) x depth 5 (conf=0.999) and only a
+    handful of distinct keys, no key pair collides at every depth, so
+    the estimates are provably exact here and the exact-count SQL is a
+    valid oracle — the parity gate itself would catch a collision.
+    At 100 TB the same plan holds: sketch size is O(width*depth), not
+    O(rows), and the heavy-hitter read-out stays driver-cheap."""
+    ev = load(spark, "events", sf_dir)
+    sketch = ev.agg(
+        F.count_min_sketch(
+            "event_type", F.lit(0.001), F.lit(0.999), F.lit(42)
+        ).alias("s")
+    ).collect()[0]["s"]
+    jvm = spark.sparkContext._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(sketch))
+    )
+    keys = sorted(
+        r["event_type"] for r in ev.select("event_type").distinct().collect()
+    )
+    return spark.createDataFrame(
+        [(k, int(cms.estimateCount(k))) for k in keys],
+        "event_type string, cm_count bigint",
+    )
+
+
+@register("agg_hll_sketch_battery", oracle=None, survey_refs=("A3", "E1"))
+def agg_hll_sketch_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches HLL battery: per-event-type user sketches
+    (hll_sketch_agg), their estimates, and the MERGED global sketch
+    (hll_union over the per-group sketches) vs the exact global
+    distinct. Rows-only check (HLL estimates have no cross-engine SQL
+    twin); tests/test_plans.py bounds the relative error and asserts
+    merge-consistency + determinism. The union-of-partials shape is the
+    100 TB pattern: per-partition/per-day sketches persist as KB blobs
+    and re-aggregate without touching raw data."""
+    ev = load(spark, "events", sf_dir)
+    per_group = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    merged = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_all"),
+    )
+    out = per_group.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+        "exact_users",
+    )
+    total = load(spark, "events", sf_dir).agg(
+        F.count_distinct("user_id").alias("exact_all")
+    )
+    return out.crossJoin(F.broadcast(merged)).crossJoin(F.broadcast(total))

@@ -699,3 +699,78 @@ def llm_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "split")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
+
+
+@register(
+    "llm_span_dedup",
+    oracle="""
+      with toks as (
+        select doc_id, string_split(text, ' ') as tk from documents
+      ),
+      spans as (
+        select doc_id, cast(i as int) as span_idx,
+               array_to_string(tk[(i*10+1):(i*10+10)], ' ') as span
+        from toks cross join unnest(range(cast(ceil(len(tk) / 10.0) as bigint))) as t(i)
+      ),
+      kept as (
+        select doc_id, span_idx, span,
+               row_number() over (partition by span order by doc_id, span_idx) as rn,
+               count(*) over (partition by doc_id) as n_spans_total
+        from spans
+      )
+      select doc_id,
+             string_agg(span, ' ' order by span_idx) as text_dedup,
+             cast(count(*) as int) as n_spans_kept,
+             cast(max(n_spans_total) as int) as n_spans_total
+      from kept where rn = 1
+      group by doc_id
+    """,
+    survey_refs=("E1", "E2", "W1", "T3", "T4"),
+)
+def llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style sub-document span dedup: split each doc into consecutive
+    10-word spans, drop every repeat of a span already seen anywhere in
+    the corpus (first occurrence by (doc_id, span_idx) wins), reassemble
+    the surviving spans in order. Docs whose every span is boilerplate
+    vanish entirely — the C4 semantics.
+
+    Scale: two shuffles, both on well-distributed keys — the
+    first-occurrence window partitions by the span text itself (hash
+    partitioning; the span column must travel anyway for reassembly),
+    the reassembly groups by doc_id. Span explode is a pure expression
+    (transform over sequence + slice), no Python. Boilerplate-heavy
+    corpora make single hot spans; those stay one-partition-bounded
+    because a span's duplicate set IS the partition, and AQE skew-split
+    handles the pathological all-docs-share-one-span case."""
+    from pyspark.sql import Window
+
+    docs = load(spark, "documents", sf_dir)
+    tk = F.split("text", " ")
+    n_spans = F.ceil(F.size(tk) / F.lit(10.0)).cast("int")
+    spans = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.array_join(F.slice(tk, i * 10 + 1, 10), " "),
+            )
+        ).alias("span_idx", "span"),
+    )
+    w_first = Window.partitionBy("span").orderBy("doc_id", "span_idx")
+    w_doc = Window.partitionBy("doc_id")
+    kept = (
+        spans.withColumn("rn", F.row_number().over(w_first))
+        .withColumn("n_spans_total", F.count(F.lit(1)).over(w_doc).cast("int"))
+        .where(F.col("rn") == 1)
+    )
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_idx", "span"))),
+                lambda s: s.span,
+            ),
+            " ",
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).cast("int").alias("n_spans_kept"),
+        F.max("n_spans_total").alias("n_spans_total"),
+    )

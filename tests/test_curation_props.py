@@ -167,3 +167,51 @@ def test_winnowing_shared_run_guarantee(spark, tmp_path):
         fps.setdefault(r["doc_id"], set()).add(r["fp"])
     assert fps[1] & fps[2], "shared 6-word run must share a fingerprint"
     assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_span_dedup_matches_bruteforce(spark, tmp_path):
+    """llm_span_dedup must equal the sequential reference algorithm
+    (walk docs in doc_id order, spans in position order, keep a span
+    only on its first corpus-wide occurrence) on a corpus engineered
+    for heavy span collisions — including whole docs vanishing and
+    within-doc repeats."""
+    import math
+
+    from etl_migrate_api_spark.plans.registry import QUERIES, _load_all
+
+    _load_all()
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab → many collisions
+    docs = []
+    for doc_id in range(60):
+        n = int(rng.integers(5, 45))
+        words = [vocab[int(w)] for w in rng.integers(0, len(vocab), n)]
+        docs.append((doc_id, " ".join(words)))
+    # plant exact-duplicate docs and a self-repeating doc
+    docs.append((60, docs[0][1]))
+    docs.append((61, docs[3][1] + " " + docs[3][1]))
+    spark.createDataFrame(docs, "doc_id bigint, text string").write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+
+    seen: set[str] = set()
+    expect: dict[int, tuple[str, int, int]] = {}
+    for doc_id, text in sorted(docs):
+        tk = text.split(" ")
+        spans = [
+            " ".join(tk[i * 10 : (i + 1) * 10])
+            for i in range(math.ceil(len(tk) / 10))
+        ]
+        kept = []
+        for s in spans:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        if kept:
+            expect[doc_id] = (" ".join(kept), len(kept), len(spans))
+
+    got = {
+        r["doc_id"]: (r["text_dedup"], r["n_spans_kept"], r["n_spans_total"])
+        for r in QUERIES["llm_span_dedup"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == expect

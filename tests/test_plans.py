@@ -186,3 +186,51 @@ def test_interval_join_keeps_equi_key(spark, sf_dir, queries):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_hll_sketch_battery_bounds(spark, sf_dir, queries):
+    """HLL estimates must sit within the lgK=12 error envelope of the
+    exact counts, the merged (union) sketch must agree with the global
+    exact, and a re-run must be bit-identical (sketches are
+    deterministic for fixed input + lgK)."""
+    fn = queries["agg_hll_sketch_battery"].fn
+    rows = fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["approx_users"] - r["exact_users"]) <= max(
+            3, 0.05 * r["exact_users"]
+        )
+        assert abs(r["approx_all"] - r["exact_all"]) <= max(3, 0.05 * r["exact_all"])
+    again = fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_countmin_estimates_exact_here(spark, sf_dir, queries):
+    """With width 2719 x depth 5 and a handful of keys, count-min point
+    estimates must equal exact counts (the oracle's premise)."""
+    from etl_migrate_api_spark.catalog import load
+
+    got = {
+        r["event_type"]: r["cm_count"]
+        for r in queries["agg_countmin_counts"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load(spark, "events", sf_dir).groupBy("event_type").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert got == exact
+
+
+def test_span_dedup_c4_semantics(spark, sf_dir, queries):
+    """Span dedup must actually drop repeated spans: fewer docs out than
+    in (fully-boilerplate docs vanish), kept <= total per doc, and every
+    surviving doc keeps at least one span."""
+    from etl_migrate_api_spark.catalog import load
+
+    out = queries["llm_span_dedup"].fn(spark, sf_dir).collect()
+    n_docs = load(spark, "documents", sf_dir).count()
+    assert 0 < len(out) < n_docs  # at least one all-duplicate doc vanished
+    assert all(1 <= r["n_spans_kept"] <= r["n_spans_total"] for r in out)
+    dropped = sum(r["n_spans_total"] - r["n_spans_kept"] for r in out)
+    assert dropped > 0
