@@ -16,7 +16,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_migrate_api_spark.functions.text import char_shingles, fingerprint
@@ -787,3 +787,90 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
     )
     return _materialize_and_release(out, base)
+
+
+# ---------------------------------------------------------------------------
+# C4-style span dedup (sub-document): shared by the batch queries
+# (plans/llm_curation.py llm_span_dedup / llm_span_dedup_incremental)
+# and the streaming ingest pass (streaming/pipeline.py span_dedup_stream)
+# ---------------------------------------------------------------------------
+
+
+def doc_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 10,
+) -> DataFrame:
+    """(id, span_idx, span, n_spans_total): consecutive ``span_words``-
+    word spans per document — pure expressions (transform over sequence
+    + slice), no Python. ``n_spans_total`` is the doc's pre-dedup span
+    count (one narrow window over the doc key)."""
+    w_doc = Window.partitionBy(id_col)
+    tk = F.split(text_col, " ")
+    n_spans = F.ceil(F.size(tk) / F.lit(float(span_words))).cast("int")
+    return docs.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.array_join(
+                    F.slice(tk, i * span_words + 1, span_words), " "
+                ),
+            )
+        ).alias("span_idx", "span"),
+    ).withColumn("n_spans_total", F.count(F.lit(1)).over(w_doc).cast("int"))
+
+
+def span_first_occurrence(spans: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Keep each distinct span's first occurrence by (id, span_idx) —
+    the C4 rule. One shuffle, hash-partitioned on the span text (the
+    span travels anyway for reassembly); a boilerplate-heavy hot span's
+    duplicate set IS its partition, AQE skew-split handles pathology."""
+    w = Window.partitionBy("span").orderBy(id_col, "span_idx")
+    return (
+        spans.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def reassemble_spans(kept: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Surviving spans → (id, text_dedup, n_spans_kept, n_spans_total);
+    docs with zero surviving spans vanish (C4 semantics)."""
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_idx", "span"))),
+                lambda s: s.span,
+            ),
+            " ",
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).cast("int").alias("n_spans_kept"),
+        F.max("n_spans_total").alias("n_spans_total"),
+    )
+
+
+def span_dedup_incremental(
+    batch_docs: DataFrame,
+    store_hashes: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 10,
+) -> tuple[DataFrame, DataFrame]:
+    """Clean a NEW batch against the persisted span-hash store:
+    returns ``(cleaned_docs, fresh_hashes)`` where ``fresh_hashes`` is
+    the batch's surviving distinct md5(span) hashes — exactly the rows
+    to append to the store. The store is 16-byte hashes, not raw spans
+    (at 100 TB ~2% of corpus bytes; the anti-join shuffles hashes only);
+    corpus text is never rescanned. ``store_hashes=None`` ≡ empty store
+    (first batch)."""
+    spans = doc_spans(batch_docs, text_col, id_col, span_words)
+    if store_hashes is not None:
+        spans = spans.join(
+            store_hashes, F.md5(spans.span) == store_hashes.h, "left_anti"
+        )
+    kept = span_first_occurrence(spans, id_col)
+    cleaned = reassemble_spans(kept, id_col)
+    fresh = kept.select(F.md5("span").alias("h")).distinct()
+    return cleaned, fresh

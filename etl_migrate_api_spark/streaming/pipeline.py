@@ -330,3 +330,69 @@ def attribution_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def span_dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    store_dir: str,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 10,
+) -> StreamingQuery:
+    """Continuous C4-style span dedup at ingest: every micro-batch of
+    new documents is cleaned against the PERSISTED span-hash store
+    (operators/dedup.py::span_dedup_incremental — cost ∝ batch, never
+    the corpus), the cleaned docs land under ``out_dir/batch=N`` and the
+    batch's surviving span hashes join the store under
+    ``store_dir/batch=N``.
+
+    Exactly-once via the same batch_id-scoped-overwrite trick as
+    neardup_stream: a foreachBatch retry rewrites the same directories
+    instead of duplicating rows, and the store read filters
+    ``batch < batch_id`` so a crashed attempt's partial store write can
+    never leak into its own retry."""
+    from etl_migrate_api_spark.operators.dedup import (
+        doc_spans,
+        reassemble_spans,
+        span_first_occurrence,
+    )
+
+    schema = spark.read.parquet(source_dir).schema
+
+    def _store(batch_id: int) -> DataFrame | None:
+        try:
+            df = spark.read.parquet(store_dir)
+        except Exception:
+            return None  # store not created yet
+        prior = df.where(F.col("batch") < batch_id).drop("batch")
+        return None if prior.isEmpty() else prior
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        store = _store(batch_id)
+        spans = doc_spans(batch_df, text_col, id_col, span_words)
+        if store is not None:
+            spans = spans.join(store, F.md5(spans.span) == store.h, "left_anti")
+        # both outputs (cleaned docs + fresh store hashes) derive from
+        # the surviving-span set — materialize it ONCE so the second
+        # write doesn't re-run the span explode + anti-join
+        kept = span_first_occurrence(spans, id_col).persist()
+        reassemble_spans(kept, id_col).write.mode("overwrite").parquet(
+            f"{out_dir}/batch={batch_id}"
+        )
+        kept.select(F.md5("span").alias("h")).distinct().write.mode(
+            "overwrite"
+        ).parquet(f"{store_dir}/batch={batch_id}")
+        kept.unpersist()
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(source_dir)
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -305,3 +305,64 @@ def test_attribution_stream_matches_batch_interval_join(spark, sf_small, tmp_pat
         spark.read.parquet(src).where(F.col("event_type") == "purchase").count()
     )
     assert len(want_rows) == n_purchases
+
+
+def test_span_dedup_stream_equals_sequential_incremental(spark, sf_small, tmp_path):
+    """Continuous span dedup: stream documents in two micro-batches
+    through the span-hash-store pipeline; outputs must equal running the
+    incremental operator sequentially (batch 0 bootstraps the store,
+    batch 1 cleans against it). Restart with the same checkpoint is a
+    no-op (exactly-once)."""
+    from etl_migrate_api_spark.operators.dedup import span_dedup_incremental
+    from etl_migrate_api_spark.streaming.pipeline import span_dedup_stream
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "docs_landed")
+    first = docs.where(F.col("doc_id") % 2 == 0)
+    second = docs.where(F.col("doc_id") % 2 == 1)
+    first.coalesce(1).write.parquet(src)
+    second.coalesce(1).write.mode("append").parquet(src)
+
+    q = span_dedup_stream(
+        spark,
+        src,
+        str(tmp_path / "ckpt_sd"),
+        str(tmp_path / "store_sd"),
+        str(tmp_path / "clean_sd"),
+    )
+    q.awaitTermination(300)
+
+    def canon(rows):
+        return sorted(
+            (r["doc_id"], r["text_dedup"], r["n_spans_kept"], r["n_spans_total"])
+            for r in rows
+        )
+
+    got = canon(spark.read.parquet(str(tmp_path / "clean_sd")).collect())
+
+    cleaned0, fresh0 = span_dedup_incremental(first, None)
+    fresh0 = fresh0.persist()
+    cleaned1, _ = span_dedup_incremental(second, fresh0)
+    want = canon(cleaned0.collect() + cleaned1.collect())
+    fresh0.unpersist()
+    assert got == want and got
+    # the second batch really hit the store: some odd-doc spans dropped
+    assert any(k < t for (_d, _x, k, t) in got)
+
+    import glob as _glob
+
+    assert len(_glob.glob(str(tmp_path / "store_sd" / "batch=*"))) == 2
+    assert len(_glob.glob(str(tmp_path / "clean_sd" / "batch=*"))) == 2
+
+    # restart with same checkpoint: no new input → outputs unchanged
+    q2 = span_dedup_stream(
+        spark,
+        src,
+        str(tmp_path / "ckpt_sd"),
+        str(tmp_path / "store_sd"),
+        str(tmp_path / "clean_sd"),
+    )
+    q2.awaitTermination(120)
+    assert canon(spark.read.parquet(str(tmp_path / "clean_sd")).collect()) == want
