@@ -425,3 +425,330 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+      select cast(round(sum(cast(l_extendedprice as decimal(18,2))
+                           * cast(l_discount as decimal(18,2))), 2) as double) as revenue,
+             count(*) as n_lines
+      from lineitem
+      where l_shipdate >= timestamp '1997-01-01 00:00:00'
+        and l_shipdate <  timestamp '1998-01-01 00:00:00'
+        and l_discount between 0.05 and 0.07
+        and l_quantity < 24
+    """,
+    survey_refs=("F1", "F2", "A3", "T8"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan+filter+agg with zero joins — the
+    pushdown benchmark. All three predicates are scan-level parquet
+    filters (date range is a rowgroup min/max prune at 100 TB); the
+    aggregate is a map-side partial with a single-row exchange."""
+    li = load(spark, "lineitem", sf_dir)
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dbl(
+                F.sum(
+                    F.col("l_extendedprice").cast(_DEC)
+                    * F.col("l_discount").cast(_DEC)
+                )
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q12_priority_shipping",
+    oracle="""
+      select cast(extract(year from l_shipdate) as int) as ship_year,
+             cast(sum(case when o_orderpriority in ('1-URGENT', '2-HIGH')
+                           then 1 else 0 end) as bigint) as high_line_count,
+             cast(sum(case when o_orderpriority not in ('1-URGENT', '2-HIGH')
+                           then 1 else 0 end) as bigint) as low_line_count
+      from orders join lineitem on o_orderkey = l_orderkey
+      where l_shipdate >= timestamp '1996-01-01 00:00:00'
+        and l_shipdate <  timestamp '1999-01-01 00:00:00'
+      group by 1
+    """,
+    survey_refs=("J2", "A4", "F2", "T6"),
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape adapted to this schema (no l_shipmode /
+    l_receiptdate): high- vs low-priority line counts per ship year.
+    Scale: the date filter pushes to the lineitem scan before the
+    orderkey shuffle; both facts project to 2 columns each pre-join
+    (ReadSchema stays narrow); conditional counters aggregate
+    map-side."""
+    o = load(spark, "orders", sf_dir).select("o_orderkey", "o_orderpriority")
+    li = (
+        load(spark, "lineitem", sf_dir)
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_shipdate")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    oracle="""
+      with per_cust as (
+        select c_custkey, count(o_orderkey) as c_count
+        from customer left join orders
+          on c_custkey = o_custkey and o_orderpriority <> '5-LOW'
+        group by c_custkey
+      )
+      select cast(c_count as bigint) as c_count,
+             count(*) as custdist
+      from per_cust
+      group by c_count
+      order by custdist desc, c_count desc
+    """,
+    survey_refs=("J2", "A3", "O2"),
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count-per-customer histogram INCLUDING
+    zero-order customers — the join predicate extra condition
+    (priority <> 5-LOW) must live in the LEFT OUTER join's ON clause,
+    not a WHERE (a WHERE would drop the NULL-extended rows and silently
+    lose the zero bucket). Scale: count(o_orderkey) per custkey is the
+    first shuffle; the histogram re-agg moves one row per distinct
+    count — negligible. The final sort is a tiny driver-side result."""
+    c = load(spark, "customer", sf_dir).select("c_custkey")
+    o = load(spark, "orders", sf_dir).select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (F.col("o_orderpriority") != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .select(F.col("c_count").cast("bigint"), "custdist")
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+      select cast(round(
+               100.0 * cast(sum(case when p_type = 'PROMO'
+                      then cast(l_extendedprice as decimal(18,2))
+                           * cast(1 - l_discount as decimal(18,2))
+                      else cast(0 as decimal(18,2)) end) as double)
+               / cast(sum(cast(l_extendedprice as decimal(18,2))
+                          * cast(1 - l_discount as decimal(18,2))) as double),
+               4) as double) as promo_pct,
+             count(*) as n_lines
+      from lineitem join part on l_partkey = p_partkey
+      where l_shipdate >= timestamp '1997-09-01 00:00:00'
+        and l_shipdate <  timestamp '1997-10-01 00:00:00'
+    """,
+    survey_refs=("J2", "A3", "T8", "PH2"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one month. Scale: the
+    one-month filter prunes the lineitem scan hard; part is the
+    build side (AQE broadcasts under threshold; at 100 TB part is
+    SF-scaled so it stays a shuffle join on partkey — no hint pinned).
+    Both sums accumulate in decimal (exact), the ratio divides in
+    double rounded to 4dp (cross-engine-stable)."""
+    li = (
+        load(spark, "lineitem", sf_dir)
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    p = load(spark, "part", sf_dir).select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast(_DEC) * (F.lit(1) - F.col("l_discount")).cast(_DEC)
+    zero = F.lit(0).cast(_DEC)
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).alias("_promo"),
+            F.sum(rev).alias("_total"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            F.round(
+                F.lit(100.0) * F.col("_promo").cast("double") / F.col("_total").cast("double"),
+                4,
+            ).alias("promo_pct"),
+            "n_lines",
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+      with big as (
+        select l_orderkey, sum(cast(l_quantity as decimal(18,2))) as total_qty
+        from lineitem
+        group by l_orderkey
+        having sum(cast(l_quantity as decimal(18,2))) > 150
+      )
+      select c_name, c_custkey, o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') as orderdate,
+             cast(round(cast(o_totalprice as decimal(18,2)), 2) as double) as totalprice,
+             cast(round(total_qty, 2) as double) as total_qty
+      from big
+      join orders on o_orderkey = l_orderkey
+      join customer on c_custkey = o_custkey
+      order by totalprice desc, o_orderkey
+      limit 25
+    """,
+    survey_refs=("J2", "A3", "F2", "O2"),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    top-25 by price. Scale: the HAVING aggregate reduces lineitem to one
+    row per qualifying orderkey BEFORE any join (the selective side
+    drives the probe); the orders join reuses the orderkey shuffle
+    partitioning; TakeOrderedAndProject caps the global sort at k=25."""
+    li = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    o = load(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load(spark, "customer", sf_dir).select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            _dbl(F.col("o_totalprice").cast(_DEC)).alias("totalprice"),
+            _dbl(F.col("total_qty")).alias("total_qty"),
+        )
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .limit(25)
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle="""
+      select cast(round(sum(cast(l_extendedprice as decimal(18,2))
+                           * cast(1 - l_discount as decimal(18,2))), 2) as double) as revenue,
+             count(*) as n_lines
+      from lineitem join part on p_partkey = l_partkey
+      where (p_brand = 'Brand#1' and p_size between 1 and 15
+             and l_quantity >= 1 and l_quantity <= 11)
+         or (p_brand = 'Brand#13' and p_size between 1 and 25
+             and l_quantity >= 10 and l_quantity <= 20)
+         or (p_brand = 'Brand#23' and p_size between 1 and 35
+             and l_quantity >= 20 and l_quantity <= 30)
+    """,
+    survey_refs=("J2", "F1", "F2", "A3"),
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs spanning both join sides. Scale:
+    Catalyst factors the single-side implications out of the
+    disjunction — p_brand IN (…) / p_size <= 35 push to the part scan
+    and l_quantity BETWEEN 1 AND 30 to the lineitem scan — so the join
+    input shrinks even though the full predicate can only be evaluated
+    post-join. Written as one boolean expression to let that inference
+    run (splitting it manually would duplicate the optimizer's job)."""
+    li = load(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load(spark, "part", sf_dir).select("p_partkey", "p_brand", "p_size")
+    qty = F.col("l_quantity")
+    size = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & size.between(1, 15) & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#13") & size.between(1, 25) & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#23") & size.between(1, 35) & qty.between(20, 30))
+    )
+    rev = F.col("l_extendedprice").cast(_DEC) * (F.lit(1) - F.col("l_discount")).cast(_DEC)
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            _dbl(F.sum(rev)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    oracle="""
+      with positive as (
+        select cast(sum(cast(c_acctbal as decimal(18,2))) as double)
+               / count(*) as avg_bal
+        from customer where c_acctbal > 0.0
+      )
+      select c_nationkey,
+             count(*) as numcust,
+             cast(round(sum(cast(c_acctbal as decimal(18,2))), 2) as double) as totacctbal
+      from customer, positive
+      where c_acctbal > avg_bal
+        and not exists (select 1 from orders where o_custkey = c_custkey)
+      group by c_nationkey
+    """,
+    survey_refs=("J1", "A1", "A3", "T8"),
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: wealthy customers who never ordered, by nation.
+    Scale: the global average is computed as an exact decimal sum /
+    count (one-row aggregate) and joined back as a broadcast scalar —
+    no collect, no second pass semantics drift (sum/count in double
+    would be order-sensitive); the anti join ships only the orders
+    custkey column; AQE picks broadcast-anti at small SF and a shuffle
+    anti at scale."""
+    c = load(spark, "customer", sf_dir).select("c_custkey", "c_nationkey", "c_acctbal")
+    avg_bal = (
+        c.where(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast(_DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_bal")
+        )
+    )
+    o = load(spark, "orders", sf_dir).select("o_custkey")
+    return (
+        c.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dbl(F.sum(F.col("c_acctbal").cast(_DEC))).alias("totacctbal"),
+        )
+    )
