@@ -666,3 +666,74 @@ def embedding_neardup_pairs(
     out.count()
     base.unpersist()
     return out
+
+
+def semdedup_drops(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    clustering embeddings with k-means, then comparing pairs ONLY within
+    each cluster. Returns the DROP list: ``(vec_id, dup_of, cell,
+    sim)`` — one row per vector that has a smaller-id neighbor in the
+    same cell with cosine ≥ threshold, ``dup_of`` = the smallest such
+    neighbor (deterministic, order-free rule: no sequential greedy scan
+    whose outcome depends on visit order). ``sim`` is rounded to 6dp.
+
+    Scale shape — this is the whole point of the algorithm: the
+    quadratic pair comparison is confined to single clusters, so the
+    self-join is an equi-join on cell id (shuffle both sides once on a
+    k-way key; cost Σ|cell|² instead of |corpus|²; larger k at larger
+    corpus keeps cells bounded). Training is the bounded driver-side
+    sample (kmeans_centroids); assignment is one Arrow-batched matmul
+    per batch (_cell_assign_udf) — the corpus itself streams through
+    narrow projections. Exact-direction duplicates always share an
+    argmax cell, so scaled/identical copies are never missed; near-dups
+    straddling a cell boundary are the documented approximation.
+    """
+    cents = kmeans_centroids(
+        corpus, k=k, id_col=id_col, vec_col=vec_col
+    ).collect()
+    cent_rows = [(r["cent_id"], list(r["cent_v"])) for r in cents]
+    assign = _cell_assign_udf(cent_rows)
+    tagged = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        assign(F.col(vec_col)).alias("cell"),
+    )
+    left = tagged.select(
+        F.col("vid").alias("a_id"), F.col("v").alias("a_v"), "cell"
+    )
+    right = tagged.select(
+        F.col("vid").alias("b_id"), F.col("v").alias("b_v"), "cell"
+    )
+    pairs = (
+        left.join(right, "cell")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            "cell",
+            "a_id",
+            "b_id",
+            cosine_similarity(F.col("a_v"), F.col("b_v")).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+    # drop rule: b is dropped in favour of its SMALLEST qualifying
+    # neighbour — min_by keeps (sim of that neighbour) alongside
+    return (
+        pairs.groupBy("b_id")
+        .agg(
+            F.min("a_id").alias("dup_of"),
+            F.min_by("sim", "a_id").alias("sim"),
+            F.min_by("cell", "a_id").alias("cell"),
+        )
+        .select(
+            F.col("b_id").alias("vec_id"),
+            "dup_of",
+            F.col("cell").cast("int"),
+            F.round("sim", 6).alias("sim"),
+        )
+    )

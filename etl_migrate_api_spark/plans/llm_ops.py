@@ -810,3 +810,108 @@ def llm_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_tfidf_keywords",
+    oracle="""
+      with toks as (
+        select doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '[ \\t\\r\\n\\f]+'),
+                           x -> x <> '') as t
+        from documents
+      ),
+      tf as (
+        select doc_id, tok, count(*) as f
+        from (select doc_id, unnest(t) as tok from toks)
+        group by doc_id, tok
+      ),
+      dfreq as (select tok, count(*) as df from tf group by tok),
+      n as (select cast(count(*) as double) as n_docs from documents),
+      scored as (
+        select tf.doc_id, tf.tok,
+               round(tf.f * (ln((n.n_docs + 1) / (dfreq.df + 1)) + 1), 4) as score
+        from tf join dfreq using (tok) cross join n
+      ),
+      ranked as (
+        select doc_id, tok, score,
+               row_number() over (partition by doc_id
+                                  order by score desc, tok) as rnk
+        from scored
+      )
+      select doc_id, tok, score, cast(rnk as int) as rnk
+      from ranked where rnk <= 5
+    """,
+)
+def llm_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF keywords per document (sklearn-style smoothed idf:
+    ln((N+1)/(df+1)) + 1, so a token in every doc still scores > 0).
+
+    Scale shape: per-doc term frequencies first (the groupBy(doc_id,
+    tok) shrinks everything downstream to distinct doc-token pairs),
+    document frequencies are a second aggregate OVER tf (not over the
+    raw explode — df = distinct docs per token is exactly one row per
+    tf group), and the corpus size rides a broadcast scalar. The tok
+    join is stopword-hot — AQE skew-split territory, same mechanism as
+    the unigram-LM join. Ranking happens on the ROUNDED score in both
+    engines (ranking raw doubles would let a last-ulp summation
+    difference reorder near-ties), with the token itself as the
+    deterministic tiebreak; row_number ≤ 5 caps the per-doc output.
+    """
+    from pyspark.sql import Window
+
+    from etl_migrate_api_spark.functions.text import ws_tokens
+
+    docs = load(spark, "documents", sf_dir)
+    ex = dd._spread(docs.select("doc_id", ws_tokens("text").alias("t"))).select(
+        "doc_id", F.explode("t").alias("tok")
+    )
+    tf = ex.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("f"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("f")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+                4,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "tok")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("doc_id", "tok", "score", F.col("rnk").cast("int"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup via embedding clustering
+# ---------------------------------------------------------------------------
+
+
+@register("llm_semdedup")
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup drop list over the planted embeddings: k-means cluster
+    the corpus, compare pairs only within each cluster, drop every
+    vector with a smaller-id same-cell neighbor at cosine ≥ 0.95
+    (operators/similarity.semdedup_drops — the quadratic compare is
+    confined to clusters; the planted scaled copies share their
+    original's direction, hence its argmax cell, so recall on true
+    duplicates is exact). Rows-only: the k-means training is a
+    driver-side numpy Lloyd over a deterministic sample — not
+    SQL-expressible; precision/recall/determinism are pytest-checked
+    against the brute-force all-pairs oracle."""
+    return sim.semdedup_drops(
+        planted_embeddings(spark, sf_dir), threshold=0.95, k=8
+    ).orderBy("vec_id")
