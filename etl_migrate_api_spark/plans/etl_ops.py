@@ -1315,3 +1315,167 @@ def agg_hll_sketch_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("exact_all")
     )
     return out.crossJoin(F.broadcast(merged)).crossJoin(F.broadcast(total))
+
+
+# =====================================================================
+# Time-window aggregations (streaming-aligned batch twins)
+# =====================================================================
+
+
+@register(
+    "events_session_window_builtin",
+    oracle="""
+      with gaps as (
+        select user_id, event_id, ts,
+               case when ts - lag(ts) over (partition by user_id
+                                            order by ts, event_id)
+                         > interval 30 minutes
+                    then 1 else 0 end as new_session
+        from events
+      ),
+      sess as (
+        select user_id, ts,
+               sum(new_session) over (partition by user_id
+                                      order by ts, event_id
+                                      rows between unbounded preceding and current row)
+                 as session_no
+        from gaps
+      )
+      select user_id,
+             epoch_us(min(ts)) as session_start_us,
+             epoch_us(max(ts)) + 1800000000 as session_end_us,
+             count(*) as n_events
+      from sess
+      group by user_id, session_no
+    """,
+    survey_refs=("W1", "W2", "X1"),
+)
+def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window operator (the Structured-Streaming
+    session primitive, run in batch) cross-checked against the classic
+    lag→cumsum SQL sessionization. Probed boundary semantics (pinned by
+    this oracle): an event exactly gap-after its predecessor MERGES —
+    session_window splits only on gap STRICTLY greater than 30 min, and
+    the window end is last_ts + gap. Scale: session_window aggregates
+    per user partition after one shuffle on user_id — same exchange
+    count as the window variant but without the two windowed passes
+    (Spark merges sessions inside the aggregate itself)."""
+    ev = load(spark, "events", sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("session_start_us"),
+            F.unix_micros("sw.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "events_hopping_window",
+    oracle="""
+      with hopped as (
+        select unnest([
+                 to_timestamp(floor(epoch(ts) / 1800) * 1800),
+                 to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800)
+               ]) as w_start,
+               user_id, value
+        from events
+      )
+      select epoch_us(w_start) as window_start_us,
+             epoch_us(w_start) + 3600000000 as window_end_us,
+             count(*) as n_events,
+             count(distinct user_id) as n_users,
+             cast(round(sum(cast(value as decimal(18,2))), 2) as double) as sum_value
+      from hopped
+      group by w_start
+    """,
+    survey_refs=("A3", "F3", "T6", "X1"),
+)
+def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregation — F.window(ts, 1h, 30m):
+    every event lands in exactly window/slide = 2 overlapping windows.
+    The oracle derives the same two aligned starts arithmetically
+    (floor-to-slide and its predecessor). Scale: Spark expands each row
+    to its 2 windows in a narrow projection (no self-join), then one
+    hash aggregate on window_start — the streaming form is the same
+    plan with a watermark; the decimal cast keeps the value sum
+    engine-exact."""
+    ev = load(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.sum(F.col("value").cast(_DEC)), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            F.unix_micros("w.end").alias("window_end_us"),
+            "n_events",
+            "n_users",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_scd2_history",
+    oracle="""
+      with ordered as (
+        select user_id, event_type, ts, event_id,
+               lag(event_type) over w as prev_type
+        from events
+        window w as (partition by user_id order by ts, event_id)
+      ),
+      starts as (
+        select user_id, event_type, ts, event_id
+        from ordered
+        where prev_type is null or prev_type <> event_type
+      ),
+      versioned as (
+        select user_id, event_type,
+               epoch_us(ts) as valid_from_us,
+               epoch_us(lead(ts) over (partition by user_id
+                                       order by ts, event_id)) as valid_to_us,
+               row_number() over (partition by user_id
+                                  order by ts, event_id) as version
+        from starts
+      )
+      select user_id, event_type, valid_from_us, valid_to_us,
+             cast(version as int) as version,
+             valid_to_us is null as is_current
+      from versioned
+    """,
+    survey_refs=("W1", "W2", "W3", "K7"),
+)
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: collapse each user's event stream into
+    validity intervals of their event_type 'state' — change detection
+    (lag ≠ current starts a new version), [valid_from, valid_to) from
+    lead(), open interval marks the current row. The warehouse-side twin
+    of the reference's last-write-wins state store (K7/W3): same input,
+    full history instead of latest-only. Scale: all three windows share
+    ONE user_id partitioning (single shuffle, Spark chains same-spec
+    windows); change rows are a tiny fraction of events, so the
+    lead/row_number pass runs on the reduced set."""
+    ev = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    starts = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    return starts.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
+        F.row_number().over(w).cast("int").alias("version"),
+    ).withColumn("is_current", F.col("valid_to_us").isNull())
