@@ -396,3 +396,52 @@ def span_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def session_window_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> StreamingQuery:
+    """Native Structured-Streaming session aggregation: session_window
+    merges per-user session STATE across micro-batches (an open session
+    extends when a new event lands within ``gap`` of its current end —
+    exactly-gap merges, matching the batch twin
+    events_session_window_builtin whose oracle pins that boundary).
+    Append mode emits a session only once the watermark passes its end —
+    per-user trailing sessions stay in state at stream end, which the
+    reconciliation test accounts for. availableNow trigger (bounded).
+
+    Scale: state is (user_id → open sessions), evicted by the
+    watermark — bounded by active users × gap, not by history length;
+    the shuffle key is user_id, same exchange as the batch form."""
+    schema = spark.read.parquet(source_dir).schema
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in schema)["ts"]
+    if ts_type != "timestamp":
+        raise ValueError(
+            f"'ts' must be a timestamp column, got {ts_type}; land the "
+            "source through catalog.load (ns→µs conversion) first"
+        )
+    events = spark.readStream.schema(schema).parquet(source_dir)
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("session_start_us"),
+            F.unix_micros("sw.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -366,3 +366,42 @@ def test_span_dedup_stream_equals_sequential_incremental(spark, sf_small, tmp_pa
     )
     q2.awaitTermination(120)
     assert canon(spark.read.parquet(str(tmp_path / "clean_sd")).collect()) == want
+
+
+def test_session_window_stream_matches_batch(spark, sf_small, tmp_path):
+    """Streaming session_window (state merged across micro-batches) must
+    emit exactly the batch twin's sessions, minus only those the final
+    watermark holds back (append mode emits a session once the watermark
+    passes its end)."""
+    from etl_migrate_api_spark.catalog import load
+    from etl_migrate_api_spark.streaming.pipeline import session_window_stream
+
+    src = str(tmp_path / "events_landed_sw")
+    load(spark, "events", sf_small).write.parquet(src)
+    q = session_window_stream(
+        spark, src, str(tmp_path / "ckpt_sw"), str(tmp_path / "out_sw")
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out_sw"))
+
+    events = spark.read.parquet(src)
+    want = (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("session_start_us"),
+            F.unix_micros("sw.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g <= w  # every emitted session is a true batch session
+    # sessions the final watermark (max ts - 1h) already passed MUST
+    # have been emitted; only trailing ones may be held in state
+    max_us = events.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    final_wm_us = max_us - 3_600_000_000
+    must_emit = {t for t in w if t[2] < final_wm_us}
+    assert must_emit <= g
+    assert len(g) >= len(must_emit) > 0
