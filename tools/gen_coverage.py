@@ -66,18 +66,24 @@ NORTH_STAR = [
     ("dedup SimHash", "llm_simhash_signatures / llm_simhash_neardup"),
     ("dedup n-gram Jaccard", "llm_ngram_jaccard_dedup"),
     ("dedup embedding-cosine", "llm_embedding_neardup"),
+    ("dedup semantic (SemDeDup)", "llm_semdedup (rows-only; k-means cells + within-cell cosine, precision/recall pytest vs brute force)"),
+    ("dedup span/substring (C4-style)", "llm_span_dedup + llm_span_dedup_incremental + streaming/pipeline.py::span_dedup_stream"),
     ("ANN brute-force", "llm_ann_bruteforce_topk"),
     ("ANN LSH", "llm_ann_lsh_topk (rows-only)"),
     ("ANN IVF", "llm_ann_ivf_topk (rows-only; k-means-trained cells, recall-tested)"),
     ("language-ID", "llm_lang_id"),
     ("quality scoring", "llm_quality_score + llm_quality_repetition + llm_unigram_logprob_score (CCNet-style perplexity proxy)"),
     ("token counting", "llm_token_stats"),
+    ("keyword extraction (TF-IDF)", "llm_tfidf_keywords (top-5 smoothed TF-IDF per doc, oracle-checked)"),
     ("fingerprinting", "llm_exact_dedup (md5) + llm_token_stats (rolling hash) + llm_winnow_fingerprints (MOSS winnowing: window-min of k-gram rolling hashes)"),
     ("multimodal decode", "llm_multimodal_decode + operators/multimodal.py::decode_pixels "
      "(REAL stdlib PNG/BMP/PPM pixel decode, exact-CRC tested; JPEG env-gated behind PIL)"),
     ("multimodal audio", "llm_multimodal_audio (real RIFF/PCM decode of planted WAV rows: rate/duration/RMS)"),
     ("multimodal frames", "llm_multimodal_frames"),
-    ("sessionization", "events_sessionize + streaming/stateful.py"),
+    ("multimodal video", "llm_multimodal_video (real Y4M container walk + per-frame luma, CRC-tested) + llm_image_resize (stdlib PNG encode/resize roundtrip)"),
+    ("sessionization", "events_sessionize + events_session_window_builtin (native session_window, boundary-pinned oracle) + streaming/stateful.py + streaming/pipeline.py::session_window_stream"),
+    ("windowed aggregation", "events_hopping_window (1h/30m sliding) + streaming/pipeline.py::windowed_event_counts_stream (tumbling, watermarked)"),
+    ("SCD2 history build", "events_scd2_history (change detection + validity intervals — the full-history twin of the K7/W3 state store)"),
     ("stratified sampling", "llm_stratified_sample (md5-threshold Bernoulli, per-stratum rates)"),
     ("split assignment", "llm_split_assign (hash-bucketed train/val/test, version-stable)"),
     ("interval/range join", "events_interval_attribution + streaming/pipeline.py::attribution_stream "
