@@ -71,6 +71,7 @@ NORTH_STAR = [
     ("ANN brute-force", "llm_ann_bruteforce_topk"),
     ("ANN LSH", "llm_ann_lsh_topk (rows-only)"),
     ("ANN IVF", "llm_ann_ivf_topk (rows-only; k-means-trained cells, recall-tested)"),
+    ("ANN PQ + exact rerank", "llm_ann_pq_topk (rows-only; m=32 4-bit codes = 16 bytes/vector, ADC lookup-table scan + exact top-100 rerank, measured recall@10 0.99 at sf0.1)"),
     ("language-ID", "llm_lang_id"),
     ("quality scoring", "llm_quality_score + llm_quality_repetition + llm_unigram_logprob_score (CCNet-style perplexity proxy)"),
     ("token counting", "llm_token_stats"),
