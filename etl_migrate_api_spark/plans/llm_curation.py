@@ -818,3 +818,69 @@ def llm_span_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the persist is released by bench.py's clearCache between queries;
     # callers composing this into a pipeline own the unpersist
     return cleaned
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization (NFC) — pre-hash canonicalization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_unicode_normalize",
+    oracle="""
+      with planted as (
+        select doc_id, text from documents
+        union all
+        select doc_id + 300000,
+               text || ' cafe' || chr(769) || ' A' || chr(778) || 'ngstrom'
+        from documents where doc_id % 50 = 0
+      )
+      select doc_id,
+             text <> nfc_normalize(text) as changed,
+             md5(nfc_normalize(text)) as norm_fp,
+             cast(length(nfc_normalize(text)) as bigint) as n_chars_norm
+      from planted
+    """,
+)
+def llm_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC Unicode normalization before fingerprinting — the C4/CCNet
+    canonicalization step that keeps 'café' (precomposed) and 'café'
+    (combining accent) from hashing apart. The corpus is ASCII, so
+    decomposed-accent rows are PLANTED (doc_id % 50, +300000 — the same
+    deterministic-plant pattern as the dedup family) and the oracle is
+    DuckDB's utf8proc ``nfc_normalize``; both implement the same
+    Unicode normal form, and the changed flag proves the planted rows
+    (and only those) transform.
+
+    Scale shape: normalization is inherently per-row string work with
+    no JVM builtin — the sanctioned Python path is an Arrow-batched
+    pandas UDF (one zero-copy batch transfer, `str.normalize` is
+    vectorized C inside pandas), composed INTO column expressions
+    (md5/length stay JVM-side on the returned column). No shuffle at
+    all: the plan is scan → project."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def nfc(s):
+        return s.str.normalize("NFC")
+
+    nfc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    nfc_udf = pandas_udf("string")(nfc)
+
+    docs = load(spark, "documents", sf_dir).select("doc_id", "text")
+    planted = docs.unionByName(
+        docs.where(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.concat(
+                F.col("text"),
+                F.lit(" cafe\u0301 A\u030angstrom"),  # decomposed (NFD) on purpose
+            ).alias("text"),
+        )
+    )
+    norm = planted.withColumn("norm", nfc_udf(F.col("text")))
+    return norm.select(
+        "doc_id",
+        (F.col("text") != F.col("norm")).alias("changed"),
+        F.md5("norm").alias("norm_fp"),
+        F.length("norm").cast("bigint").alias("n_chars_norm"),
+    )
