@@ -1479,3 +1479,41 @@ def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
         F.row_number().over(w).cast("int").alias("version"),
     ).withColumn("is_current", F.col("valid_to_us").isNull())
+
+
+def _profile_oracle_block(col: str, render: str) -> str:
+    return f"""
+      select '{col}' as column, count(*) as n_rows,
+             count(*) - count({col}) as n_nulls,
+             count(distinct {col}) as n_distinct,
+             cast({render.format(v=f"min({col})")} as varchar) as min_value,
+             cast({render.format(v=f"max({col})")} as varchar) as max_value
+      from orders"""
+
+
+@register(
+    "profile_orders_columns",
+    oracle=" union all ".join(
+        [
+            _profile_oracle_block("o_orderkey", "{v}"),
+            _profile_oracle_block("o_custkey", "{v}"),
+            _profile_oracle_block("o_orderstatus", "{v}"),
+            _profile_oracle_block("o_totalprice", "cast({v} as decimal(18,2))"),
+            _profile_oracle_block(
+                "o_orderdate", "strftime({v}, '%Y-%m-%d %H:%M:%S')"
+            ),
+            _profile_oracle_block("o_orderpriority", "{v}"),
+        ]
+    ),
+    survey_refs=("A1", "A3", "E1"),
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling of the orders table — the pre-ingestion data-
+    quality summary (operators/profile.py): per-column row/null/exact-
+    distinct counts and min/max, ONE scan for all six columns (the
+    multi-count-distinct aggregate plans as a single Expand — the
+    oracle's 6 separate scans are the semantic mirror, not the plan),
+    melted to long format executor-side via stack()."""
+    from etl_migrate_api_spark.operators.profile import profile_columns
+
+    return profile_columns(load(spark, "orders", sf_dir))
