@@ -1517,3 +1517,65 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_migrate_api_spark.operators.profile import profile_columns
 
     return profile_columns(load(spark, "orders", sf_dir))
+
+
+@register(
+    "subquery_correlated_avg",
+    oracle="""
+      with pa as (
+        select l_orderkey, l_linenumber, l_extendedprice,
+               cast(sum(cast(l_extendedprice as decimal(18,2)))
+                      over (partition by l_orderkey) as double)
+                 / count(*) over (partition by l_orderkey) as oa
+        from lineitem
+      )
+      select l_orderkey, l_linenumber,
+             cast(round(cast(l_extendedprice as decimal(18,2)), 2) as double)
+               as price,
+             floor(oa * 100 + 0.5) / 100 as order_avg
+      from pa
+      where l_extendedprice > 1.5 * oa
+    """,
+    survey_refs=("A3", "F1", "W2"),
+)
+def subquery_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery shape (each lineitem vs ITS order's
+    average price: `where price > 1.5 * (select avg(...) where
+    l2.l_orderkey = l.l_orderkey)`) — expressed as a window aggregate
+    over the orderkey partition, which is what Catalyst de-correlates
+    such subqueries into: ONE shuffle on l_orderkey instead of a
+    re-scan per outer row. The oracle computes the window in a CTE
+    BEFORE the filter (SQL evaluates same-SELECT windows after WHERE —
+    averaging only survivors — which is NOT the correlated-subquery
+    semantics). The average is an exact decimal sum with ONE double
+    division in both engines (engine avg() internals disagree on a
+    1-cent rounding boundary), rendered at 2dp."""
+    li = load(spark, "lineitem", sf_dir)
+    w = Window.partitionBy("l_orderkey")
+    price_dec = F.col("l_extendedprice").cast(_DEC)
+    # exact decimal sum, ONE double division — bit-identical in every
+    # engine (decimal-avg internals differ: Spark scales to 6 and
+    # half-up-rounds, DuckDB averages in double — a 1-cent boundary
+    # flip at 2dp rendering)
+    avg_dec = F.sum(price_dec).over(w).cast("double") / F.count(F.lit(1)).over(w)
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice"),
+            avg_dec.alias("__avg"),
+        )
+        .where(F.col("l_extendedprice") > 1.5 * F.col("__avg"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice").cast(_DEC), 2)
+            .cast("double")
+            .alias("price"),
+            # floor(x*100+0.5)/100, NOT round(): Spark's round(double)
+            # half-up-rounds the SHORTEST DECIMAL repr (41135.575 →
+            # .58) while DuckDB rounds the raw binary (…574999… →
+            # .57); floor on the identical doubles is engine-agnostic
+            (F.floor(F.col("__avg") * 100 + 0.5) / 100).alias("order_avg"),
+        )
+    )
