@@ -445,3 +445,74 @@ def session_window_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def funnel_ivm_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    store_dir: str,
+) -> StreamingQuery:
+    """Incremental view maintenance of the daily event funnel: each
+    micro-batch reduces to MERGEABLE per-day partials — additive
+    counters plus an HLL user sketch (count-distinct is not additive;
+    the sketch is: union = per-register max, order-insensitive) —
+    written batch_id-scoped exactly like span_dedup_stream's store, so
+    a foreachBatch retry overwrites its own partial instead of
+    double-counting. The maintained view never rescans history: batch
+    cost ∝ batch size, view cost ∝ partials (compactable by rewriting
+    old batch= dirs into one — same layout, not done here).
+
+    ``funnel_view`` is the merge-on-read: sum the counters, union the
+    sketches. Sketch determinism makes the view EXACTLY equal to the
+    batch-computed funnel (asserted in tests): same lgK over the same
+    per-day user sets → identical registers → identical estimate."""
+    schema = spark.read.parquet(source_dir).schema
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in schema)["ts"]
+    if ts_type != "timestamp":
+        raise ValueError(
+            f"'ts' must be a timestamp column, got {ts_type}; land the "
+            "source through catalog.load (ns→µs conversion) first"
+        )
+
+    def _flag(t: str):
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast(
+            "bigint"
+        )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _flag("view").alias("n_view"),
+            _flag("click").alias("n_click"),
+            _flag("purchase").alias("n_purchase"),
+            F.hll_sketch_agg("user_id", F.lit(12)).alias("users_sketch"),
+        )
+        part.write.mode("overwrite").parquet(f"{store_dir}/batch={batch_id}")
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(source_dir)
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def funnel_view(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Merge-on-read over funnel_ivm_stream's partials: additive sums +
+    HLL union, one row per day."""
+    parts = spark.read.parquet(store_dir)
+    return parts.groupBy("day").agg(
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.sum("n_view").cast("bigint").alias("n_view"),
+        F.sum("n_click").cast("bigint").alias("n_click"),
+        F.sum("n_purchase").cast("bigint").alias("n_purchase"),
+        F.hll_sketch_estimate(F.hll_union_agg("users_sketch"))
+        .cast("bigint")
+        .alias("approx_users"),
+    )

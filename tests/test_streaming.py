@@ -405,3 +405,58 @@ def test_session_window_stream_matches_batch(spark, sf_small, tmp_path):
     must_emit = {t for t in w if t[2] < final_wm_us}
     assert must_emit <= g
     assert len(g) >= len(must_emit) > 0
+
+
+def test_funnel_ivm_matches_batch(spark, sf_small, tmp_path):
+    """The incrementally-maintained funnel view must EXACTLY equal the
+    batch funnel: additive counters match count(*)/conditional sums,
+    and the unioned per-batch HLL sketches produce the identical
+    estimate to a whole-day sketch (same lgK, same user set — register
+    state is order-insensitive)."""
+    from etl_migrate_api_spark.catalog import load
+    from etl_migrate_api_spark.streaming.pipeline import (
+        funnel_ivm_stream,
+        funnel_view,
+    )
+
+    src = str(tmp_path / "events_landed_ivm")
+    # several files → several micro-batches (maxFilesPerTrigger=1)
+    load(spark, "events", sf_small).repartition(4).write.parquet(src)
+    q = funnel_ivm_stream(
+        spark, src, str(tmp_path / "ckpt_ivm"), str(tmp_path / "store_ivm")
+    )
+    q.awaitTermination(120)
+
+    got = {r["day"]: r for r in funnel_view(spark, str(tmp_path / "store_ivm")).collect()}
+
+    ev = spark.read.parquet(src)
+    flag = lambda t: F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    want = {
+        r["day"]: r
+        for r in ev.groupBy(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            flag("view").alias("n_view"),
+            flag("click").alias("n_click"),
+            flag("purchase").alias("n_purchase"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12)))
+            .cast("bigint")
+            .alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for day, w in want.items():
+        g = got[day]
+        assert (g["n_events"], g["n_view"], g["n_click"], g["n_purchase"]) == (
+            w["n_events"], w["n_view"], w["n_click"], w["n_purchase"]
+        ), day
+        # sketch-exact: merged partials == whole-day sketch estimate
+        assert g["approx_users"] == w["approx_users"], day
+        # and the estimate is a sane approximation of the exact count
+        assert abs(g["approx_users"] - w["exact_users"]) <= max(
+            2, 0.05 * w["exact_users"]
+        ), day
