@@ -1,0 +1,58 @@
+"""Snapshot diff — the reconciliation primitive behind CDC backfills,
+migration validation (the reference's whole purpose is moving rows
+between stores — "did everything arrive?" is this operator), and
+incremental-sync auditing.
+
+Scale shape: ONE full outer join on the key (both sides shuffle once on
+the same key — at 100 TB this is the canonical co-partitioned compare;
+bucketed tables make it shuffle-free), with non-key columns pre-hashed
+to a single md5 per row so the join carries (key, hash) instead of the
+full width — the compare never ships payload columns, only the verdict
+does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def row_hash(df: DataFrame, cols: list[str]) -> F.Column:
+    """md5 over the canonical string form of ``cols`` — NULL-safe via an
+    explicit per-column null FLAG ('0' vs '1'+value), not a sentinel
+    string (a sentinel is spoofable by a real value equal to it —
+    caught by tests/test_diff.py), and column-order-pinned."""
+    parts = [
+        F.when(F.col(c).isNull(), F.lit("0")).otherwise(
+            F.concat(F.lit("1"), F.col(c).cast("string"))
+        )
+        for c in cols
+    ]
+    return F.md5(F.concat_ws("\x01", *parts))
+
+
+def table_diff(
+    old: DataFrame, new: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Rows ``(keys…, change)`` where change ∈ added | removed |
+    changed: added = key only in ``new``, removed = only in ``old``,
+    changed = both sides but non-key hash differs. Unchanged rows are
+    filtered before they leave the join. Non-key columns are the
+    non-key intersection IN ``old``'s column order (schema drift in
+    either direction surfaces as 'changed' only for columns both sides
+    share — compare schemas separately if you need column-level drift).
+    """
+    value_cols = [c for c in old.columns if c not in keys and c in new.columns]
+    o = old.select(*keys, row_hash(old, value_cols).alias("__h_old"))
+    n = new.select(*keys, row_hash(new, value_cols).alias("__h_new"))
+    joined = o.join(n, keys, "full_outer")
+    return (
+        joined.select(
+            *keys,
+            F.when(F.col("__h_old").isNull(), F.lit("added"))
+            .when(F.col("__h_new").isNull(), F.lit("removed"))
+            .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+            .alias("change"),
+        )
+        .where(F.col("change").isNotNull())
+    )

@@ -1579,3 +1579,62 @@ def subquery_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.col("__avg") * 100 + 0.5) / 100).alias("order_avg"),
         )
     )
+
+
+@register(
+    "diff_orders_snapshots",
+    oracle="""
+      with new as (
+        select o_orderkey,
+               case when o_orderkey % 89 = 0 then 'X'
+                    else o_orderstatus end as o_orderstatus,
+               o_custkey, o_totalprice, o_orderdate, o_orderpriority
+        from orders where o_orderkey % 97 <> 0
+        union all
+        select o_orderkey + 10000000, o_orderstatus, o_custkey,
+               o_totalprice, o_orderdate, o_orderpriority
+        from orders where o_orderkey % 101 = 0
+      )
+      , j as (
+        select o.o_orderkey as ok, n.o_orderkey as nk,
+               case when o.o_orderkey is null then 'added'
+                    when n.o_orderkey is null then 'removed'
+                    when (o.o_orderstatus  is distinct from n.o_orderstatus)
+                      or (o.o_custkey      is distinct from n.o_custkey)
+                      or (o.o_totalprice   is distinct from n.o_totalprice)
+                      or (o.o_orderdate    is distinct from n.o_orderdate)
+                      or (o.o_orderpriority is distinct from n.o_orderpriority)
+                    then 'changed' end as change
+        from orders o full outer join new n on o.o_orderkey = n.o_orderkey
+      )
+      select coalesce(ok, nk) as o_orderkey, change from j
+      where change is not null
+    """,
+    survey_refs=("J2", "E2", "X2", "K8"),
+)
+def diff_orders_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/diff.py::table_diff) between orders and
+    a planted second snapshot (every %97 key removed, %89 status
+    changed, %101 re-added under a shifted key): one full outer join on
+    the key carrying only (key, md5-of-values) — the migration-
+    validation primitive ('did every row arrive, unmodified?'). The
+    oracle classifies with IS DISTINCT FROM per column — the semantic
+    contract the row hash implements (NULL-safe, any-column change)."""
+    from etl_migrate_api_spark.operators.diff import table_diff
+
+    o = load(spark, "orders", sf_dir)
+    new = (
+        o.where(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 89 == 0, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 101 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 10000000
+            )
+        )
+    )
+    return table_diff(o, new, ["o_orderkey"])

@@ -1,0 +1,48 @@
+"""table_diff unit gates: NULL-safe change detection, add/remove
+classification, no payload columns in the join output, unchanged rows
+filtered."""
+
+from __future__ import annotations
+
+from etl_migrate_api_spark.operators.diff import table_diff
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, a string, b double")
+
+
+def test_diff_classifies_all_three(spark):
+    old = _mk(spark, [(1, "x", 1.0), (2, "y", 2.0), (3, "z", 3.0)])
+    new = _mk(spark, [(1, "x", 1.0), (2, "Y", 2.0), (4, "w", 4.0)])
+    got = {r["k"]: r["change"] for r in table_diff(old, new, ["k"]).collect()}
+    assert got == {2: "changed", 3: "removed", 4: "added"}  # 1 unchanged → absent
+
+
+def test_diff_null_transitions_are_changes(spark):
+    old = _mk(spark, [(1, None, 1.0), (2, "y", None), (3, None, None)])
+    new = _mk(spark, [(1, "x", 1.0), (2, "y", 2.0), (3, None, None)])
+    got = {r["k"]: r["change"] for r in table_diff(old, new, ["k"]).collect()}
+    # NULL→value and value→NULL are changes; NULL==NULL is not
+    assert got == {1: "changed", 2: "changed"}
+
+
+def test_diff_null_not_confused_with_sentinel_ish_values(spark):
+    # a real value must never hash-collide with the NULL sentinel
+    old = _mk(spark, [(1, "\x00NULL\x00", 1.0)])
+    new = _mk(spark, [(1, None, 1.0)])
+    got = {r["k"]: r["change"] for r in table_diff(old, new, ["k"]).collect()}
+    assert got == {1: "changed"}
+
+
+def test_diff_compares_only_shared_columns(spark):
+    old = _mk(spark, [(1, "x", 1.0)])
+    new = spark.createDataFrame([(1, "x", 9)], "k bigint, a string, c int")
+    got = table_diff(old, new, ["k"]).collect()
+    assert got == []  # only 'a' is shared and equal; b/c drift is schema-level
+
+
+def test_diff_output_carries_no_payload(spark):
+    old = _mk(spark, [(1, "x", 1.0)])
+    new = _mk(spark, [(1, "x", 2.0)])
+    df = table_diff(old, new, ["k"])
+    assert set(df.columns) == {"k", "change"}
