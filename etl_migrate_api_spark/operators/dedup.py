@@ -678,32 +678,57 @@ def simhash_neardup_pairs(
         )
     s = simhash_df(df, text_col, id_col).persist()  # both sides of the self-join
     s.count()
+    out = hamming64_pairs(
+        s.select(
+            "id",
+            F.col("simhash_lo").alias("lo"),
+            F.col("simhash_hi").alias("hi"),
+        ),
+        max_hamming,
+    )
+    return _materialize_and_release(out, s)
+
+
+def hamming64_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """ALL pairs from a 64-bit signature table ``(id, lo, hi)`` with
+    hamming distance ≤ ``max_hamming`` — the Manku 4×16-bit pigeonhole
+    blocking shared by text SimHash and image pHash (any 64-bit
+    perceptual signature routes through here): candidates share one
+    identical 16-bit chunk (guaranteed-lossless for max_hamming < 4),
+    exact ``bit_count(xor)`` verifies. The input should be cheap to
+    recompute or persisted by the caller (read 3×: banding + both
+    verify sides)."""
+    if max_hamming >= len(SIMHASH_CHUNKS):
+        raise ValueError(
+            f"pigeonhole recall guarantee needs max_hamming < {len(SIMHASH_CHUNKS)}"
+        )
     chunks = F.array(
         *[
-            F.shiftright(F.col(half), start).bitwiseAND(F.lit((1 << width) - 1))
+            F.shiftright(F.col(half.replace("simhash_", "")), start).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
             for half, start, width in SIMHASH_CHUNKS
         ]
     )
-    banded = s.select("id", F.posexplode(chunks).alias("ci", "cv"))
+    banded = sigs.select("id", F.posexplode(chunks).alias("ci", "cv"))
     cand = band_self_join_pairs(banded, "ci", "cv")
-    sa = s.select(
+    sa = sigs.select(
         F.col("id").alias("id_a"),
-        F.col("simhash_lo").alias("lo_a"),
-        F.col("simhash_hi").alias("hi_a"),
+        F.col("lo").alias("lo_a"),
+        F.col("hi").alias("hi_a"),
     )
-    sb = s.select(
+    sb = sigs.select(
         F.col("id").alias("id_b"),
-        F.col("simhash_lo").alias("lo_b"),
-        F.col("simhash_hi").alias("hi_b"),
+        F.col("lo").alias("lo_b"),
+        F.col("hi").alias("hi_b"),
     )
     ham = F.expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)")
-    out = (
+    return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .select("id_a", "id_b", ham.cast("int").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
-    return _materialize_and_release(out, s)
 
 
 def ngram_jaccard_pairs(

@@ -671,3 +671,72 @@ def decode_audio(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         decode, schema=_AUDIO_SCHEMA
     )
+
+
+# --- perceptual hashing ----------------------------------------------------
+
+
+def phash64_one(px: bytes, width: int, height: int) -> tuple[int, int]:
+    """64-bit DCT perceptual hash of a raw RGB (or grayscale) pixel
+    buffer, returned as (lo, hi) int halves matching the dedup family's
+    signature layout. Classic pHash: luma → nearest-upscale to 32×32 →
+    orthonormal 2-D DCT-II → 8×8 low-frequency block → bit = coeff >
+    median (strict; ties→0 — deterministic in float64). Pure numpy,
+    no image libraries."""
+    import numpy as np
+
+    n = width * height
+    buf = np.frombuffer(px, dtype=np.uint8)
+    if len(buf) == 3 * n:
+        rgb = buf.reshape(height, width, 3).astype(np.float64)
+        luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    elif len(buf) == n:
+        luma = buf.reshape(height, width).astype(np.float64)
+    else:
+        raise ValueError(f"buffer {len(buf)}B is neither RGB nor L for {width}x{height}")
+    N = 32
+    yi = (np.arange(N) * height) // N
+    xi = (np.arange(N) * width) // N
+    L = luma[np.ix_(yi, xi)]
+    k = np.arange(N)[:, None]
+    x = np.arange(N)[None, :]
+    D = np.sqrt(2.0 / N) * np.cos(np.pi * (2 * x + 1) * k / (2 * N))
+    D[0, :] /= np.sqrt(2.0)
+    C = D @ L @ D.T
+    block = C[:8, :8].ravel()
+    med = np.median(block)
+    bits = block > med
+    lo = hi = 0
+    for i in range(32):
+        lo |= int(bits[i]) << i
+        hi |= int(bits[32 + i]) << i
+    return lo, hi
+
+
+def phash_images(
+    pixels: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "media_id",
+    px_col: str = "pixels",
+) -> DataFrame:
+    """(id, lo, hi) pHash signature table over raw pixel buffers —
+    mapInPandas (Arrow batches; the DCT is a pair of 32×32 matmuls per
+    image). Feed the result to dedup.hamming64_pairs for near-dup
+    detection: visually-identical images land within a few bits even
+    across re-encodes/minor edits, which byte-level dedup can never
+    see."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            lows, highs = [], []
+            for px in b[px_col]:
+                lo, hi = phash64_one(bytes(px), width, height)
+                lows.append(lo)
+                highs.append(hi)
+            yield pd.DataFrame(
+                {"id": b[id_col], "lo": lows, "hi": highs}
+            )
+
+    return pixels.mapInPandas(run, schema="id long, lo long, hi long")

@@ -935,3 +935,41 @@ def llm_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pq_topk(
         emb, emb.where(F.col("vec_id") < 10), k=5, m=32, ksub=16, rerank=100
     ).orderBy("query_id", "rank")
+
+
+@register("llm_image_phash_dedup")
+def llm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection by 64-bit DCT perceptual hash: luma →
+    32×32 → DCT-II → 8×8 low-band median bits (operators/multimodal.py
+    ::phash_images, pure numpy in mapInPandas), then the SAME Manku
+    4×16-bit pigeonhole band join as text SimHash
+    (dedup.hamming64_pairs — one shared index layout for every 64-bit
+    signature). Planted exact pixel copies (media_id+500000) must land
+    at hamming 0; distinct md5-derived images sit near the binomial
+    mean (~32 bits), so the candidate join stays sparse. Rows-only:
+    the DCT/median pipeline has no SQL mirror; determinism,
+    perturbation-robustness, and negative controls in
+    tests/test_phash.py."""
+    from etl_migrate_api_spark.operators.multimodal import (
+        fake_media_table,
+        phash_images,
+    )
+    from etl_migrate_api_spark.operators.dedup import hamming64_pairs
+
+    docs = load(spark, "documents", sf_dir)
+    media = fake_media_table(docs).where(F.col("media_type") == "image")
+    pixels = media.select(
+        "media_id", F.substring("content", 34, 48).alias("pixels")
+    )
+    planted = pixels.unionByName(
+        pixels.where(F.col("media_id") % 5 == 0).select(
+            (F.col("media_id") + 500000).alias("media_id"), "pixels"
+        )
+    )
+    sigs = phash_images(planted, 4, 4).persist()
+    sigs.count()
+    out = hamming64_pairs(sigs, max_hamming=3).orderBy("id_a", "id_b")
+    out = out.persist()
+    out.count()
+    sigs.unpersist()
+    return out
