@@ -740,3 +740,69 @@ def phash_images(
             )
 
     return pixels.mapInPandas(run, schema="id long, lo long, hi long")
+
+
+def audio_hash64_one(content: bytes) -> tuple[int, int]:
+    """64-bit energy-contour fingerprint of a WAV blob, (lo, hi) halves
+    in the shared dedup signature layout: decode PCM (decode_wav_one),
+    mono-mix, split into 65 equal windows, bit i = energy(win[i+1]) >
+    energy(win[i]) (strict; ties→0). Sign-of-delta contours are the
+    shazam-lite shape — amplitude-scale-INVARIANT (gain changes both
+    energies equally) and robust to small noise, which byte-level
+    hashing can never be. Shorter clips than 65 samples repeat-pad the
+    contour deterministically."""
+    import numpy as np
+
+    n_ch, _rate, bits, n_frames, pcm = decode_wav_one(content)
+    dt = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
+    x = np.frombuffer(pcm, dtype=dt).astype(np.float64)
+    if bits == 8:
+        x = x - 128.0
+    if n_ch > 1:
+        x = x[: (len(x) // n_ch) * n_ch].reshape(-1, n_ch).mean(axis=1)
+    if len(x) == 0:
+        return 0, 0
+    n_win = 65
+    # split indices cover the signal exactly; short clips yield short
+    # windows (possibly length 1) — still deterministic
+    bounds = (np.arange(n_win + 1) * len(x)) // n_win
+    e = np.asarray(
+        [
+            float(np.sum(x[bounds[i] : bounds[i + 1]] ** 2))
+            if bounds[i + 1] > bounds[i]
+            else 0.0
+            for i in range(n_win)
+        ]
+    )
+    bits_arr = e[1:] > e[:-1]  # 64 sign-of-delta bits
+    lo = hi = 0
+    for i in range(32):
+        lo |= int(bits_arr[i]) << i
+        hi |= int(bits_arr[32 + i]) << i
+    return lo, hi
+
+
+def audio_hash_table(
+    media: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """(id, lo, hi) audio fingerprints over WAV blobs — mapInPandas;
+    undecodable blobs are dropped (this is an index builder, not a
+    validator — decode_audio reports per-row errors). Feed to
+    dedup.hamming64_pairs, the same band join image pHash and text
+    SimHash use."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, lows, highs = [], [], []
+            for mid, content in zip(b[id_col], b[content_col]):
+                try:
+                    lo, hi = audio_hash64_one(bytes(content))
+                except Exception:
+                    continue
+                ids.append(mid)
+                lows.append(lo)
+                highs.append(hi)
+            yield pd.DataFrame({"id": ids, "lo": lows, "hi": highs})
+
+    return media.mapInPandas(run, schema="id long, lo long, hi long")

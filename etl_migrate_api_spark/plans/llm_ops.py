@@ -973,3 +973,36 @@ def llm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     sigs.unpersist()
     return out
+
+
+@register("llm_audio_fingerprint_dedup")
+def llm_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup detection: 64-bit energy-contour fingerprint over
+    the REAL decoded PCM (operators/multimodal.py::audio_hash64_one —
+    amplitude-scale-invariant sign-of-delta windows), then the shared
+    Manku pigeonhole band join (dedup.hamming64_pairs). The query
+    plants exact copies (media_id+600000, pure Spark — found at
+    hamming 0); the property the contour hash adds over byte hashing —
+    GAIN invariance (a re-mastered copy has identical sign-of-delta
+    contours) — is proven on constructed PCM in
+    tests/test_audio_hash.py. Rows-only."""
+    from etl_migrate_api_spark.operators.dedup import hamming64_pairs
+    from etl_migrate_api_spark.operators.multimodal import (
+        audio_hash_table,
+        fake_media_table,
+    )
+
+    docs = load(spark, "documents", sf_dir)
+    media = fake_media_table(docs).where(F.col("media_type") == "audio")
+    planted = media.select("media_id", "content").unionByName(
+        media.where(F.col("media_id") % 7 == 1).select(
+            (F.col("media_id") + 600000).alias("media_id"), "content"
+        )
+    )
+    sigs = audio_hash_table(planted).persist()
+    sigs.count()
+    out = hamming64_pairs(sigs, max_hamming=3).orderBy("id_a", "id_b")
+    out = out.persist()
+    out.count()
+    sigs.unpersist()
+    return out
