@@ -56,10 +56,7 @@ def test_driver_window_is_50_unique_oracled_queries():
     assert not missing_oracle, f"no_oracle inside driver window: {missing_oracle}"
     for q in (
         "llm_neardup_clusters",
-        "llm_dedup_corpus",
         "llm_minhash_incremental_dedup",
-        "join_range_bands",
-        "sample_class_balanced",
         # r4 rotation: the curation family gets driver CORRECTNESS rows
         "llm_pii_redact",
         "llm_contamination_ngrams",
@@ -68,6 +65,19 @@ def test_driver_window_is_50_unique_oracled_queries():
         "llm_domain_mix_sample",
         "llm_embedding_quantize",
         "llm_sequence_pack",
+        # r6 rotation: new operator families get driver CORRECTNESS rows
+        "llm_span_dedup",
+        "llm_tfidf_keywords",
+        "llm_stratified_sample",
+        "events_hopping_window",
+        "events_interval_attribution",
+        "window_rank_battery",
+        "subquery_correlated_avg",
+        "q13_customer_order_distribution",
+        "diff_orders_snapshots",
+        # the r5-regression queries stay in-window to show green
+        "events_sessionize",
+        "events_asof_join",
     ):
         assert q in names[:50], f"{q} fell out of the driver window"
     # tail queries must still exist (coverage inventory + rows-only pytest;
