@@ -819,6 +819,7 @@ def llm_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_tfidf_keywords",
+    headline=True,
     oracle="""
       with toks as (
         select doc_id,
@@ -900,7 +901,7 @@ def llm_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("llm_semdedup")
+@register("llm_semdedup", headline=True)
 def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup drop list over the planted embeddings: k-means cluster
     the corpus, compare pairs only within each cluster, drop every
@@ -917,7 +918,7 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-@register("llm_ann_pq_topk")
+@register("llm_ann_pq_topk", headline=True)
 def llm_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-5 for 10 query vectors with exact
     re-ranking of the top-100 shortlist (the Jégou two-stage recipe):
