@@ -137,6 +137,47 @@ def cmd_query(args: argparse.Namespace) -> dict:
     }
 
 
+def cmd_explain(args: argparse.Namespace) -> dict:
+    """Physical-plan introspection for any registered query — the
+    scale-audit surface (pushdown / broadcast / exchange placement)
+    without leaving the CLI."""
+    from etl_migrate_api_spark.plans.registry import QUERIES, _load_all
+
+    _load_all()
+    if args.name not in QUERIES:
+        raise SystemExit(
+            f"unknown query {args.name!r}; see COVERAGE.md for the registry"
+        )
+    spark = _get_spark()
+    df = QUERIES[args.name].fn(spark, args.sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            args.mode
+        )
+    )
+    return {"query": args.name, "mode": args.mode, "plan": plan}
+
+
+def cmd_profile(args: argparse.Namespace) -> dict:
+    """Column profile of a testdata table or any parquet path — the
+    pre-ingestion data-quality summary (operators/profile.py)."""
+    from etl_migrate_api_spark.catalog import TABLES, load
+    from etl_migrate_api_spark.operators.profile import profile_columns
+
+    spark = _get_spark()
+    if args.table in TABLES:
+        df = load(spark, args.table, args.sf_dir)
+    else:
+        df = spark.read.parquet(args.table)
+    rows = profile_columns(df, args.columns or None).collect()
+    cols = ["column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"]
+    return {
+        "table": args.table,
+        "profile": [[r[c] for c in cols] for r in rows],
+        "columns": cols,
+    }
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="etl_migrate_api_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -168,6 +209,17 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     q.add_argument("--out", default=None, help="write parquet instead of show")
     q.add_argument("--show", type=int, default=20)
+
+    e = sub.add_parser("explain", help="physical plan of a registered query")
+    e.add_argument("name")
+    e.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    e.add_argument("--mode", default="formatted",
+                   choices=["simple", "extended", "formatted", "cost", "codegen"])
+
+    pr = sub.add_parser("profile", help="column profile of a table/parquet path")
+    pr.add_argument("table", help="catalog table name or parquet path")
+    pr.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pr.add_argument("--columns", nargs="*", default=None)
     return p
 
 
@@ -181,6 +233,10 @@ def main(argv: list[str] | None = None) -> None:
         out = cmd_refresh_state(args)
     elif args.cmd == "migrate":
         out = cmd_migrate(args)
+    elif args.cmd == "explain":
+        out = cmd_explain(args)
+    elif args.cmd == "profile":
+        out = cmd_profile(args)
     else:
         out = cmd_query(args)
     json.dump(out, sys.stdout, default=str)

@@ -78,3 +78,32 @@ def test_cli_migrate_disabled_by_default(capsys):
 def test_cli_query_unknown_name_errors(capsys):
     with pytest.raises(SystemExit):
         main(["query", "no_such_query"])
+
+
+def test_cli_explain_outputs_plan(spark, capsys):
+    from etl_migrate_api_spark.__main__ import main
+
+    main(["explain", "q6_forecast_revenue", "--mode", "simple"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["query"] == "q6_forecast_revenue"
+    assert "Physical Plan" in out["plan"] and "Scan parquet" in out["plan"]
+
+
+def test_cli_explain_unknown_query_errors(capsys):
+    import pytest
+
+    from etl_migrate_api_spark.__main__ import main
+
+    with pytest.raises(SystemExit):
+        main(["explain", "nope_not_registered"])
+
+
+def test_cli_profile_table(spark, capsys):
+    from etl_migrate_api_spark.__main__ import main
+
+    main(["profile", "nation"])
+    out = json.loads(capsys.readouterr().out)
+    rows = {r[0]: r for r in out["profile"]}
+    assert rows["n_nationkey"][1] == 25  # n_rows
+    assert rows["n_nationkey"][3] == 25  # n_distinct
+    assert rows["n_regionkey"][3] == 5
