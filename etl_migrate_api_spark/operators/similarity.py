@@ -941,3 +941,126 @@ def pq_topk(
         )
     )
     return _rank_topk(rescored, k, F.col("sim").alias("est_ip"))
+
+
+def write_pq_index(
+    corpus: DataFrame,
+    path: str,
+    m: int = 32,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the PQ layout: codes parquet at ``path`` (vid, codes —
+    the 16-bytes-per-vector table a 100 TB corpus is actually scanned
+    as) + the trained codebooks at ``path``.codebooks (m×ksub×dsub
+    floats, a few KB). Deterministic end-to-end: same corpus → byte-
+    identical index, so rebuilds and replicas agree."""
+    books = pq_codebooks(corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
+    pq_encode(corpus, books, id_col=id_col, vec_col=vec_col).write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark = corpus.sparkSession
+    rows = [
+        (j, c, [float(x) for x in vec])
+        for j, cb in enumerate(books)
+        for c, vec in enumerate(cb)
+    ]
+    spark.createDataFrame(
+        rows, schema="sub int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}.codebooks")
+
+
+def pq_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    rerank_corpus: DataFrame | None = None,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Answer PQ top-k from the PERSISTED index: load the codebooks
+    (KB-scale, driver-side), build per-query LUTs, scan only the codes
+    table. ``rerank_corpus`` + ``rerank`` re-orders the shortlist by
+    exact inner product against the source table (the codes table never
+    stores raw vectors — compression is the point; production fetches
+    the shortlist rows from the primary store, which is exactly what
+    the broadcast join against ``rerank_corpus`` models)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    book_rows = spark.read.parquet(f"{path}.codebooks").collect()
+    m = 1 + max(r["sub"] for r in book_rows)
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in sorted(book_rows, key=lambda r: (r["sub"], r["code"])):
+        books[r["sub"]].append(list(r["centroid"]))
+    mats = [np.asarray(b, dtype=np.float64) for b in books]
+    dsub = mats[0].shape[1]
+    codes = spark.read.parquet(path)
+    qrows = sorted(
+        (r["qid"], list(r["qv"]))
+        for r in queries.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+        ).collect()
+    )
+    luts = np.stack(
+        [
+            np.stack(
+                [
+                    mats[j] @ np.asarray(qv[j * dsub : (j + 1) * dsub])
+                    for j in range(m)
+                ]
+            )
+            for _, qv in qrows
+        ]
+    )
+
+    def score(codes_s):
+        if len(codes_s) == 0:
+            return pd.Series([], dtype="object")
+        C = np.asarray(codes_s.tolist(), dtype=np.int64)
+        est = np.zeros((C.shape[0], luts.shape[0]))
+        for j in range(luts.shape[1]):
+            est += luts[:, j, C[:, j]].T
+        return pd.Series([row.tolist() for row in est])
+
+    score.__annotations__ = {"codes_s": pd.Series, "return": pd.Series}
+    score_udf = pandas_udf("array<double>")(score)
+    qid_arr = F.array(*[F.lit(q) for q, _ in qrows])
+    scored = (
+        codes.select("vid", score_udf(F.col("codes")).alias("sims"))
+        .select("vid", F.posexplode("sims").alias("pos", "est"))
+        .select(
+            F.element_at(qid_arr, F.col("pos") + 1).alias("query_id"),
+            F.col("vid").alias("neighbor_id"),
+            F.round(F.col("est"), 6).alias("sim"),
+        )
+    )
+    if rerank <= 0 or rerank_corpus is None:
+        return _rank_topk(scored, k, F.col("sim").alias("est_ip"))
+    shortlist = _rank_topk(scored, max(rerank, k), F.col("sim").alias("est_ip"))
+    exact_side = rerank_corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [(q, [float(x) for x in v]) for q, v in qrows],
+            schema="query_id long, qv array<double>",
+        )
+    )
+    from etl_migrate_api_spark.functions.vectors import dot as _dot
+
+    rescored = (
+        F.broadcast(shortlist.select("query_id", "neighbor_id"))
+        .join(exact_side, "neighbor_id")
+        .join(qdf, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    return _rank_topk(rescored, k, F.col("sim").alias("est_ip"))

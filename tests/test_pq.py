@@ -124,3 +124,22 @@ def test_pq_rerank_recall_high(emb, queries):
     hits = sum(len(mine[q] & truth[q]) for q in truth)
     recall = hits / sum(len(v) for v in truth.values())
     assert recall >= 0.9, recall
+
+
+def test_pq_index_roundtrip_equals_inline(spark, emb, queries, tmp_path):
+    """Persisted-index answers must be IDENTICAL to the inline path:
+    same codebook training rule, same ADC math, same rerank — the index
+    is a cache, never a semantic fork."""
+    from etl_migrate_api_spark.operators.similarity import (
+        pq_topk_from_index,
+        write_pq_index,
+    )
+
+    path = str(tmp_path / "pq_index")
+    write_pq_index(emb, path, m=M, ksub=KSUB)
+    inline = pq_topk(emb, queries, k=5, m=M, ksub=KSUB, rerank=50).collect()
+    from_idx = pq_topk_from_index(
+        spark, path, queries, k=5, rerank_corpus=emb, rerank=50
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(inline, key=key) == sorted(from_idx, key=key)
