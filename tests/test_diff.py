@@ -46,3 +46,36 @@ def test_diff_output_carries_no_payload(spark):
     new = _mk(spark, [(1, "x", 2.0)])
     df = table_diff(old, new, ["k"])
     assert set(df.columns) == {"k", "change"}
+
+
+# ---- property: diff vs a brute-force pandas reference ---------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_val = st.one_of(st.none(), st.integers(-3, 3).map(str), st.just("\x00NULL\x00"))
+_row = st.tuples(st.integers(0, 9), _val, _val)
+_frame = st.lists(_row, min_size=0, max_size=10, unique_by=lambda r: r[0])
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(old_rows=_frame, new_rows=_frame)
+def test_diff_matches_bruteforce(spark, old_rows, new_rows):
+    old = spark.createDataFrame(old_rows, "k bigint, a string, b string")
+    new = spark.createDataFrame(new_rows, "k bigint, a string, b string")
+    got = {r["k"]: r["change"] for r in table_diff(old, new, ["k"]).collect()}
+    om = {r[0]: r[1:] for r in old_rows}
+    nm = {r[0]: r[1:] for r in new_rows}
+    want = {}
+    for k in om.keys() | nm.keys():
+        if k not in nm:
+            want[k] = "removed"
+        elif k not in om:
+            want[k] = "added"
+        elif om[k] != nm[k]:
+            want[k] = "changed"
+    assert got == want
