@@ -1064,3 +1064,190 @@ def pq_topk_from_index(
         )
     )
     return _rank_topk(rescored, k, F.col("sim").alias("est_ip"))
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — the composite 100 TB ANN layout (faiss IndexIVFPQ shape)
+# ---------------------------------------------------------------------------
+
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    k: int = 8,
+    m: int = 32,
+    ksub: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the composite layout: coarse k-means cells partition the
+    codes table (``path/cell=N/`` — partition pruning at file-listing
+    time), rows inside are PQ codes (16 bytes/vector), centroids and
+    codebooks ride as KB-scale sidecars. This is the faiss IndexIVFPQ
+    shape — at 100 TB a query reads nprobe/k of the corpus DIRECTORIES
+    and 1/16 of the BYTES within them. Both trainers are the bounded
+    deterministic md5-sample Lloyds; rebuild → byte-identical index."""
+    cents = kmeans_centroids(
+        corpus, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    cent_rows = [
+        (int(r["cent_id"]), [float(x) for x in r["cent_v"]])
+        for r in cents.collect()
+    ]
+    assign = _cell_assign_udf(cent_rows)
+    books = pq_codebooks(corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
+    coded = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
+    tagged = corpus.select(
+        F.col(id_col).alias("vid"), assign(F.col(vec_col)).alias("cell")
+    )
+    (
+        coded.join(tagged, "vid")
+        .repartition(F.col("cell"))  # no small-files explosion (see IVF)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    cents.write.mode("overwrite").parquet(f"{path}.centroids")
+    rows = [
+        (j, c, [float(x) for x in vec])
+        for j, cb in enumerate(books)
+        for c, vec in enumerate(cb)
+    ]
+    corpus.sparkSession.createDataFrame(
+        rows, schema="sub int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}.codebooks")
+
+
+def ivfpq_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    rerank_corpus: DataFrame | None = None,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query the persisted IVF-PQ index: nprobe nearest cells per query
+    (centroid constants → pure projection), partition-pruned scan of
+    ONLY those cells' code files, ADC lookup-table scoring, optional
+    exact rerank against the source table. Returns (query_id, rank,
+    neighbor_id, est_ip)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cent_rows = [
+        (int(r["cent_id"]), [float(x) for x in r["cent_v"]])
+        for r in spark.read.parquet(f"{path}.centroids").collect()
+    ]
+    book_rows = spark.read.parquet(f"{path}.codebooks").collect()
+    m = 1 + max(r["sub"] for r in book_rows)
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in sorted(book_rows, key=lambda r: (r["sub"], r["code"])):
+        books[r["sub"]].append(list(r["centroid"]))
+    mats = [np.asarray(b, dtype=np.float64) for b in books]
+    dsub = mats[0].shape[1]
+
+    qrows = sorted(
+        (r["qid"], list(r["qv"]))
+        for r in queries.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+        ).collect()
+    )
+    luts = np.stack(
+        [
+            np.stack(
+                [
+                    mats[j] @ np.asarray(qv[j * dsub : (j + 1) * dsub])
+                    for j in range(m)
+                ]
+            )
+            for _, qv in qrows
+        ]
+    )
+    # per-query probed cells, driver-side (queries are the bounded side)
+    qcells = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(
+                _nearest_cells_expr(F.col(vec_col), cent_rows, nprobe)
+            ).alias("cell"),
+        )
+    ).collect()
+    probe_map: dict[int, set[int]] = {}
+    for r in qcells:
+        probe_map.setdefault(int(r["cell"]), set()).add(int(r["query_id"]))
+    probed = sorted(probe_map)
+    qid_index = {q: i for i, (q, _) in enumerate(qrows)}
+
+    def score(codes_s):
+        if len(codes_s) == 0:
+            return pd.Series([], dtype="object")
+        C = np.asarray(codes_s.tolist(), dtype=np.int64)
+        est = np.zeros((C.shape[0], luts.shape[0]))
+        for j in range(luts.shape[1]):
+            est += luts[:, j, C[:, j]].T
+        return pd.Series([row.tolist() for row in est])
+
+    score.__annotations__ = {"codes_s": pd.Series, "return": pd.Series}
+    score_udf = pandas_udf("array<double>")(score)
+
+    codes = spark.read.parquet(path).where(F.col("cell").isin(probed))
+    # a neighbor counts for a query ONLY if its cell is probed for that
+    # query: build the (cell → query positions) filter as a literal map
+    cell_q = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in probed]),
+        F.array(
+            *[
+                F.array(*[F.lit(qid_index[q]) for q in sorted(probe_map[c])])
+                for c in probed
+            ]
+        ),
+    )
+    qid_arr = F.array(*[F.lit(q) for q, _ in qrows])
+    scored = (
+        codes.select(
+            "vid",
+            F.col("cell"),
+            score_udf(F.col("codes")).alias("sims"),
+        )
+        .select(
+            "vid",
+            F.explode(F.element_at(cell_q, F.col("cell"))).alias("pos"),
+            F.col("sims"),
+        )
+        .select(
+            F.element_at(qid_arr, F.col("pos") + 1).alias("query_id"),
+            F.col("vid").alias("neighbor_id"),
+            F.round(F.element_at("sims", F.col("pos") + 1), 6).alias("sim"),
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    if rerank <= 0 or rerank_corpus is None:
+        return _rank_topk(scored, k, F.col("sim").alias("est_ip"))
+    shortlist = _rank_topk(scored, max(rerank, k), F.col("sim").alias("est_ip"))
+    exact_side = rerank_corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [(q, [float(x) for x in v]) for q, v in qrows],
+            schema="query_id long, qv array<double>",
+        )
+    )
+    from etl_migrate_api_spark.functions.vectors import dot as _dot
+
+    rescored = (
+        F.broadcast(shortlist.select("query_id", "neighbor_id"))
+        .join(exact_side, "neighbor_id")
+        .join(qdf, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    return _rank_topk(rescored, k, F.col("sim").alias("est_ip"))

@@ -1007,3 +1007,44 @@ def llm_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     sigs.unpersist()
     return out
+
+
+@register("llm_ann_ivfpq_topk")
+def llm_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite top-k over a PERSISTED index (faiss IndexIVFPQ
+    shape — the actual 100 TB ANN layout): coarse cells partition the
+    codes table (file-listing-time pruning, plan-asserted in
+    tests/test_ivfpq.py), rows inside are 16-byte PQ codes, queries
+    probe nprobe cells, ADC-score only those codes, and the shortlist
+    reranks exactly against the source table. The timed number includes
+    the index build (both trainers are bounded deterministic md5-sample
+    Lloyds). Rows-only gate: iterated float means have no SQL mirror;
+    recall/determinism/pruning in tests/test_ivfpq.py."""
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    emb = load(spark, "embeddings", sf_dir)
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_ivfpq")
+    cutoff = time.time() - 6 * 3600
+    for stale in (
+        os.path.join(root, d) for d in (os.listdir(root) if os.path.isdir(root) else [])
+    ):
+        try:
+            if os.path.getmtime(stale) < cutoff:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass
+    path = os.path.join(root, f"index_{tag}_{uuid.uuid4().hex[:8]}")
+    sim.write_ivfpq_index(emb, path, k=8, m=32, ksub=16)
+    return sim.ivfpq_topk(
+        spark,
+        path,
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        nprobe=3,
+        rerank_corpus=emb,
+        rerank=50,
+    ).orderBy("query_id", "rank")

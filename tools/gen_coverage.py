@@ -73,6 +73,7 @@ NORTH_STAR = [
     ("ANN brute-force", "llm_ann_bruteforce_topk"),
     ("ANN LSH", "llm_ann_lsh_topk (rows-only)"),
     ("ANN IVF", "llm_ann_ivf_topk (rows-only; k-means-trained cells, recall-tested)"),
+    ("ANN IVF-PQ composite (persisted)", "llm_ann_ivfpq_topk (rows-only; faiss IndexIVFPQ shape — cell-partitioned 16-byte codes, partition-pruned probes, exact rerank; plan/recall/determinism in tests/test_ivfpq.py)"),
     ("ANN PQ + exact rerank", "llm_ann_pq_topk (rows-only; m=32 4-bit codes = 16 bytes/vector, ADC lookup-table scan + exact top-100 rerank, measured recall@10 0.99 at sf0.1)"),
     ("language-ID", "llm_lang_id"),
     ("quality scoring", "llm_quality_score + llm_quality_repetition + llm_unigram_logprob_score (CCNet-style perplexity proxy)"),
