@@ -752,3 +752,117 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dbl(F.sum(F.col("c_acctbal").cast(_DEC))).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+      with revenue as (
+        select l_suppkey as supplier_no,
+               sum(cast(l_extendedprice as decimal(18,2))
+                   * cast(1 - l_discount as decimal(18,2))) as total_revenue
+        from lineitem
+        where l_shipdate >= timestamp '1997-01-01 00:00:00'
+          and l_shipdate <  timestamp '1997-04-01 00:00:00'
+        group by l_suppkey
+      )
+      select s_suppkey, s_name,
+             cast(round(total_revenue, 2) as double) as total_revenue
+      from supplier join revenue on s_suppkey = supplier_no
+      where total_revenue = (select max(total_revenue) from revenue)
+    """,
+    survey_refs=("A1", "A3", "J2", "F2"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly revenue per supplier, keep the
+    max-revenue supplier(s) — an aggregate reused twice (per-supplier
+    rows AND the global max). Scale: the revenue aggregate is computed
+    ONCE and persisted through a broadcast self-reference (the scalar
+    max rides a one-row broadcast; recomputing the whole aggregate for
+    the subquery — what a naive view expansion does — would double the
+    fact scan). Decimal accumulation keeps the max comparison exact
+    (a double max could tie-break differently than the per-row sums)."""
+    li = load(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice").cast(_DEC) * (F.lit(1) - F.col("l_discount")).cast(_DEC)
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(rev).alias("total_revenue"))
+        .persist()
+    )
+    revenue.count()  # materialize once; both consumers read the cache
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = load(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    out = (
+        revenue.join(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            _dbl(F.col("total_revenue")).alias("total_revenue"),
+        )
+    )
+    out = out.persist()
+    out.count()
+    revenue.unpersist()
+    return out
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+      with pa as (
+        select l_partkey as pk,
+               cast(sum(cast(l_quantity as decimal(18,2))) as double)
+                 / count(*) as avg_qty
+        from lineitem
+        group by l_partkey
+      )
+      select cast(round(sum(cast(l_extendedprice as decimal(18,2))), 2) as double)
+               / 7.0 as avg_yearly,
+             count(*) as n_lines
+      from lineitem
+      join part on p_partkey = l_partkey
+      join pa on pk = l_partkey
+      where p_brand = 'Brand#1'
+        and l_quantity < 0.2 * avg_qty
+    """,
+    survey_refs=("A3", "J2", "F1", "T8"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders of less than 20% of a
+    part's average quantity — the correlated per-part average expressed
+    as an aggregate joined back on partkey (Catalyst's de-correlation;
+    one partkey shuffle instead of a per-row re-scan). The brand filter
+    pushes to the part scan and prunes the probe side BEFORE the join;
+    the per-part average is exact decimal sum / count in ONE double
+    division (same engine-avg() trap as subquery_correlated_avg)."""
+    li = load(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    p = load(spark, "part", sf_dir).where(F.col("p_brand") == "Brand#1").select(
+        "p_partkey"
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(pa, F.col("l_partkey") == F.col("pk"))
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (
+                F.round(F.sum(F.col("l_extendedprice").cast(_DEC)), 2).cast(
+                    "double"
+                )
+                / 7.0
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

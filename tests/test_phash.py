@@ -65,3 +65,52 @@ def test_phash_pairs_find_planted_copies(spark):
     for r in pairs:
         if (r["id_a"], r["id_b"]) in want:
             assert r["hamming"] == 0
+
+
+# ---- property: pigeonhole banding is lossless for hamming <= 3 ------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sigs=st.lists(
+        st.tuples(st.integers(0, 2**32 - 1), st.integers(0, 2**32 - 1)),
+        min_size=2,
+        max_size=8,
+        unique=True,
+    ),
+    flips=st.lists(st.integers(0, 63), min_size=0, max_size=3),
+)
+def test_hamming64_pairs_lossless(spark, sigs, flips):
+    """hamming64_pairs must return EXACTLY the all-pairs ≤-3 set: the
+    4×16 pigeonhole guarantees no pair is lost; the verify step
+    guarantees none is extra. A ≤3-bit-flipped twin of sig[0] is
+    appended so close pairs always exist."""
+    rows = [(i, lo, hi) for i, (lo, hi) in enumerate(sigs)]
+    lo0, hi0 = sigs[0]
+    for b in set(flips):
+        if b < 32:
+            lo0 ^= 1 << b
+        else:
+            hi0 ^= 1 << (b - 32)
+    rows.append((len(rows), lo0, hi0))
+    df = spark.createDataFrame(rows, "id long, lo long, hi long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming64_pairs(df, max_hamming=3).collect()
+    }
+    want = {}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            h = bin(
+                (rows[i][1] ^ rows[j][1]) | ((rows[i][2] ^ rows[j][2]) << 32)
+            ).count("1")
+            if h <= 3:
+                want[(rows[i][0], rows[j][0])] = h
+    assert got == want
