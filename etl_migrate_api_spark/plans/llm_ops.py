@@ -165,11 +165,14 @@ def llm_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- simhash
 
-_SIMHASH_DOC_SQL = f"""
-with docs as ({PLANTED_DOCS_SQL}),
-tok as (
+def _simhash_chain_sql(src: str) -> str:
+    """The tok→th→votes→bits2→sig CTE chain computing 64-bit SimHash
+    halves over ``src`` (a CTE/table with doc_id, text) — parameterized
+    so the curation pipeline can run it over its survivors, not just
+    the planted corpus."""
+    return f"""tok as (
   select distinct doc_id, t.tok as tok
-  from (select doc_id, lower(trim(text)) as s from docs) d,
+  from (select doc_id, lower(trim(text)) as s from {src}) d,
        lateral (select unnest(string_split_regex(s, '\\s+')) as tok) t
   where t.tok <> ''
 ),
@@ -189,7 +192,12 @@ sig as (
          cast(coalesce(sum(case when i < 32 then cast(b as bigint) << i end), 0) as bigint) as simhash_lo,
          cast(coalesce(sum(case when i >= 32 then cast(b as bigint) << (i - 32) end), 0) as bigint) as simhash_hi
   from bits2 group by doc_id
-)
+)"""
+
+
+_SIMHASH_DOC_SQL = f"""
+with docs as ({PLANTED_DOCS_SQL}),
+{_simhash_chain_sql("docs")}
 """
 
 
@@ -1048,3 +1056,102 @@ def llm_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank_corpus=emb,
         rerank=50,
     ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Capstone: the full curation pipeline as ONE query
+# ---------------------------------------------------------------------------
+
+
+_PIPELINE_ORACLE = f"""
+with planted as ({PLANTED_DOCS_SQL}),
+docs as (select doc_id, text from planted),
+{_TEXT_METRIC_SQL},
+q as (
+  select r.doc_id,
+         round((
+           (case when n_tok >= 5 and n_tok <= 100000 then 1.0 else 0.0 end)
+         + (case when punct_ratio <= 0.2 then 1.0 else 0.0 end)
+         + (case when stop_ratio >= 0.01 then 1.0 else 0.0 end)
+         + (case when mean_word_len >= 2.0 and mean_word_len <= 12.0 then 1.0 else 0.0 end)
+         ) / 4.0, 4) as quality
+  from r
+),
+pass1 as (
+  select p.doc_id, p.text, q.quality
+  from planted p join q on p.doc_id = q.doc_id
+  where q.quality >= 0.75 and p.lang = 'en'
+),
+fp as (
+  select doc_id, text, quality,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) as f
+  from pass1
+),
+keep1 as (
+  select doc_id, text, quality
+  from (select *, row_number() over (partition by f order by doc_id) as rn from fp)
+  where rn = 1
+),
+{_simhash_chain_sql("keep1")},
+drops as (
+  select distinct b.id as doc_id
+  from sig a join sig b
+    on a.id < b.id
+   and bit_count(xor(a.simhash_lo, b.simhash_lo))
+     + bit_count(xor(a.simhash_hi, b.simhash_hi)) <= 3
+)
+select k.doc_id, cast(k.quality as double) as quality
+from keep1 k
+where not exists (select 1 from drops d where d.doc_id = k.doc_id)
+"""
+
+
+@register(
+    "llm_curation_pipeline",
+    oracle=_PIPELINE_ORACLE,
+    headline=True,
+    survey_refs=("F1", "W1", "E1", "E2", "E3", "A3"),
+)
+def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone: a training-data curation pipeline as ONE plan —
+    quality gate (Gopher heuristics) → language filter → exact dedup
+    (first-occurrence per content fingerprint) → SimHash near-dup drop
+    (hamming ≤ 3, pigeonhole-banded) → surviving (doc_id, quality).
+    Every stage is the already-verified operator; the pipeline verifies
+    their COMPOSITION end-to-end against one composed oracle.
+
+    Scale shape: the gates run before any shuffle (scan-level
+    filters), the fingerprint dedup is one hash window, and the
+    near-dup stage runs on the REDUCED survivor set (filters-first
+    ordering is the pipeline-level optimization that matters at
+    100 TB — near-dup cost scales with what passes the cheap gates,
+    not the raw corpus)."""
+    from pyspark.sql import Window
+
+    from etl_migrate_api_spark.functions.text import fingerprint
+
+    docs = planted_docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id", "text", "lang", quality_score("text").alias("quality")
+    )
+    pass1 = scored.where((F.col("quality") >= 0.75) & (F.col("lang") == "en"))
+    w = Window.partitionBy("f").orderBy("doc_id")
+    keep1 = (
+        pass1.withColumn("f", fingerprint("text"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "text", "quality")
+    )
+    keep1 = keep1.persist()
+    keep1.count()
+    pairs = dd.simhash_neardup_pairs(keep1, "text", "doc_id", max_hamming=3)
+    drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    out = (
+        keep1.join(drops, "doc_id", "left_anti")
+        .select("doc_id", F.col("quality").cast("double"))
+    )
+    out = out.persist()
+    out.count()
+    keep1.unpersist()
+    pairs.unpersist()
+    return out
