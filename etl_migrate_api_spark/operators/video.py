@@ -146,3 +146,37 @@ def decode_video(media: DataFrame, frame_stride: int = 1) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         decode, schema=_VIDEO_SCHEMA
     )
+
+
+def video_phash_table(
+    media: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """(id, lo, hi) keyframe perceptual hashes over Y4M blobs: decode
+    the container (decode_y4m_one), take the FIRST frame's luma plane,
+    and pHash it (multimodal.phash64_one grayscale path) — keyframe
+    hashing, the standard first-pass video near-dup technique (a
+    re-encoded/rescaled copy keeps its keyframe's DCT signature).
+    Undecodable blobs are dropped (index builder, not validator). Feed
+    to dedup.hamming64_pairs — the same band join as text/image/audio.
+    """
+    import pandas as pd
+
+    from etl_migrate_api_spark.operators.multimodal import phash64_one
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, lows, highs = [], [], []
+            for mid, c in zip(b[id_col], b[content_col]):
+                try:
+                    w, h, _num, _den, _cs, planes = decode_y4m_one(bytes(c))
+                    if not planes:
+                        continue
+                    lo, hi = phash64_one(bytes(planes[0]), w, h)
+                except Exception:
+                    continue
+                ids.append(mid)
+                lows.append(lo)
+                highs.append(hi)
+            yield pd.DataFrame({"id": ids, "lo": lows, "hi": highs})
+
+    return media.mapInPandas(run, schema="id long, lo long, hi long")

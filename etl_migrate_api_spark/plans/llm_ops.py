@@ -1155,3 +1155,34 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep1.unpersist()
     pairs.unpersist()
     return out
+
+
+@register("llm_video_phash_dedup")
+def llm_video_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup by KEYFRAME perceptual hash: real Y4M container
+    decode → first frame's luma plane → DCT pHash
+    (operators/video.py::video_phash_table) → the shared Manku
+    pigeonhole band join. With this, all four modalities (text SimHash,
+    image pHash, audio energy contour, video keyframe) dedup through
+    ONE 64-bit-signature index layout (dedup.hamming64_pairs). Planted
+    exact copies (media_id+700000) land at hamming 0. Rows-only; the
+    DCT path's gates live in tests/test_phash.py (shared phash64_one)
+    and tests/test_video_hash.py."""
+    from etl_migrate_api_spark.operators.dedup import hamming64_pairs
+    from etl_migrate_api_spark.operators.multimodal import fake_media_table
+    from etl_migrate_api_spark.operators.video import video_phash_table
+
+    docs = load(spark, "documents", sf_dir)
+    media = fake_media_table(docs).where(F.col("media_type") == "video")
+    planted = media.select("media_id", "content").unionByName(
+        media.where(F.col("media_id") % 9 == 2).select(
+            (F.col("media_id") + 700000).alias("media_id"), "content"
+        )
+    )
+    sigs = video_phash_table(planted).persist()
+    sigs.count()
+    out = hamming64_pairs(sigs, max_hamming=3).orderBy("id_a", "id_b")
+    out = out.persist()
+    out.count()
+    sigs.unpersist()
+    return out

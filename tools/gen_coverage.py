@@ -68,6 +68,7 @@ NORTH_STAR = [
     ("dedup embedding-cosine", "llm_embedding_neardup"),
     ("dedup semantic (SemDeDup)", "llm_semdedup (rows-only; k-means cells + within-cell cosine, precision/recall pytest vs brute force)"),
     ("dedup audio fingerprint", "llm_audio_fingerprint_dedup (rows-only; gain-invariant energy-contour 64-bit hash over real decoded PCM + the shared hamming64_pairs band join)"),
+    ("dedup video keyframe-hash", "llm_video_phash_dedup (rows-only; real Y4M decode -> first-frame luma DCT pHash -> shared hamming64_pairs band join)"),
     ("dedup image perceptual-hash", "llm_image_phash_dedup (rows-only; 64-bit DCT pHash in mapInPandas + the shared Manku 4x16 pigeonhole band join — hamming64_pairs)"),
     ("dedup span/substring (C4-style)", "llm_span_dedup + llm_span_dedup_incremental + streaming/pipeline.py::span_dedup_stream"),
     ("ANN brute-force", "llm_ann_bruteforce_topk"),
