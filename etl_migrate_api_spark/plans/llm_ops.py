@@ -1186,3 +1186,61 @@ def llm_video_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     sigs.unpersist()
     return out
+
+
+@register(
+    "llm_dataset_card",
+    oracle=f"""
+      with docs as (select doc_id, text from documents),
+      {_TEXT_METRIC_SQL},
+      q as (
+        select r.doc_id, r.n_tok,
+               round((
+                 (case when n_tok >= 5 and n_tok <= 100000 then 1.0 else 0.0 end)
+               + (case when punct_ratio <= 0.2 then 1.0 else 0.0 end)
+               + (case when stop_ratio >= 0.01 then 1.0 else 0.0 end)
+               + (case when mean_word_len >= 2.0 and mean_word_len <= 12.0 then 1.0 else 0.0 end)
+               ) / 4.0, 4) as quality
+        from r
+      )
+      select d.source,
+             count(*) as n_docs,
+             cast(sum(q.n_tok) as bigint) as total_tokens,
+             round(sum(q.quality) / count(*), 4) as mean_quality,
+             count(distinct d.lang) as n_langs,
+             cast(count(*) - count(distinct
+                    md5(lower(regexp_replace(trim(d.text), '\\s+', ' ', 'g'))))
+                  as bigint) as n_exact_dups
+      from documents d join q on d.doc_id = q.doc_id
+      group by d.source
+    """,
+    survey_refs=("A3", "E1", "T6"),
+)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card: per-source corpus summary a pipeline publishes
+    with every release — doc/token counts, mean heuristic quality,
+    language breadth, exact-dup count (docs minus distinct content
+    fingerprints). ONE aggregation over per-doc signals that are
+    themselves pure column expressions; quality values are exact
+    multiples of 0.25, so the double mean is summation-order-safe.
+    Scale: a single source-keyed hash aggregate; the count distinct
+    pair plans as one Expand over the same scan."""
+    from etl_migrate_api_spark.functions.text import fingerprint, token_count
+
+    docs = load(spark, "documents", sf_dir)
+    per_doc = docs.select(
+        "source",
+        "lang",
+        token_count("text").alias("n_tok"),
+        quality_score("text").alias("quality"),
+        fingerprint("text").alias("fp"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.round(F.sum("quality") / F.count(F.lit(1)), 4).alias("mean_quality"),
+        F.count_distinct("lang").alias("n_langs"),
+        (F.count(F.lit(1)) - F.count_distinct("fp"))
+        .cast("bigint")
+        .alias("n_exact_dups"),
+    )
