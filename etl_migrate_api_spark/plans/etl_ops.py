@@ -1638,3 +1638,43 @@ def diff_orders_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return table_diff(o, new, ["o_orderkey"])
+
+
+@register(
+    "window_range_frame_trailing",
+    oracle="""
+      select o_custkey, o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') as orderdate,
+             cast(round(sum(cast(o_totalprice as decimal(18,2))) over (
+               partition by o_custkey
+               order by date_diff('day', date '1995-01-01', cast(o_orderdate as date))
+               range between 29 preceding and current row
+             ), 2) as double) as trailing30_spend
+      from orders
+    """,
+    survey_refs=("W2", "T6", "A3"),
+)
+def window_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window (vs the row-framed batteries): per-customer
+    trailing-30-day spend at each order — the frame is defined by VALUE
+    distance on the time axis (all orders within 29 days before this
+    one's date), not row offsets, so same-day orders all see the same
+    frame regardless of tie order. Both engines order by the identical
+    integer day offset, making the frame contents provably equal.
+    Scale: one shuffle on o_custkey; the range frame evaluates with a
+    sliding aggregate over the sorted partition (O(n) per partition,
+    not O(n·frame))."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")))
+        .rangeBetween(-29, 0)
+    )
+    o = load(spark, "orders", sf_dir)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.round(F.sum(F.col("o_totalprice").cast(_DEC)).over(w), 2)
+        .cast("double")
+        .alias("trailing30_spend"),
+    )
