@@ -1678,3 +1678,89 @@ def window_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("trailing30_spend"),
     )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+      select coalesce(o_orderstatus, '<all>') as status,
+             coalesce(o_orderpriority, '<all>') as priority,
+             cast(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) as int)
+               as gid,
+             count(*) as n,
+             cast(round(sum(cast(o_totalprice as decimal(18,2))), 2) as double)
+               as total
+      from orders
+      group by grouping sets ((o_orderstatus, o_orderpriority),
+                              (o_orderstatus), (o_orderpriority))
+    """,
+    survey_refs=("A3", "A4"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube sugar over)
+    with grouping() disambiguation: three aggregation granularities in
+    ONE pass (Spark plans an Expand — each input row fans to its 3 set
+    memberships, then one hash aggregate; at scale that is 1 scan + 1
+    shuffle instead of 3 of each for separate queries). grouping()
+    bits distinguish a real NULL group key from a rolled-up one —
+    rendered into the gid column and the '<all>' coalesce in both
+    engines."""
+    o = load(spark, "orders", sf_dir)
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2)
+            .cast("double")
+            .alias("total"),
+            (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
+            .cast("int")
+            .alias("gid"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "gid",
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+      with a as (
+        select n_nationkey, nullif(n_regionkey, 0) as rk from nation
+      ),
+      b as (
+        select r_regionkey, r_name,
+               nullif(r_regionkey, 0) as rk
+        from region
+      )
+      select a.n_nationkey,
+             coalesce(b.r_name, '<null-match>') as r_name
+      from a join b on a.rk is not distinct from b.rk
+    """,
+    survey_refs=("J2", "T7"),
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing — the semantics a standard
+    equi-join silently drops (planted by nullif-ing region 0 on both
+    sides, so every region-0 nation joins through the NULL<=>NULL
+    path). Scale note: Spark executes <=> as a hash join (null is just
+    another key value), NOT a nested loop — same shuffle cost as =."""
+    a = load(spark, "nation", sf_dir).select(
+        "n_nationkey", F.nullif(F.col("n_regionkey"), F.lit(0)).alias("rk")
+    )
+    b = load(spark, "region", sf_dir).select(
+        F.col("r_name"), F.nullif(F.col("r_regionkey"), F.lit(0)).alias("rk")
+    )
+    return a.join(F.broadcast(b), a.rk.eqNullSafe(b.rk)).select(
+        "n_nationkey", F.coalesce("r_name", F.lit("<null-match>")).alias("r_name")
+    )
