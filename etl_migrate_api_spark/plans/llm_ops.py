@@ -1244,3 +1244,59 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_exact_dups"),
     )
+
+
+@register(
+    "llm_hard_negative_mining",
+    oracle="""
+      with q as (select vec_id as query_id, label as ql, embedding as qv
+                 from embeddings where vec_id < 10),
+      scored as (
+        select q.query_id, c.vec_id as neighbor_id,
+               list_cosine_similarity(q.qv, c.embedding) as sim
+        from q join embeddings c
+          on c.vec_id <> q.query_id and c.label <> q.ql
+      ),
+      r as (select query_id, neighbor_id,
+                   row_number() over (partition by query_id
+                                      order by sim desc, neighbor_id) as rank
+            from scored)
+      select query_id, cast(rank as int) as rank, neighbor_id
+      from r where rank <= 3
+    """,
+)
+def llm_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-3 most-similar vectors with a DIFFERENT label —
+    near-misses are the negatives that actually teach the margin
+    (random negatives are trivially separable). Same broadcast-query /
+    corpus-never-shuffles shape as bruteforce_topk with the label
+    disequality folded into the join condition (the filter prunes
+    before scoring, not after ranking — ranking then filtering would
+    under-fill k). At scale the brute-force scorer swaps for the IVF/PQ
+    shortlist with the same label filter on the rerank."""
+    emb = load(spark, "embeddings", sf_dir)
+    from etl_migrate_api_spark.functions.vectors import cosine_similarity
+
+    q = F.broadcast(
+        emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("ql"),
+            F.col("embedding").alias("qv"),
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("cl"),
+        F.col("embedding").alias("cv"),
+    )
+    scored = q.join(
+        c,
+        (F.col("neighbor_id") != F.col("query_id"))
+        & (F.col("cl") != F.col("ql")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("qv"), F.col("cv")).alias("sim"),
+    )
+    return sim._rank_topk(scored, 3).select("query_id", "rank", "neighbor_id")

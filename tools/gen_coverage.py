@@ -72,6 +72,7 @@ NORTH_STAR = [
     ("dedup image perceptual-hash", "llm_image_phash_dedup (rows-only; 64-bit DCT pHash in mapInPandas + the shared Manku 4x16 pigeonhole band join — hamming64_pairs)"),
     ("dedup span/substring (C4-style)", "llm_span_dedup + llm_span_dedup_incremental + streaming/pipeline.py::span_dedup_stream"),
     ("ANN brute-force", "llm_ann_bruteforce_topk"),
+    ("hard-negative mining", "llm_hard_negative_mining (top-3 different-label neighbors per query, oracle-checked)"),
     ("ANN LSH", "llm_ann_lsh_topk (rows-only)"),
     ("ANN IVF", "llm_ann_ivf_topk (rows-only; k-means-trained cells, recall-tested)"),
     ("ANN IVF-PQ composite (persisted)", "llm_ann_ivfpq_topk (rows-only; faiss IndexIVFPQ shape — cell-partitioned 16-byte codes, partition-pruned probes, exact rerank; plan/recall/determinism in tests/test_ivfpq.py)"),
@@ -91,6 +92,8 @@ NORTH_STAR = [
     ("SCD2 history build", "events_scd2_history (change detection + validity intervals — the full-history twin of the K7/W3 state store)"),
     ("stratified sampling", "llm_stratified_sample (md5-threshold Bernoulli, per-stratum rates)"),
     ("split assignment", "llm_split_assign (hash-bucketed train/val/test, version-stable)"),
+    ("curation pipeline (capstone)", "llm_curation_pipeline (quality -> lang -> exact dedup -> SimHash near-dup as ONE oracle-checked plan, headline)"),
+    ("dataset card", "llm_dataset_card (per-source docs/tokens/quality/langs/dup counts, oracle-checked)"),
     ("interval/range join", "events_interval_attribution + streaming/pipeline.py::attribution_stream "
      "(stream-stream watermarked twin)"),
 ]
