@@ -1764,3 +1764,91 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(F.broadcast(b), a.rk.eqNullSafe(b.rk)).select(
         "n_nationkey", F.coalesce("r_name", F.lit("<null-match>")).alias("r_name")
     )
+
+
+@register(
+    "events_ordered_funnel",
+    oracle="""
+      with w1 as (
+        select user_id, cast(ts as date) as day, event_type,
+               epoch_us(ts) as tu,
+               min(case when event_type = 'view' then epoch_us(ts) end)
+                 over (partition by user_id, cast(ts as date)) as m1
+        from events
+      ),
+      w2 as (
+        select *,
+               min(case when event_type = 'click' and tu >= m1 then tu end)
+                 over (partition by user_id, day) as m2
+        from w1
+      ),
+      w3 as (
+        select *,
+               min(case when event_type = 'purchase' and tu >= m2 then tu end)
+                 over (partition by user_id, day) as m3
+        from w2
+      ),
+      per_user as (
+        select user_id, day,
+               max(case when m1 is not null then 1 else 0 end) as s1,
+               max(case when m2 is not null then 1 else 0 end) as s2,
+               max(case when m3 is not null then 1 else 0 end) as s3
+        from w3 group by user_id, day
+      )
+      select strftime(day, '%Y-%m-%d') as day,
+             cast(sum(s1) as bigint) as n_viewed,
+             cast(sum(s2) as bigint) as n_clicked_after_view,
+             cast(sum(s3) as bigint) as n_purchased_after_click
+      from per_user group by day
+    """,
+    survey_refs=("W1", "W2", "A3", "A4", "F3"),
+)
+def events_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED conversion funnel per user-day: view → click AT OR AFTER
+    the first view → purchase AT OR AFTER that click. Each stage's
+    earliest qualifying time depends on the previous stage's — three
+    CHAINED same-spec window aggregates, which Spark executes with ONE
+    (user_id, day) shuffle (same-partitioning windows stack without
+    re-exchange; the daily counts reuse it too). The un-ordered funnel
+    (q_daily_event_funnel) counts events; this one counts USERS who
+    progressed in order — the product-analytics semantics."""
+    ev = load(spark, "events", sf_dir)
+    day = F.to_date("ts")
+    tu = F.unix_micros("ts")
+    w = Window.partitionBy("user_id", "day")
+    staged = (
+        ev.select("user_id", day.alias("day"), "event_type", tu.alias("tu"))
+        .withColumn(
+            "m1", F.min(F.when(F.col("event_type") == "view", F.col("tu"))).over(w)
+        )
+        .withColumn(
+            "m2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("tu") >= F.col("m1")),
+                    F.col("tu"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "m3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("tu") >= F.col("m2")),
+                    F.col("tu"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id", "day").agg(
+        F.max(F.when(F.col("m1").isNotNull(), 1).otherwise(0)).alias("s1"),
+        F.max(F.when(F.col("m2").isNotNull(), 1).otherwise(0)).alias("s2"),
+        F.max(F.when(F.col("m3").isNotNull(), 1).otherwise(0)).alias("s3"),
+    )
+    return per_user.groupBy(
+        F.date_format("day", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum("s1").cast("bigint").alias("n_viewed"),
+        F.sum("s2").cast("bigint").alias("n_clicked_after_view"),
+        F.sum("s3").cast("bigint").alias("n_purchased_after_click"),
+    )
