@@ -322,3 +322,30 @@ def test_hopping_window_no_self_join(spark, sf_dir, queries):
     plan = _plan(queries["events_hopping_window"].fn(spark, sf_dir))
     assert "Join" not in plan
     assert "Expand" in plan or "Generate" in plan or "explode" in plan
+
+
+def test_dataset_card_single_scan_one_expand(spark, sf_dir, queries):
+    """All per-source stats (two count-distincts included) in ONE scan
+    and ONE Expand — not a scan per statistic."""
+    plan = _plan(queries["llm_dataset_card"].fn(spark, sf_dir))
+    assert plan.count("FileScan") == 1
+    assert plan.count("Expand") == 1
+
+
+def test_grouping_sets_one_expand_one_exchange(spark, sf_dir, queries):
+    """Three aggregation granularities: one scan, one Expand, one
+    shuffle — never three separate aggregate jobs."""
+    plan = _plan(queries["agg_grouping_sets"].fn(spark, sf_dir))
+    assert plan.count("FileScan") == 1
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange") == 1
+
+
+def test_ordered_funnel_single_user_day_exchange(spark, sf_dir, queries):
+    """The three stage-dependent windows CANNOT merge into one node
+    (each reads the previous one's output) but must all ride ONE
+    (user_id, day) exchange — the chained-same-spec-window guarantee
+    the docstring claims."""
+    plan = _plan(queries["events_ordered_funnel"].fn(spark, sf_dir))
+    assert plan.count("Window [") == 3
+    assert plan.count("hashpartitioning(user_id") == 1
