@@ -1300,3 +1300,96 @@ def llm_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_similarity(F.col("qv"), F.col("cv")).alias("sim"),
     )
     return sim._rank_topk(scored, 3).select("query_id", "rank", "neighbor_id")
+
+
+@register(
+    "llm_contrastive_triplets",
+    oracle="""
+      with q as (select vec_id as query_id, label as ql, embedding as qv
+                 from embeddings where vec_id < 10),
+      scored as (
+        select q.query_id, c.vec_id as neighbor_id,
+               c.label = q.ql as same_label,
+               list_cosine_similarity(q.qv, c.embedding) as sim
+        from q join embeddings c on c.vec_id <> q.query_id
+      ),
+      pos as (
+        select query_id, neighbor_id as positive_id
+        from (select query_id, neighbor_id,
+                     row_number() over (partition by query_id
+                                        order by sim desc, neighbor_id) as r
+              from scored where same_label) where r = 1
+      ),
+      neg as (
+        select query_id,
+               max(case when r = 1 then neighbor_id end) as neg1_id,
+               max(case when r = 2 then neighbor_id end) as neg2_id
+        from (select query_id, neighbor_id,
+                     row_number() over (partition by query_id
+                                        order by sim desc, neighbor_id) as r
+              from scored where not same_label) where r <= 2
+        group by query_id
+      )
+      select p.query_id, p.positive_id, n.neg1_id, n.neg2_id
+      from pos p join neg n on p.query_id = n.query_id
+    """,
+)
+def llm_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training dataset assembly: (anchor, positive, hard
+    negatives) per query — positive = nearest SAME-label vector, hard
+    negatives = two nearest DIFFERENT-label vectors (the rows a
+    contrastive loss actually consumes; composition of the bruteforce
+    and hard-negative shapes). ONE scored pass feeds both rankings —
+    the same_label flag splits it, so the corpus is scanned and scored
+    once, not twice. Scale: broadcast query side, corpus never
+    shuffles; the two row_number windows partition by query_id (tiny:
+    |Q|·|corpus| scored rows reduce to |Q| rows before the join)."""
+    from etl_migrate_api_spark.functions.vectors import cosine_similarity
+    from pyspark.sql import Window
+
+    emb = load(spark, "embeddings", sf_dir)
+    q = F.broadcast(
+        emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("ql"),
+            F.col("embedding").alias("qv"),
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("cl"),
+        F.col("embedding").alias("cv"),
+    )
+    scored = (
+        q.join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("cl") == F.col("ql")).alias("same_label"),
+            cosine_similarity(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+        .persist()
+    )
+    scored.count()
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    pos = (
+        scored.where(F.col("same_label"))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("query_id", F.col("neighbor_id").alias("positive_id"))
+    )
+    neg = (
+        scored.where(~F.col("same_label"))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 2)
+        .groupBy("query_id")
+        .agg(
+            F.max(F.when(F.col("r") == 1, F.col("neighbor_id"))).alias("neg1_id"),
+            F.max(F.when(F.col("r") == 2, F.col("neighbor_id"))).alias("neg2_id"),
+        )
+    )
+    out = pos.join(neg, "query_id")
+    out = out.persist()
+    out.count()
+    scored.unpersist()
+    return out

@@ -72,6 +72,7 @@ NORTH_STAR = [
     ("dedup image perceptual-hash", "llm_image_phash_dedup (rows-only; 64-bit DCT pHash in mapInPandas + the shared Manku 4x16 pigeonhole band join — hamming64_pairs)"),
     ("dedup span/substring (C4-style)", "llm_span_dedup + llm_span_dedup_incremental + streaming/pipeline.py::span_dedup_stream"),
     ("ANN brute-force", "llm_ann_bruteforce_topk"),
+    ("contrastive triplet assembly", "llm_contrastive_triplets (anchor + same-label positive + 2 hard negatives from ONE scored pass, oracle-checked)"),
     ("hard-negative mining", "llm_hard_negative_mining (top-3 different-label neighbors per query, oracle-checked)"),
     ("ANN LSH", "llm_ann_lsh_topk (rows-only)"),
     ("ANN IVF", "llm_ann_ivf_topk (rows-only; k-means-trained cells, recall-tested)"),
