@@ -698,16 +698,18 @@ def hamming64_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     exact ``bit_count(xor)`` verifies. The input should be cheap to
     recompute or persisted by the caller (read 3×: banding + both
     verify sides)."""
-    if max_hamming >= len(SIMHASH_CHUNKS):
+    n_chunks = 4
+    if max_hamming >= n_chunks:
         raise ValueError(
-            f"pigeonhole recall guarantee needs max_hamming < {len(SIMHASH_CHUNKS)}"
+            f"pigeonhole recall guarantee needs max_hamming < {n_chunks}"
         )
+    # generic (lo/hi, start, width) chunk layout — the simhash-specific
+    # column names live ONLY in simhash_neardup_pairs' aliasing
+    chunk_layout = [("lo", 0, 16), ("lo", 16, 16), ("hi", 0, 16), ("hi", 16, 16)]
     chunks = F.array(
         *[
-            F.shiftright(F.col(half.replace("simhash_", "")), start).bitwiseAND(
-                F.lit((1 << width) - 1)
-            )
-            for half, start, width in SIMHASH_CHUNKS
+            F.shiftright(F.col(half), start).bitwiseAND(F.lit((1 << width) - 1))
+            for half, start, width in chunk_layout
         ]
     )
     banded = sigs.select("id", F.posexplode(chunks).alias("ci", "cv"))

@@ -18,17 +18,19 @@ from pyspark.sql import functions as F
 
 
 def row_hash(df: DataFrame, cols: list[str]) -> F.Column:
-    """md5 over the canonical string form of ``cols`` — NULL-safe via an
-    explicit per-column null FLAG ('0' vs '1'+value), not a sentinel
-    string (a sentinel is spoofable by a real value equal to it —
-    caught by tests/test_diff.py), and column-order-pinned."""
+    """md5 over FIXED-WIDTH per-column digests — immune to both
+    sentinel spoofing (NULL hashes to a flag distinct from any value)
+    and delimiter injection (values are reduced to 32-hex-char md5s
+    BEFORE concatenation, so no in-value byte can shift a column
+    boundary — a separator-joined encoding was spoofable by values
+    containing the separator). Column-order-pinned."""
     parts = [
-        F.when(F.col(c).isNull(), F.lit("0")).otherwise(
-            F.concat(F.lit("1"), F.col(c).cast("string"))
+        F.when(F.col(c).isNull(), F.lit("0" + "0" * 32)).otherwise(
+            F.concat(F.lit("1"), F.md5(F.col(c).cast("string")))
         )
         for c in cols
     ]
-    return F.md5(F.concat_ws("\x01", *parts))
+    return F.md5(F.concat(*parts))
 
 
 def table_diff(

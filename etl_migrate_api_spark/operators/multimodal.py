@@ -749,8 +749,10 @@ def audio_hash64_one(content: bytes) -> tuple[int, int]:
     energy(win[i]) (strict; ties→0). Sign-of-delta contours are the
     shazam-lite shape — amplitude-scale-INVARIANT (gain changes both
     energies equally) and robust to small noise, which byte-level
-    hashing can never be. Shorter clips than 65 samples repeat-pad the
-    contour deterministically."""
+    hashing can never be. Clips shorter than 65 samples produce some
+    EMPTY windows (the integer split leaves gaps), which contribute
+    energy 0.0 — deterministic, but the bit pattern is dominated by
+    zero-runs; treat sub-65-sample fingerprints as degenerate."""
     import numpy as np
 
     n_ch, _rate, bits, n_frames, pcm = decode_wav_one(content)

@@ -37,17 +37,26 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     per the dtype rule above."""
     dtypes = dict(df.dtypes)
     cols = list(cols) if cols is not None else list(df.columns)
+    # internal aliases are POSITIONAL (__nn_0 …) and source columns are
+    # referenced backtick-quoted — arbitrary column names (spaces,
+    # quotes, DOTS — df[c]/F.col(c) would parse a dot as a struct field)
+    # never reach a raw identifier position; the display literal in the
+    # stack() expression carries the raw name, escaped
+    def _c(name: str) -> Column:
+        return F.col("`" + name.replace("`", "``") + "`")
+
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
-        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
-        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
-        aggs.append(_render(F.min(F.col(c)), dtypes[c]).alias(f"__min_{c}"))
-        aggs.append(_render(F.max(F.col(c)), dtypes[c]).alias(f"__max_{c}"))
+    for i, c in enumerate(cols):
+        aggs.append(F.count(_c(c)).alias(f"__nn_{i}"))
+        aggs.append(F.count_distinct(_c(c)).alias(f"__nd_{i}"))
+        aggs.append(_render(F.min(_c(c)), dtypes[c]).alias(f"__min_{i}"))
+        aggs.append(_render(F.max(_c(c)), dtypes[c]).alias(f"__max_{i}"))
     wide = df.agg(*aggs)
     # melt via stack: one struct literal per column, no driver collect
     stack_args: list[str] = []
-    for c in cols:
-        stack_args.append(f"'{c}', __nn_{c}, __nd_{c}, __min_{c}, __max_{c}")
+    for i, c in enumerate(cols):
+        lit = c.replace("\\", "\\\\").replace("'", "\\'")
+        stack_args.append(f"'{lit}', __nn_{i}, __nd_{i}, __min_{i}, __max_{i}")
     stacked = wide.select(
         F.col("__n").alias("n_rows"),
         F.expr(

@@ -837,6 +837,117 @@ def pq_encode(
     )
 
 
+def _collect_query_rows(
+    queries: DataFrame, id_col: str, vec_col: str
+) -> list[tuple[int, list[float]]]:
+    """Bounded query side collected and id-sorted (the order every LUT
+    and qid-array literal downstream indexes by)."""
+    return sorted(
+        (r["qid"], list(r["qv"]))
+        for r in queries.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+        ).collect()
+    )
+
+
+def _empty_topk(spark) -> DataFrame:
+    """Zero queries → empty result with the shared top-k schema (the
+    numpy LUT stack would otherwise raise an opaque ValueError)."""
+    return spark.createDataFrame(
+        [], schema="query_id long, rank int, neighbor_id long, est_ip double"
+    )
+
+
+def _build_luts(qrows, mats):
+    """Q × m × ksub lookup tables: query-subvector · centroid dot
+    products, built driver-side from the bounded query set."""
+    import numpy as np
+
+    dsub = mats[0].shape[1]
+    return np.stack(
+        [
+            np.stack(
+                [
+                    mats[j] @ np.asarray(qv[j * dsub : (j + 1) * dsub])
+                    for j in range(len(mats))
+                ]
+            )
+            for _, qv in qrows
+        ]
+    )
+
+
+def _adc_score_udf(luts):
+    """Arrow-batched ADC scorer: per codes row, estimated IP to EVERY
+    query in one LUT gather — est[q, i] = Σ_j luts[q, j, C[i, j]]."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def score(codes_s):
+        if len(codes_s) == 0:
+            return pd.Series([], dtype="object")
+        C = np.asarray(codes_s.tolist(), dtype=np.int64)  # n × m
+        est = np.zeros((C.shape[0], luts.shape[0]))
+        for j in range(luts.shape[1]):
+            est += luts[:, j, C[:, j]].T
+        return pd.Series([row.tolist() for row in est])
+
+    score.__annotations__ = {"codes_s": pd.Series, "return": pd.Series}
+    return pandas_udf("array<double>")(score)
+
+
+def _adc_scored(codes: DataFrame, qrows, luts) -> DataFrame:
+    """(query_id, neighbor_id, sim) for every (codes row × query):
+    score all queries per batch, posexplode per query."""
+    qid_arr = F.array(*[F.lit(q) for q, _ in qrows])
+    return (
+        codes.select("vid", _adc_score_udf(luts)(F.col("codes")).alias("sims"))
+        .select("vid", F.posexplode("sims").alias("pos", "est"))
+        .select(
+            F.element_at(qid_arr, F.col("pos") + 1).alias("query_id"),
+            F.col("vid").alias("neighbor_id"),
+            F.round(F.col("est"), 6).alias("sim"),
+        )
+    )
+
+
+def _exact_rerank(
+    shortlist: DataFrame,
+    qrows,
+    rerank_corpus: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Two-stage tail (Jégou §V): fetch ONLY the shortlist rows' exact
+    vectors (broadcast join — never a second full-scan shuffle) and
+    re-rank by exact inner product."""
+    from etl_migrate_api_spark.functions.vectors import dot as _dot
+
+    spark = rerank_corpus.sparkSession
+    exact_side = rerank_corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [(q, [float(x) for x in v]) for q, v in qrows],
+            schema="query_id long, qv array<double>",
+        )
+    )
+    rescored = (
+        F.broadcast(shortlist.select("query_id", "neighbor_id"))
+        .join(exact_side, "neighbor_id")
+        .join(qdf, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    return _rank_topk(rescored, k, F.col("sim").alias("est_ip"))
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -867,80 +978,20 @@ def pq_topk(
     bytes/vector = 16× shrink). Real (clustered) embeddings do
     better."""
     import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
 
+    qrows = _collect_query_rows(queries, id_col, vec_col)
+    if not qrows:
+        return _empty_topk(corpus.sparkSession)
     books = pq_codebooks(corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
     codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
-    qrows = sorted(
-        (r["qid"], list(r["qv"]))
-        for r in queries.select(
-            F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
-        ).collect()
-    )
     mats = [np.asarray(b, dtype=np.float64) for b in books]
-    dsub = mats[0].shape[1]
-    # LUTs: Q × m × ksub query-subvector·centroid dot products
-    luts = np.stack(
-        [
-            np.stack(
-                [
-                    mats[j] @ np.asarray(qv[j * dsub : (j + 1) * dsub])
-                    for j in range(m)
-                ]
-            )
-            for _, qv in qrows
-        ]
-    )
-
-    def score(codes_s):
-        if len(codes_s) == 0:
-            return pd.Series([], dtype="object")
-        C = np.asarray(codes_s.tolist(), dtype=np.int64)  # n × m
-        n = C.shape[0]
-        # gather: est[q, i] = Σ_j luts[q, j, C[i, j]]
-        est = np.zeros((n, luts.shape[0]))
-        for j in range(luts.shape[1]):
-            est += luts[:, j, C[:, j]].T
-        return pd.Series([row.tolist() for row in est])
-
-    score.__annotations__ = {"codes_s": pd.Series, "return": pd.Series}
-    score_udf = pandas_udf("array<double>")(score)
-    qid_arr = F.array(*[F.lit(q) for q, _ in qrows])
-    scored = (
-        codes.select("vid", score_udf(F.col("codes")).alias("sims"))
-        .select("vid", F.posexplode("sims").alias("pos", "est"))
-        .select(
-            F.element_at(qid_arr, F.col("pos") + 1).alias("query_id"),
-            F.col("vid").alias("neighbor_id"),
-            F.round(F.col("est"), 6).alias("sim"),
-        )
-    )
+    # note: a query's OWN row is deliberately kept (self-reconstruction
+    # is a PQ quality signal — tests/test_pq.py::test_pq_self_is_near_top)
+    scored = _adc_scored(codes, qrows, _build_luts(qrows, mats))
     if rerank <= 0:
         return _rank_topk(scored, k, F.col("sim").alias("est_ip"))
     shortlist = _rank_topk(scored, max(rerank, k), F.col("sim").alias("est_ip"))
-    exact_side = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    )
-    qdf = F.broadcast(
-        corpus.sparkSession.createDataFrame(
-            [(q, [float(x) for x in v]) for q, v in qrows],
-            schema="query_id long, qv array<double>",
-        )
-    )
-    from etl_migrate_api_spark.functions.vectors import dot as _dot
-
-    rescored = (
-        F.broadcast(shortlist.select("query_id", "neighbor_id"))
-        .join(exact_side, "neighbor_id")
-        .join(qdf, "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(_dot(F.col("qv"), F.col("cv")), 6).alias("sim"),
-        )
-    )
-    return _rank_topk(rescored, k, F.col("sim").alias("est_ip"))
+    return _exact_rerank(shortlist, qrows, corpus, k, id_col, vec_col)
 
 
 def write_pq_index(
@@ -989,81 +1040,28 @@ def pq_topk_from_index(
     the shortlist rows from the primary store, which is exactly what
     the broadcast join against ``rerank_corpus`` models)."""
     import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
 
+    qrows = _collect_query_rows(queries, id_col, vec_col)
+    if not qrows:
+        return _empty_topk(spark)
+    mats = [np.asarray(b, dtype=np.float64) for b in _load_codebooks(spark, path)]
+    codes = spark.read.parquet(path)
+    scored = _adc_scored(codes, qrows, _build_luts(qrows, mats))
+    if rerank <= 0 or rerank_corpus is None:
+        return _rank_topk(scored, k, F.col("sim").alias("est_ip"))
+    shortlist = _rank_topk(scored, max(rerank, k), F.col("sim").alias("est_ip"))
+    return _exact_rerank(shortlist, qrows, rerank_corpus, k, id_col, vec_col)
+
+
+def _load_codebooks(spark, path: str) -> list[list[list[float]]]:
+    """Rehydrate the m×ksub×dsub codebook list from the KB-scale
+    ``path``.codebooks sidecar."""
     book_rows = spark.read.parquet(f"{path}.codebooks").collect()
     m = 1 + max(r["sub"] for r in book_rows)
     books: list[list[list[float]]] = [[] for _ in range(m)]
     for r in sorted(book_rows, key=lambda r: (r["sub"], r["code"])):
         books[r["sub"]].append(list(r["centroid"]))
-    mats = [np.asarray(b, dtype=np.float64) for b in books]
-    dsub = mats[0].shape[1]
-    codes = spark.read.parquet(path)
-    qrows = sorted(
-        (r["qid"], list(r["qv"]))
-        for r in queries.select(
-            F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
-        ).collect()
-    )
-    luts = np.stack(
-        [
-            np.stack(
-                [
-                    mats[j] @ np.asarray(qv[j * dsub : (j + 1) * dsub])
-                    for j in range(m)
-                ]
-            )
-            for _, qv in qrows
-        ]
-    )
-
-    def score(codes_s):
-        if len(codes_s) == 0:
-            return pd.Series([], dtype="object")
-        C = np.asarray(codes_s.tolist(), dtype=np.int64)
-        est = np.zeros((C.shape[0], luts.shape[0]))
-        for j in range(luts.shape[1]):
-            est += luts[:, j, C[:, j]].T
-        return pd.Series([row.tolist() for row in est])
-
-    score.__annotations__ = {"codes_s": pd.Series, "return": pd.Series}
-    score_udf = pandas_udf("array<double>")(score)
-    qid_arr = F.array(*[F.lit(q) for q, _ in qrows])
-    scored = (
-        codes.select("vid", score_udf(F.col("codes")).alias("sims"))
-        .select("vid", F.posexplode("sims").alias("pos", "est"))
-        .select(
-            F.element_at(qid_arr, F.col("pos") + 1).alias("query_id"),
-            F.col("vid").alias("neighbor_id"),
-            F.round(F.col("est"), 6).alias("sim"),
-        )
-    )
-    if rerank <= 0 or rerank_corpus is None:
-        return _rank_topk(scored, k, F.col("sim").alias("est_ip"))
-    shortlist = _rank_topk(scored, max(rerank, k), F.col("sim").alias("est_ip"))
-    exact_side = rerank_corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    )
-    qdf = F.broadcast(
-        spark.createDataFrame(
-            [(q, [float(x) for x in v]) for q, v in qrows],
-            schema="query_id long, qv array<double>",
-        )
-    )
-    from etl_migrate_api_spark.functions.vectors import dot as _dot
-
-    rescored = (
-        F.broadcast(shortlist.select("query_id", "neighbor_id"))
-        .join(exact_side, "neighbor_id")
-        .join(qdf, "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(_dot(F.col("qv"), F.col("cv")), 6).alias("sim"),
-        )
-    )
-    return _rank_topk(rescored, k, F.col("sim").alias("est_ip"))
+    return books
 
 
 # ---------------------------------------------------------------------------
@@ -1133,41 +1131,21 @@ def ivfpq_topk(
     """Query the persisted IVF-PQ index: nprobe nearest cells per query
     (centroid constants → pure projection), partition-pruned scan of
     ONLY those cells' code files, ADC lookup-table scoring, optional
-    exact rerank against the source table. Returns (query_id, rank,
-    neighbor_id, est_ip)."""
+    exact rerank against the source table. Unlike pq_topk, a query's
+    own row is EXCLUDED (index queries ask for neighbors, not
+    self-reconstruction). Returns (query_id, rank, neighbor_id,
+    est_ip)."""
     import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
 
+    qrows = _collect_query_rows(queries, id_col, vec_col)
+    if not qrows:
+        return _empty_topk(spark)
     cent_rows = [
         (int(r["cent_id"]), [float(x) for x in r["cent_v"]])
         for r in spark.read.parquet(f"{path}.centroids").collect()
     ]
-    book_rows = spark.read.parquet(f"{path}.codebooks").collect()
-    m = 1 + max(r["sub"] for r in book_rows)
-    books: list[list[list[float]]] = [[] for _ in range(m)]
-    for r in sorted(book_rows, key=lambda r: (r["sub"], r["code"])):
-        books[r["sub"]].append(list(r["centroid"]))
-    mats = [np.asarray(b, dtype=np.float64) for b in books]
-    dsub = mats[0].shape[1]
-
-    qrows = sorted(
-        (r["qid"], list(r["qv"]))
-        for r in queries.select(
-            F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
-        ).collect()
-    )
-    luts = np.stack(
-        [
-            np.stack(
-                [
-                    mats[j] @ np.asarray(qv[j * dsub : (j + 1) * dsub])
-                    for j in range(m)
-                ]
-            )
-            for _, qv in qrows
-        ]
-    )
+    mats = [np.asarray(b, dtype=np.float64) for b in _load_codebooks(spark, path)]
+    luts = _build_luts(qrows, mats)
     # per-query probed cells, driver-side (queries are the bounded side)
     qcells = (
         queries.select(
@@ -1182,18 +1160,6 @@ def ivfpq_topk(
         probe_map.setdefault(int(r["cell"]), set()).add(int(r["query_id"]))
     probed = sorted(probe_map)
     qid_index = {q: i for i, (q, _) in enumerate(qrows)}
-
-    def score(codes_s):
-        if len(codes_s) == 0:
-            return pd.Series([], dtype="object")
-        C = np.asarray(codes_s.tolist(), dtype=np.int64)
-        est = np.zeros((C.shape[0], luts.shape[0]))
-        for j in range(luts.shape[1]):
-            est += luts[:, j, C[:, j]].T
-        return pd.Series([row.tolist() for row in est])
-
-    score.__annotations__ = {"codes_s": pd.Series, "return": pd.Series}
-    score_udf = pandas_udf("array<double>")(score)
 
     codes = spark.read.parquet(path).where(F.col("cell").isin(probed))
     # a neighbor counts for a query ONLY if its cell is probed for that
@@ -1212,7 +1178,7 @@ def ivfpq_topk(
         codes.select(
             "vid",
             F.col("cell"),
-            score_udf(F.col("codes")).alias("sims"),
+            _adc_score_udf(luts)(F.col("codes")).alias("sims"),
         )
         .select(
             "vid",
@@ -1229,25 +1195,4 @@ def ivfpq_topk(
     if rerank <= 0 or rerank_corpus is None:
         return _rank_topk(scored, k, F.col("sim").alias("est_ip"))
     shortlist = _rank_topk(scored, max(rerank, k), F.col("sim").alias("est_ip"))
-    exact_side = rerank_corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    )
-    qdf = F.broadcast(
-        spark.createDataFrame(
-            [(q, [float(x) for x in v]) for q, v in qrows],
-            schema="query_id long, qv array<double>",
-        )
-    )
-    from etl_migrate_api_spark.functions.vectors import dot as _dot
-
-    rescored = (
-        F.broadcast(shortlist.select("query_id", "neighbor_id"))
-        .join(exact_side, "neighbor_id")
-        .join(qdf, "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(_dot(F.col("qv"), F.col("cv")), 6).alias("sim"),
-        )
-    )
-    return _rank_topk(rescored, k, F.col("sim").alias("est_ip"))
+    return _exact_rerank(shortlist, qrows, rerank_corpus, k, id_col, vec_col)

@@ -63,7 +63,7 @@ def _load_all() -> None:
 
 # The driver's CORRECTNESS gate processes only the FIRST 50 entries of
 # queries() in dict order (observed in r01/r02). This list pins exactly
-# which 50 land in that window. Round 6 rotated 8 new high-signal
+# which 50 land in that window. Round 6 rotated 9 new high-signal
 # queries in (subquery_correlated_avg, llm_span_dedup,
 # window_rank_battery, events_hopping_window,
 # events_interval_attribution, llm_stratified_sample,

@@ -79,3 +79,14 @@ def test_diff_matches_bruteforce(spark, old_rows, new_rows):
         elif om[k] != nm[k]:
             want[k] = "changed"
     assert got == want
+
+
+def test_diff_separator_injection_is_a_change(spark):
+    """Values that would collide under separator-joined encoding
+    ('p\\x011q'|'r' vs 'p'|'q\\x011r') must hash apart — per-column
+    fixed-width digests make in-value bytes unable to shift column
+    boundaries."""
+    old = spark.createDataFrame([(1, "p\x011q", "r")], "k bigint, a string, b string")
+    new = spark.createDataFrame([(1, "p", "q\x011r")], "k bigint, a string, b string")
+    got = {r["k"]: r["change"] for r in table_diff(old, new, ["k"]).collect()}
+    assert got == {1: "changed"}

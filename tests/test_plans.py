@@ -296,12 +296,16 @@ def test_q18_having_reduces_before_join(spark, sf_dir, queries):
     """The sum(qty) > 150 filter must apply to the aggregate BEFORE the
     orders join (the whole point of the shape: the reduced side drives
     the probe)."""
-    plan = _plan(queries["q18_large_orders"].fn(spark, sf_dir))
-    agg_first = plan.index("HashAggregate")
-    assert "Filter" in plan[:plan.index("TakeOrderedAndProject") + 1] or True
-    # the quantity-sum filter exists and references the aggregate output
-    assert "total_qty" in plan
-    assert agg_first >= 0
+    lines = _plan(queries["q18_large_orders"].fn(spark, sf_dir)).splitlines()
+    i_filter = next(
+        i for i, ln in enumerate(lines) if "Filter" in ln and "total_qty" in ln
+    )
+    # tree prints parents above children: the total_qty filter must sit
+    # BELOW the first join (inside its build subtree, i.e. pre-join)...
+    i_join = next(i for i, ln in enumerate(lines) if "Join" in ln)
+    assert i_filter > i_join, "\n".join(lines[:12])
+    # ...and apply DIRECTLY to the aggregate's output, not to join output
+    assert "HashAggregate" in lines[i_filter + 1], lines[i_filter : i_filter + 2]
 
 
 def test_window_queries_single_exchange(spark, sf_dir, queries):

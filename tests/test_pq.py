@@ -143,3 +143,27 @@ def test_pq_index_roundtrip_equals_inline(spark, emb, queries, tmp_path):
     ).collect()
     key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
     assert sorted(inline, key=key) == sorted(from_idx, key=key)
+
+
+def test_pq_empty_queries_returns_empty(spark, emb, tmp_path):
+    """Zero queries must yield an empty result with the top-k schema —
+    not an opaque numpy stack error (all three ADC entry points)."""
+    from etl_migrate_api_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_topk_from_index,
+        write_ivfpq_index,
+        write_pq_index,
+    )
+
+    none = emb.where("vec_id < 0")
+    out = pq_topk(emb, none, k=5, m=M, ksub=KSUB)
+    assert out.columns == ["query_id", "rank", "neighbor_id", "est_ip"]
+    assert out.count() == 0
+
+    p1 = str(tmp_path / "pq_e")
+    write_pq_index(emb, p1, m=M, ksub=KSUB)
+    assert pq_topk_from_index(spark, p1, none, k=5).count() == 0
+
+    p2 = str(tmp_path / "ivfpq_e")
+    write_ivfpq_index(emb, p2, k=4, m=M, ksub=KSUB)
+    assert ivfpq_topk(spark, p2, none, k=5, nprobe=2).count() == 0

@@ -29,3 +29,23 @@ def test_profile_single_scan(spark, sf_dir):
     df = profile_columns(load(spark, "orders", sf_dir))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 1  # all columns profiled in one scan
+
+
+def test_profile_hostile_column_names(spark):
+    """Column names with spaces, quotes, and dots must profile cleanly —
+    they never reach an identifier position (positional internal
+    aliases, df[c] access, escaped display literal)."""
+    df = (
+        spark.range(3)
+        .selectExpr(
+            "id as `order date`",
+            "cast(id as string) as `it's`",
+            "id * 2 as `a.b`",
+        )
+    )
+    rows = {r["column"]: r for r in
+            __import__("etl_migrate_api_spark.operators.profile",
+                       fromlist=["profile_columns"]).profile_columns(df).collect()}
+    assert set(rows) == {"order date", "it's", "a.b"}
+    assert rows["order date"]["n_distinct"] == 3
+    assert rows["a.b"]["max_value"] == "4"
