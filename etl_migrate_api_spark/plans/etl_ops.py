@@ -1852,3 +1852,106 @@ def events_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s2").cast("bigint").alias("n_clicked_after_view"),
         F.sum("s3").cast("bigint").alias("n_purchased_after_click"),
     )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+      with firsts as (
+        select user_id, min(cast(ts as date)) as cohort_day
+        from events group by user_id
+      ),
+      activity as (
+        select distinct e.user_id, f.cohort_day,
+               date_diff('day', f.cohort_day, cast(e.ts as date)) as day_offset
+        from events e join firsts f on e.user_id = f.user_id
+      )
+      select strftime(cohort_day, '%Y-%m-%d') as cohort,
+             cast(day_offset as int) as day_offset,
+             count(*) as n_users
+      from activity
+      group by cohort_day, day_offset
+    """,
+    survey_refs=("W1", "A3", "J2", "T6"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST-seen day,
+    counted on each later active day offset — the classic retention
+    triangle. Scale: the first-seen aggregate and the activity
+    de-duplication both key on user_id (one shuffle each, AQE
+    broadcast of the cohort side at small SF, shuffle join at scale);
+    the matrix itself is cohorts × offsets — tiny."""
+    ev = load(spark, "events", sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    activity = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+        F.col("day_offset").cast("int"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "orders_rfm_segmentation",
+    oracle="""
+      with rfm as (
+        select o_custkey,
+               max(o_orderdate) as last_order,
+               count(*) as frequency,
+               sum(cast(o_totalprice as decimal(18,2))) as monetary
+        from orders group by o_custkey
+      ),
+      scored as (
+        select o_custkey,
+               ntile(5) over (order by last_order desc, o_custkey) as r_score,
+               ntile(5) over (order by frequency desc, o_custkey) as f_score,
+               ntile(5) over (order by monetary desc, o_custkey) as m_score
+        from rfm
+      )
+      select cast(r_score as int) as r_score,
+             cast(f_score as int) as f_score,
+             cast(m_score as int) as m_score,
+             count(*) as n_customers
+      from scored
+      group by r_score, f_score, m_score
+    """,
+    survey_refs=("A3", "W3", "O1"),
+)
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-customer recency / frequency /
+    monetary aggregates → quintile scores (ntile over each axis, with
+    the customer key as the deterministic tiebreak — ntile splits ties
+    by row order, so an explicit total order is what makes the buckets
+    engine-identical) → segment counts. Scale honesty: the three
+    global ntiles are single-partition sorts of the AGGREGATED
+    per-customer table (one row per customer — 5 orders of magnitude
+    smaller than orders); at true 100 TB-customer scale they'd become
+    percent_rank over approx quantile boundaries instead."""
+    o = load(spark, "orders", sf_dir)
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).alias("monetary"),
+    )
+    w_r = Window.orderBy(F.col("last_order").desc(), "o_custkey")
+    w_f = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    w_m = Window.orderBy(F.col("monetary").desc(), "o_custkey")
+    scored = rfm.select(
+        "o_custkey",
+        F.ntile(5).over(w_r).cast("int").alias("r_score"),
+        F.ntile(5).over(w_f).cast("int").alias("f_score"),
+        F.ntile(5).over(w_m).cast("int").alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
