@@ -435,6 +435,7 @@ def minhash_lsh_candidates_incremental(
     corpus_bands: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    new_tables: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Near-dup candidates of a NEW batch against an existing corpus
     store (plus within the batch itself), exact-Jaccard verified —
@@ -449,13 +450,23 @@ def minhash_lsh_candidates_incremental(
     CONTRACT: batch and corpus id spaces must be disjoint (same as the
     embedding twin) — a re-ingested id would duplicate signature rows
     and multiply its verify-join output; dedupe upstream by dropping
-    already-stored ids from the batch first."""
-    new_sigs, new_bands = minhash_signature_tables(new_df, text_col, id_col)
-    new_sigs = new_sigs.persist()
-    new_sigs.count()
+    already-stored ids from the batch first.
 
-    nb = new_bands.persist()
-    nb.count()
+    ``new_tables``: optionally pass the batch's (signatures, bands) —
+    already persisted by the caller — to avoid recomputing the
+    normalize/shingle/md5/minhash chain when the caller also writes the
+    tables to the store (the streaming ingest pass does); the operator
+    then does NOT unpersist them."""
+    if new_tables is not None:
+        new_sigs, nb = new_tables
+        owned: tuple[DataFrame, ...] = ()
+    else:
+        new_sigs, new_bands = minhash_signature_tables(new_df, text_col, id_col)
+        new_sigs = new_sigs.persist()
+        new_sigs.count()
+        nb = new_bands.persist()
+        nb.count()
+        owned = (new_sigs, nb)
     # batch × corpus candidates
     cross = (
         nb.alias("n")
@@ -492,7 +503,7 @@ def minhash_lsh_candidates_incremental(
         .join(sh_b, "id_b")
         .select("id_a", "id_b", (inter / union).alias("jaccard"))
     )
-    return _materialize_and_release(out, new_sigs, nb)
+    return _materialize_and_release(out, *owned)
 
 
 def minhash_lsh_candidates(
@@ -878,6 +889,25 @@ def reassemble_spans(kept: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def span_dedup_surviving(
+    batch_docs: DataFrame,
+    store_hashes: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 10,
+) -> DataFrame:
+    """The ONE store-anti-join contract (md5(span) vs store.h) shared by
+    the batch operator and the streaming ingest pass: the batch's spans
+    with every already-stored span removed, reduced to first occurrences.
+    ``store_hashes=None`` ≡ empty store (first batch)."""
+    spans = doc_spans(batch_docs, text_col, id_col, span_words)
+    if store_hashes is not None:
+        spans = spans.join(
+            store_hashes, F.md5(spans.span) == store_hashes.h, "left_anti"
+        )
+    return span_first_occurrence(spans, id_col)
+
+
 def span_dedup_incremental(
     batch_docs: DataFrame,
     store_hashes: DataFrame | None,
@@ -890,14 +920,13 @@ def span_dedup_incremental(
     the batch's surviving distinct md5(span) hashes — exactly the rows
     to append to the store. The store is 16-byte hashes, not raw spans
     (at 100 TB ~2% of corpus bytes; the anti-join shuffles hashes only);
-    corpus text is never rescanned. ``store_hashes=None`` ≡ empty store
-    (first batch)."""
-    spans = doc_spans(batch_docs, text_col, id_col, span_words)
-    if store_hashes is not None:
-        spans = spans.join(
-            store_hashes, F.md5(spans.span) == store_hashes.h, "left_anti"
-        )
-    kept = span_first_occurrence(spans, id_col)
+    corpus text is never rescanned. Callers that consume BOTH outputs
+    should persist span_dedup_surviving's result themselves (as the
+    streaming pass does) — each output re-runs the span chain
+    otherwise."""
+    kept = span_dedup_surviving(
+        batch_docs, store_hashes, text_col, id_col, span_words
+    )
     cleaned = reassemble_spans(kept, id_col)
     fresh = kept.select(F.md5("span").alias("h")).distinct()
     return cleaned, fresh

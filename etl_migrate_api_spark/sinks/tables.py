@@ -122,7 +122,7 @@ class ParquetTable:
         if not os.path.exists(base):
             return None
         vals = []
-        for p in [base, *glob.glob(os.path.join(self.path, self.MAXBOUND_SHARD_GLOB))]:
+        for p in [base, *glob.glob(os.path.join(glob.escape(self.path), self.MAXBOUND_SHARD_GLOB))]:
             try:
                 with open(p) as f:
                     rec = json.load(f)
@@ -173,7 +173,7 @@ class ParquetTable:
         that appears after the glob is not in the fold set, so it is
         never deleted); two concurrent mergers produce two valid merged
         records and tolerate each other's deletes."""
-        shards = glob.glob(os.path.join(self.path, self.MAXBOUND_SHARD_GLOB))
+        shards = glob.glob(os.path.join(glob.escape(self.path), self.MAXBOUND_SHARD_GLOB))
         if len(shards) < self.MAXBOUND_MERGE_THRESHOLD:
             return
         merged: dict[str, object] = {}
@@ -212,7 +212,7 @@ class ParquetTable:
         restore the old table instead of silently reporting 'empty'."""
         if os.path.exists(self.path):
             return
-        olds = glob.glob(f"{self.path}.old-*")
+        olds = glob.glob(glob.escape(self.path) + ".old-*")
         if olds:
             # multiple .old-* dirs are possible after a silently-failed
             # rmtree (ignore_errors); uuid order is arbitrary, so pick
@@ -253,12 +253,30 @@ class ParquetTable:
         existing bound stays valid."""
         df = df.localCheckpoint(eager=True)
         row = df.agg(*[F.max(c).alias(c) for c in self.track_max]).collect()[0]
-        self._publish_bound_shard(
-            {c: v for c, v in row.asDict().items() if v is not None}
-        )
+        bounds: dict[str, object] = {}
+        for c, v in row.asDict().items():
+            if v is None:
+                continue  # empty batch / all-NULL: existing bound stays valid
+            try:
+                json.dumps(v)
+            except TypeError:
+                # timestamp/date/decimal maxes aren't JSON scalars — POISON
+                # the column (null => max_bound unknown => full scan), the
+                # same direction _footer_max takes; silently dropping the
+                # record would UNDER-state a growing max and let bounded
+                # recovery skip real victims
+                bounds[c] = None
+            else:
+                bounds[c] = v
+        self._publish_bound_shard(bounds)
         return df
 
     def append(self, df: DataFrame) -> None:
+        # recover FIRST: appending to a path a crashed replace() left
+        # missing would recreate the table with only the new batch and
+        # permanently strand the .old-* snapshot (every later _recover
+        # would see the path exists and skip restoration)
+        self._recover()
         if self.track_max:
             df = self._append_bump(df)
         df.write.mode("append").parquet(self.path)
@@ -341,20 +359,29 @@ class HashBucketedTable(ParquetTable):
         the safe direction — it can only re-expose rows a crashed
         delete targeted, and the X2 recovery re-run re-deletes those."""
         super()._recover()
-        for trash in glob.glob(f"{self.path}.bucketold-*"):
+        by_bucket: dict[str, list[str]] = {}
+        for trash in glob.glob(glob.escape(self.path) + ".bucketold-*"):
             b = os.path.basename(trash).split("bucketold-", 1)[1].split("-", 1)[0]
+            by_bucket.setdefault(b, []).append(trash)
+        for b, trashes in by_bucket.items():
+            # multiple snapshots of one bucket are possible after a
+            # silently-failed rmtree: restore the NEWEST (same rule as
+            # the base _recover — an older one would resurrect stale
+            # rows and delete the newer state), drop the rest
+            trashes.sort(key=os.path.getmtime, reverse=True)
             dst = os.path.join(self.path, f"{self.BUCKET_COL}={b}")
-            if os.path.isdir(dst):
-                shutil.rmtree(trash, ignore_errors=True)
-            else:
-                os.rename(trash, dst)
+            if not os.path.isdir(dst):
+                os.rename(trashes[0], dst)
+                trashes = trashes[1:]
+            for leftover in trashes:
+                shutil.rmtree(leftover, ignore_errors=True)
 
     def _has_parquet(self) -> bool:
         if not os.path.isdir(self.path):
             return False
-        if glob.glob(os.path.join(self.path, "_bucket=*", "*.parquet")):
+        if glob.glob(os.path.join(glob.escape(self.path), "_bucket=*", "*.parquet")):
             return True
-        if glob.glob(os.path.join(self.path, "*.parquet")):
+        if glob.glob(os.path.join(glob.escape(self.path), "*.parquet")):
             # refuse to silently treat (and later clobber) a legacy
             # flat-layout table as empty — migrate explicitly:
             #   HashBucketedTable(...).replace(ParquetTable(...).read())
@@ -370,6 +397,7 @@ class HashBucketedTable(ParquetTable):
         return self.spark.read.parquet(self.path).drop(self.BUCKET_COL)
 
     def append(self, df: DataFrame) -> None:
+        self._recover()  # same stranded-snapshot hazard as the base append
         if self.track_max:
             df = self._append_bump(df)
         df.withColumn(self.BUCKET_COL, self.bucket_expr()).write.mode(

@@ -90,10 +90,19 @@ def delete_beyond_watermark(
     # drop rows where the predicate evaluates to NULL (NOT NULL = NULL)
     is_victim = F.coalesce(predicate, F.lit(False))
     if isinstance(table, HashBucketedTable):
-        victim_rows = current.where(is_victim)
-        victims = victim_rows.count()
+        # ONE full-table victim scan yields both the count and the
+        # bucket list (a separate .count() + buckets_of() pair would
+        # read the whole table twice — exactly the amplification the
+        # bound short-circuit above exists to avoid)
+        per_bucket = (
+            current.where(is_victim)
+            .groupBy(table.bucket_expr().alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        victims = sum(int(r["n"]) for r in per_bucket)
         if victims:
-            buckets = table.buckets_of(victim_rows)
+            buckets = [int(r["b"]) for r in per_bucket]
             survivors = table.read_buckets(buckets).where(~is_victim)
             table.replace_buckets(survivors, buckets)
         return victims
@@ -111,12 +120,24 @@ def jdbc_upsert_stage_sql(
     ``df.write.jdbc``, then run one MERGE statement transactionally.
 
     Postgres ≥15 MERGE shown; the ON CONFLICT variant is equivalent for
-    single-key upserts."""
+    single-key upserts. A key-only table (no non-key columns) has
+    nothing to update — MATCHED becomes DO NOTHING (an empty UPDATE SET
+    is a syntax error). Identifiers are validated, not quoted: this is
+    a statement TEMPLATE for trusted schema names, and a name needing
+    quoting should fail loudly here rather than at the database."""
+    for ident in (target, staging, key, *columns):
+        if not ident.replace("_", "").replace(".", "").isalnum():
+            raise ValueError(f"identifier needs quoting, refusing: {ident!r}")
     cols = ", ".join(columns)
     sets = ", ".join(f"{c} = s.{c}" for c in columns if c != key)
     vals = ", ".join(f"s.{c}" for c in columns)
+    matched = (
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        if sets
+        else "WHEN MATCHED THEN DO NOTHING "
+    )
     return (
         f"MERGE INTO {target} t USING {staging} s ON t.{key} = s.{key} "
-        f"WHEN MATCHED THEN UPDATE SET {sets} "
-        f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+        + matched
+        + f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
     )

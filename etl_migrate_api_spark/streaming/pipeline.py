@@ -172,6 +172,23 @@ def dedup_stream(
     )
 
 
+def _read_store_or_none(spark: SparkSession, path: str):
+    """Read a store directory, returning None ONLY when it genuinely
+    does not exist yet. Any other failure (permissions, corrupt files,
+    transient IO) RAISES: silently treating it as 'no store' would make
+    an incremental dedup pass fall back to batch-only dedup and
+    permanently lose cross-corpus pairs for that batch."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        raise
+
+
 def neardup_stream(
     spark: SparkSession,
     source_dir: str,
@@ -195,7 +212,6 @@ def neardup_stream(
     growing store. Late/duplicate doc_ids across batches are the
     caller's contract (disjoint ids), as in the batch operator."""
     from etl_migrate_api_spark.operators.dedup import (
-        minhash_lsh_candidates,
         minhash_lsh_candidates_incremental,
         minhash_signature_tables,
     )
@@ -209,27 +225,36 @@ def neardup_stream(
         a foreachBatch RETRY re-runs with the same batch_id after the
         crashed attempt may already have written batch=N — reading it
         back would double this batch's signatures and violate the
-        incremental operator's disjoint-id contract."""
-        try:
-            df = spark.read.parquet(f"{store_dir}/{kind}")
-        except Exception:
-            return None  # store not created yet
+        incremental operator's disjoint-id contract. Only a genuinely
+        missing store maps to None (_read_store_or_none raises on real
+        read failures — a silent batch-only fallback would lose
+        cross-corpus pairs permanently)."""
+        df = _read_store_or_none(spark, f"{store_dir}/{kind}")
+        if df is None:
+            return None
         prior = df.where(F.col("batch") < batch_id).drop("batch")
         return None if prior.isEmpty() else prior
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        # ONE signature computation per batch: the same persisted tables
+        # feed the candidate pass AND the store write (recomputing the
+        # normalize/shingle/md5/minhash chain was the dominant per-batch
+        # cost before)
+        new_sigs, new_bands = minhash_signature_tables(batch_df, text_col, id_col)
+        new_sigs, new_bands = new_sigs.persist(), new_bands.persist()
+        new_sigs.count()
+        new_bands.count()
         sigs, bands = _store("sigs", batch_id), _store("bands", batch_id)
-        if sigs is not None and bands is not None:
-            pairs = minhash_lsh_candidates_incremental(
-                batch_df, sigs, bands, text_col, id_col
-            )
-        else:
-            pairs = minhash_lsh_candidates(batch_df, text_col, id_col)
+        if sigs is None or bands is None:
+            # first batch: empty store with the same schemas — one code
+            # path, still no recompute
+            sigs, bands = new_sigs.limit(0), new_bands.limit(0)
+        pairs = minhash_lsh_candidates_incremental(
+            batch_df, sigs, bands, text_col, id_col,
+            new_tables=(new_sigs, new_bands),
+        )
         pairs.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
         pairs.unpersist()
-        new_sigs, new_bands = minhash_signature_tables(batch_df, text_col, id_col)
-        # each write would otherwise re-run the whole shingle+md5 chain
-        new_sigs, new_bands = new_sigs.persist(), new_bands.persist()
         new_sigs.write.mode("overwrite").parquet(f"{store_dir}/sigs/batch={batch_id}")
         new_bands.write.mode("overwrite").parquet(f"{store_dir}/bands/batch={batch_id}")
         new_sigs.unpersist()
@@ -355,30 +380,28 @@ def span_dedup_stream(
     ``batch < batch_id`` so a crashed attempt's partial store write can
     never leak into its own retry."""
     from etl_migrate_api_spark.operators.dedup import (
-        doc_spans,
         reassemble_spans,
-        span_first_occurrence,
+        span_dedup_surviving,
     )
 
     schema = spark.read.parquet(source_dir).schema
 
     def _store(batch_id: int) -> DataFrame | None:
-        try:
-            df = spark.read.parquet(store_dir)
-        except Exception:
-            return None  # store not created yet
+        df = _read_store_or_none(spark, store_dir)
+        if df is None:
+            return None
         prior = df.where(F.col("batch") < batch_id).drop("batch")
         return None if prior.isEmpty() else prior
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        store = _store(batch_id)
-        spans = doc_spans(batch_df, text_col, id_col, span_words)
-        if store is not None:
-            spans = spans.join(store, F.md5(spans.span) == store.h, "left_anti")
-        # both outputs (cleaned docs + fresh store hashes) derive from
-        # the surviving-span set — materialize it ONCE so the second
-        # write doesn't re-run the span explode + anti-join
-        kept = span_first_occurrence(spans, id_col).persist()
+        # the store anti-join contract lives in ONE place
+        # (operators/dedup.py::span_dedup_surviving — shared with the
+        # batch operator); both outputs derive from the surviving-span
+        # set, materialized ONCE so the second write doesn't re-run the
+        # span explode + anti-join
+        kept = span_dedup_surviving(
+            batch_df, _store(batch_id), text_col, id_col, span_words
+        ).persist()
         reassemble_spans(kept, id_col).write.mode("overwrite").parquet(
             f"{out_dir}/batch={batch_id}"
         )

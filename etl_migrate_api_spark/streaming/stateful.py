@@ -5,9 +5,20 @@ plans/etl_ops.py::events_sessionize).
 
 State per user: (session_no, last_ts_micros, n_events, first_event,
 last_event). Within a micro-batch rows are sorted by (ts, event_id) —
-micro-batches carry no implicit order (O4). Sessions close when the
-event-time watermark passes last_ts + gap; closed sessions are emitted,
-open ones stay in state."""
+micro-batches carry no implicit order (O4). Cross-batch late events
+(ts below the stored last_ts) never move time backwards: they join the
+current session without resetting its clock.
+
+Two modes:
+- ``watermark=None`` (default): no timeout — state lives for the whole
+  run and dormant users' sessions only ever appear as provisional
+  (closed=False) rows. Right for bounded backfills/tests; unbounded
+  streams should NOT use it (state grows with ever-seen users).
+- ``watermark="10 minutes"``: event-time timeout — when the watermark
+  passes last_ts + gap, the open session is emitted CLOSED and the
+  user's state is evicted (bounded state: active users only). Events
+  later than the watermark delay may be dropped by Spark upstream —
+  the standard lateness trade."""
 
 from __future__ import annotations
 
@@ -28,57 +39,104 @@ _STATE_SCHEMA = (
 )
 
 
-def _sessionize_group(
-    key: tuple,
-    pdfs: Iterable[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    if state.exists:
-        session_no, last_ts, n_events, first_event, last_event = state.get
-    else:
-        session_no, last_ts, n_events, first_event, last_event = 0, None, 0, None, None
-
-    out_rows = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts_micros", "event_id"])
-        for ts, eid in zip(pdf["ts_micros"], pdf["event_id"]):
-            ts, eid = int(ts), int(eid)
-            if last_ts is not None and ts - last_ts > GAP_MICROS:
-                out_rows.append(
-                    (user_id, session_no, n_events, first_event, last_event, True)
+def _make_sessionize_group(with_timeout: bool):
+    def _sessionize_group(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if with_timeout and state.hasTimedOut:
+            # watermark passed last_ts + gap: the open session is FINAL
+            session_no, last_ts, n_events, first_event, last_event = state.get
+            state.remove()
+            if n_events:
+                yield pd.DataFrame(
+                    [(user_id, session_no, n_events, first_event, last_event, True)],
+                    columns=[
+                        "user_id", "session_no", "n_events",
+                        "first_event", "last_event", "closed",
+                    ],
                 )
-                session_no += 1
-                n_events, first_event = 0, None
-            n_events += 1
-            first_event = eid if first_event is None else min(first_event, eid)
-            last_event = eid if n_events == 1 else max(last_event, eid)
-            last_ts = ts
+            return
+        if state.exists:
+            session_no, last_ts, n_events, first_event, last_event = state.get
+        else:
+            session_no, last_ts, n_events, first_event, last_event = (
+                0, None, 0, None, None,
+            )
 
-    state.update((session_no, last_ts, n_events, first_event, last_event))
-    # emit the still-open session as a provisional row (closed=False) so
-    # downstream sees current state; closed sessions are final
-    if n_events:
-        out_rows.append((user_id, session_no, n_events, first_event, last_event, False))
-    if out_rows:
-        yield pd.DataFrame(
-            out_rows,
-            columns=["user_id", "session_no", "n_events", "first_event", "last_event", "closed"],
-        )
+        out_rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_micros", "event_id"])
+            for ts, eid in zip(pdf["ts_micros"], pdf["event_id"]):
+                ts, eid = int(ts), int(eid)
+                if last_ts is not None and ts - last_ts > GAP_MICROS:
+                    out_rows.append(
+                        (user_id, session_no, n_events, first_event, last_event, True)
+                    )
+                    session_no += 1
+                    n_events, first_event = 0, None
+                n_events += 1
+                first_event = eid if first_event is None else min(first_event, eid)
+                last_event = eid if n_events == 1 else max(last_event, eid)
+                # cross-batch late event (ts < stored last_ts): join the
+                # session WITHOUT moving its clock backwards — a
+                # backwards last_ts could falsely split the next event
+                # into a new session where the batch twin would not
+                last_ts = ts if last_ts is None else max(last_ts, ts)
+
+        state.update((session_no, last_ts, n_events, first_event, last_event))
+        if with_timeout and last_ts is not None:
+            # close when the watermark passes last_ts + gap; the
+            # deadline must sit above the current watermark or Spark
+            # rejects it (a session already beyond the gap at update
+            # time times out on the very next trigger)
+            deadline_ms = (last_ts + GAP_MICROS) // 1000
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(deadline_ms, wm_ms + 1))
+        # emit the still-open session as a provisional row (closed=False)
+        # so downstream sees current state; closed sessions are final
+        if n_events:
+            out_rows.append(
+                (user_id, session_no, n_events, first_event, last_event, False)
+            )
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows,
+                columns=[
+                    "user_id", "session_no", "n_events",
+                    "first_event", "last_event", "closed",
+                ],
+            )
+
+    return _sessionize_group
 
 
-def sessionize_stream(events: DataFrame) -> DataFrame:
+def sessionize_stream(events: DataFrame, watermark: str | None = None) -> DataFrame:
     """events: streaming DataFrame with (user_id bigint, event_id bigint,
-    ts timestamp). Returns per-session rows (provisional + closed)."""
+    ts timestamp). Returns per-session rows (provisional + closed).
+    With ``watermark`` set, dormant sessions CLOSE via event-time
+    timeout and their state is evicted (see module docstring)."""
     from pyspark.sql import functions as F
 
+    # the watermarked TS COLUMN must survive up to the stateful operator
+    # (projecting it away discards the watermark and Spark rejects
+    # event-time timeout), so keep ts alongside the micros the state
+    # function actually reads
     prepared = events.select(
-        "user_id", "event_id", F.unix_micros("ts").alias("ts_micros")
+        "user_id", "event_id", "ts", F.unix_micros("ts").alias("ts_micros")
     )
+    if watermark is not None:
+        prepared = prepared.withWatermark("ts", watermark)
     return prepared.groupBy("user_id").applyInPandasWithState(
-        _sessionize_group,
+        _make_sessionize_group(watermark is not None),
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if watermark is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -142,3 +142,22 @@ def test_upsert_lock_optout(spark):
     log = fake.read_log()
     assert not any("LOCK TABLE" in l for l in log)
     assert log[0].startswith("execute:TRUNCATE")
+
+
+def test_merge_sql_key_only_table_is_valid():
+    """A presence table (key only) has nothing to update — the template
+    must emit DO NOTHING, not an empty (syntactically invalid) SET."""
+    from etl_migrate_api_spark.sinks.upsert import jdbc_upsert_stage_sql
+
+    sql = jdbc_upsert_stage_sql("t", "s", "id", ["id"])
+    assert "WHEN MATCHED THEN DO NOTHING" in sql
+    assert "UPDATE SET" not in sql
+
+
+def test_merge_sql_refuses_unquotable_identifiers():
+    import pytest
+
+    from etl_migrate_api_spark.sinks.upsert import jdbc_upsert_stage_sql
+
+    with pytest.raises(ValueError):
+        jdbc_upsert_stage_sql("t; drop table x", "s", "id", ["id"])

@@ -45,3 +45,56 @@ def test_stateful_sessionize_matches_batch(spark, sf_small, tmp_path):
         for r in batch.collect()
     }
     assert g == w
+
+
+def test_sessionize_timeout_closes_dormant_sessions(spark, tmp_path):
+    """Watermark mode: a user who stops sending events must have their
+    open session emitted CLOSED via event-time timeout (state evicted),
+    driven by later events advancing the watermark — the unbounded-state
+    fix the module docstring promises."""
+    import os
+
+    src = str(tmp_path / "timed_events")
+    os.makedirs(src)
+    base = 1_700_000_000  # epoch seconds
+
+    def write_file(name, rows):
+        spark.createDataFrame(
+            rows, "user_id bigint, event_id bigint, ts_s bigint"
+        ).select(
+            "user_id", "event_id", F.timestamp_seconds("ts_s").alias("ts")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: user 1 has a short session; user 2 starts activity
+    write_file("a", [(1, 10, base), (1, 11, base + 60), (2, 20, base)])
+    q = None
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    out_dir = str(tmp_path / "out_timed")
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    # batch 2: user 2 keeps going FOUR HOURS later → watermark jumps to
+    # (base + 4h − 10min), far past user 1's (last_ts + 30min gap)
+    write_file("b", [(2, 21, base + 4 * 3600)])
+
+    q = (
+        sessionize_stream(stream, watermark="10 minutes")
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_timed"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir).collect()
+    closed_u1 = [
+        r for r in got if r["user_id"] == 1 and r["closed"]
+    ]
+    assert closed_u1, f"user 1's dormant session never closed: {got}"
+    assert closed_u1[0]["n_events"] == 2
+    assert closed_u1[0]["first_event"] == 10
+    assert closed_u1[0]["last_event"] == 11
