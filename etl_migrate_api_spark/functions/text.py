@@ -119,7 +119,7 @@ def join_csv(c: ColumnOrName) -> Column:
 
 def tokens(c: ColumnOrName) -> Column:
     """Whitespace tokens, blanks dropped."""
-    t = F.split(F.trim(_col(c)), r"\s+")
+    t = F.split(F.trim(_col(c)), WS_CLASS)
     return F.filter(t, lambda x: x != "")
 
 
@@ -197,7 +197,7 @@ def quality_score(c: ColumnOrName) -> Column:
     stop_ok = F.when(stopword_ratio(c) >= 0.01, F.lit(1.0)).otherwise(F.lit(0.0))
     mean_word_len = F.when(
         n_tok > 0,
-        F.length(F.regexp_replace(s, r"\s+", "")).cast("double") / n_tok,
+        F.length(F.regexp_replace(s, WS_CLASS, "")).cast("double") / n_tok,
     ).otherwise(F.lit(0.0))
     wordlen_ok = F.when((mean_word_len >= 2.0) & (mean_word_len <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
     return F.round((len_ok + punct_ok + stop_ok + wordlen_ok) / F.lit(4.0), 4)
@@ -207,7 +207,7 @@ def fingerprint(c: ColumnOrName) -> Column:
     """Deterministic document fingerprint: md5 of the case-folded,
     whitespace-collapsed text. Content-defined identity for exact dedup;
     md5 keeps the oracle (DuckDB ``md5``) bit-identical."""
-    normalized = F.lower(F.regexp_replace(F.trim(_col(c)), r"\s+", " "))
+    normalized = F.lower(F.regexp_replace(F.trim(_col(c)), WS_CLASS, " "))
     return F.md5(normalized)
 
 
@@ -242,7 +242,7 @@ def char_shingles(c: ColumnOrName, k: int = 5) -> Column:
 
     NB: Spark's ``sequence(1, 0)`` is DESCENDING, not empty — short
     strings must be guarded explicitly."""
-    s = F.lower(F.regexp_replace(F.trim(_col(c)), r"\s+", " "))
+    s = F.lower(F.regexp_replace(F.trim(_col(c)), WS_CLASS, " "))
     n = F.length(s)
     shingles = F.transform(
         F.sequence(F.lit(1), n - F.lit(k - 1)), lambda i: F.substring(s, i, k)

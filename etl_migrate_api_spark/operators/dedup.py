@@ -70,7 +70,9 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def _norm_text(c: str) -> Column:
-    return F.lower(F.regexp_replace(F.trim(F.col(c)), r"\s+", " "))
+    from etl_migrate_api_spark.functions.text import WS_CLASS
+
+    return F.lower(F.regexp_replace(F.trim(F.col(c)), WS_CLASS, " "))
 
 
 def _shingles_of_attr(t: str, k: int = 5) -> Column:
@@ -636,11 +638,18 @@ def simhash_df(
     it 32× — without the fence CollapseProject would inline the whole
     one-pass aggregate into each half and run it twice)."""
     hashed = (
-        "transform(array_distinct(filter(split(lower(trim({t})), '\\\\s+'), "
+        "transform(array_distinct(filter(split(lower(trim({t})), '[ \\\\t\\\\r\\\\n\\\\f]+'), "
         "x -> x != '')), t -> md5(t))"
     ).format(t=text_col)
     th = _spread(
         df.select(F.col(id_col).alias("id"), F.expr(hashed).alias("th"))
+        # token-less (empty/whitespace-only) docs: the oracle's sig CTE
+        # has no row for them (group-by over zero tok rows), and every
+        # such doc would get signature (0,0) — m empty docs pair
+        # m²/2-fold at hamming 0 through one (chunk, 0) shuffle
+        # partition. Drop them BEFORE banding, like the minhash path's
+        # length>=5 filter.
+        .where(F.size("th") > 0)
     )
     ones = th.select(
         "id",
@@ -766,7 +775,8 @@ def ngram_jaccard_pairs(
     # tokens as an attribute column first (PERF NOTE above), then n-grams
     # as cheap slice/join over the attribute
     toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+        F.split(F.lower(F.trim(F.col(text_col))), "[ \\t\\r\\n\\f]+"),
+        lambda x: x != ""
     )
     with_toks = _spread(
         df.select(

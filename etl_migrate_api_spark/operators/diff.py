@@ -45,12 +45,30 @@ def table_diff(
     share — compare schemas separately if you need column-level drift).
     """
     value_cols = [c for c in old.columns if c not in keys and c in new.columns]
-    o = old.select(*keys, row_hash(old, value_cols).alias("__h_old"))
-    n = new.select(*keys, row_hash(new, value_cols).alias("__h_new"))
-    joined = o.join(n, keys, "full_outer")
+    o = old.select(
+        *[F.col(k).alias(f"__ko_{k}") for k in keys],
+        row_hash(old, value_cols).alias("__h_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__kn_{k}") for k in keys],
+        row_hash(new, value_cols).alias("__h_new"),
+    )
+    # NULL-SAFE key equality: plain join-on-names treats NULL != NULL,
+    # so an identical NULL-keyed row would surface as BOTH 'added' and
+    # 'removed' — phantom drift in the one report meant to rule it out.
+    # (Spark executes <=> as a hash join; several NULL-keyed rows per
+    # side pair many-to-many, as any keyed compare of unkeyed rows must.)
+    cond = None
+    for k in keys:
+        c = F.col(f"__ko_{k}").eqNullSafe(F.col(f"__kn_{k}"))
+        cond = c if cond is None else cond & c
+    joined = o.join(n, cond, "full_outer")
     return (
         joined.select(
-            *keys,
+            *[
+                F.coalesce(F.col(f"__ko_{k}"), F.col(f"__kn_{k}")).alias(k)
+                for k in keys
+            ],
             F.when(F.col("__h_old").isNull(), F.lit("added"))
             .when(F.col("__h_new").isNull(), F.lit("removed"))
             .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))

@@ -351,11 +351,17 @@ def ivf_topk(
             )
         )
         return _rank_topk(scored, k, F.col("cell").cast("int").alias("cell"))
-    cent = F.broadcast(
-        centroids.select(
-            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v")
+    # accept BOTH shapes: kmeans_centroids' (cent_id, cent_v) — the
+    # documented trainer output — and corpus-shaped (id_col, vec_col)
+    # frames (e.g. sampled corpus rows used directly as centroids)
+    if {"cent_id", "cent_v"} <= set(centroids.columns):
+        cent = F.broadcast(centroids.select("cent_id", "cent_v"))
+    else:
+        cent = F.broadcast(
+            centroids.select(
+                F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v")
+            )
         )
-    )
 
     def assign(df: DataFrame, idc: str, vc: str, n_cells: int) -> DataFrame:
         scored = df.join(cent).select(

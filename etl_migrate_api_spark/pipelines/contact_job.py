@@ -13,9 +13,13 @@ Errors → status='error' record (X5). Dry-run skips sink writes but
 reports classification/merge results (X6). Per-stage timings (X4).
 
 State lives in a parquet table (hn_code, slots, extras) — the Redis
-replacement; sink and state are replaced atomically per batch so a
-crash between them is repaired by step 5 on re-run (the reference's
-Redis/Postgres drift problem can't happen — SURVEY.md §2k).
+replacement. Crash repair on re-run: step 5's X2 delete restores the
+SINK to the watermark, and when the log shows an unfinalized batch
+(a 'running' row with no success/error), run() additionally rebuilds
+the STATE from the repaired sink (K8) before processing — so neither
+sink-ahead-of-watermark nor state-ahead-of-watermark survives a crash
+(the reference's Redis/Postgres drift problem can't happen —
+SURVEY.md §2k).
 """
 
 from __future__ import annotations
@@ -114,6 +118,15 @@ class ContactEtlJob:
         return 1
 
     def _append_log(self, **kw) -> None:
+        # X6: the dry run keeps its audit trail but NEVER under the real
+        # statuses — a dry-run 'success' row would advance the watermark
+        # (last_successful_id filters status='success') and make the next
+        # REAL run silently skip everything the dry run only pretended
+        # to process. 'dry_*' rows are visible-but-inert: they also never
+        # trip the crashed-mid-batch detector.
+        status = kw["status"]
+        if self.dry_run:
+            status = f"dry_{status}"
         row = {
             "id": kw["id"],
             "continue_id": kw.get("continue_id"),
@@ -122,7 +135,7 @@ class ContactEtlJob:
             "record_count": kw.get("record_count"),
             "insert_count": kw.get("insert_count"),
             "update_count": kw.get("update_count"),
-            "status": kw["status"],
+            "status": status,
             "error_message": kw.get("error_message"),
             "started_at": kw.get("started_at"),
             "finished_at": kw.get("finished_at"),
@@ -239,9 +252,39 @@ class ContactEtlJob:
         self.state.replace(state)
         return self.state.read().count()
 
+    def _crashed_mid_batch(self) -> bool:
+        """True when the latest log record opened a batch ('running')
+        that never finalized — a crash landed between the data writes
+        and the success row."""
+        if not self.log.exists():
+            return False
+        rows = (
+            self.log.read()
+            .groupBy("id")
+            .agg(F.collect_set("status").alias("st"))
+            .orderBy(F.col("id").desc())
+            .limit(1)
+            .collect()
+        )
+        return bool(rows) and rows[0]["st"] == ["running"]
+
     # ---- the loop (X1) ---------------------------------------------------
     def run(self, last_id: int | None = None, max_batches: int | None = None) -> JobResult:
         cursor = self.last_successful_id() if last_id is None else last_id
+        if not self.dry_run and self._crashed_mid_batch():
+            # a crash AFTER the sink/state upserts but BEFORE the success
+            # row leaves state holding the dead batch's keys while the
+            # watermark points before them — the per-batch X2 delete
+            # repairs only the SINK, and stale state keys would flip the
+            # re-run's insert/update classification (§2k counters).
+            # Repair order matters: sink first (X2 delete back to the
+            # watermark), then state := f(repaired sink) (K8 rebuild).
+            delete_beyond_watermark(
+                self.sink,
+                (F.col("recid") > cursor) & (F.col("rectype") == "BIGDATA"),
+                bound=("recid", cursor),
+            )
+            self.rebuild_state()
         batch_no = self.next_batch_no()
         total = JobResult(last_id=cursor)
         for batch_df, new_cursor in self.source.pages(cursor):

@@ -108,7 +108,7 @@ def llm_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       ),
       fps as (
         select doc_id,
-               md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) as fp
+               md5(lower(regexp_replace(trim(text), '[ \\t\\r\\n\\f]+', ' ', 'g'))) as fp
         from docs
       ),
       keepers as (select fp, min(doc_id) as keeper from fps group by fp)

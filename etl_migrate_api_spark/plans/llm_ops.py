@@ -82,7 +82,7 @@ def planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     oracle=f"""
       with docs as ({PLANTED_DOCS_SQL})
-      select md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) as fp,
+      select md5(lower(regexp_replace(trim(text), '[ \\t\\r\\n\\f]+', ' ', 'g'))) as fp,
              min(doc_id) as keeper_id,
              count(*) as n_dups
       from docs group by 1 having count(*) > 1
@@ -106,7 +106,7 @@ def _minhash_oracle() -> str:
 
     return f"""
 with docs as ({PLANTED_DOCS_SQL}),
-norm as (select doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) as t from docs),
+norm as (select doc_id, lower(regexp_replace(trim(text), '[ \\t\\r\\n\\f]+', ' ', 'g')) as t from docs),
 sh as (
   select distinct doc_id, substr(t, i, 5) as sh
   from norm, lateral (
@@ -173,7 +173,7 @@ def _simhash_chain_sql(src: str) -> str:
     return f"""tok as (
   select distinct doc_id, t.tok as tok
   from (select doc_id, lower(trim(text)) as s from {src}) d,
-       lateral (select unnest(string_split_regex(s, '\\s+')) as tok) t
+       lateral (select unnest(string_split_regex(s, '[ \\t\\r\\n\\f]+')) as tok) t
   where t.tok <> ''
 ),
 th as (select doc_id, md5(tok) as h from tok),
@@ -239,7 +239,7 @@ _NGRAM_ORACLE = f"""
 with docs as ({PLANTED_DOCS_SQL}),
 norm as (
   select doc_id, source,
-         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') as toks
+         list_filter(string_split_regex(lower(trim(text)), '[ \\t\\r\\n\\f]+'), x -> x <> '') as toks
   from docs
 ),
 grams as (
@@ -552,7 +552,7 @@ _STOPWORD_SQL_LIST = (
 _TEXT_METRIC_SQL = f"""
   toks as (
     select doc_id,
-           list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') as tk,
+           list_filter(string_split_regex(trim(text), '[ \\t\\r\\n\\f]+'), x -> x <> '') as tk,
            text as s
     from docs
   ),
@@ -564,7 +564,7 @@ _TEXT_METRIC_SQL = f"""
            length(s) as n_char,
            length(regexp_replace(s, '[^A-Za-z0-9\\s]', '', 'g')) as n_nonpunct,
            length(regexp_replace(s, '[^A-Za-z ]', '', 'g')) as n_ascii,
-           length(regexp_replace(s, '\\s+', '', 'g')) as n_compact
+           length(regexp_replace(s, '[ \\t\\r\\n\\f]+', '', 'g')) as n_compact
     from toks
   ),
   r as (
@@ -585,7 +585,7 @@ _TEXT_METRIC_SQL = f"""
       with docs as (select doc_id, text from documents),
       toks as (
         select doc_id,
-               list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') as tk,
+               list_filter(string_split_regex(trim(text), '[ \\t\\r\\n\\f]+'), x -> x <> '') as tk,
                text
         from docs
       )
@@ -1084,7 +1084,7 @@ pass1 as (
 ),
 fp as (
   select doc_id, text, quality,
-         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) as f
+         md5(lower(regexp_replace(trim(text), '[ \\t\\r\\n\\f]+', ' ', 'g'))) as f
   from pass1
 ),
 keep1 as (
@@ -1209,7 +1209,7 @@ def llm_video_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(sum(q.quality) / count(*), 4) as mean_quality,
              count(distinct d.lang) as n_langs,
              cast(count(*) - count(distinct
-                    md5(lower(regexp_replace(trim(d.text), '\\s+', ' ', 'g'))))
+                    md5(lower(regexp_replace(trim(d.text), '[ \\t\\r\\n\\f]+', ' ', 'g'))))
                   as bigint) as n_exact_dups
       from documents d join q on d.doc_id = q.doc_id
       group by d.source

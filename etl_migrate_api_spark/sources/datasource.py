@@ -169,7 +169,12 @@ class HttpCursorDataSource(DataSource):
         for r in rows:
             for k, vals in cols.items():
                 vals.append(r.get(k))
-        return ", ".join(f"`{k}` {_infer_field_type(v)}" for k, v in cols.items())
+        # backticks inside a key must be doubled or the DDL parser
+        # mis-parses the quoted identifier (same escape profile.py uses)
+        def _q(k: str) -> str:
+            return "`" + k.replace("`", "``") + "`"
+
+        return ", ".join(f"{_q(k)} {_infer_field_type(v)}" for k, v in cols.items())
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return HttpCursorReader(schema, self.options)

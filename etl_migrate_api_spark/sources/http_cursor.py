@@ -61,5 +61,11 @@ class CursorSource:
             # Spark has no implicit row order)
             df = self.spark.createDataFrame(rows, schema=self.schema)
             new_cursor = max(r[self.id_field] for r in rows)
+            if new_cursor <= cursor:
+                # a server that ignores lastId (or a non-increasing id
+                # field) would otherwise re-serve the same page forever —
+                # stop like the DataSource twin (datasource.py) rather
+                # than loop the driver infinitely on duplicate rows
+                return
             yield df, new_cursor
             cursor = new_cursor

@@ -163,6 +163,17 @@ def upsert_foreach_partition(
         df = df.repartition(df.rdd.getNumPartitions(), *key_cols)
 
     def run_with_pid(pid: int, rows: Iterator) -> Iterator:
+        # empty partitions (common after the insurance repartition on
+        # small batches) must not open a connection, take the exclusive
+        # staging lock, TRUNCATE, and MERGE nothing — nor require a
+        # staging_upsert_N table for a pid that carries no rows
+        rows = iter(rows)
+        first = next(rows, None)
+        if first is None:
+            return iter(())
+        import itertools
+
+        rows = itertools.chain([first], rows)
         staging = f"{staging_prefix}_{pid}"
         conn = connect()
         try:

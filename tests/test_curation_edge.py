@@ -93,3 +93,47 @@ def test_contamination_survives_hot_gram_skew(spark, tmp_path):
     # 200 x 21 candidate pairs
     assert set(pairs) == {(900, 1100)}
     assert pairs[(900, 1100)] >= 3
+
+
+def test_vertical_tab_tokenizes_identically_across_engines(spark):
+    """Java's \\s includes \\x0B, RE2's does not — every tokenization
+    pair now uses the explicit WS_CLASS, so a vertical-tab document
+    must fingerprint and signature identically in Spark and DuckDB
+    (this was latent: the gate corpus contains no \\x0B)."""
+    import duckdb
+
+    from etl_migrate_api_spark.functions.text import fingerprint, token_count
+    from etl_migrate_api_spark.operators.dedup import simhash_df
+
+    text = "alpha\x0bbeta gamma\x0b delta"
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    got_fp = df.select(fingerprint("text").alias("fp")).collect()[0]["fp"]
+    got_n = df.select(token_count("text").alias("n")).collect()[0]["n"]
+    sig = simhash_df(df).collect()[0]
+
+    con = duckdb.connect()
+    want_fp, want_n = con.execute(
+        """
+        select md5(lower(regexp_replace(trim(?), '[ \\t\\r\\n\\f]+', ' ', 'g'))),
+               len(list_filter(string_split_regex(trim(?), '[ \\t\\r\\n\\f]+'),
+                               x -> x <> ''))
+        """,
+        [text, text],
+    ).fetchone()
+    assert got_fp == want_fp
+    assert got_n == want_n
+    # \x0B is NOT whitespace for either engine: it stays inside tokens
+    assert got_n == 3
+    # simhash over the same token set: compute DuckDB-side distinct
+    # tokens and assert the Spark signature is over exactly those
+    toks = con.execute(
+        """
+        select list_sort(list_distinct(
+                 list_filter(string_split_regex(lower(trim(?)),
+                                                '[ \\t\\r\\n\\f]+'),
+                             x -> x <> '')))
+        """,
+        [text],
+    ).fetchone()[0]
+    assert toks == ["alpha\x0bbeta", "delta", "gamma\x0b"]
+    assert (sig["simhash_lo"], sig["simhash_hi"]) != (0, 0)

@@ -90,3 +90,16 @@ def test_diff_separator_injection_is_a_change(spark):
     new = spark.createDataFrame([(1, "p", "q\x011r")], "k bigint, a string, b string")
     got = {r["k"]: r["change"] for r in table_diff(old, new, ["k"]).collect()}
     assert got == {1: "changed"}
+
+
+def test_diff_null_keys_match_null_safely(spark):
+    """An identical NULL-keyed row on both sides is NOT drift (plain
+    join equality would report it as added AND removed); a changed
+    NULL-keyed row is 'changed'."""
+    old = _mk(spark, [(None, "x", 1.0), (1, "y", 2.0)])
+    new = _mk(spark, [(None, "x", 1.0), (1, "y", 2.0)])
+    assert table_diff(old, new, ["k"]).collect() == []
+
+    new2 = _mk(spark, [(None, "X", 1.0), (1, "y", 2.0)])
+    got = {(r["k"], r["change"]) for r in table_diff(old, new2, ["k"]).collect()}
+    assert got == {(None, "changed")}

@@ -116,3 +116,12 @@ def test_ivf_accepts_external_centroids(spark, emb):
         k=3,
     )
     assert out.count() == 9
+
+
+def test_ivf_accepts_trained_centroids_shape(spark, emb):
+    """kmeans_centroids' own output (cent_id, cent_v) — the documented
+    trainer → query workflow — must be directly usable (it previously
+    required renaming to the corpus schema first)."""
+    cents = kmeans_centroids(emb, k=4, n_iter=1)
+    out = ivf_topk(emb, emb.where(F.col("vec_id") < 3), centroids=cents, k=3)
+    assert out.count() == 9

@@ -140,3 +140,59 @@ def test_dry_run_writes_nothing(spark, tmp_path):
     assert res.record_count == 6
     assert not job.sink.exists() and not job.state.exists()
     assert job.log.exists()  # audit trail still written (X6 semantics)
+
+
+def test_dry_run_never_advances_watermark(spark, tmp_path):
+    """A test-etl pass must leave the REAL watermark untouched: its
+    audit rows carry dry_* statuses, so a later real run still
+    processes everything from the start (a dry 'success' row would
+    silently swallow the data)."""
+    src = CursorSource(spark, make_fetch(PAGES), schema=BATCH_SCHEMA)
+    dry = ContactEtlJob(spark, src, str(tmp_path), dry_run=True)
+    dry_res = dry.run()
+    assert dry_res.record_count == 6
+    assert dry.last_successful_id() == 0  # watermark untouched
+
+    real = ContactEtlJob(
+        spark, CursorSource(spark, make_fetch(PAGES), schema=BATCH_SCHEMA), str(tmp_path)
+    )
+    res = real.run()
+    assert res.record_count == 6  # nothing was skipped
+    assert real.sink.exists()
+
+
+def test_crashed_batch_state_repair(spark, tmp_path):
+    """A crash AFTER the state upsert but BEFORE the success row leaves
+    state ahead of the watermark; the re-run must rebuild state from
+    the repaired sink so insert/update classification (§2k counters)
+    stays correct."""
+    src = CursorSource(spark, make_fetch(PAGES), schema=BATCH_SCHEMA)
+    job = ContactEtlJob(spark, src, str(tmp_path))
+    first = job.run(max_batches=1)
+    assert first.insert_count > 0
+
+    # simulate the crash window for a SECOND batch: data written, no
+    # success row — append the orphan 'running' record by hand
+    import datetime as dt
+
+    orphan_id = job._next_log_id()
+    job._append_log(
+        id=orphan_id, continue_id=first.last_id, batch_no=99,
+        status="running", started_at=dt.datetime.now(dt.timezone.utc),
+    )
+    # ...and poison the state with a key the sink (post-repair) lacks
+    poison = spark.createDataFrame(
+        [("ZZ_POISON", ["0999999999"], [])],
+        schema="hn_code string, slots array<string>, extras array<string>",
+    )
+    job.state.append(poison)
+    assert job._crashed_mid_batch()
+
+    rerun = ContactEtlJob(
+        spark, CursorSource(spark, make_fetch(PAGES), schema=BATCH_SCHEMA), str(tmp_path)
+    )
+    rerun.run()
+    # the poisoned key is gone: state was rebuilt from the repaired sink
+    assert (
+        rerun.state.read().where(F.col("hn_code") == "ZZ_POISON").count() == 0
+    )
