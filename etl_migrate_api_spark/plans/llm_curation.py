@@ -884,3 +884,44 @@ def llm_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("norm").alias("norm_fp"),
         F.length("norm").cast("bigint").alias("n_chars_norm"),
     )
+
+
+@register(
+    "llm_fixed_k_group_sample",
+    oracle="""
+      with ranked as (
+        select doc_id, lang,
+               row_number() over (partition by lang
+                                  order by md5(cast(doc_id as varchar)), doc_id)
+                 as rnk
+        from documents
+      )
+      select lang, doc_id, cast(rnk as int) as rnk
+      from ranked where rnk <= 20
+    """,
+    survey_refs=("W1", "F2", "O2"),
+)
+def llm_fixed_k_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-SIZE per-group sample: exactly k=20 docs per
+    language, chosen by md5(doc_id) order — the fixed-quota counterpart
+    of the rate-based llm_stratified_sample (a rate can't promise 'give
+    me exactly 20 eval docs per language'; a quota can't promise a
+    fixed fraction — pipelines need both). Same engine-portable
+    determinism argument: the md5 hex order is a seeded shuffle both
+    engines compute identically, so the sample is retry- and
+    engine-stable. Scale: ONE shuffle on the group key; row_number
+    stops mattering past k per partition (Spark's WindowExec
+    short-circuits nothing, but the k rows per group that survive the
+    filter bound all downstream cost — for very hot groups swap in a
+    per-partition top-k aggregate)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, "documents", sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= 20)
+        .select("lang", "doc_id", F.col("rnk").cast("int"))
+    )
