@@ -78,6 +78,16 @@ def test_driver_window_is_50_unique_oracled_queries():
         # the r5-regression queries stay in-window to show green
         "events_sessionize",
         "events_asof_join",
+        # r7 rotation: the capstone + strongest r6 work get driver rows
+        "llm_curation_pipeline",
+        "llm_unicode_normalize",
+        "agg_grouping_sets",
+        "join_null_safe_eq",
+        "events_ordered_funnel",
+        "llm_dataset_card",
+        "window_range_frame_trailing",
+        "q15_top_supplier",
+        "q17_small_quantity_revenue",
     ):
         assert q in names[:50], f"{q} fell out of the driver window"
     # tail queries must still exist (coverage inventory + rows-only pytest;
@@ -93,6 +103,16 @@ def test_driver_window_is_50_unique_oracled_queries():
         "map_functions_battery",
         "join_semi_exists_battery",
         "window_first_last_per_key",
+        # rotated out in r7 (each holds green driver rows from r1-r6)
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q_daily_event_funnel",
+        "llm_exact_dedup",
+        "llm_lang_id",
+        "llm_quality_score",
+        "filter_sample_battery",
+        "join_anti_new_keys",
     ):
         assert q in names[50:], f"{q} missing from the tail"
 
