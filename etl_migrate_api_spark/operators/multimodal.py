@@ -788,23 +788,37 @@ def audio_hash_table(
     media: DataFrame, id_col: str = "media_id", content_col: str = "content"
 ) -> DataFrame:
     """(id, lo, hi) audio fingerprints over WAV blobs — mapInPandas;
-    undecodable blobs are dropped (this is an index builder, not a
-    validator — decode_audio reports per-row errors). Feed to
-    dedup.hamming64_pairs, the same band join image pHash and text
-    SimHash use."""
+    undecodable blobs (ValueError from the RIFF parse: bad container,
+    non-PCM, unsupported bit depth) are dropped with a per-batch count
+    in the executor log (this is an index builder, not a validator —
+    decode_audio reports per-row errors). Any OTHER exception
+    propagates: a systematic bug must fail the job, not invisibly
+    shrink dedup coverage. Feed to dedup.hamming64_pairs, the same band
+    join image pHash and text SimHash use."""
+    import logging
+
     import pandas as pd
+
+    log = logging.getLogger(__name__)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             ids, lows, highs = [], [], []
+            dropped = 0
             for mid, content in zip(b[id_col], b[content_col]):
                 try:
                     lo, hi = audio_hash64_one(bytes(content))
-                except Exception:
+                except ValueError:
+                    dropped += 1
                     continue
                 ids.append(mid)
                 lows.append(lo)
                 highs.append(hi)
+            if dropped:
+                log.warning(
+                    "audio_hash_table: dropped %d/%d undecodable blobs",
+                    dropped, len(b),
+                )
             yield pd.DataFrame({"id": ids, "lo": lows, "hi": highs})
 
     return media.mapInPandas(run, schema="id long, lo long, hi long")

@@ -156,27 +156,42 @@ def video_phash_table(
     and pHash it (multimodal.phash64_one grayscale path) — keyframe
     hashing, the standard first-pass video near-dup technique (a
     re-encoded/rescaled copy keeps its keyframe's DCT signature).
-    Undecodable blobs are dropped (index builder, not validator). Feed
-    to dedup.hamming64_pairs — the same band join as text/image/audio.
+    Undecodable blobs (ValueError from the Y4M/pHash parse) are dropped
+    with a per-batch count in the executor log (index builder, not
+    validator); any OTHER exception propagates — a systematic bug must
+    fail the job, not invisibly shrink dedup coverage. Feed to
+    dedup.hamming64_pairs — the same band join as text/image/audio.
     """
+    import logging
+
     import pandas as pd
 
     from etl_migrate_api_spark.operators.multimodal import phash64_one
 
+    log = logging.getLogger(__name__)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             ids, lows, highs = [], [], []
+            dropped = 0
             for mid, c in zip(b[id_col], b[content_col]):
                 try:
                     w, h, _num, _den, _cs, planes = decode_y4m_one(bytes(c))
                     if not planes:
+                        dropped += 1
                         continue
                     lo, hi = phash64_one(bytes(planes[0]), w, h)
-                except Exception:
+                except ValueError:
+                    dropped += 1
                     continue
                 ids.append(mid)
                 lows.append(lo)
                 highs.append(hi)
+            if dropped:
+                log.warning(
+                    "video_phash_table: dropped %d/%d undecodable blobs",
+                    dropped, len(b),
+                )
             yield pd.DataFrame({"id": ids, "lo": lows, "hi": highs})
 
     return media.mapInPandas(run, schema="id long, lo long, hi long")

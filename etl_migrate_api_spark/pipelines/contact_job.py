@@ -253,13 +253,17 @@ class ContactEtlJob:
         return self.state.read().count()
 
     def _crashed_mid_batch(self) -> bool:
-        """True when the latest log record opened a batch ('running')
-        that never finalized — a crash landed between the data writes
-        and the success row."""
+        """True when the latest REAL log record opened a batch
+        ('running') that never finalized — a crash landed between the
+        data writes and the success row. dry_* rows are excluded before
+        taking the latest id: a dry run executed after the crash
+        appends rows under a newer id, and letting them shadow the
+        unfinalized real batch would skip the sink+state repair."""
         if not self.log.exists():
             return False
         rows = (
             self.log.read()
+            .where(~F.col("status").startswith("dry_"))
             .groupBy("id")
             .agg(F.collect_set("status").alias("st"))
             .orderBy(F.col("id").desc())

@@ -1046,16 +1046,29 @@ def llm_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         except OSError:
             pass
     path = os.path.join(root, f"index_{tag}_{uuid.uuid4().hex[:8]}")
-    sim.write_ivfpq_index(emb, path, k=8, m=32, ksub=16)
-    return sim.ivfpq_topk(
-        spark,
-        path,
-        emb.where(F.col("vec_id") < 10),
-        k=5,
-        nprobe=3,
-        rerank_corpus=emb,
-        rerank=50,
-    ).orderBy("query_id", "rank")
+    try:
+        sim.write_ivfpq_index(emb, path, k=8, m=32, ksub=16)
+        out = sim.ivfpq_topk(
+            spark,
+            path,
+            emb.where(F.col("vec_id") < 10),
+            k=5,
+            nprobe=3,
+            rerank_corpus=emb,
+            rerank=50,
+        ).orderBy("query_id", "rank")
+        # materialize the (tiny: n_queries×k) result onto the driver so
+        # the returned DataFrame carries no lazy read of the index path,
+        # then drop the just-built index — repeated bench/test runs must
+        # not accumulate dirs for 6 h (the stale sweep above stays as a
+        # backstop for crashed runs only)
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)
+    finally:
+        # the index is three sibling dirs: codes + .centroids/.codebooks
+        # sidecars (write_ivfpq_index layout)
+        for d in (path, path + ".centroids", path + ".codebooks"):
+            shutil.rmtree(d, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

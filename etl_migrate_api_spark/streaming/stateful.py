@@ -18,7 +18,16 @@ Two modes:
   passes last_ts + gap, the open session is emitted CLOSED and the
   user's state is evicted (bounded state: active users only). Events
   later than the watermark delay may be dropped by Spark upstream —
-  the standard lateness trade."""
+  the standard lateness trade.
+
+Session identity under eviction: eviction wipes the per-user counter,
+so the next event from that user restarts ``session_no`` at 0 — two
+closed sessions of one user CAN share a session_no (this diverges from
+the batch twin's monotonic numbering by design; the twin sees the whole
+history, the stream deliberately forgets dormant users). The emitted
+``session_start`` column (event-time micros of the session's first
+event) disambiguates: key downstream joins/upserts by
+``(user_id, session_start)``, never by ``(user_id, session_no)``."""
 
 from __future__ import annotations
 
@@ -32,11 +41,17 @@ GAP_MICROS = 30 * 60 * 1_000_000
 
 _OUT_SCHEMA = (
     "user_id bigint, session_no int, n_events bigint, "
-    "first_event bigint, last_event bigint, closed boolean"
+    "first_event bigint, last_event bigint, closed boolean, "
+    "session_start bigint"
 )
 _STATE_SCHEMA = (
-    "session_no int, last_ts long, n_events long, first_event long, last_event long"
+    "session_no int, last_ts long, n_events long, first_event long, "
+    "last_event long, start_ts long"
 )
+_OUT_COLS = [
+    "user_id", "session_no", "n_events",
+    "first_event", "last_event", "closed", "session_start",
+]
 
 
 def _make_sessionize_group(with_timeout: bool):
@@ -48,22 +63,28 @@ def _make_sessionize_group(with_timeout: bool):
         (user_id,) = key
         if with_timeout and state.hasTimedOut:
             # watermark passed last_ts + gap: the open session is FINAL
-            session_no, last_ts, n_events, first_event, last_event = state.get
+            (
+                session_no, last_ts, n_events,
+                first_event, last_event, start_ts,
+            ) = state.get
             state.remove()
             if n_events:
                 yield pd.DataFrame(
-                    [(user_id, session_no, n_events, first_event, last_event, True)],
-                    columns=[
-                        "user_id", "session_no", "n_events",
-                        "first_event", "last_event", "closed",
-                    ],
+                    [(
+                        user_id, session_no, n_events,
+                        first_event, last_event, True, start_ts,
+                    )],
+                    columns=_OUT_COLS,
                 )
             return
         if state.exists:
-            session_no, last_ts, n_events, first_event, last_event = state.get
+            (
+                session_no, last_ts, n_events,
+                first_event, last_event, start_ts,
+            ) = state.get
         else:
-            session_no, last_ts, n_events, first_event, last_event = (
-                0, None, 0, None, None,
+            session_no, last_ts, n_events, first_event, last_event, start_ts = (
+                0, None, 0, None, None, None,
             )
 
         out_rows = []
@@ -72,21 +93,29 @@ def _make_sessionize_group(with_timeout: bool):
             for ts, eid in zip(pdf["ts_micros"], pdf["event_id"]):
                 ts, eid = int(ts), int(eid)
                 if last_ts is not None and ts - last_ts > GAP_MICROS:
-                    out_rows.append(
-                        (user_id, session_no, n_events, first_event, last_event, True)
-                    )
+                    out_rows.append((
+                        user_id, session_no, n_events,
+                        first_event, last_event, True, start_ts,
+                    ))
                     session_no += 1
-                    n_events, first_event = 0, None
+                    n_events, first_event, start_ts = 0, None, None
                 n_events += 1
                 first_event = eid if first_event is None else min(first_event, eid)
                 last_event = eid if n_events == 1 else max(last_event, eid)
+                # session_start = event time of the session's FIRST-seen
+                # event; it never moves once set, so it stays stable as
+                # the downstream disambiguation key under session_no
+                # resets (state eviction — see module docstring)
+                start_ts = ts if start_ts is None else start_ts
                 # cross-batch late event (ts < stored last_ts): join the
                 # session WITHOUT moving its clock backwards — a
                 # backwards last_ts could falsely split the next event
                 # into a new session where the batch twin would not
                 last_ts = ts if last_ts is None else max(last_ts, ts)
 
-        state.update((session_no, last_ts, n_events, first_event, last_event))
+        state.update(
+            (session_no, last_ts, n_events, first_event, last_event, start_ts)
+        )
         if with_timeout and last_ts is not None:
             # close when the watermark passes last_ts + gap; the
             # deadline must sit above the current watermark or Spark
@@ -98,17 +127,12 @@ def _make_sessionize_group(with_timeout: bool):
         # emit the still-open session as a provisional row (closed=False)
         # so downstream sees current state; closed sessions are final
         if n_events:
-            out_rows.append(
-                (user_id, session_no, n_events, first_event, last_event, False)
-            )
+            out_rows.append((
+                user_id, session_no, n_events,
+                first_event, last_event, False, start_ts,
+            ))
         if out_rows:
-            yield pd.DataFrame(
-                out_rows,
-                columns=[
-                    "user_id", "session_no", "n_events",
-                    "first_event", "last_event", "closed",
-                ],
-            )
+            yield pd.DataFrame(out_rows, columns=_OUT_COLS)
 
     return _sessionize_group
 

@@ -196,3 +196,47 @@ def test_crashed_batch_state_repair(spark, tmp_path):
     assert (
         rerun.state.read().where(F.col("hn_code") == "ZZ_POISON").count() == 0
     )
+
+
+def test_dry_run_cannot_shadow_crashed_batch(spark, tmp_path):
+    """A dry run executed AFTER a mid-batch crash appends dry_* audit
+    rows under a newer log id. _crashed_mid_batch must look past them
+    to the unfinalized real batch, or the next real run skips the
+    sink+state repair and stale state keys corrupt classification."""
+    src = CursorSource(spark, make_fetch(PAGES), schema=BATCH_SCHEMA)
+    job = ContactEtlJob(spark, src, str(tmp_path))
+    first = job.run(max_batches=1)
+
+    import datetime as dt
+
+    orphan_id = job._next_log_id()
+    job._append_log(
+        id=orphan_id, continue_id=first.last_id, batch_no=99,
+        status="running", started_at=dt.datetime.now(dt.timezone.utc),
+    )
+    poison = spark.createDataFrame(
+        [("ZZ_POISON", ["0999999999"], [])],
+        schema="hn_code string, slots array<string>, extras array<string>",
+    )
+    job.state.append(poison)
+
+    # the shadowing dry run: its dry_running/dry_success rows take the
+    # newest log id but must stay invisible to the crash detector
+    dry = ContactEtlJob(
+        spark,
+        CursorSource(spark, make_fetch(PAGES), schema=BATCH_SCHEMA),
+        str(tmp_path),
+        dry_run=True,
+    )
+    dry.run()
+    assert job._crashed_mid_batch(), "dry rows shadowed the crashed batch"
+
+    rerun = ContactEtlJob(
+        spark,
+        CursorSource(spark, make_fetch(PAGES), schema=BATCH_SCHEMA),
+        str(tmp_path),
+    )
+    rerun.run()
+    assert (
+        rerun.state.read().where(F.col("hn_code") == "ZZ_POISON").count() == 0
+    )

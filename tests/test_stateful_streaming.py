@@ -98,3 +98,70 @@ def test_sessionize_timeout_closes_dormant_sessions(spark, tmp_path):
     assert closed_u1[0]["n_events"] == 2
     assert closed_u1[0]["first_event"] == 10
     assert closed_u1[0]["last_event"] == 11
+
+
+def test_sessionize_eviction_resets_session_no_but_session_start_disambiguates(
+    spark, tmp_path
+):
+    """Eviction wipes the per-user counter, so a user evicted TWICE emits
+    two closed sessions that both carry session_no=0 — the documented
+    divergence from the batch twin. The session_start column must make
+    the pair unambiguous: distinct first-event times, one per session."""
+    import os
+
+    src = str(tmp_path / "evict_twice")
+    os.makedirs(src)
+    base = 1_700_000_000  # epoch seconds
+
+    def write_file(rows):
+        spark.createDataFrame(
+            rows, "user_id bigint, event_id bigint, ts_s bigint"
+        ).select(
+            "user_id", "event_id", F.timestamp_seconds("ts_s").alias("ts")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # maxFilesPerTrigger=1 → one micro-batch per file, in mtime order.
+    # The watermark used by batch N comes from data through batch N-1,
+    # so user 2's steady drumbeat advances it while user 1 is dormant:
+    write_file([(1, 10, base), (2, 20, base)])  # u1 session A opens
+    write_file([(2, 21, base + 4 * 3600)])  # WM for next batch → base+4h
+    write_file([(2, 22, base + 4 * 3600 + 60)])  # u1 A times out HERE
+    write_file([(1, 11, base + 8 * 3600), (2, 23, base + 8 * 3600)])  # u1 B
+    write_file([(2, 24, base + 12 * 3600)])  # WM for next batch → base+12h
+    write_file([(2, 25, base + 12 * 3600 + 60)])  # u1 B times out HERE
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    out_dir = str(tmp_path / "out_evict")
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        sessionize_stream(stream, watermark="10 minutes")
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_evict"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    closed_u1 = sorted(
+        (
+            r
+            for r in spark.read.parquet(out_dir).collect()
+            if r["user_id"] == 1 and r["closed"]
+        ),
+        key=lambda r: r["session_start"],
+    )
+    assert len(closed_u1) == 2, f"expected two evicted sessions: {closed_u1}"
+    # the collision the docstring warns about — both restart at 0 …
+    assert [r["session_no"] for r in closed_u1] == [0, 0]
+    # … and session_start is the key that tells them apart
+    assert [r["session_start"] for r in closed_u1] == [
+        base * 1_000_000,
+        (base + 8 * 3600) * 1_000_000,
+    ]
+    assert [r["first_event"] for r in closed_u1] == [10, 11]
