@@ -113,31 +113,61 @@ def delete_beyond_watermark(
 
 
 def jdbc_upsert_stage_sql(
-    target: str, staging: str, key: str, columns: list[str]
+    target: str,
+    staging: str,
+    key: str,
+    columns: list[str],
+    dialect: str = "merge",
 ) -> str:
-    """The production JDBC path (documented pattern, exercised in unit
-    tests as text): load the batch into a staging table with
-    ``df.write.jdbc``, then run one MERGE statement transactionally.
+    """The production JDBC path: load the batch into a staging table
+    with ``df.write.jdbc``, then run ONE set-based statement
+    transactionally. Two dialects of the same contract (reference
+    parity: ``ON CONFLICT`` saveToPostgres.js:369, server.js:114):
 
-    Postgres ≥15 MERGE shown; the ON CONFLICT variant is equivalent for
-    single-key upserts. A key-only table (no non-key columns) has
-    nothing to update — MATCHED becomes DO NOTHING (an empty UPDATE SET
-    is a syntax error). Identifiers are validated, not quoted: this is
-    a statement TEMPLATE for trusted schema names, and a name needing
+    - ``"merge"`` — Postgres ≥15 / ANSI ``MERGE INTO … USING staging``.
+    - ``"on_conflict"`` — ``INSERT INTO … SELECT … FROM staging ON
+      CONFLICT (key) DO UPDATE SET c = excluded.c``; one template that
+      runs verbatim on Postgres, DuckDB and sqlite ≥3.24 (round-tripped
+      against the latter two for real in
+      tests/test_real_engine_upsert.py — no Postgres in this sandbox).
+      Requires the staged batch to be key-unique (Postgres/DuckDB
+      reject a second hit on one row per statement); the engine's
+      merge fold emits exactly one row per key, satisfying this.
+
+    A key-only table (no non-key columns) has nothing to update —
+    MATCHED/CONFLICT becomes DO NOTHING (an empty UPDATE SET is a
+    syntax error). Identifiers are validated, not quoted: this is a
+    statement TEMPLATE for trusted schema names, and a name needing
     quoting should fail loudly here rather than at the database."""
     for ident in (target, staging, key, *columns):
         if not ident.replace("_", "").replace(".", "").isalnum():
             raise ValueError(f"identifier needs quoting, refusing: {ident!r}")
     cols = ", ".join(columns)
     sets = ", ".join(f"{c} = s.{c}" for c in columns if c != key)
-    vals = ", ".join(f"s.{c}" for c in columns)
-    matched = (
-        f"WHEN MATCHED THEN UPDATE SET {sets} "
-        if sets
-        else "WHEN MATCHED THEN DO NOTHING "
-    )
-    return (
-        f"MERGE INTO {target} t USING {staging} s ON t.{key} = s.{key} "
-        + matched
-        + f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
-    )
+    if dialect == "merge":
+        vals = ", ".join(f"s.{c}" for c in columns)
+        matched = (
+            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            if sets
+            else "WHEN MATCHED THEN DO NOTHING "
+        )
+        return (
+            f"MERGE INTO {target} t USING {staging} s ON t.{key} = s.{key} "
+            + matched
+            + f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+        )
+    if dialect == "on_conflict":
+        conflict = (
+            "DO UPDATE SET "
+            + ", ".join(f"{c} = excluded.{c}" for c in columns if c != key)
+            if sets
+            else "DO NOTHING"
+        )
+        # WHERE true disambiguates sqlite's parse (ON would otherwise
+        # read as a join clause of the SELECT — documented sqlite upsert
+        # quirk); Postgres and DuckDB accept it unchanged
+        return (
+            f"INSERT INTO {target} ({cols}) SELECT {cols} FROM {staging} "
+            f"WHERE true ON CONFLICT ({key}) {conflict}"
+        )
+    raise ValueError(f"unknown dialect {dialect!r}; use 'merge' or 'on_conflict'")

@@ -144,6 +144,32 @@ def test_upsert_lock_optout(spark):
     assert log[0].startswith("execute:TRUNCATE")
 
 
+def test_on_conflict_sql_shape():
+    sql = jdbc_upsert_stage_sql(
+        "etl_customer_crm", "etl_customer_crm_stage", "hn_code",
+        ["hn_code", "tel_no", "note_other"],
+        dialect="on_conflict",
+    )
+    assert sql.startswith("INSERT INTO etl_customer_crm (hn_code, tel_no, note_other)")
+    assert "SELECT hn_code, tel_no, note_other FROM etl_customer_crm_stage" in sql
+    assert "ON CONFLICT (hn_code) DO UPDATE SET" in sql
+    assert "tel_no = excluded.tel_no" in sql
+    # the key column must never be in the SET list
+    assert "hn_code = excluded.hn_code" not in sql
+
+
+def test_on_conflict_sql_key_only_do_nothing():
+    sql = jdbc_upsert_stage_sql("t", "s", "id", ["id"], dialect="on_conflict")
+    assert sql.endswith("ON CONFLICT (id) DO NOTHING")
+
+
+def test_unknown_dialect_refused():
+    import pytest
+
+    with pytest.raises(ValueError):
+        jdbc_upsert_stage_sql("t", "s", "id", ["id"], dialect="upsertish")
+
+
 def test_merge_sql_key_only_table_is_valid():
     """A presence table (key only) has nothing to update — the template
     must emit DO NOTHING, not an empty (syntactically invalid) SET."""
