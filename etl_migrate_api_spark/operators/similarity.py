@@ -1202,3 +1202,137 @@ def ivfpq_topk(
         return _rank_topk(scored, k, F.col("sim").alias("est_ip"))
     shortlist = _rank_topk(scored, max(rerank, k), F.col("sim").alias("est_ip"))
     return _exact_rerank(shortlist, qrows, rerank_corpus, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# Index maintenance — append against FROZEN quantizers + staleness metric
+# ---------------------------------------------------------------------------
+
+
+def _load_centroid_rows(spark, path: str) -> list[tuple[int, list[float]]]:
+    return [
+        (int(r["cent_id"]), [float(x) for x in r["cent_v"]])
+        for r in spark.read.parquet(f"{path}.centroids").collect()
+    ]
+
+
+def add_to_ivfpq_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally grow a persisted IVF-PQ index: encode the new
+    vectors against the index's FROZEN codebooks, assign cells against
+    its FROZEN centroids, and append to the cell-partitioned codes
+    table. Nothing retrains and no existing file is rewritten — the
+    100 TB maintenance story (nobody rebuilds a 100 TB index per
+    ingest batch; faiss `add` does exactly this against the trained
+    quantizers). Queries see the new vectors immediately: they land in
+    the same ``cell=N`` directories partition pruning reads.
+
+    Caller contract: ``new_vectors`` carries ids not already in the
+    index (the codes table has no uniqueness constraint — an id
+    appended twice is scored twice). Quantization drift is the price
+    of frozen codebooks: monitor it with ``ivf_index_staleness`` and
+    rebuild when the appended mass measurably shifts the distribution
+    (tests/test_index_append.py shows append ≡ rebuild recall while
+    the corpus stays in-distribution)."""
+    spark = new_vectors.sparkSession
+    cent_rows = _load_centroid_rows(spark, path)
+    books = _load_codebooks(spark, path)
+    assign = _cell_assign_udf(cent_rows)
+    coded = pq_encode(new_vectors, books, id_col=id_col, vec_col=vec_col)
+    tagged = new_vectors.select(
+        F.col(id_col).alias("vid"), assign(F.col(vec_col)).alias("cell")
+    )
+    (
+        coded.join(tagged, "vid")
+        .repartition(F.col("cell"))  # same no-small-files discipline as build
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def add_to_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append path for the plain IVF layout (raw vectors partitioned by
+    cell): assign against the FROZEN centroids and append — see
+    add_to_ivfpq_index for the contract."""
+    spark = new_vectors.sparkSession
+    assign = _cell_assign_udf(_load_centroid_rows(spark, path))
+    (
+        new_vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            assign(F.col(vec_col)).alias("cell"),
+        )
+        .repartition(F.col("cell"))
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivf_index_staleness(
+    spark: SparkSession,
+    path: str,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[str, float]:
+    """Quantization-drift metric for a persisted IVF / IVF-PQ index:
+    assign every ``corpus`` vector to its nearest FROZEN centroid (the
+    same argmax-cosine rule the index uses) and report
+    ``{"n_vectors", "mean_dist", "max_dist"}`` where dist is the
+    cosine distance 1 − cos(v, assigned centroid) ∈ [0, 2].
+
+    Reading: compare against the value recorded at build time (or on
+    the training slice). A drifting ingest stream pushes mean_dist up —
+    vectors land ever farther from the frozen cells, recall decays, and
+    past a caller-chosen threshold the answer is a retrain+rebuild.
+    One distributed pass: per-row best-cos via the same one-matmul
+    pandas UDF family as assignment; only the 3-number summary reaches
+    the driver."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cent_rows = _load_centroid_rows(spark, path)
+    ordered = sorted(cent_rows)
+    mat = []
+    for _, cv in ordered:
+        nrm = sum(x * x for x in cv) ** 0.5
+        mat.append([x / nrm for x in cv] if nrm > 0 else list(cv))
+    mt = np.asarray(mat, dtype=np.float64).T  # dim × k
+
+    def best_cos(vec):
+        if len(vec) == 0:
+            return pd.Series([], dtype="float64")
+        x = np.asarray(vec.tolist(), dtype=np.float64)
+        xn = np.linalg.norm(x, axis=1, keepdims=True)
+        xu = np.divide(x, xn, out=np.zeros_like(x), where=xn > 0)
+        return pd.Series(np.max(xu @ mt, axis=1))
+
+    best_cos.__annotations__ = {"vec": pd.Series, "return": pd.Series}
+    row = (
+        corpus.select(
+            (1.0 - pandas_udf("double")(best_cos)(F.col(vec_col))).alias("d")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("d").alias("mean_d"),
+            F.max("d").alias("max_d"),
+        )
+        .collect()[0]
+    )
+    return {
+        "n_vectors": float(row["n"]),
+        "mean_dist": float(row["mean_d"] or 0.0),
+        "max_dist": float(row["max_d"] or 0.0),
+    }
