@@ -1248,6 +1248,51 @@ def events_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def countmin_counts(
+    df: DataFrame,
+    col: str,
+    eps: float = 0.001,
+    conf: float = 0.999,
+    seed: int = 42,
+    max_keys: int = 1024,
+) -> DataFrame:
+    """Count-min sketch point queries with a BOUNDED driver read-out:
+    one mergeable sketch built with a distributed aggregate
+    (F.count_min_sketch — partial sketches merged map-side), per-key
+    estimates read from the final KB-sized sketch on the driver.
+
+    The candidate key list is capped at ``max_keys``: a distributed
+    top-k by frequency (TakeOrderedAndProject — per-partition top-k +
+    driver merge, never a global collect), so pointing this at a
+    100k-distinct column ships max_keys rows to the driver, not 100k
+    (tests/test_plans.py::test_countmin_readout_bounded). Columns under
+    the cap keep the exhaustive read-out. At 100 TB the real pattern is
+    persisting the sketch and probing KNOWN keys; the capped top-k is
+    the safe default when the caller has no key list."""
+    spark = df.sparkSession
+    sketch = df.agg(
+        F.count_min_sketch(col, F.lit(eps), F.lit(conf), F.lit(seed)).alias("s")
+    ).collect()[0]["s"]
+    jvm = spark.sparkContext._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(sketch))
+    )
+    keys = sorted(
+        r[col]
+        for r in (
+            df.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), col)
+            .limit(max_keys)
+            .collect()
+        )
+    )
+    return spark.createDataFrame(
+        [(k, int(cms.estimateCount(k))) for k in keys],
+        f"{col} string, cm_count bigint",
+    )
+
+
 @register(
     "agg_countmin_counts",
     oracle="""
@@ -1257,10 +1302,10 @@ def events_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_refs=("A3", "PH2"),
 )
 def agg_countmin_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min sketch point queries: one mergeable sketch built with a
-    distributed aggregate (F.count_min_sketch — partial sketches merged
-    map-side), then per-key estimates read from the final KB-sized
-    sketch on the driver (bounded: one sketch + the distinct key list).
+    """Count-min sketch point queries over event_type (see
+    countmin_counts for the bounded read-out contract; event_type's
+    handful of values sits far under the cap, so the read-out is
+    exhaustive here).
 
     Oracle legitimacy: CM estimates only OVER-count on hash collisions;
     with width 2719 (eps=0.001) x depth 5 (conf=0.999) and only a
@@ -1269,23 +1314,7 @@ def agg_countmin_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     valid oracle — the parity gate itself would catch a collision.
     At 100 TB the same plan holds: sketch size is O(width*depth), not
     O(rows), and the heavy-hitter read-out stays driver-cheap."""
-    ev = load(spark, "events", sf_dir)
-    sketch = ev.agg(
-        F.count_min_sketch(
-            "event_type", F.lit(0.001), F.lit(0.999), F.lit(42)
-        ).alias("s")
-    ).collect()[0]["s"]
-    jvm = spark.sparkContext._jvm
-    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        jvm.java.io.ByteArrayInputStream(bytes(sketch))
-    )
-    keys = sorted(
-        r["event_type"] for r in ev.select("event_type").distinct().collect()
-    )
-    return spark.createDataFrame(
-        [(k, int(cms.estimateCount(k))) for k in keys],
-        "event_type string, cm_count bigint",
-    )
+    return countmin_counts(load(spark, "events", sf_dir), "event_type")
 
 
 @register("agg_hll_sketch_battery", oracle=None, survey_refs=("A3", "E1"))

@@ -222,6 +222,34 @@ def test_countmin_estimates_exact_here(spark, sf_dir, queries):
     assert got == exact
 
 
+def test_countmin_readout_bounded(spark):
+    """Pointed at a 100k-distinct column, the read-out must ship only
+    max_keys rows to the driver — and they must be the true heaviest
+    keys (the cardinality guard from the r6 verdict)."""
+    from pyspark.sql import functions as F
+
+    from etl_migrate_api_spark.plans.etl_ops import countmin_counts
+
+    n_hot, hot_reps = 20, 50
+    df = spark.range(100_000).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("k")
+    )
+    hot = spark.range(n_hot * hot_reps).select(
+        F.concat(F.lit("hot"), (F.col("id") % n_hot).cast("string")).alias("k")
+    )
+    out = countmin_counts(df.unionAll(hot), "k", max_keys=64).collect()
+    assert len(out) == 64
+    got_keys = {r["k"] for r in out}
+    # every hot key (51 occurrences each) must beat the 100k singletons
+    assert {f"hot{i}" for i in range(n_hot)} <= got_keys
+    n_total = 100_000 + n_hot * hot_reps
+    for r in out:
+        if r["k"].startswith("hot"):
+            # CM only over-counts, and at 100k keys collisions are the
+            # norm — the guarantee is overcount <= eps * N (eps=0.001)
+            assert hot_reps <= r["cm_count"] <= hot_reps + 0.001 * n_total
+
+
 def test_span_dedup_c4_semantics(spark, sf_dir, queries):
     """Span dedup must actually drop repeated spans: fewer docs out than
     in (fully-boilerplate docs vanish), kept <= total per doc, and every
