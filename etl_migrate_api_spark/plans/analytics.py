@@ -866,3 +866,201 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+      with base as (
+        select cast(extract(year from o.o_orderdate) as int) as o_year,
+               cast(l.l_extendedprice as decimal(18,2))
+                 * cast(1 - l.l_discount as decimal(18,2)) as rev,
+               sn.n_name as supp_nation
+        from lineitem l
+        join orders o   on l.l_orderkey = o.o_orderkey
+        join customer c on o.o_custkey = c.c_custkey
+        join nation cn  on c.c_nationkey = cn.n_nationkey
+        join region r   on cn.n_regionkey = r.r_regionkey
+        join supplier s on l.l_suppkey = s.s_suppkey
+        join nation sn  on s.s_nationkey = sn.n_nationkey
+        join part p     on l.l_partkey = p.p_partkey
+        where r.r_name = 'ASIA'
+          and p.p_type = 'ECONOMY'
+          and o.o_orderdate >= timestamp '1995-01-01 00:00:00'
+          and o.o_orderdate <  timestamp '1997-01-01 00:00:00'
+      )
+      select o_year,
+             cast(round(
+               cast(sum(case when supp_nation = 'NATION_3'
+                        then rev else cast(0 as decimal(18,2)) end) as double)
+               / cast(sum(rev) as double), 6) as double) as mkt_share
+      from base
+      group by o_year
+    """,
+    survey_refs=("J2", "A3", "PH2", "T8"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's revenue share inside one
+    customer region, per order year, for one part type. The deepest
+    join tree in the set (lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
+    region ⋈ supplier ⋈ nation ⋈ part). Scale: region/nation are
+    broadcast-pinned constants; the part-type and region filters land
+    on the dim scans so the fact shuffle carries only qualifying rows;
+    customer/supplier/part joins are left to AQE (broadcast here,
+    shuffle at 100 TB). Share divides decimal sums in double, rounded
+    to 6dp (cross-engine-stable — same recipe as q14)."""
+    n = load(spark, "nation", sf_dir).select("n_nationkey", "n_name", "n_regionkey")
+    r = load(spark, "region", sf_dir).where(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    cust_in_region = (
+        load(spark, "customer", sf_dir)
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_n = (
+        load(spark, "supplier", sf_dir)
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(n.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    p = load(spark, "part", sf_dir).where(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    o = load(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = (
+        F.col("l_extendedprice").cast(_DEC)
+        * (F.lit(1) - F.col("l_discount")).cast(_DEC)
+    )
+    zero = F.lit(0).cast(_DEC)
+    base = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust_in_region, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_n, li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            rev.alias("rev"),
+            "supp_nation",
+        )
+    )
+    return (
+        base.groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("rev")).otherwise(zero)
+            ).alias("_nat"),
+            F.sum("rev").alias("_all"),
+        )
+        .select(
+            "o_year",
+            F.round(
+                F.col("_nat").cast("double") / F.col("_all").cast("double"), 6
+            ).alias("mkt_share"),
+        )
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+      with li as (
+        select l_orderkey, l_suppkey,
+               (l_shipdate > o_orderdate + interval 90 days) as late
+        from lineitem join orders on l_orderkey = o_orderkey
+        where o_orderstatus = 'F'
+      )
+      select s.s_name, count(*) as numwait
+      from li l1
+      join supplier s on l1.l_suppkey = s.s_suppkey
+      join nation n   on s.s_nationkey = n.n_nationkey
+      where n.n_name = 'NATION_4'
+        and l1.late
+        and exists (select 1 from li l2
+                    where l2.l_orderkey = l1.l_orderkey
+                      and l2.l_suppkey <> l1.l_suppkey)
+        and not exists (select 1 from li l3
+                        where l3.l_orderkey = l1.l_orderkey
+                          and l3.l_suppkey <> l1.l_suppkey
+                          and l3.late)
+      group by s.s_name
+      order by numwait desc, s.s_name
+      limit 100
+    """,
+    survey_refs=("J1", "J2", "A3", "O2"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape adapted to this schema (no commit/receipt dates:
+    "late" = shipped more than 90 days after the order date): suppliers
+    in one nation who were the ONLY late supplier on finished
+    multi-supplier orders. The hardest join chain in TPC-H — a semi
+    join (another supplier exists on the order) stacked on an anti
+    join (no OTHER supplier was late). Scale: both the semi and anti
+    probe sides are the same (orderkey, suppkey) projection of the
+    already-filtered fact — shuffles carry two narrow columns; the
+    nation filter prunes the supplier dim before its broadcast; the
+    final top-100 is a TakeOrderedAndProject, never a global sort."""
+    o_f = load(spark, "orders", sf_dir).where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = (
+        load(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 90 days")
+            ).alias("late"),
+        )
+    )
+    n4 = (
+        load(spark, "nation", sf_dir)
+        .where(F.col("n_name") == "NATION_4")
+        .select("n_nationkey")
+    )
+    s = (
+        load(spark, "supplier", sf_dir)
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .join(F.broadcast(n4), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    l1 = li.where(F.col("late")).alias("l1")
+    others = li.select(
+        F.col("l_orderkey").alias("o_k"), F.col("l_suppkey").alias("o_s"), "late"
+    )
+    has_other = others.select("o_k", "o_s")
+    other_late = others.where(F.col("late")).select("o_k", "o_s")
+    waiting = (
+        l1.join(
+            has_other,
+            (F.col("l1.l_orderkey") == F.col("o_k"))
+            & (F.col("l1.l_suppkey") != F.col("o_s")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("l1.l_orderkey") == F.col("o_k"))
+            & (F.col("l1.l_suppkey") != F.col("o_s")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(s, F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )

@@ -63,6 +63,16 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # --- heap: Spark's 1g default is a laptop setting; in local mode
+        #     the driver JVM IS the executor, so 32 concurrent tasks
+        #     share it (measured: sf1 bench OOMs the default heap in the
+        #     first text-heavy persist). Applies only when this factory
+        #     creates the JVM; a cluster deployment sizes executors via
+        #     spark-submit as usual ---
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
+        )
         # --- adaptive execution: runtime coalescing, skew-join handling ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
