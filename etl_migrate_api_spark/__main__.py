@@ -8,6 +8,8 @@ jobs against this engine:
     python -m etl_migrate_api_spark refresh-state --base-dir DIR                # GET /api/contactpoint/refresh-redis (K8)
     python -m etl_migrate_api_spark migrate       --sf-dir DIR --out DIR        # GET /api/migrate (disabled by default, X7)
     python -m etl_migrate_api_spark query NAME    [--sf-dir DIR] [--limit N]    # any registered analytics query
+    python -m etl_migrate_api_spark index build|add|staleness PATH --vectors T  # ANN index maintenance loop
+    python -m etl_migrate_api_spark compact PATH                                # table maintenance (OPTIMIZE analogue)
 
 ``--input`` is a JSON/JSONL file of contact records ordered by ``id``;
 it is paged through the same keyset contract the reference's upstream
@@ -178,6 +180,49 @@ def cmd_profile(args: argparse.Namespace) -> dict:
     }
 
 
+def cmd_index(args: argparse.Namespace) -> dict:
+    """ANN index maintenance surface: build a persisted IVF-PQ index,
+    append new vectors against its frozen quantizers, or report the
+    staleness (quantization-drift) metric — the operational loop for
+    the 100 TB index story (operators/similarity.py)."""
+    from etl_migrate_api_spark.catalog import TABLES, load
+    from etl_migrate_api_spark.operators import similarity as sim
+
+    spark = _get_spark()
+    if args.vectors in TABLES:
+        vecs = load(spark, args.vectors, args.sf_dir)
+    else:
+        vecs = spark.read.parquet(args.vectors)
+    if args.action == "build":
+        sim.write_ivfpq_index(
+            vecs, args.path, k=args.cells, m=args.m, ksub=args.ksub
+        )
+        n = spark.read.parquet(args.path).count()
+        return {"action": "build", "path": args.path, "codes": n}
+    if args.action == "add":
+        before = spark.read.parquet(args.path).count()
+        sim.add_to_ivfpq_index(vecs, args.path)
+        after = spark.read.parquet(args.path).count()
+        return {
+            "action": "add", "path": args.path,
+            "added": after - before, "codes": after,
+        }
+    stale = sim.ivf_index_staleness(spark, args.path, vecs)
+    return {"action": "staleness", "path": args.path, **stale}
+
+
+def cmd_compact(args: argparse.Namespace) -> dict:
+    """Table maintenance: rewrite an append-accumulated parquet table
+    as one compacted copy (the plain-files analogue of OPTIMIZE —
+    sinks/tables.py::ParquetTable.compact)."""
+    from etl_migrate_api_spark.sinks.tables import ParquetTable
+
+    spark = _get_spark()
+    t = ParquetTable(spark, args.path)
+    files_before = t.compact()
+    return {"path": args.path, "files_before": files_before}
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="etl_migrate_api_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -220,6 +265,19 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("table", help="catalog table name or parquet path")
     pr.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     pr.add_argument("--columns", nargs="*", default=None)
+
+    ix = sub.add_parser("index", help="ANN index maintenance (IVF-PQ)")
+    ix.add_argument("action", choices=["build", "add", "staleness"])
+    ix.add_argument("path", help="index root path")
+    ix.add_argument("--vectors", default="embeddings",
+                    help="catalog table or parquet path of (vec_id, embedding)")
+    ix.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ix.add_argument("--cells", type=int, default=8)
+    ix.add_argument("--m", type=int, default=32)
+    ix.add_argument("--ksub", type=int, default=16)
+
+    co = sub.add_parser("compact", help="compact an append-accumulated table")
+    co.add_argument("path")
     return p
 
 
@@ -237,6 +295,10 @@ def main(argv: list[str] | None = None) -> None:
         out = cmd_explain(args)
     elif args.cmd == "profile":
         out = cmd_profile(args)
+    elif args.cmd == "index":
+        out = cmd_index(args)
+    elif args.cmd == "compact":
+        out = cmd_compact(args)
     else:
         out = cmd_query(args)
     json.dump(out, sys.stdout, default=str)

@@ -1984,3 +1984,52 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+
+
+@register(
+    "llm_chunk_windows",
+    oracle="""
+      with words as (
+        select doc_id,
+               string_split(regexp_replace(trim(text), '[ \\t\\r\\n]+', ' ', 'g'), ' ')
+                 as w
+        from documents
+      )
+      select doc_id,
+             cast(start / 30 as int) as chunk_idx,
+             cast(len(list_slice(w, start + 1, least(start + 40, len(w))))
+                  as int) as n_tokens,
+             array_to_string(list_slice(w, start + 1, least(start + 40, len(w))), ' ')
+               as chunk_text
+      from words, unnest(range(0, greatest(len(w), 1), 30)) as t(start)
+      where len(w) > 0
+    """,
+    survey_refs=("T1", "T3", "A3"),
+)
+def llm_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window document chunking with overlap (size 40 tokens,
+    stride 30 → 10-token overlap) — the standard pre-embedding /
+    pre-training text splitter (every RAG and pretraining pipeline
+    chunks long documents; overlap preserves cross-boundary context).
+    Pure column expressions: split → sequence of window starts →
+    explode → slice. Scale: embarrassingly parallel per document, no
+    shuffle at all — the plan is scan → generate → project, and the
+    explode multiplies rows only by ceil(n_words/stride)."""
+    docs = load(spark, "documents", sf_dir)
+    words = F.split(
+        F.regexp_replace(F.trim(F.col("text")), r"[ \t\r\n]+", " "), " "
+    )
+    d = docs.select("doc_id", words.alias("w")).where(F.size("w") > 0)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("w") - 1, F.lit(0)), F.lit(30)
+    )
+    chunk = F.slice(F.col("w"), F.col("start") + 1, F.lit(40))
+    return (
+        d.select("doc_id", "w", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / 30).cast("int").alias("chunk_idx"),
+            F.size(chunk).alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )

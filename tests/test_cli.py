@@ -107,3 +107,35 @@ def test_cli_profile_table(spark, capsys):
     assert rows["n_nationkey"][1] == 25  # n_rows
     assert rows["n_nationkey"][3] == 25  # n_distinct
     assert rows["n_regionkey"][3] == 5
+
+
+def test_cli_index_build_add_staleness(spark, tmp_path, capsys):
+    """The r7 maintenance loop end-to-end through the CLI: build on a
+    base slice, append the growth slice, read the staleness metric."""
+    import pyspark.sql.functions as F
+
+    from etl_migrate_api_spark.catalog import load
+
+    base = str(tmp_path / "base.pq")
+    growth = str(tmp_path / "growth.pq")
+    emb = load(spark, "embeddings", "/root/testdata/sf0.001")
+    emb.where(F.col("vec_id") % 5 != 0).write.parquet(base)
+    emb.where(F.col("vec_id") % 5 == 0).write.parquet(growth)
+    idx = str(tmp_path / "index")
+
+    out = _run(capsys, ["index", "build", idx, "--vectors", base])
+    assert out["codes"] == emb.where(F.col("vec_id") % 5 != 0).count()
+    out = _run(capsys, ["index", "add", idx, "--vectors", growth])
+    assert out["added"] == emb.where(F.col("vec_id") % 5 == 0).count()
+    out = _run(capsys, ["index", "staleness", idx, "--vectors", growth])
+    assert 0.0 <= out["mean_dist"] <= out["max_dist"]
+    assert out["n_vectors"] == emb.where(F.col("vec_id") % 5 == 0).count()
+
+
+def test_cli_compact(spark, tmp_path, capsys):
+    p = str(tmp_path / "log")
+    for i in range(3):
+        spark.range(5).write.mode("append").parquet(p)
+    out = _run(capsys, ["compact", p])
+    assert out["files_before"] >= 3
+    assert spark.read.parquet(p).count() == 15
