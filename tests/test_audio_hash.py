@@ -85,3 +85,34 @@ def test_audio_hash_table_drops_undecodable(spark):
     )
     ids = {r["id"] for r in audio_hash_table(df).collect()}
     assert ids == {1}
+
+
+def test_audio_hash_table_drops_unsupported_depth_without_crash(spark):
+    """ADVICE r6: a 24-bit WAV must be DROPPED from the index (decoder
+    raises ValueError — caught), while a non-decode bug (e.g. a null
+    content column → TypeError) must PROPAGATE, not silently shrink
+    coverage."""
+    import pytest
+
+    from etl_migrate_api_spark.operators.multimodal import audio_hash_table
+
+    fmt24 = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+    pcm24 = b"\x00\x01\x02" * 30
+    wav24 = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt24) + 8 + len(pcm24)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt24)) + fmt24
+        + b"data" + struct.pack("<I", len(pcm24)) + pcm24
+    )
+    good = _wav(_sig(7))
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(wav24))],
+        "media_id long, content binary",
+    )
+    got = audio_hash_table(df).collect()
+    assert [r["id"] for r in got] == [1]  # 24-bit row dropped, good row kept
+
+    broken = spark.createDataFrame(
+        [(3, None)], "media_id long, content binary"
+    )
+    with pytest.raises(Exception):  # TypeError from bytes(None) must surface
+        audio_hash_table(broken).collect()

@@ -33,13 +33,28 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"create view {t} as select * from read_parquet('{sf}/{t}.parquet')"
-        )
+        # the driver's tables are single files; tools/gen_sf.py writes
+        # Spark directory layouts — glob those for DuckDB
+        tp = f"{sf}/{t}.parquet"
+        src = f"'{tp}/*.parquet'" if os.path.isdir(tp) else f"'{tp}'"
+        con.execute(f"create view {t} as select * from read_parquet({src})")
+
+    # --skip NAME,...: oracles whose DuckDB twin is deliberately brute
+    # force (all-pairs self-joins) go quadratic at big SFs — the ENGINE
+    # side stays banded/pruned; only the oracle is O(n^2). Skipping them
+    # at a stress SF checks everything else without an hours-long
+    # nested-loop join on the oracle side.
+    skip: set[str] = set()
+    if "--skip" in sys.argv:
+        skip = set(sys.argv[sys.argv.index("--skip") + 1].split(","))
 
     qs, oracles = e.queries(), e.oracle_sql()
-    bad = 0
+    bad = skipped = 0
     for name, fn in sorted(qs.items()):
+        if name in skip:
+            skipped += 1
+            print(f"  {name}: SKIPPED (quadratic oracle at this SF)")
+            continue
         got = fn(spark, sf).toPandas()
         if name not in oracles:
             print(f"  {name}: rows-only, {len(got)} rows")
@@ -49,8 +64,11 @@ def main() -> int:
         bad += not ok
         if not ok:
             print(f"  {name}: MISMATCH (spark {len(got)} vs duckdb {len(want)})")
+        else:
+            print(f"  {name}: ok ({len(got)} rows)")
     print(
-        f"{len(qs)} queries, {len(oracles)} oracled, {bad} mismatches ->",
+        f"{len(qs)} queries, {len(oracles)} oracled, {skipped} skipped,"
+        f" {bad} mismatches ->",
         "FAIL" if bad else "PASS",
     )
     return 1 if bad else 0
