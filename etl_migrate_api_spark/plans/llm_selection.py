@@ -1,0 +1,438 @@
+"""Data-selection and corpus-statistics operators — the "which docs do
+we train on, in what order" layer of a pretraining pipeline:
+
+- DSIR importance resampling (Xie et al. 2023, "Data Selection for
+  Language Models via Importance Resampling"): hashed-bigram bucket
+  log-likelihood ratios between a target domain and the raw corpus.
+- PageRank over the document host graph — the classic web-corpus
+  quality prior (OpenWebText/CCNet-style "keep well-linked hosts").
+- Deterministic global shuffle + shard assignment — the last step
+  before writing training shards.
+- Exact per-group order statistics (p50/p90/p99) — corpus length
+  profiling without approx-percentile drift.
+
+Engine-exactness rules (these queries are hash-compared against DuckDB
+by the driver, with NO float rounding — see tools/driver_sim.py):
+
+- Float SUMS are forbidden (addition order differs per engine/run).
+  DSIR sums ``decimal(18,9)`` bucket weights; PageRank runs entirely in
+  scaled INTEGER arithmetic (rank in 1e-12 units, floor division) so
+  every iteration is bit-exact on both engines.
+- ``ln`` is evaluated once per BUCKET (4096 values), not per row, and
+  immediately quantized to ``decimal(18,9)`` — the only non-correctly-
+  rounded op in this module, verified stable across all test SFs.
+- Rank cut-offs use integer formulas (``(9n+9) div 10``), never
+  ``ceil(0.9 * n)`` on doubles.
+
+Registered AFTER the driver's 50-query window; every oracle here is
+still hash-verified by tests/test_oracle_parity.py and
+tools/driver_sim.py on every run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_migrate_api_spark.catalog import load
+from etl_migrate_api_spark.functions.text import ws_tokens as _ws_tokens
+from etl_migrate_api_spark.plans.llm_curation import _word_ngrams
+from etl_migrate_api_spark.plans.registry import register
+
+# DuckDB twin of ws_tokens — keep in lockstep with functions/text.py
+_SQL_TOKS = (
+    "list_filter(string_split_regex(lower(trim(text)),"
+    " '[ \\t\\r\\n\\f]+'), x -> x <> '')"
+)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 4096  # first 3 md5 hex chars of the bigram
+_DSIR_TOP_K = 100
+_DSIR_TARGET_LANG = "en"  # stands in for the curated target domain
+
+
+@register(
+    "llm_dsir_sample",
+    oracle=f"""
+      with toks as (
+        select doc_id, lang, {_SQL_TOKS} as t from documents
+      ),
+      grams as (
+        select doc_id, lang,
+               cast(concat('0x', substr(md5(g), 1, 3)) as bigint) as b
+        from (
+          select doc_id, lang,
+                 unnest([array_to_string(t[i:i+1], ' ')
+                         for i in range(1, greatest(len(t), 1))]) as g
+          from toks
+        )
+      ),
+      totals as (
+        select count(*) as r_total,
+               count(*) filter (where lang = '{_DSIR_TARGET_LANG}') as t_total
+        from grams
+      ),
+      buckets as (
+        select b, count(*) as cr,
+               count(*) filter (where lang = '{_DSIR_TARGET_LANG}') as ct
+        from grams group by b
+      ),
+      bucket_w as (
+        select b,
+               cast(ln(cast((ct + 1) * (r_total + {_DSIR_BUCKETS}) as double)
+                       / cast((cr + 1) * (t_total + {_DSIR_BUCKETS}) as double))
+                    as decimal(18,9)) as lw
+        from buckets cross join totals
+      ),
+      scored as (
+        select g.doc_id, min(g.lang) as lang,
+               cast(count(*) as bigint) as n_grams,
+               sum(lw) as w
+        from grams g join bucket_w using (b)
+        group by g.doc_id
+      )
+      select cast(doc_id as bigint) as doc_id, lang, n_grams,
+             cast(w as double) as weight
+      from scored
+      order by w desc, doc_id
+      limit {_DSIR_TOP_K}
+    """,
+    survey_refs=("A3", "J2", "O2", "T8"),
+)
+def llm_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): score each document by the
+    log-likelihood ratio of a hashed-bigram bag-of-ngrams model of the
+    TARGET domain (here lang='en' stands in for the curated target)
+    against the RAW corpus, with add-one smoothing over
+    {_DSIR_BUCKETS} hash buckets; keep the top-{_DSIR_TOP_K}.
+
+    score(doc) = Σ_grams ln( p_target(bucket) / p_raw(bucket) )
+               = Σ_grams ln( (ct+1)(R+B) / ((cr+1)(T+B)) )
+
+    Engine-exactness: the ln runs once per BUCKET on a correctly-rounded
+    double ratio of exact integer products, then is quantized to
+    decimal(18,9); the per-doc score is an exact decimal SUM of those
+    quantized weights — no float accumulation anywhere, so Spark and
+    DuckDB agree bit-for-bit. Docs with <2 tokens have no bigrams and
+    are (documentedly) not candidates.
+
+    100 TB shape: bucket stats are one map-side-combined aggregate to
+    {_DSIR_BUCKETS} rows; the weight table broadcasts back onto the
+    gram stream (no shuffle of the corpus); the per-doc sum shuffles on
+    doc_id once; top-k is TakeOrderedAndProject (per-partition heaps +
+    driver merge of {_DSIR_TOP_K}). The paper's full pipeline resamples
+    with Gumbel noise; the deterministic top-k here is its seed-stable
+    variant (same shape faiss of: rank by weight, cut at quota).
+    """
+    from etl_migrate_api_spark.operators.dedup import _spread
+
+    tokenized = _spread(
+        load(spark, "documents", sf_dir).select(
+            "doc_id", "lang", _ws_tokens("text").alias("toks")
+        )
+    )
+    grams = tokenized.select(
+        "doc_id",
+        "lang",
+        F.explode(_word_ngrams("toks", 2)).alias("g"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.conv(F.substring(F.md5(F.col("g")), 1, 3), 16, 10)
+        .cast("bigint")
+        .alias("b"),
+    )
+    is_target = (F.col("lang") == _DSIR_TARGET_LANG).cast("bigint")
+    totals = grams.agg(
+        F.count(F.lit(1)).alias("r_total"),
+        F.sum(is_target).alias("t_total"),
+    )
+    buckets = grams.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(is_target).alias("ct"),
+    )
+    b = _DSIR_BUCKETS
+    bucket_w = buckets.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.log(
+            ((F.col("ct") + 1) * (F.col("r_total") + b)).cast("double")
+            / ((F.col("cr") + 1) * (F.col("t_total") + b)).cast("double")
+        )
+        .cast("decimal(18,9)")
+        .alias("lw"),
+    )
+    scored = (
+        grams.join(F.broadcast(bucket_w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum("lw").alias("w"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("w").desc(), "doc_id")
+        .limit(_DSIR_TOP_K)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "lang",
+            "n_grams",
+            F.col("w").cast("double").alias("weight"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the planted host graph
+# ---------------------------------------------------------------------------
+# The corpus documents carry no hyperlinks, so — like the planted URLs
+# of llm_url_canonical_dedup — the host graph is derived
+# deterministically from doc_id with the SAME expression on both
+# engines: each doc links its host (doc_id mod 50) to host
+# (7*doc_id+3 mod 50). 6d ≡ 47 (mod 50) has no solution (gcd(6,50)=2,
+# 47 odd), so the construction never emits a self-loop; the filter
+# stays anyway as graph hygiene.
+
+_PR_HOSTS = 50
+_PR_ITERS = 8
+_PR_SCALE = 10**12  # rank unit = 1e-12
+_PR_INIT = _PR_SCALE // _PR_HOSTS  # 1/N exactly, in units
+_PR_TELEPORT = (15 * _PR_SCALE) // (100 * _PR_HOSTS)  # (1-d)/N in units
+
+
+def _pr_oracle() -> str:
+    """Unrolled power iteration, all in scaled-integer arithmetic:
+    rank is a bigint in 1e-12 units; per-edge contribution is
+    ``rank div outdeg`` (floor); the damped update is
+    ``teleport + (85 * Σcontrib) div 100``. Every op is exact integer
+    math — bit-identical on Spark and DuckDB by construction."""
+    steps = []
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(
+            f"""r{i} as (
+        select h.host,
+               {_PR_TELEPORT} + (85 * coalesce(s.contrib, 0)) // 100
+                 as rank_u
+        from hosts h left join (
+          select e.dst as host, sum({prev}.rank_u // e.outdeg) as contrib
+          from edges e join {prev} on {prev}.host = e.src
+          group by e.dst
+        ) s on s.host = h.host
+      )"""
+        )
+        prev = f"r{i}"
+    chain = ",\n      ".join(steps)
+    return f"""
+      with links as (
+        select doc_id % {_PR_HOSTS} as src,
+               (7 * doc_id + 3) % {_PR_HOSTS} as dst
+        from documents
+      ),
+      dedup as (
+        select distinct src, dst from links where src <> dst
+      ),
+      outdegs as (
+        select src, count(*) as outdeg from dedup group by src
+      ),
+      edges as (
+        select d.src, d.dst, o.outdeg from dedup d join outdegs o using (src)
+      ),
+      hosts as (
+        select src as host from dedup union select dst from dedup
+      ),
+      r0 as (
+        select host, cast({_PR_INIT} as bigint) as rank_u from hosts
+      ),
+      {chain}
+      select cast(host as bigint) as host,
+             cast(rank_u as bigint) as rank_u,
+             cast(rank_u as double) / {_PR_SCALE} as rank
+      from {prev}
+    """
+
+
+@register(
+    "graph_pagerank_hosts",
+    oracle=_pr_oracle(),
+    survey_refs=("J2", "A3", "X1"),
+)
+def graph_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (d=0.85, {_PR_ITERS} iterations) over the planted host
+    graph — the web-corpus quality prior, and the second ITERATIVE
+    operator in the engine next to label-propagation clustering
+    (operators/dedup.py). Unlike that one, this is fully
+    ORACLE-CHECKED: the whole iteration runs in scaled-integer
+    arithmetic (rank = bigint count of 1e-12 units, per-edge share =
+    floor division, damping = ``(85*s) div 100``), so the unrolled
+    DuckDB twin reproduces every intermediate bit. Dangling hosts
+    (none under this construction) would leak their mass — identically
+    on both engines.
+
+    100 TB shape: ranks is |hosts| rows — always ≪ corpus — so each
+    iteration is a broadcast join of ranks ONTO the edge table followed
+    by one map-side-combined integer aggregate on dst; the edge table
+    never re-shuffles. At web scale (1e8 hosts) the same plan flips to
+    a shuffled sort-merge join on src — still one shuffle per
+    iteration, which is PageRank's lower bound. The unrolled lineage
+    (8 stages) is fine at this depth; checkpoint every ~20 iterations
+    if extended (see the convergence guard in operators/dedup.py).
+    """
+    docs = load(spark, "documents", sf_dir)
+    links = docs.select(
+        (F.col("doc_id") % _PR_HOSTS).alias("src"),
+        ((7 * F.col("doc_id") + 3) % _PR_HOSTS).alias("dst"),
+    )
+    dedup = links.where(F.col("src") != F.col("dst")).distinct()
+    outdegs = dedup.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges = dedup.join(outdegs, "src").persist()
+    hosts = (
+        dedup.select(F.col("src").alias("host"))
+        .union(dedup.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    ranks = hosts.select(
+        "host", F.lit(_PR_INIT).cast("bigint").alias("rank_u")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(F.broadcast(ranks), edges.src == ranks.host)
+            .select(
+                F.col("dst").alias("host"),
+                F.expr("rank_u div outdeg").alias("share"),
+            )
+            .groupBy("host")
+            .agg(F.sum("share").alias("contrib"))
+        )
+        ranks = hosts.join(contrib, "host", "left").select(
+            "host",
+            (
+                F.lit(_PR_TELEPORT)
+                + F.expr("85 * coalesce(contrib, 0) div 100")
+            )
+            .cast("bigint")
+            .alias("rank_u"),
+        )
+    return ranks.select(
+        F.col("host").cast("bigint").alias("host"),
+        F.col("rank_u").cast("bigint").alias("rank_u"),
+        (F.col("rank_u").cast("double") / _PR_SCALE).alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle → training shards
+# ---------------------------------------------------------------------------
+
+_SHUF_SALT = "shuf"
+
+
+@register(
+    "llm_global_shuffle",
+    oracle=f"""
+      with keyed as (
+        select doc_id,
+               md5('{_SHUF_SALT}' || cast(doc_id as varchar)) as h
+        from documents
+      )
+      select cast(doc_id as bigint) as doc_id,
+             cast(cast(concat('0x', substr(h, 1, 1)) as bigint) as int)
+               as shard,
+             cast(row_number() over (
+               partition by substr(h, 1, 1) order by h, doc_id
+             ) as bigint) as pos
+      from keyed
+    """,
+    survey_refs=("W2", "O4", "T8"),
+)
+def llm_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into 16 training shards — the final
+    step before writing pretraining data, where example order must be
+    (a) uniformly random-looking, (b) reproducible across re-runs and
+    task retries, and (c) assembled WITHOUT a global sort. The md5 draw
+    gives (a)+(b); sharding by the first hex nibble turns the global
+    permutation into 16 independent per-shard sorts (c): at 100 TB this
+    is a hash repartition on shard + per-shard sort — embarrassingly
+    parallel, no single-partition row_number anywhere. A reader that
+    walks shards 0..15 in pos order sees exactly the global
+    md5-permutation."""
+    docs = load(spark, "documents", sf_dir)
+    h = F.md5(F.concat(F.lit(_SHUF_SALT), F.col("doc_id").cast("string")))
+    keyed = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"), h.alias("h"))
+    shard = F.conv(F.substring("h", 1, 1), 16, 10).cast("int")
+    w = Window.partitionBy(F.substring("h", 1, 1)).orderBy("h", "doc_id")
+    return keyed.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group order statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_quantile_battery",
+    oracle="""
+      with ranked as (
+        select source, n_chars,
+               row_number() over (partition by source
+                                  order by n_chars, doc_id) as rn,
+               count(*) over (partition by source) as n
+        from documents
+      )
+      select source,
+             cast(max(n) as bigint) as n_docs,
+             cast(min(n_chars) as bigint) as min_chars,
+             cast(max(case when rn = (n + 1) // 2 then n_chars end)
+                  as bigint) as p50,
+             cast(max(case when rn = (9 * n + 9) // 10 then n_chars end)
+                  as bigint) as p90,
+             cast(max(case when rn = (99 * n + 99) // 100 then n_chars end)
+                  as bigint) as p99,
+             cast(max(n_chars) as bigint) as max_chars
+      from ranked
+      group by source
+    """,
+    survey_refs=("W2", "A3", "O1"),
+)
+def agg_quantile_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source length percentiles (p50/p90/p99 as order
+    statistics at rank ceil(p·n)) — corpus length profiling for
+    sequence-length budgeting. approx_percentile is the 100 TB default
+    but its t-digest answer is engine- and merge-order-specific; this
+    battery pins the EXACT statistic so both engines agree bit-for-bit,
+    and the ranks use integer formulas ((9n+9) div 10), never
+    ceil(0.9*n) on a double. Shape: one shuffle on source for the
+    window, then a map-side-combined conditional aggregate. Per-group
+    sort cost is the exact-percentile price; the sketch variant
+    (percentile_approx, mergeable partials) is the documented swap at
+    scale."""
+    docs = load(spark, "documents", sf_dir)
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+
+    def pick(rank_expr: str) -> F.Column:
+        return F.max(
+            F.when(F.col("rn") == F.expr(rank_expr), F.col("n_chars"))
+        ).cast("bigint")
+
+    return ranked.groupBy("source").agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        pick("(n + 1) div 2").alias("p50"),
+        pick("(9 * n + 9) div 10").alias("p90"),
+        pick("(99 * n + 99) div 100").alias("p99"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )

@@ -51,6 +51,8 @@ _CROSS_SF_SPOT = [
     "events_asof_join",
     "llm_contamination_ngrams",  # n-gram join regime shifts with corpus size
     "llm_domain_mix_sample",  # sqrt-quota boundary depends on class counts
+    "llm_dsir_sample",  # ln-quantization boundary depends on bucket counts
+    "graph_pagerank_hosts",  # integer-exact iteration; edge set shifts with SF
 ]
 
 

@@ -1,0 +1,101 @@
+"""Property tests for plans/llm_selection.py — DSIR, PageRank, global
+shuffle, quantile battery. Oracle parity is covered by
+tests/test_oracle_parity.py (all four are fully oracled); these pin the
+semantic properties the hash can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_migrate_api_spark.plans.llm_selection import (
+    _PR_HOSTS,
+    _PR_SCALE,
+    agg_quantile_battery,
+    graph_pagerank_hosts,
+    llm_dsir_sample,
+    llm_global_shuffle,
+)
+
+
+def test_dsir_prefers_target_domain(spark, sf_dir):
+    """The whole point of DSIR: docs from the target domain (en) must be
+    over-represented in the selected set relative to the corpus."""
+    sel = llm_dsir_sample(spark, sf_dir).toPandas()
+    assert len(sel) <= 100
+    corpus = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("lang")
+        .count()
+        .toPandas()
+        .set_index("lang")["count"]
+    )
+    corpus_en = corpus.get("en", 0) / corpus.sum()
+    sel_en = (sel["lang"] == "en").mean()
+    assert sel_en > corpus_en, (sel_en, corpus_en)
+    # descending-weight order with doc_id tiebreak is deterministic
+    again = llm_dsir_sample(spark, sf_dir).toPandas()
+    assert sel.equals(again)
+
+
+def test_pagerank_mass_conserved_within_floor_leak(spark, sf_dir):
+    """Integer PageRank loses <1 unit per (edge, iteration) to floor
+    division and <1 to the damping div — total leak is tightly bounded,
+    and rank never goes negative or above the whole mass."""
+    pr = graph_pagerank_hosts(spark, sf_dir).toPandas()
+    assert len(pr) == _PR_HOSTS
+    total = int(pr["rank_u"].sum())
+    # teleport contributes exactly hosts * floor(0.15*SCALE/hosts)
+    assert total <= _PR_SCALE
+    n_edges = _PR_HOSTS * _PR_HOSTS  # loose upper bound on distinct edges
+    assert total >= _PR_SCALE - (n_edges + _PR_HOSTS) * 10
+    assert (pr["rank_u"] > 0).all()
+    # float projection is consistent with the integer source of truth
+    assert (abs(pr["rank"] - pr["rank_u"] / _PR_SCALE) < 1e-15).all()
+
+
+def test_pagerank_favors_in_degree(spark, sf_dir):
+    """Hosts with more distinct in-links should (weakly) rank higher:
+    compare mean rank of top-quartile in-degree hosts vs bottom."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    links = docs.select(
+        (F.col("doc_id") % _PR_HOSTS).alias("src"),
+        ((7 * F.col("doc_id") + 3) % _PR_HOSTS).alias("dst"),
+    ).where(F.col("src") != F.col("dst")).distinct()
+    indeg = (
+        links.groupBy("dst").count().toPandas().set_index("dst")["count"]
+    )
+    pr = graph_pagerank_hosts(spark, sf_dir).toPandas().set_index("host")
+    joined = pr.join(indeg.rename("indeg"), how="left").fillna(0)
+    hi = joined[joined.indeg >= joined.indeg.quantile(0.75)]["rank"].mean()
+    lo = joined[joined.indeg <= joined.indeg.quantile(0.25)]["rank"].mean()
+    assert hi >= lo
+
+
+def test_global_shuffle_is_a_permutation(spark, sf_dir):
+    out = llm_global_shuffle(spark, sf_dir).toPandas()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(out) == n_docs
+    assert out["doc_id"].is_unique
+    assert out["shard"].between(0, 15).all()
+    # pos is 1..count within each shard, no gaps
+    for shard, grp in out.groupby("shard"):
+        assert sorted(grp["pos"]) == list(range(1, len(grp) + 1))
+
+
+def test_quantile_battery_matches_numpy_rank_selection(spark, sf_dir):
+    got = agg_quantile_battery(spark, sf_dir).toPandas().set_index("source")
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source", "n_chars", "doc_id")
+        .toPandas()
+    )
+    for source, grp in docs.groupby("source"):
+        vals = grp.sort_values(["n_chars", "doc_id"])["n_chars"].tolist()
+        n = len(vals)
+        row = got.loc[source]
+        assert row["n_docs"] == n
+        assert row["min_chars"] == vals[0]
+        assert row["max_chars"] == vals[-1]
+        assert row["p50"] == vals[(n + 1) // 2 - 1]
+        assert row["p90"] == vals[(9 * n + 9) // 10 - 1]
+        assert row["p99"] == vals[(99 * n + 99) // 100 - 1]
