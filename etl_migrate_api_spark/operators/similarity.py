@@ -1336,3 +1336,134 @@ def ivf_index_staleness(
         "mean_dist": float(row["mean_d"] or 0.0),
         "max_dist": float(row["max_d"] or 0.0),
     }
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization — the third compression point on the
+# storage/recall frontier (RECALL.md): 4× shrink at near-exact recall,
+# between raw floats (1×, exact) and PQ (16-32×, lossy).
+# ---------------------------------------------------------------------------
+
+
+def sq8_minmax(
+    corpus: DataFrame, vec_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Per-dimension exact [min, max] over the corpus — the SQ8
+    "training" (faiss ScalarQuantizer QT_8bit with RangeStat_minmax).
+    One distributed pass: posexplode to (dim, value), map-side-combined
+    min/max into |dim| groups, |dim| rows to the driver. Exact bounds
+    (not sampled) so encoding never clips."""
+    rows = (
+        corpus.select(F.posexplode(vec_col).alias("d", "x"))
+        .groupBy("d")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .collect()
+    )
+    dim = len(rows)
+    lo = [0.0] * dim
+    hi = [0.0] * dim
+    for r in rows:
+        lo[r["d"]] = float(r["lo"])
+        hi[r["d"]] = float(r["hi"])
+    return lo, hi
+
+
+def sq8_encode(
+    corpus: DataFrame,
+    lo: list[float],
+    hi: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Affine-quantize each dimension to one byte:
+    ``code_d = round(255 · (x_d − lo_d) / (hi_d − lo_d))`` (degenerate
+    dims → 0), clamped to [0, 255]. Arrow-batched numpy; emits
+    ``(vid, codes array<int>)`` — 64 bytes of payload per dim-64 vector
+    vs 256 for float32, with reconstruction error ≤ range/510 per dim."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    lo_a = np.asarray(lo, dtype=np.float64)
+    span = np.asarray(hi, dtype=np.float64) - lo_a
+    span[span <= 0] = np.inf  # constant dim → code 0 everywhere
+
+    def encode(vec):
+        if len(vec) == 0:
+            return pd.Series([], dtype="object")
+        X = np.asarray(vec.tolist(), dtype=np.float64)
+        C = np.clip(np.rint(255.0 * (X - lo_a) / span), 0, 255).astype(
+            np.int64
+        )
+        return pd.Series([row.tolist() for row in C])
+
+    encode.__annotations__ = {"vec": pd.Series, "return": pd.Series}
+    enc = pandas_udf("array<int>")(encode)
+    return corpus.select(
+        F.col(id_col).alias("vid"), enc(F.col(vec_col)).alias("codes")
+    )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ8 asymmetric top-k: queries stay exact floats, the corpus is
+    scanned as one-byte codes. The inner product against a
+    reconstructed vector is affine in the codes::
+
+        est_ip(q, c) = Σ_d q_d·(lo_d + code_d·span_d/255)
+                     = (q·lo) + (1/255)·(codes · (q ⊙ span))
+
+    so scoring ALL queries per Arrow batch is ONE integer-matrix GEMM
+    ``C @ W.T`` (W = Q ⊙ span) plus a per-query constant — the same
+    batch shape as PQ's LUT gather but with no codebook at all. The
+    corpus never shuffles; per-query top-k is the shared _rank_topk
+    tail; ``rerank > 0`` adds the standard exact-rerank stage over the
+    shortlist only. Recall is near-exact (quantization noise ≤
+    range/510 per dim), making SQ8 the default compression when 4×
+    shrink suffices — see RECALL.md for the measured frontier."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    qrows = _collect_query_rows(queries, id_col, vec_col)
+    if not qrows:
+        return _empty_topk(corpus.sparkSession)
+    lo, hi = sq8_minmax(corpus, vec_col=vec_col)
+    codes = sq8_encode(corpus, lo, hi, id_col=id_col, vec_col=vec_col)
+
+    lo_a = np.asarray(lo, dtype=np.float64)
+    span = (np.asarray(hi, dtype=np.float64) - lo_a) / 255.0
+    Q = np.asarray([v for _, v in qrows], dtype=np.float64)
+    W = Q * span[None, :]  # |Q| × dim
+    const = Q @ lo_a  # |Q|
+
+    def score(codes_s):
+        if len(codes_s) == 0:
+            return pd.Series([], dtype="object")
+        C = np.asarray(codes_s.tolist(), dtype=np.float64)
+        est = C @ W.T + const[None, :]
+        return pd.Series([row.tolist() for row in est])
+
+    score.__annotations__ = {"codes_s": pd.Series, "return": pd.Series}
+    score_udf = pandas_udf("array<double>")(score)
+
+    qid_arr = F.array(*[F.lit(q) for q, _ in qrows])
+    scored = (
+        codes.select("vid", score_udf(F.col("codes")).alias("sims"))
+        .select("vid", F.posexplode("sims").alias("pos", "est"))
+        .select(
+            F.element_at(qid_arr, F.col("pos") + 1).alias("query_id"),
+            F.col("vid").alias("neighbor_id"),
+            F.round(F.col("est"), 6).alias("sim"),
+        )
+    )
+    if rerank <= 0:
+        return _rank_topk(scored, k, F.col("sim").alias("est_ip"))
+    shortlist = _rank_topk(scored, max(rerank, k), F.col("sim").alias("est_ip"))
+    return _exact_rerank(shortlist, qrows, corpus, k, id_col, vec_col)

@@ -946,6 +946,23 @@ def llm_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+@register("llm_ann_sq8_topk")
+def llm_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized top-5 for 10 query vectors: per-dimension
+    exact min/max bounds (one distributed pass), corpus encoded to
+    one byte per dim (64 bytes vs 256 float bytes — the 4× shrink at
+    near-exact recall), all queries scored per Arrow batch with ONE
+    GEMM against the affine-reconstruction weights, exact rerank of
+    the top-50 shortlist. The third point on the RECALL.md frontier
+    between raw floats and PQ. Rows-only gate: the byte quantization
+    has no cross-engine SQL mirror; recall-vs-exact and determinism
+    are asserted in tests/test_sq8.py."""
+    emb = load(spark, "embeddings", sf_dir)
+    return sim.sq8_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, rerank=50
+    ).orderBy("query_id", "rank")
+
+
 @register("llm_image_phash_dedup")
 def llm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup detection by 64-bit DCT perceptual hash: luma →

@@ -381,3 +381,50 @@ def test_ordered_funnel_single_user_day_exchange(spark, sf_dir, queries):
     plan = _plan(queries["events_ordered_funnel"].fn(spark, sf_dir))
     assert plan.count("Window [") == 3
     assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_dsir_bucket_join_broadcast_and_pruned(spark, sf_dir, queries):
+    """DSIR's 4096-row bucket-weight table must broadcast onto the gram
+    stream (never shuffle the corpus side), the documents scan must
+    read only the 3 referenced columns, and the final top-k must be
+    TakeOrderedAndProject (per-partition heaps), not a global sort."""
+    plan = _plan(queries["llm_dsir_sample"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    read = plan.split("ReadSchema")[-1]
+    assert "text" in read and "n_chars" not in read and "source" not in read
+
+
+def test_pagerank_iterations_stay_broadcast(spark, sf_dir, queries):
+    """Every power-iteration join of the 50-row rank table onto edges
+    must be broadcast — a SortMergeJoin here would re-shuffle the edge
+    table once per iteration. Pure column arithmetic: no Python."""
+    plan = _plan(queries["graph_pagerank_hosts"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_global_shuffle_has_no_global_sort(spark, sf_dir, queries):
+    """The whole point: 16 independent per-shard sorts (hash exchange +
+    within-partition sort), never a rangepartitioning global sort."""
+    plan = _plan(queries["llm_global_shuffle"].fn(spark, sf_dir))
+    assert "rangepartitioning" not in plan
+    assert "hashpartitioning" in plan
+
+
+def test_quantile_battery_single_exchange(spark, sf_dir, queries):
+    """Window and aggregate share the 'source' key: one shuffle total
+    (the groupBy reuses the window's partitioning)."""
+    plan = _plan(queries["agg_quantile_battery"].fn(spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" not in plan
+
+
+def test_sq8_scoring_is_arrow_batched(spark, sf_dir, queries):
+    """SQ8 encode + score are vectorized pandas UDFs (ArrowEvalPython),
+    never row-at-a-time BatchEvalPython."""
+    plan = _plan(queries["llm_ann_sq8_topk"].fn(spark, sf_dir))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
