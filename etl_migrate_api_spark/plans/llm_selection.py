@@ -347,7 +347,7 @@ _SHUF_SALT = "shuf"
              ) as bigint) as pos
       from keyed
     """,
-    survey_refs=("W2", "O4", "T8"),
+    survey_refs=("W2", "T8"),
 )
 def llm_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle into 16 training shards — the final

@@ -74,6 +74,12 @@ def _load_all() -> None:
 # (b) already hold green driver rows from rounds 1-6
 # (q1/q3/q5/q_daily_event_funnel since r1; llm_exact_dedup, llm_lang_id,
 # llm_quality_score, filter_sample_battery, join_anti_new_keys since r2).
+# Late in round 7 two more swaps landed: llm_dsir_sample and
+# graph_pagerank_hosts (the round's strongest NEW oracled work — DSIR
+# importance resampling and the integer-exact iterative PageRank)
+# replaced q_top_customers_per_nation and agg_nation_profile, both
+# multiply-covered for every §2 ref they carry (verified by
+# test_no_survey_item_orphaned_by_window_rotation) and green since r1.
 # Everything outside the window — the displaced queries, the batteries,
 # the rows-only ops, and the redundant-by-design mirrors — is STILL
 # hash-checked with its oracle on every pytest run
@@ -82,7 +88,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "llm_curation_pipeline",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
-    "q_top_customers_per_nation",
+    "llm_dsir_sample",
     "agg_grouping_sets",
     "contact_merge_fold",
     "contact_merge_fold_stateful",
@@ -120,7 +126,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_interval_attribution",
     "window_rank_battery",
     "order_limit_battery",
-    "agg_nation_profile",
+    "graph_pagerank_hosts",
     "diff_orders_snapshots",
     "llm_tfidf_keywords",
     "events_hopping_window",

@@ -88,6 +88,9 @@ def test_driver_window_is_50_unique_oracled_queries():
         "window_range_frame_trailing",
         "q15_top_supplier",
         "q17_small_quantity_revenue",
+        # late-r7 swaps: the round's strongest new oracled operators
+        "llm_dsir_sample",
+        "graph_pagerank_hosts",
     ):
         assert q in names[:50], f"{q} fell out of the driver window"
     # tail queries must still exist (coverage inventory + rows-only pytest;
@@ -113,6 +116,9 @@ def test_driver_window_is_50_unique_oracled_queries():
         "llm_quality_score",
         "filter_sample_battery",
         "join_anti_new_keys",
+        # rotated out late in r7 for the new selection ops
+        "q_top_customers_per_nation",
+        "agg_nation_profile",
     ):
         assert q in names[50:], f"{q} missing from the tail"
 
