@@ -946,7 +946,7 @@ def llm_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-@register("llm_ann_sq8_topk")
+@register("llm_ann_sq8_topk", headline=True)
 def llm_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 scalar-quantized top-5 for 10 query vectors: per-dimension
     exact min/max bounds (one distributed pass), corpus encoded to

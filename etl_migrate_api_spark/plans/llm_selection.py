@@ -101,6 +101,7 @@ _DSIR_TARGET_LANG = "en"  # stands in for the curated target domain
       order by w desc, doc_id
       limit {_DSIR_TOP_K}
     """,
+    headline=True,
     survey_refs=("A3", "J2", "O2", "T8"),
 )
 def llm_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

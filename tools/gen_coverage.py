@@ -78,6 +78,7 @@ NORTH_STAR = [
     ("ANN IVF", "llm_ann_ivf_topk (rows-only; k-means-trained cells, recall-tested)"),
     ("ANN IVF-PQ composite (persisted)", "llm_ann_ivfpq_topk (rows-only; faiss IndexIVFPQ shape — cell-partitioned 16-byte codes, partition-pruned probes, exact rerank; plan/recall/determinism in tests/test_ivfpq.py)"),
     ("ANN PQ + exact rerank", "llm_ann_pq_topk (rows-only; m=32 4-bit codes = 16 bytes/vector, ADC lookup-table scan + exact top-100 rerank, measured recall@10 0.99 at sf0.1)"),
+    ("ANN SQ8 scalar quantization", "llm_ann_sq8_topk (rows-only; one byte/dim = 4x shrink, one-GEMM batch scoring, recall@10 0.985 raw / 1.000 with rerank=50 — RECALL.md)"),
     ("language-ID", "llm_lang_id"),
     ("quality scoring", "llm_quality_score + llm_quality_repetition + llm_unigram_logprob_score (CCNet-style perplexity proxy)"),
     ("token counting", "llm_token_stats"),
@@ -93,6 +94,10 @@ NORTH_STAR = [
     ("SCD2 history build", "events_scd2_history (change detection + validity intervals — the full-history twin of the K7/W3 state store)"),
     ("stratified sampling", "llm_stratified_sample (md5-threshold Bernoulli, per-stratum rates)"),
     ("split assignment", "llm_split_assign (hash-bucketed train/val/test, version-stable)"),
+    ("DSIR importance resampling", "llm_dsir_sample (hashed-bigram target/raw log-likelihood ratios, decimal-exact doc scores, oracle-checked, headline)"),
+    ("host-graph PageRank", "graph_pagerank_hosts (power iteration in scaled-integer arithmetic — the ORACLE-CHECKED iterative op; unrolled DuckDB twin)"),
+    ("global shuffle / shard assignment", "llm_global_shuffle (md5 permutation as 16 independent per-shard sorts — no global orderBy, oracle-checked)"),
+    ("exact percentile profiling", "agg_quantile_battery (p50/p90/p99 order statistics via integer rank formulas, oracle-checked)"),
     ("curation pipeline (capstone)", "llm_curation_pipeline (quality -> lang -> exact dedup -> SimHash near-dup as ONE oracle-checked plan, headline)"),
     ("dataset card", "llm_dataset_card (per-source docs/tokens/quality/langs/dup counts, oracle-checked)"),
     ("interval/range join", "events_interval_attribution + streaming/pipeline.py::attribution_stream "
