@@ -10,6 +10,10 @@ we train on, in what order" layer of a pretraining pipeline:
   before writing training shards.
 - Exact per-group order statistics (p50/p90/p99) — corpus length
   profiling without approx-percentile drift.
+- Okapi BM25 retrieval ranking — the contamination-check / RAG-audit
+  scorer (TF-IDF's retrieval twin).
+- Epoch-repeat mixture assembly — up-sample low-resource domains by
+  repetition to a common target count (LLaMA-style epoch factors).
 
 Engine-exactness rules (these queries are hash-compared against DuckDB
 by the driver, with NO float rounding — see tools/driver_sim.py):
@@ -436,4 +440,262 @@ def agg_quantile_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick("(9 * n + 9) div 10").alias("p90"),
         pick("(99 * n + 99) div 100").alias("p99"),
         F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval ranking
+# ---------------------------------------------------------------------------
+# Okapi BM25 with the Lucene-style always-positive idf. Query terms are
+# fixed constants from the corpus vocabulary; k1/b are the textbook
+# defaults. Engine-exactness: idf is ln once per TERM then quantized to
+# decimal(18,9); the per-(doc, term) saturation ratio uses only
+# correctly-rounded IEEE ops (+,-,*,/) on identical inputs, and the
+# per-doc score is a SUM of per-term DECIMALS (never a float sum).
+
+_BM25_TERMS = ("hash", "join", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOP = 20
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"('{t}')" for t in _BM25_TERMS)
+    return f"""
+      with toks as (
+        select doc_id, {_SQL_TOKS} as t from documents
+      ),
+      lens as (
+        select doc_id, len(t) as dl from toks
+      ),
+      stats as (
+        select count(*) as n_docs, sum(dl) as n_toks from lens
+      ),
+      q(term) as (values {terms}),
+      tf as (
+        select doc_id, w as term, count(*) as tf
+        from (select doc_id, unnest(t) as w from toks)
+        where w in (select term from q)
+        group by doc_id, w
+      ),
+      df as (
+        select term, count(*) as df from tf group by term
+      ),
+      idf as (
+        select term,
+               cast(ln(1.0 + (cast(n_docs - df as double) + 0.5)
+                             / (cast(df as double) + 0.5))
+                    as decimal(18,9)) as idf
+        from df cross join stats
+      ),
+      scored as (
+        select tf.doc_id,
+               cast(cast(idf.idf as double)
+                    * (tf.tf * ({_BM25_K1} + 1.0))
+                    / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                       + {_BM25_B} * lens.dl
+                         * (cast(stats.n_docs as double)
+                            / cast(stats.n_toks as double))))
+                    as decimal(18,9)) as s
+        from tf
+        join idf using (term)
+        join lens using (doc_id)
+        cross join stats
+      ),
+      ranked as (
+        select doc_id, sum(s) as score, count(*) as n_terms
+        from scored group by doc_id
+      )
+      select cast(doc_id as bigint) as doc_id,
+             cast(n_terms as bigint) as n_terms,
+             cast(score as double) as score
+      from ranked
+      order by score desc, doc_id
+      limit {_BM25_TOP}
+    """
+
+
+@register(
+    "llm_bm25_search",
+    oracle=_bm25_oracle(),
+    survey_refs=("A3", "J2", "O2"),
+)
+def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-{_BM25_TOP} for the fixed query {_BM25_TERMS} —
+    the retrieval ranking every contamination check, eval-set builder,
+    and RAG corpus audit reaches for (TF-IDF's retrieval twin; the
+    registered llm_tfidf_keywords is the per-doc keyword direction).
+
+      score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
+
+    with the Lucene always-positive idf = ln(1 + (N−df+0.5)/(df+0.5)),
+    k1={_BM25_K1}, b={_BM25_B}. Engine-exactness: idf is quantized to
+    decimal(18,9) once per TERM; the saturation ratio uses only
+    correctly-rounded IEEE ops on identical inputs (dl/avgdl is
+    expressed as dl·(N/Σdl) so both engines chain the same three
+    operations); each per-(doc,term) contribution is quantized to
+    decimal before the per-doc SUM — no float accumulation.
+
+    100 TB shape: the tf table is one explode→filter→agg whose filter
+    (term IN query) prunes the token stream at the scan; idf and the
+    corpus stats are scalar/3-row broadcasts; the per-doc sum shuffles
+    only docs that contain ≥1 query term; top-k is
+    TakeOrderedAndProject."""
+    from etl_migrate_api_spark.operators.dedup import _spread
+
+    docs = load(spark, "documents", sf_dir)
+    tokenized = _spread(
+        docs.select("doc_id", _ws_tokens("text").alias("toks"))
+    )
+    lens = tokenized.select("doc_id", F.size("toks").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("n_toks")
+    )
+    tf = (
+        tokenized.select("doc_id", F.explode("toks").alias("w"))
+        .where(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", F.col("w").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.log(
+            1.0
+            + ((F.col("n_docs") - F.col("df")).cast("double") + 0.5)
+            / (F.col("df").cast("double") + 0.5)
+        )
+        .cast("decimal(18,9)")
+        .alias("idf"),
+    )
+    k1, b = _BM25_K1, _BM25_B
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.col("idf").cast("double")
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (
+                        (1.0 - b)
+                        + b
+                        * F.col("dl")
+                        * (
+                            F.col("n_docs").cast("double")
+                            / F.col("n_toks").cast("double")
+                        )
+                    )
+                )
+            )
+            .cast("decimal(18,9)")
+            .alias("s"),
+        )
+    )
+    ranked = scored.groupBy("doc_id").agg(
+        F.sum("s").alias("score"), F.count(F.lit(1)).alias("n_terms")
+    )
+    return (
+        ranked.orderBy(F.col("score").desc(), "doc_id")
+        .limit(_BM25_TOP)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("n_terms").cast("bigint").alias("n_terms"),
+            F.col("score").cast("double").alias("score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Epoch-repeat mixture sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_mixture_epochs",
+    oracle="""
+      with counts as (
+        select lang, count(*) as c from documents group by lang
+      ),
+      target as (
+        select (sum(c) + count(*) - 1) // count(*) as t from counts
+      ),
+      plan as (
+        select lang, c, t,
+               (t + c - 1) // c as epochs,
+               t - ((t + c - 1) // c - 1) * c as last_take
+        from counts cross join target
+      ),
+      ranked as (
+        select d.lang, d.doc_id, p.epochs, p.last_take,
+               row_number() over (
+                 partition by d.lang
+                 order by md5('mix' || cast(d.doc_id as varchar)), d.doc_id
+               ) as rn
+        from documents d join plan p using (lang)
+      )
+      select lang, cast(doc_id as bigint) as doc_id,
+             cast(e.epoch as bigint) as epoch
+      from ranked
+      cross join unnest(range(cast(epochs as bigint))) as e(epoch)
+      where e.epoch < epochs - 1 or rn <= last_take
+    """,
+    survey_refs=("A3", "W1", "J2"),
+)
+def llm_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-repeat mixture assembly: bring every language up to the
+    SAME target count T = ceil(N/|langs|) by repeating low-resource
+    languages for ⌈T/c⌉ epochs (full epochs of all docs + an md5-ranked
+    partial last epoch) — the up-sampling-with-repetition recipe of
+    real pretraining mixes (LLaMA's 2.45-epoch Wikipedia), and the
+    complement of llm_domain_mix_sample's down-weighting. Every doc of
+    a rare language appears epochs−1 or epochs times; exactly T rows
+    come out per language; membership is a pure function of doc_id
+    (version-stable). All-integer arithmetic + the shared md5 rank —
+    engine-exact by construction.
+
+    100 TB shape: counts/target/plan are |langs| rows broadcast back;
+    the epoch fan-out is a sequence explode (no join against a
+    generated table); the only corpus shuffle is the per-lang
+    md5-rank window."""
+    docs = load(spark, "documents", sf_dir)
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    target = counts.agg(
+        F.expr("(sum(c) + count(*) - 1) div count(*)").alias("t")
+    )
+    plan = counts.crossJoin(F.broadcast(target)).select(
+        "lang",
+        "c",
+        F.expr("(t + c - 1) div c").alias("epochs"),
+        F.expr("t - ((t + c - 1) div c - 1) * c").alias("last_take"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("mix"), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    ranked = (
+        docs.select("lang", "doc_id")
+        .join(F.broadcast(plan), "lang")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return (
+        ranked.select(
+            "lang",
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "epochs",
+            "last_take",
+            "rn",
+            F.explode(F.sequence(F.lit(0), F.col("epochs") - 1)).alias(
+                "epoch"
+            ),
+        )
+        .where(
+            (F.col("epoch") < F.col("epochs") - 1)
+            | (F.col("rn") <= F.col("last_take"))
+        )
+        .select("lang", "doc_id", F.col("epoch").cast("bigint").alias("epoch"))
     )

@@ -1,7 +1,7 @@
 """Property tests for plans/llm_selection.py — DSIR, PageRank, global
-shuffle, quantile battery. Oracle parity is covered by
-tests/test_oracle_parity.py (all four are fully oracled); these pin the
-semantic properties the hash can't express."""
+shuffle, quantile battery, BM25, epoch-repeat mixture. Oracle parity is
+covered by tests/test_oracle_parity.py (all six are fully oracled);
+these pin the semantic properties the hash can't express."""
 
 from __future__ import annotations
 
@@ -99,3 +99,77 @@ def test_quantile_battery_matches_numpy_rank_selection(spark, sf_dir):
         assert row["p50"] == vals[(n + 1) // 2 - 1]
         assert row["p90"] == vals[(9 * n + 9) // 10 - 1]
         assert row["p99"] == vals[(99 * n + 99) // 100 - 1]
+
+
+def test_bm25_scores_reflect_term_frequency(spark, sf_dir):
+    """The top BM25 hit must actually contain query terms, scores must
+    be positive and descending, and one doc's score must match a
+    hand-computed python BM25 on the same tokenization."""
+    import math
+
+    from etl_migrate_api_spark.plans.llm_selection import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+        llm_bm25_search,
+    )
+
+    got = llm_bm25_search(spark, sf_dir).toPandas()
+    assert len(got) == 20
+    assert (got["score"] > 0).all()
+    assert list(got["score"]) == sorted(got["score"], reverse=True)
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    toks = {
+        r.doc_id: [w for w in r.text.lower().strip().split() if w]
+        for r in docs.itertuples()
+    }
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    dfs = {
+        t: sum(1 for d in toks.values() if t in d) for t in _BM25_TERMS
+    }
+
+    def score(d):
+        s = 0.0
+        dl = len(toks[d])
+        for t in _BM25_TERMS:
+            tf = toks[d].count(t)
+            if not tf:
+                continue
+            idf = math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            s += idf * tf * (_BM25_K1 + 1) / (
+                tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * dl / avgdl)
+            )
+        return s
+
+    top = got.iloc[0]
+    assert any(t in toks[top.doc_id] for t in _BM25_TERMS)
+    assert abs(score(int(top.doc_id)) - top.score) < 1e-6
+
+
+def test_mixture_epochs_hits_exact_target_per_lang(spark, sf_dir):
+    from etl_migrate_api_spark.plans.llm_selection import llm_mixture_epochs
+
+    out = llm_mixture_epochs(spark, sf_dir).toPandas()
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("lang", "doc_id")
+        .toPandas()
+    )
+    n, n_langs = len(docs), docs["lang"].nunique()
+    target = -(-n // n_langs)  # ceil
+    per_lang = out.groupby("lang").size()
+    assert (per_lang == target).all(), per_lang.to_dict()
+    # each doc appears floor or ceil of (target / lang_count) times
+    counts = docs.groupby("lang").size()
+    reps = out.groupby(["lang", "doc_id"]).size().reset_index(name="r")
+    for lang, grp in reps.groupby("lang"):
+        epochs = -(-target // counts[lang])
+        assert set(grp["r"]) <= {epochs - 1, epochs}, lang
+    # epochs are dense 0..max per (lang, doc)
+    assert out["epoch"].min() == 0
