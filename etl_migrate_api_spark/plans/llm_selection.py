@@ -14,6 +14,8 @@ we train on, in what order" layer of a pretraining pipeline:
   scorer (TF-IDF's retrieval twin).
 - Epoch-repeat mixture assembly — up-sample low-resource domains by
   repetition to a common target count (LLaMA-style epoch factors).
+- Content-defined chunk dedup — rsync/LBFS-style boundaries from local
+  bigram hashes, the shift-robust member of the dedup family.
 
 Engine-exactness rules (these queries are hash-compared against DuckDB
 by the driver, with NO float rounding — see tools/driver_sim.py):
@@ -698,4 +700,144 @@ def llm_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("rn") <= F.col("last_take"))
         )
         .select("lang", "doc_id", F.col("epoch").cast("bigint").alias("epoch"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunk dedup (shift-robust)
+# ---------------------------------------------------------------------------
+
+_CDC_MOD = 16  # expected chunk length ≈ 16 tokens
+
+
+@register(
+    "llm_cdc_chunk_dedup",
+    oracle=f"""
+      with toks as (
+        select doc_id, {_SQL_TOKS} as t from documents
+      ),
+      pos as (
+        select doc_id, i as pos, t[i] as w,
+               case when i > 1 and
+                    cast('0x' || substr(md5(t[i-1] || ' ' || t[i]), 1, 15)
+                         as bigint) % {_CDC_MOD} = 0
+                    then 1 else 0 end as boundary
+        from toks cross join unnest(range(1, len(t) + 1)) as r(i)
+      ),
+      chunked as (
+        select doc_id, pos, w,
+               sum(boundary) over (partition by doc_id order by pos
+                                   rows unbounded preceding) as chunk_id
+        from pos
+      ),
+      chunks as (
+        select doc_id, chunk_id,
+               md5(string_agg(w, ' ' order by pos)) as fp,
+               count(*) as n_toks
+        from chunked group by doc_id, chunk_id
+      )
+      select fp,
+             cast(count(*) as bigint) as n_copies,
+             cast(count(distinct doc_id) as bigint) as n_docs,
+             cast(min(doc_id) as bigint) as keeper_doc_id,
+             cast(min(n_toks) as bigint) as chunk_toks
+      from chunks
+      group by fp
+      having count(*) > 1
+    """,
+    survey_refs=("E1", "W2", "A3"),
+)
+def llm_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup: chunk boundaries fall where the
+    hash of the local token BIGRAM ≡ 0 (mod {_CDC_MOD}), so boundaries
+    are a function of local content only — inserting or deleting a
+    token early in a document re-chunks ONLY the neighborhood of the
+    edit, and every other chunk keeps its fingerprint (the
+    rsync/LBFS/storage-dedup property). Fixed windows
+    (llm_chunk_windows) and fixed spans (llm_span_dedup) both lose all
+    alignment after one insertion; CDC is the shift-robust member of
+    the dedup family. Expected chunk ≈ {_CDC_MOD} tokens.
+
+    Shape: posexplode → ONE (doc_id)-partitioned window (lag-free: the
+    boundary flag is computed from the array before exploding, the
+    window only runs the cumulative sum) → per-chunk fingerprint agg →
+    corpus-wide group on the fingerprint. At 100 TB the fingerprint
+    group is the only corpus-wide shuffle, on a well-spread md5 key —
+    the exact-dedup shape over ~N/{_CDC_MOD} chunk rows."""
+    from etl_migrate_api_spark.operators.dedup import _spread
+
+    tokenized = _spread(
+        load(spark, "documents", sf_dir).select(
+            "doc_id", _ws_tokens("text").alias("toks")
+        )
+    )
+    toks = F.col("toks")
+    boundary = F.transform(
+        F.sequence(F.lit(1), F.size(toks)),
+        lambda i: F.when(
+            (i > 1)
+            & (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.element_at(toks, i - 1),
+                                F.lit(" "),
+                                F.element_at(toks, i),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % _CDC_MOD
+                == 0
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    exploded = (
+        tokenized.where(F.size(toks) > 0)
+        .select(
+            "doc_id",
+            F.posexplode(F.arrays_zip(toks, boundary.alias("b"))).alias(
+                "pos0", "z"
+            ),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.col("z.toks").alias("w"),
+            F.col("z.b").alias("boundary"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunked = exploded.withColumn("chunk_id", F.sum("boundary").over(w_cum))
+    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            )
+        ).alias("fp"),
+        F.count(F.lit(1)).alias("n_toks"),
+    )
+    return (
+        chunks.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+            F.min("n_toks").cast("bigint").alias("chunk_toks"),
+        )
+        .where(F.col("n_copies") > 1)
     )

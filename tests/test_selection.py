@@ -173,3 +173,60 @@ def test_mixture_epochs_hits_exact_target_per_lang(spark, sf_dir):
         assert set(grp["r"]) <= {epochs - 1, epochs}, lang
     # epochs are dense 0..max per (lang, doc)
     assert out["epoch"].min() == 0
+
+
+def _cdc_chunks_py(tokens):
+    """Pure-python mirror of the CDC chunking rule (md5 bigram gate)."""
+    import hashlib
+
+    fps, cur = [], []
+    for i, w in enumerate(tokens):
+        if i > 0:
+            h = int(
+                hashlib.md5(f"{tokens[i-1]} {w}".encode()).hexdigest()[:15],
+                16,
+            )
+            if h % 16 == 0:
+                fps.append(hashlib.md5(" ".join(cur).encode()).hexdigest())
+                cur = []
+        cur.append(w)
+    if cur:
+        fps.append(hashlib.md5(" ".join(cur).encode()).hexdigest())
+    return fps
+
+
+def test_cdc_chunking_is_shift_robust():
+    """The CDC property: prepending tokens to a document changes only
+    the chunks near the edit — most fingerprints survive. A fixed
+    window (llm_chunk_windows) would lose ALL of them. (Synthetic long
+    token stream: corpus docs are too short to carry many chunks.)"""
+    toks = [f"w{(i * i + i) % 9973}" for i in range(2000)]  # aperiodic
+    orig = set(_cdc_chunks_py(toks))
+    assert len(orig) > 50  # the mod-16 gate actually fires
+    shifted = set(_cdc_chunks_py(["inserted", "prefix"] + toks))
+    surviving = len(orig & shifted) / len(orig)
+    assert surviving >= 0.9, surviving
+    # the fixed-window baseline for contrast: chunk [i:i+16) grids of the
+    # shifted doc share (essentially) nothing with the original grid
+    import hashlib
+
+    grid = lambda t: {
+        hashlib.md5(" ".join(t[i : i + 16]).encode()).hexdigest()
+        for i in range(0, len(t), 16)
+    }
+    fixed_surviving = len(grid(toks) & grid(["inserted", "prefix"] + toks)) / len(
+        grid(toks)
+    )
+    assert fixed_surviving < surviving
+
+
+def test_cdc_dedup_finds_planted_duplicate_chunks(spark, sf_dir):
+    """Exact duplicate docs (the corpus plants them) must share every
+    chunk: some fp must appear with n_docs >= 2."""
+    from etl_migrate_api_spark.plans.llm_selection import llm_cdc_chunk_dedup
+
+    out = llm_cdc_chunk_dedup(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out["n_copies"] > 1).all()
+    assert (out["n_docs"] >= 1).all()
+    assert out["fp"].is_unique
