@@ -65,6 +65,17 @@ def redact_pii(c: ColumnOrName) -> Column:
 #: must use this same class: '[ \t\r\n\f]+'.
 WS_CLASS = r"[ \t\r\n\f]+"
 
+#: DuckDB twin of :func:`ws_tokens` over the ``text`` column — the ONE
+#: canonical SQL tokenizer for oracle queries. Keep in lockstep with
+#: WS_CLASS and ws_tokens. (Older oracle SQL in plans/llm_ops.py and
+#: plans/llm_curation.py embeds this literal inline — some sites
+#: deliberately skip lower() for case-preserving analyses; new oracles
+#: must interpolate this constant instead of copying the literal.)
+SQL_WS_TOKENS = (
+    "list_filter(string_split_regex(lower(trim(text)),"
+    " '[ \\t\\r\\n\\f]+'), x -> x <> '')"
+)
+
 
 def ws_tokens(c: ColumnOrName) -> Column:
     """Whitespace tokens of lower(trim(c)), empties removed — the ONE

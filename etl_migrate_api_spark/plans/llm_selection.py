@@ -41,15 +41,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_migrate_api_spark.catalog import load
-from etl_migrate_api_spark.functions.text import ws_tokens as _ws_tokens
+from etl_migrate_api_spark.functions.text import (
+    SQL_WS_TOKENS as _SQL_TOKS,
+    ws_tokens as _ws_tokens,
+)
 from etl_migrate_api_spark.plans.llm_curation import _word_ngrams
 from etl_migrate_api_spark.plans.registry import register
-
-# DuckDB twin of ws_tokens — keep in lockstep with functions/text.py
-_SQL_TOKS = (
-    "list_filter(string_split_regex(lower(trim(text)),"
-    " '[ \\t\\r\\n\\f]+'), x -> x <> '')"
-)
 
 
 # ---------------------------------------------------------------------------
@@ -77,15 +74,13 @@ _DSIR_TARGET_LANG = "en"  # stands in for the curated target domain
           from toks
         )
       ),
-      totals as (
-        select count(*) as r_total,
-               count(*) filter (where lang = '{_DSIR_TARGET_LANG}') as t_total
-        from grams
-      ),
       buckets as (
         select b, count(*) as cr,
                count(*) filter (where lang = '{_DSIR_TARGET_LANG}') as ct
         from grams group by b
+      ),
+      totals as (
+        select sum(cr) as r_total, sum(ct) as t_total from buckets
       ),
       bucket_w as (
         select b,
@@ -115,7 +110,7 @@ def llm_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-likelihood ratio of a hashed-bigram bag-of-ngrams model of the
     TARGET domain (here lang='en' stands in for the curated target)
     against the RAW corpus, with add-one smoothing over
-    {_DSIR_BUCKETS} hash buckets; keep the top-{_DSIR_TOP_K}.
+    4096 hash buckets; keep the top-100.
 
     score(doc) = Σ_grams ln( p_target(bucket) / p_raw(bucket) )
                = Σ_grams ln( (ct+1)(R+B) / ((cr+1)(T+B)) )
@@ -128,12 +123,12 @@ def llm_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     are (documentedly) not candidates.
 
     100 TB shape: bucket stats are one map-side-combined aggregate to
-    {_DSIR_BUCKETS} rows; the weight table broadcasts back onto the
+    4096 rows; the weight table broadcasts back onto the
     gram stream (no shuffle of the corpus); the per-doc sum shuffles on
     doc_id once; top-k is TakeOrderedAndProject (per-partition heaps +
-    driver merge of {_DSIR_TOP_K}). The paper's full pipeline resamples
+    driver merge of 100). The paper's full pipeline resamples
     with Gumbel noise; the deterministic top-k here is its seed-stable
-    variant (same shape faiss of: rank by weight, cut at quota).
+    variant (same shape: rank by weight, cut at the quota).
     """
     from etl_migrate_api_spark.operators.dedup import _spread
 
@@ -154,13 +149,15 @@ def llm_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("b"),
     )
     is_target = (F.col("lang") == _DSIR_TARGET_LANG).cast("bigint")
-    totals = grams.agg(
-        F.count(F.lit(1)).alias("r_total"),
-        F.sum(is_target).alias("t_total"),
-    )
     buckets = grams.groupBy("b").agg(
         F.count(F.lit(1)).alias("cr"),
         F.sum(is_target).alias("ct"),
+    )
+    # corpus totals are exactly the bucket-count sums — derive them from
+    # the 4096-row aggregate instead of a third full scan of the gram
+    # stream (one entire tokenize+hash+explode pass saved on both engines)
+    totals = buckets.agg(
+        F.sum("cr").alias("r_total"), F.sum("ct").alias("t_total")
     )
     b = _DSIR_BUCKETS
     bucket_w = buckets.crossJoin(F.broadcast(totals)).select(
@@ -269,7 +266,7 @@ def _pr_oracle() -> str:
     survey_refs=("J2", "A3", "X1"),
 )
 def graph_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank (d=0.85, {_PR_ITERS} iterations) over the planted host
+    """PageRank (d=0.85, 8 iterations) over the planted host
     graph — the web-corpus quality prior, and the second ITERATIVE
     operator in the engine next to label-propagation clustering
     (operators/dedup.py). Unlike that one, this is fully
@@ -324,11 +321,18 @@ def graph_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("rank_u"),
         )
-    return ranks.select(
+    out = ranks.select(
         F.col("host").cast("bigint").alias("host"),
         F.col("rank_u").cast("bigint").alias("rank_u"),
         (F.col("rank_u").cast("double") / _PR_SCALE).alias("rank"),
     )
+    # materialize the |hosts|-row result, then release the edge cache —
+    # the q15_top_supplier persist discipline (never leak intermediates
+    # into the rest of the session)
+    out = out.persist()
+    out.count()
+    edges.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -493,7 +497,7 @@ def _bm25_oracle() -> str:
       scored as (
         select tf.doc_id,
                cast(cast(idf.idf as double)
-                    * (tf.tf * ({_BM25_K1} + 1.0))
+                    * (tf.tf * cast({_BM25_K1} + 1.0 as double))
                     / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
                        + {_BM25_B} * lens.dl
                          * (cast(stats.n_docs as double)
@@ -523,7 +527,7 @@ def _bm25_oracle() -> str:
     survey_refs=("A3", "J2", "O2"),
 )
 def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 top-{_BM25_TOP} for the fixed query {_BM25_TERMS} —
+    """Okapi BM25 top-20 for the fixed query ('hash', 'join', 'merge') —
     the retrieval ranking every contamination check, eval-set builder,
     and RAG corpus audit reaches for (TF-IDF's retrieval twin; the
     registered llm_tfidf_keywords is the per-doc keyword direction).
@@ -531,7 +535,7 @@ def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
       score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
 
     with the Lucene always-positive idf = ln(1 + (N−df+0.5)/(df+0.5)),
-    k1={_BM25_K1}, b={_BM25_B}. Engine-exactness: idf is quantized to
+    k1=1.2, b=0.75. Engine-exactness: idf is quantized to
     decimal(18,9) once per TERM; the saturation ratio uses only
     correctly-rounded IEEE ops on identical inputs (dl/avgdl is
     expressed as dl·(N/Σdl) so both engines chain the same three
@@ -749,21 +753,21 @@ _CDC_MOD = 16  # expected chunk length ≈ 16 tokens
 )
 def llm_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking dedup: chunk boundaries fall where the
-    hash of the local token BIGRAM ≡ 0 (mod {_CDC_MOD}), so boundaries
+    hash of the local token BIGRAM ≡ 0 (mod 16), so boundaries
     are a function of local content only — inserting or deleting a
     token early in a document re-chunks ONLY the neighborhood of the
     edit, and every other chunk keeps its fingerprint (the
     rsync/LBFS/storage-dedup property). Fixed windows
     (llm_chunk_windows) and fixed spans (llm_span_dedup) both lose all
     alignment after one insertion; CDC is the shift-robust member of
-    the dedup family. Expected chunk ≈ {_CDC_MOD} tokens.
+    the dedup family. Expected chunk ≈ 16 tokens.
 
     Shape: posexplode → ONE (doc_id)-partitioned window (lag-free: the
     boundary flag is computed from the array before exploding, the
     window only runs the cumulative sum) → per-chunk fingerprint agg →
     corpus-wide group on the fingerprint. At 100 TB the fingerprint
     group is the only corpus-wide shuffle, on a well-spread md5 key —
-    the exact-dedup shape over ~N/{_CDC_MOD} chunk rows."""
+    the exact-dedup shape over ~N/16 chunk rows."""
     from etl_migrate_api_spark.operators.dedup import _spread
 
     tokenized = _spread(
