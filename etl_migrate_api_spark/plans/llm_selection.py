@@ -16,6 +16,8 @@ we train on, in what order" layer of a pretraining pipeline:
   repetition to a common target count (LLaMA-style epoch factors).
 - Content-defined chunk dedup — rsync/LBFS-style boundaries from local
   bigram hashes, the shift-robust member of the dedup family.
+- Distributed BPE tokenizer training — the count-merge loop over the
+  weighted distinct-word table (rows-only; python-reference-exact).
 
 Engine-exactness rules (these queries are hash-compared against DuckDB
 by the driver, with NO float rounding — see tools/driver_sim.py):
@@ -844,4 +846,98 @@ def llm_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_toks").cast("bigint").alias("chunk_toks"),
         )
         .where(F.col("n_copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE tokenizer training
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 8
+_BPE_EOW = "</w>"
+
+
+def bpe_merge_table(
+    words, n_merges: int = _BPE_MERGES
+) -> list[tuple[int, str, str, str, int]]:
+    """Sennrich BPE trained distributed: ``words`` is (word, cnt) —
+    the DISTINCT-word count table, which is the whole trick at corpus
+    scale (Zipf: a 100 TB corpus has millions of distinct words, not
+    billions, so every iteration's pair count runs over the vocab
+    weighted by corpus counts, never over raw text). Per iteration:
+    one map-side-combined pair-count aggregate, ONE driver row
+    (TakeOrdered argmax with the deterministic (count desc, pair asc)
+    tiebreak), and a narrow column-expression merge apply (greedy
+    left-to-right via F.aggregate — no Python in the fold). Returns
+    [(step, left, right, merged, pair_count)].
+    """
+    spark = words.sparkSession
+    chars = F.expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    )
+    cur = words.select(
+        "cnt", F.concat(chars, F.array(F.lit(_BPE_EOW))).alias("syms")
+    ).persist()
+    cur.count()
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(n_merges):
+        pair_structs = F.expr(
+            "transform(sequence(1, size(syms) - 1),"
+            " i -> struct(element_at(syms, i) as l,"
+            "            element_at(syms, i + 1) as r))"
+        )
+        best = (
+            cur.where(F.size("syms") >= 2)
+            .select("cnt", F.explode(pair_structs).alias("p"))
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
+        ab = a + b
+        merges.append((step, a, b, ab, n))
+        merged = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(ab))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        nxt = cur.select("cnt", merged.alias("syms")).persist()
+        nxt.count()
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return merges
+
+
+@register("llm_bpe_merges", survey_refs=("A3", "X1"))
+def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 BPE merges trained on the corpus — tokenizer training as
+    a distributed pipeline (the HF-tokenizers count-merge loop,
+    re-expressed as per-iteration Spark aggregates over the weighted
+    DISTINCT-word table). Rows-only gate: the iterative driver-side
+    argmax has no SQL mirror; tests/test_selection.py proves the merge
+    sequence IDENTICAL to a pure-python Sennrich reference on the same
+    word counts, including the (count desc, pair asc) tiebreak."""
+    docs = load(spark, "documents", sf_dir)
+    words = (
+        docs.select(F.explode(_ws_tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merges = bpe_merge_table(words, _BPE_MERGES)
+    return spark.createDataFrame(
+        merges,
+        schema="step int, left string, right string, merged string,"
+        " pair_count bigint",
     )

@@ -230,3 +230,50 @@ def test_cdc_dedup_finds_planted_duplicate_chunks(spark, sf_dir):
     assert (out["n_copies"] > 1).all()
     assert (out["n_docs"] >= 1).all()
     assert out["fp"].is_unique
+
+
+def test_bpe_merges_match_python_reference(spark, sf_dir):
+    """The distributed BPE trainer must produce the EXACT merge
+    sequence (pairs, order, counts) of a pure-python Sennrich
+    reference on the same word-count table, including the
+    (count desc, pair asc) tiebreak."""
+    from collections import Counter
+
+    from etl_migrate_api_spark.plans.llm_selection import (
+        _BPE_EOW,
+        llm_bpe_merges,
+    )
+
+    got = [
+        (r.step, r.left, r.right, r.merged, r.pair_count)
+        for r in llm_bpe_merges(spark, sf_dir).orderBy("step").collect()
+    ]
+    assert len(got) == 8
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    wc = Counter()
+    for r in docs.toPandas().itertuples():
+        for w in r.text.lower().strip().split():
+            if w:
+                wc[w] += 1
+    vocab = {w: list(w) + [_BPE_EOW] for w in wc}
+
+    want = []
+    for step in range(8):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += wc[w]
+        (a, b), n = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((step, a, b, a + b, n))
+        for w, syms in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            vocab[w] = out
+    assert got == want, (got[:3], want[:3])
