@@ -18,6 +18,8 @@ we train on, in what order" layer of a pretraining pipeline:
   bigram hashes, the shift-robust member of the dedup family.
 - Distributed BPE tokenizer training — the count-merge loop over the
   weighted distinct-word table (rows-only; python-reference-exact).
+- The selection-pipeline capstone: gate → DSIR score → per-lang quota
+  → shard assignment, one oracle-checked composed plan.
 
 Engine-exactness rules (these queries are hash-compared against DuckDB
 by the driver, with NO float rounding — see tools/driver_sim.py):
@@ -60,11 +62,14 @@ _DSIR_TOP_K = 100
 _DSIR_TARGET_LANG = "en"  # stands in for the curated target domain
 
 
-@register(
-    "llm_dsir_sample",
-    oracle=f"""
-      with toks as (
-        select doc_id, lang, {_SQL_TOKS} as t from documents
+def _dsir_scored_sql(source_sql: str) -> str:
+    """The DSIR scoring CTE chain (toks → grams → buckets → totals →
+    bucket_w → scored) over an arbitrary document source — shared by
+    llm_dsir_sample (whole corpus) and llm_selection_pipeline (gated
+    corpus) so the two oracles can never drift."""
+    return f"""
+      toks as (
+        select doc_id, lang, {_SQL_TOKS} as t from ({source_sql})
       ),
       grams as (
         select doc_id, lang,
@@ -97,7 +102,64 @@ _DSIR_TARGET_LANG = "en"  # stands in for the curated target domain
                sum(lw) as w
         from grams g join bucket_w using (b)
         group by g.doc_id
-      )
+      )"""
+
+
+def _dsir_scored(docs: DataFrame) -> DataFrame:
+    """Spark twin of :func:`_dsir_scored_sql`: (doc_id, lang, n_grams,
+    w[decimal]) for an arbitrary ``(doc_id, lang, text)`` source."""
+    from etl_migrate_api_spark.operators.dedup import _spread
+
+    tokenized = _spread(
+        docs.select("doc_id", "lang", _ws_tokens("text").alias("toks"))
+    )
+    grams = tokenized.select(
+        "doc_id",
+        "lang",
+        F.explode(_word_ngrams("toks", 2)).alias("g"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.conv(F.substring(F.md5(F.col("g")), 1, 3), 16, 10)
+        .cast("bigint")
+        .alias("b"),
+    )
+    is_target = (F.col("lang") == _DSIR_TARGET_LANG).cast("bigint")
+    buckets = grams.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(is_target).alias("ct"),
+    )
+    # corpus totals are exactly the bucket-count sums — derive them from
+    # the 4096-row aggregate instead of a third full scan of the gram
+    # stream (one entire tokenize+hash+explode pass saved on both engines)
+    totals = buckets.agg(
+        F.sum("cr").alias("r_total"), F.sum("ct").alias("t_total")
+    )
+    b = _DSIR_BUCKETS
+    bucket_w = buckets.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.log(
+            ((F.col("ct") + 1) * (F.col("r_total") + b)).cast("double")
+            / ((F.col("cr") + 1) * (F.col("t_total") + b)).cast("double")
+        )
+        .cast("decimal(18,9)")
+        .alias("lw"),
+    )
+    return (
+        grams.join(F.broadcast(bucket_w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum("lw").alias("w"),
+        )
+    )
+
+
+@register(
+    "llm_dsir_sample",
+    oracle=f"""
+      with {_dsir_scored_sql("select * from documents")}
       select cast(doc_id as bigint) as doc_id, lang, n_grams,
              cast(w as double) as weight
       from scored
@@ -132,54 +194,7 @@ def llm_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     with Gumbel noise; the deterministic top-k here is its seed-stable
     variant (same shape: rank by weight, cut at the quota).
     """
-    from etl_migrate_api_spark.operators.dedup import _spread
-
-    tokenized = _spread(
-        load(spark, "documents", sf_dir).select(
-            "doc_id", "lang", _ws_tokens("text").alias("toks")
-        )
-    )
-    grams = tokenized.select(
-        "doc_id",
-        "lang",
-        F.explode(_word_ngrams("toks", 2)).alias("g"),
-    ).select(
-        "doc_id",
-        "lang",
-        F.conv(F.substring(F.md5(F.col("g")), 1, 3), 16, 10)
-        .cast("bigint")
-        .alias("b"),
-    )
-    is_target = (F.col("lang") == _DSIR_TARGET_LANG).cast("bigint")
-    buckets = grams.groupBy("b").agg(
-        F.count(F.lit(1)).alias("cr"),
-        F.sum(is_target).alias("ct"),
-    )
-    # corpus totals are exactly the bucket-count sums — derive them from
-    # the 4096-row aggregate instead of a third full scan of the gram
-    # stream (one entire tokenize+hash+explode pass saved on both engines)
-    totals = buckets.agg(
-        F.sum("cr").alias("r_total"), F.sum("ct").alias("t_total")
-    )
-    b = _DSIR_BUCKETS
-    bucket_w = buckets.crossJoin(F.broadcast(totals)).select(
-        "b",
-        F.log(
-            ((F.col("ct") + 1) * (F.col("r_total") + b)).cast("double")
-            / ((F.col("cr") + 1) * (F.col("t_total") + b)).cast("double")
-        )
-        .cast("decimal(18,9)")
-        .alias("lw"),
-    )
-    scored = (
-        grams.join(F.broadcast(bucket_w), "b")
-        .groupBy("doc_id")
-        .agg(
-            F.min("lang").alias("lang"),
-            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-            F.sum("lw").alias("w"),
-        )
-    )
+    scored = _dsir_scored(load(spark, "documents", sf_dir))
     return (
         scored.orderBy(F.col("w").desc(), "doc_id")
         .limit(_DSIR_TOP_K)
@@ -940,4 +955,94 @@ def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges,
         schema="step int, left string, right string, merged string,"
         " pair_count bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Selection-pipeline capstone: gate → DSIR score → per-lang quota → shards
+# ---------------------------------------------------------------------------
+
+_SEL_MIN_CHARS = 100
+_SEL_QUOTA = 20  # per-language keep count
+
+
+@register(
+    "llm_selection_pipeline",
+    oracle=f"""
+      with {{chain}}
+      , ranked as (
+        select doc_id, lang, w,
+               row_number() over (partition by lang
+                                  order by w desc, doc_id) as rnk
+        from scored
+      ),
+      kept as (
+        select doc_id, lang, w,
+               md5('{_SHUF_SALT}' || cast(doc_id as varchar)) as h
+        from ranked where rnk <= {_SEL_QUOTA}
+      )
+      select lang, cast(doc_id as bigint) as doc_id,
+             cast(w as double) as weight,
+             cast(cast(concat('0x', substr(h, 1, 1)) as bigint) as int)
+               as shard,
+             cast(row_number() over (
+               partition by substr(h, 1, 1) order by h, doc_id
+             ) as bigint) as pos
+      from kept
+    """.format(
+        chain=_dsir_scored_sql(
+            f"select * from documents where n_chars >= {_SEL_MIN_CHARS}"
+        )
+    ),
+    survey_refs=("F2", "W2", "A3", "J2"),
+)
+def llm_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selection-family capstone — the mirror of
+    llm_curation_pipeline for the 'which docs, in what order' layer:
+
+      1. GATE: length filter (n_chars ≥ 100) applied at scan level —
+         cheapest first, and it shrinks everything downstream.
+      2. SCORE: DSIR hashed-bigram log-likelihood ratios over the
+         SURVIVOR set only (the shared _dsir_scored core — statistics
+         reflect the gated corpus, as the paper prescribes).
+      3. QUOTA: top-20 per language by weight (windowed rank with the
+         deterministic doc_id tiebreak) — the mixture step.
+      4. SHARD: md5 shard + per-shard position (the shared global-
+         shuffle salt) — ready to write as training shards.
+
+    Every stage is the already-oracled primitive; the capstone pins
+    their COMPOSITION end-to-end with one DuckDB twin (the CTE chain is
+    generated by the same _dsir_scored_sql the standalone query uses,
+    so the two oracles cannot drift). 100 TB shape: gate fuses into the
+    scan; scoring is the DSIR broadcast plan over survivors; quota is
+    one per-lang window; shard assignment re-partitions only the ~20 ×
+    |langs| kept rows."""
+    docs = load(spark, "documents", sf_dir).where(
+        F.col("n_chars") >= _SEL_MIN_CHARS
+    )
+    scored = _dsir_scored(docs)
+    w_rank = Window.partitionBy("lang").orderBy(
+        F.col("w").desc(), F.col("doc_id")
+    )
+    kept = (
+        scored.withColumn("rnk", F.row_number().over(w_rank))
+        .where(F.col("rnk") <= _SEL_QUOTA)
+        .select(
+            "lang",
+            "doc_id",
+            "w",
+            F.md5(
+                F.concat(F.lit(_SHUF_SALT), F.col("doc_id").cast("string"))
+            ).alias("h"),
+        )
+    )
+    w_pos = Window.partitionBy(F.substring("h", 1, 1)).orderBy(
+        "h", "doc_id"
+    )
+    return kept.select(
+        "lang",
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("w").cast("double").alias("weight"),
+        F.conv(F.substring("h", 1, 1), 16, 10).cast("int").alias("shard"),
+        F.row_number().over(w_pos).cast("bigint").alias("pos"),
     )

@@ -277,3 +277,27 @@ def test_bpe_merges_match_python_reference(spark, sf_dir):
                     out.append(x)
             vocab[w] = out
     assert got == want, (got[:3], want[:3])
+
+
+def test_selection_pipeline_composes_its_stages(spark, sf_dir):
+    """Capstone: every kept doc passed the gate, per-lang keeps respect
+    the quota, shard/pos is a valid dense assignment."""
+    from etl_migrate_api_spark.plans.llm_selection import (
+        _SEL_MIN_CHARS,
+        _SEL_QUOTA,
+        llm_selection_pipeline,
+    )
+
+    out = llm_selection_pipeline(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out.groupby("lang").size() <= _SEL_QUOTA).all()
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .toPandas()
+        .set_index("doc_id")["n_chars"]
+    )
+    assert (docs.loc[out["doc_id"]] >= _SEL_MIN_CHARS).all()
+    assert out["shard"].between(0, 15).all()
+    for _, grp in out.groupby("shard"):
+        assert sorted(grp["pos"]) == list(range(1, len(grp) + 1))

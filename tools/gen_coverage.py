@@ -101,6 +101,7 @@ NORTH_STAR = [
     ("BM25 retrieval ranking", "llm_bm25_search (Okapi BM25, Lucene always-positive idf, decimal-exact per-doc sums, oracle-checked)"),
     ("epoch-repeat mixture assembly", "llm_mixture_epochs (up-sample low-resource langs by repetition to a common target — LLaMA-style epoch factors, all-integer, oracle-checked)"),
     ("content-defined chunk dedup", "llm_cdc_chunk_dedup (rsync/LBFS bigram-hash boundaries — shift-robust where fixed windows lose all alignment; oracle-checked, property-tested)"),
+    ("selection pipeline (capstone)", "llm_selection_pipeline (gate -> DSIR score over survivors -> per-lang quota -> shard assignment as ONE oracle-checked plan; CTE chain generated from the same helper as the standalone DSIR oracle)"),
     ("BPE tokenizer training", "llm_bpe_merges (rows-only; distributed Sennrich count-merge loop over the weighted distinct-word table — merge sequence proven identical to a pure-python reference)"),
     ("curation pipeline (capstone)", "llm_curation_pipeline (quality -> lang -> exact dedup -> SimHash near-dup as ONE oracle-checked plan, headline)"),
     ("dataset card", "llm_dataset_card (per-source docs/tokens/quality/langs/dup counts, oracle-checked)"),
