@@ -358,21 +358,45 @@ def graph_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SHUF_SALT = "shuf"
 
+# The ONE shard/pos scheme, shared by llm_global_shuffle and the
+# llm_selection_pipeline capstone in BOTH engines — a salt or nibble
+# change lands everywhere or nowhere (the _dsir_scored_sql no-drift
+# discipline).
+_H_SQL = f"md5('{_SHUF_SALT}' || cast(doc_id as varchar))"
+_SHARD_SQL = "cast(cast(concat('0x', substr(h, 1, 1)) as bigint) as int)"
+_POS_SQL = (
+    "cast(row_number() over ("
+    "partition by substr(h, 1, 1) order by h, doc_id) as bigint)"
+)
+
+
+def _with_shard_pos(df: DataFrame, *keep: str) -> DataFrame:
+    """Append the deterministic (shard int, pos bigint) assignment to a
+    DataFrame carrying ``doc_id`` — Spark twin of _H_SQL/_SHARD_SQL/
+    _POS_SQL. ``keep`` columns pass through unchanged."""
+    h = F.md5(F.concat(F.lit(_SHUF_SALT), F.col("doc_id").cast("string")))
+    keyed = df.select(
+        *keep, F.col("doc_id").cast("bigint").alias("doc_id"), h.alias("h")
+    )
+    w = Window.partitionBy(F.substring("h", 1, 1)).orderBy("h", "doc_id")
+    return keyed.select(
+        *keep,
+        "doc_id",
+        F.conv(F.substring("h", 1, 1), 16, 10).cast("int").alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
 
 @register(
     "llm_global_shuffle",
     oracle=f"""
       with keyed as (
-        select doc_id,
-               md5('{_SHUF_SALT}' || cast(doc_id as varchar)) as h
+        select doc_id, {_H_SQL} as h
         from documents
       )
       select cast(doc_id as bigint) as doc_id,
-             cast(cast(concat('0x', substr(h, 1, 1)) as bigint) as int)
-               as shard,
-             cast(row_number() over (
-               partition by substr(h, 1, 1) order by h, doc_id
-             ) as bigint) as pos
+             {_SHARD_SQL} as shard,
+             {_POS_SQL} as pos
       from keyed
     """,
     survey_refs=("W2", "T8"),
@@ -388,16 +412,7 @@ def llm_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel, no single-partition row_number anywhere. A reader that
     walks shards 0..15 in pos order sees exactly the global
     md5-permutation."""
-    docs = load(spark, "documents", sf_dir)
-    h = F.md5(F.concat(F.lit(_SHUF_SALT), F.col("doc_id").cast("string")))
-    keyed = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"), h.alias("h"))
-    shard = F.conv(F.substring("h", 1, 1), 16, 10).cast("int")
-    w = Window.partitionBy(F.substring("h", 1, 1)).orderBy("h", "doc_id")
-    return keyed.select(
-        "doc_id",
-        shard.alias("shard"),
-        F.row_number().over(w).cast("bigint").alias("pos"),
-    )
+    return _with_shard_pos(load(spark, "documents", sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -886,7 +901,6 @@ def bpe_merge_table(
     left-to-right via F.aggregate — no Python in the fold). Returns
     [(step, left, right, merged, pair_count)].
     """
-    spark = words.sparkSession
     chars = F.expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
     )
@@ -977,17 +991,13 @@ _SEL_QUOTA = 20  # per-language keep count
         from scored
       ),
       kept as (
-        select doc_id, lang, w,
-               md5('{_SHUF_SALT}' || cast(doc_id as varchar)) as h
+        select doc_id, lang, w, {_H_SQL} as h
         from ranked where rnk <= {_SEL_QUOTA}
       )
       select lang, cast(doc_id as bigint) as doc_id,
              cast(w as double) as weight,
-             cast(cast(concat('0x', substr(h, 1, 1)) as bigint) as int)
-               as shard,
-             cast(row_number() over (
-               partition by substr(h, 1, 1) order by h, doc_id
-             ) as bigint) as pos
+             {_SHARD_SQL} as shard,
+             {_POS_SQL} as pos
       from kept
     """.format(
         chain=_dsir_scored_sql(
@@ -1028,21 +1038,7 @@ def llm_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w_rank))
         .where(F.col("rnk") <= _SEL_QUOTA)
         .select(
-            "lang",
-            "doc_id",
-            "w",
-            F.md5(
-                F.concat(F.lit(_SHUF_SALT), F.col("doc_id").cast("string"))
-            ).alias("h"),
+            "lang", "doc_id", F.col("w").cast("double").alias("weight")
         )
     )
-    w_pos = Window.partitionBy(F.substring("h", 1, 1)).orderBy(
-        "h", "doc_id"
-    )
-    return kept.select(
-        "lang",
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.col("w").cast("double").alias("weight"),
-        F.conv(F.substring("h", 1, 1), 16, 10).cast("int").alias("shard"),
-        F.row_number().over(w_pos).cast("bigint").alias("pos"),
-    )
+    return _with_shard_pos(kept, "lang", "weight")

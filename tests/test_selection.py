@@ -250,10 +250,16 @@ def test_bpe_merges_match_python_reference(spark, sf_dir):
     ]
     assert len(got) == 8
 
+    import re
+
+    from etl_migrate_api_spark.functions.text import WS_CLASS
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
     wc = Counter()
+    # mirror ws_tokens exactly (WS_CLASS, not python str.split — str.split
+    # treats ALL unicode whitespace, the divergence WS_CLASS exists to kill)
     for r in docs.toPandas().itertuples():
-        for w in r.text.lower().strip().split():
+        for w in re.split(WS_CLASS, r.text.lower().strip()):
             if w:
                 wc[w] += 1
     vocab = {w: list(w) + [_BPE_EOW] for w in wc}
