@@ -74,12 +74,14 @@ def _load_all() -> None:
 # (b) already hold green driver rows from rounds 1-6
 # (q1/q3/q5/q_daily_event_funnel since r1; llm_exact_dedup, llm_lang_id,
 # llm_quality_score, filter_sample_battery, join_anti_new_keys since r2).
-# Late in round 7 two more swaps landed: llm_dsir_sample and
+# Late in round 7 three more swaps landed: llm_dsir_sample,
 # graph_pagerank_hosts (the round's strongest NEW oracled work — DSIR
-# importance resampling and the integer-exact iterative PageRank)
-# replaced q_top_customers_per_nation and agg_nation_profile, both
-# multiply-covered for every §2 ref they carry (verified by
-# test_no_survey_item_orphaned_by_window_rotation) and green since r1.
+# importance resampling and the integer-exact iterative PageRank) and
+# llm_selection_pipeline (the selection-family capstone) replaced
+# q_top_customers_per_nation, agg_nation_profile and llm_token_stats,
+# all multiply-covered for every §2 ref they carry (verified by
+# test_no_survey_item_orphaned_by_window_rotation) and green since
+# r1/r2.
 # Everything outside the window — the displaced queries, the batteries,
 # the rows-only ops, and the redundant-by-design mirrors — is STILL
 # hash-checked with its oracle on every pytest run
@@ -104,7 +106,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "llm_embedding_neardup",
     "llm_ann_bruteforce_topk",
     "llm_fuzzy_match_levenshtein",
-    "llm_token_stats",
+    "llm_selection_pipeline",
     "llm_dataset_card",
     "events_ordered_funnel",
     "llm_pii_redact",

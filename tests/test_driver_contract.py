@@ -91,6 +91,7 @@ def test_driver_window_is_50_unique_oracled_queries():
         # late-r7 swaps: the round's strongest new oracled operators
         "llm_dsir_sample",
         "graph_pagerank_hosts",
+        "llm_selection_pipeline",
     ):
         assert q in names[:50], f"{q} fell out of the driver window"
     # tail queries must still exist (coverage inventory + rows-only pytest;
@@ -119,6 +120,7 @@ def test_driver_window_is_50_unique_oracled_queries():
         # rotated out late in r7 for the new selection ops
         "q_top_customers_per_nation",
         "agg_nation_profile",
+        "llm_token_stats",
     ):
         assert q in names[50:], f"{q} missing from the tail"
 
