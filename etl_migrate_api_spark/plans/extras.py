@@ -168,3 +168,65 @@ def llm_minhash_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     sigs.unpersist()
     bands.unpersist()
     return out
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+      with seq as (
+        select user_id, event_type,
+               lag(event_type) over (partition by user_id
+                                     order by ts, event_id) as prev_type
+        from events
+      ),
+      trans as (
+        select prev_type as from_type, event_type as to_type,
+               count(*) as n
+        from seq where prev_type is not null
+        group by prev_type, event_type
+      )
+      select from_type, to_type, cast(n as bigint) as n,
+             cast(n as double)
+               / cast(sum(n) over (partition by from_type) as double)
+               as prob
+      from trans
+    """,
+    survey_refs=("W2", "A3", "J2"),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over the event stream: for each ordered
+    pair of event types, how often does one follow the other within a
+    user's timeline, and with what conditional probability — the
+    standard user-journey / funnel-analysis summary (and the input to
+    next-event prediction baselines). Engine-exactness: counts are
+    integers; each probability is ONE bigint/bigint division in double
+    (correctly rounded, identical on both engines — no float sums
+    anywhere). Shape: one (user_id)-partitioned window for the lag,
+    one map-side-combined aggregate on the (from, to) pair (bounded by
+    |event_types|²), and a |pairs|-row window for the row
+    normalization. The per-user window is the only corpus shuffle."""
+    from etl_migrate_api_spark.catalog import load
+    from pyspark.sql import Window
+
+    events = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        (
+            F.col("n").cast("double") / F.sum("n").over(tot).cast("double")
+        ).alias("prob"),
+    )

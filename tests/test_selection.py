@@ -307,3 +307,16 @@ def test_selection_pipeline_composes_its_stages(spark, sf_dir):
     assert out["shard"].between(0, 15).all()
     for _, grp in out.groupby("shard"):
         assert sorted(grp["pos"]) == list(range(1, len(grp) + 1))
+
+
+def test_transition_matrix_rows_are_distributions(spark, sf_dir):
+    """Each from_type's outgoing probabilities must sum to 1 and match
+    the count ratios exactly."""
+    from etl_migrate_api_spark.plans.extras import events_transition_matrix
+
+    out = events_transition_matrix(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    for _, grp in out.groupby("from_type"):
+        assert abs(grp["prob"].sum() - 1.0) < 1e-9
+        tot = grp["n"].sum()
+        assert (abs(grp["prob"] - grp["n"] / tot) < 1e-15).all()
