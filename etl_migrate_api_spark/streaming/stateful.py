@@ -164,3 +164,68 @@ def sessionize_stream(events: DataFrame, watermark: str | None = None) -> DataFr
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming transition emitter — the stateful twin of
+# plans/extras.py::events_transition_matrix
+# ---------------------------------------------------------------------------
+
+_TRANS_OUT_SCHEMA = "user_id bigint, from_type string, to_type string"
+_TRANS_STATE_SCHEMA = "last_type string, last_ts long, last_event long"
+
+
+def _transition_group(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    rows = pd.concat(list(pdfs))
+    if not len(rows):
+        return
+    # micro-batches carry no implicit order (O4): sort by event time
+    rows = rows.sort_values(["ts_micros", "event_id"])
+    prev = state.get[0] if state.exists else None
+    out = []
+    for r in rows.itertuples():
+        if prev is not None:
+            out.append((user_id, prev, r.event_type))
+        prev = r.event_type
+    tail = rows.iloc[-1]
+    state.update(
+        (str(tail["event_type"]), int(tail["ts_micros"]), int(tail["event_id"]))
+    )
+    if out:
+        yield pd.DataFrame(out, columns=["user_id", "from_type", "to_type"])
+
+
+def transition_stream(events: DataFrame) -> DataFrame:
+    """Per-user event-type transition emitter — the streaming twin of
+    the batch Markov matrix (plans/extras.py::events_transition_matrix).
+    State per user is ONE row: the last seen (type, ts, event_id), so a
+    transition spanning a micro-batch boundary is still emitted (the
+    property the batch twin gets for free and a stateless stream
+    cannot). Downstream aggregates (from_type, to_type) counts however
+    it likes — the emitter itself is append-only.
+
+    Ordering contract: rows are sorted by event time WITHIN a
+    micro-batch; across batches the operator assumes in-order arrival
+    (the standard state-store assumption — add a watermark + event-time
+    timeout exactly as sessionize_stream does if dormant-user state
+    must be bounded)."""
+    from pyspark.sql import functions as F
+
+    prepared = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_micros"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _transition_group,
+        outputStructType=_TRANS_OUT_SCHEMA,
+        stateStructType=_TRANS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -165,3 +165,63 @@ def test_sessionize_eviction_resets_session_no_but_session_start_disambiguates(
         (base + 8 * 3600) * 1_000_000,
     ]
     assert [r["first_event"] for r in closed_u1] == [10, 11]
+
+
+def test_transition_stream_matches_batch_across_microbatches(
+    spark, sf_small, tmp_path
+):
+    """The streaming transition emitter must reproduce the batch Markov
+    matrix EXACTLY even when the event log is split across micro-batches
+    (maxFilesPerTrigger=1): the per-user one-row state carries the
+    boundary-spanning transitions a stateless stream would drop."""
+    import os
+
+    from etl_migrate_api_spark.catalog import load
+    from etl_migrate_api_spark.plans.extras import events_transition_matrix
+    from etl_migrate_api_spark.streaming.stateful import transition_stream
+
+    events = load(spark, "events", sf_small).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    # split by EVENT TIME into two files so the second batch CONTINUES
+    # every user's sequence (in-order across batches, per the contract)
+    with_us = events.withColumn("us", F.unix_micros("ts"))
+    cut = with_us.approxQuantile("us", [0.5], 0.0)[0]
+    src = str(tmp_path / "landed")
+    os.makedirs(src)
+    for part in (
+        with_us.where(F.col("us") <= cut),
+        with_us.where(F.col("us") > cut),
+    ):
+        part.drop("us").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        transition_stream(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = (
+        spark.read.parquet(out_dir)
+        .groupBy("from_type", "to_type")
+        .count()
+        .toPandas()
+        .set_index(["from_type", "to_type"])["count"]
+        .to_dict()
+    )
+    want = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in events_transition_matrix(spark, sf_small).collect()
+    }
+    assert got == want
