@@ -1042,3 +1042,77 @@ def llm_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _with_shard_pos(kept, "lang", "weight")
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+      with links as (
+        select doc_id % {_PR_HOSTS} as x,
+               (7 * doc_id + 3) % {_PR_HOSTS} as y
+        from documents
+      ),
+      undirected as (
+        select distinct least(x, y) as a, greatest(x, y) as b
+        from links where x <> y
+      ),
+      tri as (
+        select e1.a as h1, e1.b as h2, e2.b as h3
+        from undirected e1
+        join undirected e2 on e2.a = e1.b
+        join undirected e3 on e3.a = e1.a and e3.b = e2.b
+      ),
+      per_host as (
+        select host, cast(count(*) as bigint) as n_triangles from (
+          select h1 as host from tri
+          union all select h2 from tri
+          union all select h3 from tri
+        ) group by host
+      )
+      select cast(host as bigint) as host, n_triangles from per_host
+    """,
+    survey_refs=("J2", "A3", "E1"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host triangle count over the planted host graph — the classic
+    distributed graph-analytics benchmark, and the third graph operator
+    next to label-propagation clustering and PageRank. The canonical
+    a<b<c enumeration: orient every undirected edge low→high, join
+    wedge (a,b)+(b,c), close it against (a,c) — each triangle is found
+    exactly ONCE, then credited to its three corners. All-integer
+    (engine-exact by construction).
+
+    100 TB shape: the oriented-edge trick is also the scale trick
+    (node-iterator++): orienting low→high bounds every join key's
+    fan-out by the smaller endpoint's degree, which kills the
+    hub-vertex quadratic blowup of the naive wedge join; the three
+    self-joins shuffle on single int keys and AQE handles residual
+    skew. Per-host credit is one union-all + hash aggregate."""
+    docs = load(spark, "documents", sf_dir)
+    links = docs.select(
+        (F.col("doc_id") % _PR_HOSTS).alias("x"),
+        ((7 * F.col("doc_id") + 3) % _PR_HOSTS).alias("y"),
+    ).where(F.col("x") != F.col("y"))
+    und = links.select(
+        F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+    ).distinct()
+    e1 = und.select(F.col("a").alias("t_a"), F.col("b").alias("t_b"))
+    e2 = und.select(F.col("a").alias("w_a"), F.col("b").alias("w_b"))
+    e3 = und.select(F.col("a").alias("c_a"), F.col("b").alias("c_b"))
+    tri = (
+        e1.join(e2, e1.t_b == e2.w_a)
+        .join(e3, (F.col("c_a") == F.col("t_a")) & (F.col("c_b") == F.col("w_b")))
+        .select(
+            F.col("t_a").alias("h1"),
+            F.col("t_b").alias("h2"),
+            F.col("w_b").alias("h3"),
+        )
+    )
+    corners = (
+        tri.select(F.col("h1").alias("host"))
+        .unionAll(tri.select(F.col("h2").alias("host")))
+        .unionAll(tri.select(F.col("h3").alias("host")))
+    )
+    return corners.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    ).select(F.col("host").cast("bigint").alias("host"), "n_triangles")

@@ -320,3 +320,42 @@ def test_transition_matrix_rows_are_distributions(spark, sf_dir):
         assert abs(grp["prob"].sum() - 1.0) < 1e-9
         tot = grp["n"].sum()
         assert (abs(grp["prob"] - grp["n"] / tot) < 1e-15).all()
+
+
+def test_triangle_count_matches_python_reference(spark, sf_dir):
+    """Per-host triangle counts must equal a brute-force python count
+    over the same planted graph, and sum to 3x the triangle total."""
+    from itertools import combinations
+
+    from etl_migrate_api_spark.plans.llm_selection import (
+        _PR_HOSTS,
+        graph_triangle_count,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .toPandas()["doc_id"]
+    )
+    edges = {
+        tuple(sorted((int(d) % _PR_HOSTS, (7 * int(d) + 3) % _PR_HOSTS)))
+        for d in docs
+        if int(d) % _PR_HOSTS != (7 * int(d) + 3) % _PR_HOSTS
+    }
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want: dict[int, int] = {}
+    n_total = 0
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            n_total += 1
+            for h in (a, b, c):
+                want[h] = want.get(h, 0) + 1
+    got = {
+        int(r["host"]): int(r["n_triangles"])
+        for r in graph_triangle_count(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert sum(got.values()) == 3 * n_total
