@@ -428,3 +428,41 @@ def test_sq8_scoring_is_arrow_batched(spark, sf_dir, queries):
     plan = _plan(queries["llm_ann_sq8_topk"].fn(spark, sf_dir))
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bm25_broadcasts_and_takes_ordered(spark, sf_dir, queries):
+    """BM25's idf/stats sides broadcast (3 and 1 rows), the top-k is
+    TakeOrderedAndProject, and nothing falls back to a sort-merge join
+    or Python."""
+    plan = _plan(queries["llm_bm25_search"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+
+
+def test_selection_pipeline_gate_pushed_to_scan(spark, sf_dir, queries):
+    """The capstone's length gate must reach the parquet scan — the
+    'cheapest filter first' claim of its docstring."""
+    plan = _plan(queries["llm_selection_pipeline"].fn(spark, sf_dir))
+    assert "GreaterThanOrEqual(n_chars,100)" in plan
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_triangle_count_joins_stay_broadcast_no_python(spark, sf_dir, queries):
+    """The 50-host edge table broadcasts through all three self-joins;
+    pure integer expressions, no Python anywhere."""
+    plan = _plan(queries["graph_triangle_count"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_transition_matrix_single_user_window_exchange(spark, sf_dir, queries):
+    """One per-user window shuffle + the small pair aggregate — never a
+    global sort."""
+    plan = _plan(queries["events_transition_matrix"].fn(spark, sf_dir))
+    assert "rangepartitioning" not in plan
+    assert "hashpartitioning(user_id" in plan
+    assert "EvalPython" not in plan
