@@ -1116,3 +1116,125 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corners.groupBy("host").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     ).select(F.col("host").cast("bigint").alias("host"), "n_triangles")
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 12  # fixpoint is idempotent: extra rounds are no-ops
+
+
+def _kcore_oracle() -> str:
+    steps = []
+    prev = "n0"
+    for i in range(1, _KCORE_ROUNDS + 1):
+        # MATERIALIZED: each round references the previous twice — an
+        # inlining planner would otherwise double the tree per round
+        # (2^12 copies of the base scan)
+        steps.append(
+            f"""n{i} as materialized (
+        select host from (
+          select host, count(*) as deg from (
+            select e.a as host
+            from und e
+            join {prev} pa on pa.host = e.a
+            join {prev} pb on pb.host = e.b
+            union all
+            select e.b as host
+            from und e
+            join {prev} pa on pa.host = e.a
+            join {prev} pb on pb.host = e.b
+          ) group by host
+        ) where deg >= {_KCORE_K}
+      )"""
+        )
+        prev = f"n{i}"
+    chain = ",\n      ".join(steps)
+    return f"""
+      with links as (
+        select doc_id % {_PR_HOSTS} as x,
+               (7 * doc_id + 3) % {_PR_HOSTS} as y
+        from documents
+        union all
+        select doc_id % {_PR_HOSTS} as x, doc_id % 49 as y
+        from documents where doc_id % 7 = 0
+      ),
+      und as (
+        select distinct least(x, y) as a, greatest(x, y) as b
+        from links where x <> y
+      ),
+      n0 as (
+        select a as host from und union select b from und
+      ),
+      {chain}
+      select cast(host as bigint) as host from {prev}
+    """
+
+
+@register(
+    "graph_kcore_hosts",
+    oracle=_kcore_oracle(),
+    survey_refs=("J2", "A3", "X1"),
+)
+def graph_kcore_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hosts in the 3-core of the planted graph — iterative peeling
+    (drop every node with degree < k among survivors, repeat), the
+    graph-quality prior that kicks out weakly-connected spam hosts
+    where a plain degree filter cannot (degree is recomputed against
+    SURVIVORS each round). Fourth graph operator, and the second
+    iterative one with a FULL oracle: both engines run exactly 12
+    peel rounds — the fixpoint is idempotent, so once converged the
+    extra rounds are no-ops and the unrolled DuckDB twin matches
+    bit-for-bit (all-integer throughout). A convergence-guard variant
+    at true scale would stop early like label propagation
+    (operators/dedup.py); the fixed unroll is what makes the
+    cross-engine check exact.
+
+    100 TB shape: each round is one join of the edge table against the
+    surviving-host set (broadcast while hosts ≪ edges) plus one
+    integer degree aggregate — the same per-round cost envelope as
+    PageRank, with the edge table never re-shuffled."""
+    docs = load(spark, "documents", sf_dir)
+    # two planted edge families: the PageRank permutation cycle (every
+    # host degree ~2 — peels away entirely under k=3) PLUS sparse
+    # doc%7 cross-links (dst = doc mod 49, NOT a function of doc mod 50,
+    # so degrees vary) — giving the peel real work: 43/50 hosts survive
+    # at the gate SFs, converging in ≤3 synchronized rounds
+    links = docs.select(
+        (F.col("doc_id") % _PR_HOSTS).alias("x"),
+        ((7 * F.col("doc_id") + 3) % _PR_HOSTS).alias("y"),
+    ).unionAll(
+        docs.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") % _PR_HOSTS).alias("x"),
+            (F.col("doc_id") % 49).alias("y"),
+        )
+    ).where(F.col("x") != F.col("y"))
+    und = links.select(
+        F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+    ).distinct().persist()
+    hosts = (
+        und.select(F.col("a").alias("host"))
+        .union(und.select(F.col("b").alias("host")))
+        .distinct()
+    )
+    # localCheckpoint per round (the connected_components discipline,
+    # operators/dedup.py): the peel references the previous round TWICE,
+    # so an un-truncated lineage grows EXPONENTIALLY in the optimizer —
+    # persist alone does not cut the logical plan the analyzer walks.
+    hosts = hosts.localCheckpoint()
+    for _ in range(_KCORE_ROUNDS):
+        alive = und.join(
+            F.broadcast(hosts.select(F.col("host").alias("a"))), "a"
+        ).join(F.broadcast(hosts.select(F.col("host").alias("b"))), "b")
+        degs = (
+            alive.select(F.col("a").alias("host"))
+            .unionAll(alive.select(F.col("b").alias("host")))
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        hosts = (
+            degs.where(F.col("deg") >= _KCORE_K)
+            .select("host")
+            .localCheckpoint()
+        )
+    out = hosts.select(F.col("host").cast("bigint").alias("host"))
+    und.unpersist()
+    return out

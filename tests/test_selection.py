@@ -359,3 +359,46 @@ def test_triangle_count_matches_python_reference(spark, sf_dir):
     }
     assert got == want
     assert sum(got.values()) == 3 * n_total
+
+
+def test_kcore_matches_python_fixpoint(spark, sf_dir):
+    """The 12-round synchronized peel must land on the asynchronous
+    python fixpoint (idempotence at convergence), and every survivor
+    must have >= 3 neighbors among survivors."""
+    from etl_migrate_api_spark.plans.llm_selection import (
+        _KCORE_K,
+        _PR_HOSTS,
+        graph_kcore_hosts,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .toPandas()["doc_id"]
+    )
+    E = set()
+    for d in docs:
+        d = int(d)
+        x, y = d % _PR_HOSTS, (7 * d + 3) % _PR_HOSTS
+        if x != y:
+            E.add(tuple(sorted((x, y))))
+        if d % 7 == 0:
+            x2, y2 = d % _PR_HOSTS, d % 49
+            if x2 != y2:
+                E.add(tuple(sorted((x2, y2))))
+    adj: dict[int, set[int]] = {}
+    for a, b in E:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    changed = True
+    while changed:
+        changed = False
+        for h in list(alive):
+            if len(adj[h] & alive) < _KCORE_K:
+                alive.discard(h)
+                changed = True
+    got = {int(r["host"]) for r in graph_kcore_hosts(spark, sf_dir).collect()}
+    assert got == alive
+    for h in got:
+        assert len(adj[h] & got) >= _KCORE_K

@@ -102,6 +102,7 @@ NORTH_STAR = [
     ("epoch-repeat mixture assembly", "llm_mixture_epochs (up-sample low-resource langs by repetition to a common target — LLaMA-style epoch factors, all-integer, oracle-checked)"),
     ("content-defined chunk dedup", "llm_cdc_chunk_dedup (rsync/LBFS bigram-hash boundaries — shift-robust where fixed windows lose all alignment; oracle-checked, property-tested)"),
     ("selection pipeline (capstone)", "llm_selection_pipeline (gate -> DSIR score over survivors -> per-lang quota -> shard assignment as ONE oracle-checked plan; CTE chain generated from the same helper as the standalone DSIR oracle)"),
+    ("host-graph k-core decomposition", "graph_kcore_hosts (12-round synchronized peel, all-integer, FULL unrolled oracle with materialized CTEs; localCheckpoint per round kills the exponential-lineage trap)"),
     ("host-graph triangle counting", "graph_triangle_count (canonical a<b<c oriented-edge enumeration -- the degree-bounded node-iterator++ shape; all-integer, oracle-checked, python-reference-tested)"),
     ("user-journey transition matrix", "events_transition_matrix (per-user lag window -> Markov conditional probabilities; oracle-checked) + streaming/stateful.py::transition_stream (batch == stream across micro-batch boundaries)"),
     ("BPE tokenizer training", "llm_bpe_merges (rows-only; distributed Sennrich count-merge loop over the weighted distinct-word table — merge sequence proven identical to a pure-python reference)"),
