@@ -1376,8 +1376,9 @@ def sq8_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Affine-quantize each dimension to one byte:
-    ``code_d = round(255 · (x_d − lo_d) / (hi_d − lo_d))`` (degenerate
-    dims → 0), clamped to [0, 255]. Arrow-batched numpy; emits
+    ``code_d = rint(255 · (x_d − lo_d) / (hi_d − lo_d))`` — numpy rint,
+    i.e. round-half-to-EVEN, not half-up — (degenerate dims → 0),
+    clamped to [0, 255]. Arrow-batched numpy; emits
     ``(vid, codes array<int>)`` — 64 bytes of payload per dim-64 vector
     vs 256 for float32, with reconstruction error ≤ range/510 per dim."""
     import numpy as np
@@ -1435,6 +1436,8 @@ def sq8_topk(
     if not qrows:
         return _empty_topk(corpus.sparkSession)
     lo, hi = sq8_minmax(corpus, vec_col=vec_col)
+    if not lo:  # empty corpus → dim-0 bounds would build a 0-width GEMM
+        return _empty_topk(corpus.sparkSession)
     codes = sq8_encode(corpus, lo, hi, id_col=id_col, vec_col=vec_col)
 
     lo_a = np.asarray(lo, dtype=np.float64)

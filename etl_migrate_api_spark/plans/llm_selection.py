@@ -34,9 +34,12 @@ by the driver, with NO float rounding — see tools/driver_sim.py):
 - Rank cut-offs use integer formulas (``(9n+9) div 10``), never
   ``ceil(0.9 * n)`` on doubles.
 
-Registered AFTER the driver's 50-query window; every oracle here is
-still hash-verified by tests/test_oracle_parity.py and
-tools/driver_sim.py on every run.
+Driver-window placement is owned by registry.DRIVER_WINDOW, not by this
+module: as of round 8 most of this family (DSIR, the capstone, BM25,
+mixture epochs, CDC chunking, global shuffle, split/fixed-k sampling,
+PageRank, k-core, triangles, BPE) sits INSIDE the 50-slot window; the
+rest is tail-checked. Either way every oracle here is hash-verified by
+tests/test_oracle_parity.py and tools/driver_sim.py on every run.
 """
 
 from __future__ import annotations
@@ -810,6 +813,9 @@ def llm_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.col("toks")
     boundary = F.transform(
         F.sequence(F.lit(1), F.size(toks)),
+        # i > 1 is the semantic guard; the greatest() clamp keeps
+        # element_at's index ≥ 1 even if an evaluation-order change ever
+        # stops And from short-circuiting (ANSI element_at(_, 0) throws)
         lambda i: F.when(
             (i > 1)
             & (
@@ -817,7 +823,7 @@ def llm_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.substring(
                         F.md5(
                             F.concat(
-                                F.element_at(toks, i - 1),
+                                F.element_at(toks, F.greatest(i - 1, F.lit(1))),
                                 F.lit(" "),
                                 F.element_at(toks, i),
                             )

@@ -186,7 +186,22 @@ def _transition_group(
         return
     # micro-batches carry no implicit order (O4): sort by event time
     rows = rows.sort_values(["ts_micros", "event_id"])
-    prev = state.get[0] if state.exists else None
+    prev = None
+    if state.exists:
+        prev, last_ts, last_event = state.get
+        # enforce the documented in-order contract with the stored
+        # cursor: an event at-or-before the state's (ts, event_id) is a
+        # REGRESSION — a replayed batch (at-least-once redelivery) or a
+        # genuinely late arrival. Emitting it would produce transitions
+        # in the wrong order, so drop it here instead of silently
+        # corrupting the matrix. ``>`` on the (ts, id) pair also makes
+        # exact redelivery idempotent.
+        rows = rows[
+            (rows["ts_micros"] > last_ts)
+            | ((rows["ts_micros"] == last_ts) & (rows["event_id"] > last_event))
+        ]
+        if not len(rows):
+            return
     out = []
     for r in rows.itertuples():
         if prev is not None:
@@ -210,10 +225,12 @@ def transition_stream(events: DataFrame) -> DataFrame:
     it likes — the emitter itself is append-only.
 
     Ordering contract: rows are sorted by event time WITHIN a
-    micro-batch; across batches the operator assumes in-order arrival
-    (the standard state-store assumption — add a watermark + event-time
-    timeout exactly as sessionize_stream does if dormant-user state
-    must be bounded)."""
+    micro-batch; across batches the stored (last_ts, last_event) cursor
+    ENFORCES in-order arrival — events at-or-before the cursor are
+    dropped rather than emitted as wrong-order transitions, which also
+    makes exact at-least-once redelivery idempotent. Add a watermark +
+    event-time timeout exactly as sessionize_stream does if dormant-user
+    state must be bounded."""
     from pyspark.sql import functions as F
 
     prepared = events.select(

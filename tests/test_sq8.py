@@ -138,3 +138,17 @@ def test_sq8_empty_queries(emb, spark):
         "neighbor_id",
         "est_ip",
     ]
+
+
+def test_sq8_empty_corpus(emb, queries, spark):
+    """Empty CORPUS: sq8_minmax yields dim-0 bounds; sq8_topk must
+    early-return the empty top-k frame instead of building a 0-width
+    GEMM against real queries."""
+    out = sq8_topk(emb.where(F.col("vec_id") < 0), queries, k=K)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id",
+        "rank",
+        "neighbor_id",
+        "est_ip",
+    ]

@@ -225,3 +225,63 @@ def test_transition_stream_matches_batch_across_microbatches(
         for r in events_transition_matrix(spark, sf_small).collect()
     }
     assert got == want
+
+
+def test_transition_stream_drops_out_of_order_replays(spark, tmp_path):
+    """The stored (last_ts, last_event) cursor must be USED: a second
+    micro-batch that redelivers an already-processed event (at-least-once
+    replay) or a genuinely late event may not re-emit or reorder
+    transitions. Expected: a->b->c from batch 1, one boundary transition
+    c->d from batch 2; the replayed 'b' and the late 'x' vanish."""
+    import os
+    import time
+
+    from etl_migrate_api_spark.streaming.stateful import transition_stream
+
+    src = str(tmp_path / "landed")
+    os.makedirs(src)
+    base = 1_700_000_000
+
+    def write_batch(rows):
+        df = spark.createDataFrame(rows, "user_id bigint, event_id bigint, event_type string, ts_s bigint")
+        df.select(
+            "user_id", "event_id", "event_type",
+            F.timestamp_seconds("ts_s").alias("ts"),
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write_batch(
+        [(1, 10, "a", base), (1, 11, "b", base + 60), (1, 12, "c", base + 120)],
+    )
+    # the directory listing orders files by name within a write; sleep a
+    # beat so the second file's mtime/name sorts after the first
+    time.sleep(1.1)
+    write_batch(
+        [
+            (1, 11, "b", base + 60),   # exact redelivery of event 11
+            (1, 5, "x", base + 30),    # genuinely late arrival
+            (1, 13, "d", base + 180),  # the only truly-new event
+        ],
+    )
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        transition_stream(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        (r["from_type"], r["to_type"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert got == [("a", "b"), ("b", "c"), ("c", "d")]
