@@ -4,10 +4,11 @@ Arrow-batched Pandas UDFs over ``mapInPandas`` (north-star extension —
 the reference has no media surface).
 
 Pixel decode is REAL for PNG (stdlib zlib inflate + scanline
-unfilter), BMP (24/32-bit uncompressed), and PPM/PGM — verified by
-exact pixel-CRC tests. Only JPEG remains env-gated behind a PIL
-import-try (no codec in this container); corrupt/unknown blobs report
-per-row (ok=false, err) instead of failing the task.
+unfilter), BMP (24/32-bit uncompressed), PPM/PGM, and baseline
+sequential JPEG (operators/jpeg.py: own Huffman + IDCT decoder; PIL is
+the env-gated FAST path when present) — verified by exact pixel-CRC
+tests. Corrupt/unknown blobs report per-row (ok=false, err) instead of
+failing the task.
 
 Scale notes: media bytes never hit the driver; ``mapInPandas`` streams
 Arrow batches through executors, and ``spark.sql.execution.arrow.
@@ -342,9 +343,12 @@ def _decode_ppm_pixels(b: bytes) -> tuple[int, int, str, bytes]:
 def decode_pixels_one(content: bytes) -> tuple[int, int, str, bytes]:
     """Dispatch on container magic → (width, height, mode, pixel bytes).
 
-    PNG/BMP/PPM/PGM decode with pure stdlib. JPEG attempts PIL if the
-    environment has it (this container does not) — the ONLY env-gated
-    branch left in the media path."""
+    PNG/BMP/PPM/PGM decode with pure stdlib. JPEG uses PIL (libjpeg)
+    when the environment has it — the fast path — and otherwise the
+    repo's own pure-python baseline sequential decoder
+    (operators/jpeg.py): every mainstream still-image container now
+    decodes with zero third-party codecs. Progressive/arithmetic JPEG
+    still needs PIL and raises ValueError without it."""
     b = bytes(content)
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png_pixels(b)
@@ -356,11 +360,11 @@ def decode_pixels_one(content: bytes) -> tuple[int, int, str, bytes]:
         try:
             import io
 
-            from PIL import Image  # noqa: PLC0415 — env-gated
-        except ImportError as exc:
-            raise NotImplementedError(
-                "JPEG decode needs PIL, not present in this container"
-            ) from exc
+            from PIL import Image  # noqa: PLC0415 — env-gated fast path
+        except ImportError:
+            from etl_migrate_api_spark.operators.jpeg import decode_jpeg
+
+            return decode_jpeg(b)
         img = Image.open(io.BytesIO(b))
         return (img.width, img.height, img.mode, img.tobytes())
     raise ValueError(f"unknown image container (magic {b[:4]!r})")
@@ -740,6 +744,90 @@ def phash_images(
             )
 
     return pixels.mapInPandas(run, schema="id long, lo long, hi long")
+
+
+def fake_jpeg_table(
+    media_ids: DataFrame,
+    width: int = 16,
+    height: int = 16,
+    quality: int = 90,
+) -> DataFrame:
+    """Deterministic REAL JPEG blobs: per media_id a seeded-RNG RGB
+    texture encoded by the repo's own baseline encoder
+    (operators/jpeg.py::encode_jpeg). Ids cycle through 4:4:4 / 4:2:0
+    subsampling and restart intervals so the decoder's full baseline
+    surface is exercised by the planted corpus. mapInPandas — blob
+    bytes never hit the driver. Input: any DataFrame with a media_id
+    column; output (media_id, content binary)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from etl_migrate_api_spark.operators.jpeg import encode_jpeg
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                rng = np.random.RandomState(mid % (2**31))
+                px = (rng.rand(height, width, 3) * 255).astype(np.uint8)
+                blobs.append(
+                    encode_jpeg(
+                        px.tobytes(),
+                        width,
+                        height,
+                        "RGB",
+                        quality=quality,
+                        subsampling="420" if mid % 2 else "444",
+                        restart_interval=2 if mid % 3 == 0 else 0,
+                    )
+                )
+                ids.append(mid)
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return media_ids.select("media_id").mapInPandas(
+        run, schema="media_id bigint, content binary"
+    )
+
+
+def jpeg_phash_table(media: DataFrame) -> DataFrame:
+    """(id, lo, hi) pHash signatures over JPEG blobs: full container
+    decode (decode_pixels_one — the pure-stdlib baseline JPEG path when
+    PIL is absent) → luma pHash (phash64_one). Per-row decode failures
+    are DROPPED with a logged count (corrupt blobs are data); a
+    systematic decoder bug still fails loudly via non-ValueError."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        dropped = 0
+        for b in batches:
+            ids, lows, highs = [], [], []
+            for mid, blob in zip(b["media_id"], b["content"]):
+                try:
+                    w, h, mode, px = decode_pixels_one(bytes(blob))
+                except ValueError:
+                    dropped += 1
+                    continue
+                if mode not in ("RGB", "L"):
+                    # the stdlib decoder only emits RGB/L; a PIL fast
+                    # path can emit others (P, RGBA) — treat them as
+                    # unhashable data rather than guessing a channel map
+                    dropped += 1
+                    continue
+                lo, hi = phash64_one(px, w, h)
+                ids.append(int(mid))
+                lows.append(lo)
+                highs.append(hi)
+            if ids:
+                yield pd.DataFrame({"id": ids, "lo": lows, "hi": highs})
+        if dropped:
+            print(f"jpeg_phash_table: dropped {dropped} undecodable blobs",
+                  file=sys.stderr)
+
+    return media.select("media_id", "content").mapInPandas(
+        run, schema="id long, lo long, hi long"
+    )
 
 
 def audio_hash64_one(content: bytes) -> tuple[int, int]:

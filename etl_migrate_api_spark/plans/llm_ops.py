@@ -1001,6 +1001,47 @@ def llm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register("llm_jpeg_phash_dedup")
+def llm_jpeg_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup over REAL JPEG blobs with ZERO third-party codecs:
+    deterministic baseline JPEGs (operators/jpeg.py encoder — ids cycle
+    4:4:4 / 4:2:0 and restart intervals) → full entropy decode via the
+    repo's own pure-python Huffman+IDCT baseline decoder (PIL is only
+    an env-gated fast path; this container runs the stdlib path) →
+    luma pHash → the shared Manku pigeonhole band join. Planted exact
+    byte copies (media_id+600000) decode identically → hamming 0;
+    distinct seeded textures sit near the binomial mean. Rows-only:
+    the codec has no SQL mirror; CRC-exactness, roundtrip and
+    corrupt-input gates live in tests/test_jpeg.py."""
+    from etl_migrate_api_spark.operators.dedup import _spread, hamming64_pairs
+    from etl_migrate_api_spark.operators.multimodal import (
+        fake_jpeg_table,
+        jpeg_phash_table,
+    )
+
+    docs = load(spark, "documents", sf_dir)
+    # _spread: the small-SF parquet arrives in 1-2 splits; the encode +
+    # entropy-decode work is pure CPU and must cover every core
+    ids = _spread(
+        docs.where(F.col("doc_id") % 3 == 0).select(
+            F.col("doc_id").alias("media_id")
+        )
+    )
+    jpegs = fake_jpeg_table(ids)
+    planted = jpegs.unionByName(
+        jpegs.where(F.col("media_id") % 5 == 0).select(
+            (F.col("media_id") + 600000).alias("media_id"), "content"
+        )
+    )
+    sigs = jpeg_phash_table(planted).persist()
+    sigs.count()
+    out = hamming64_pairs(sigs, max_hamming=3).orderBy("id_a", "id_b")
+    out = out.persist()
+    out.count()
+    sigs.unpersist()
+    return out
+
+
 @register("llm_audio_fingerprint_dedup")
 def llm_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup detection: 64-bit energy-contour fingerprint over

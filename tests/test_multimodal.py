@@ -238,11 +238,16 @@ def test_decode_pixels_mapinpandas_exact_crc(spark):
     bmp = _make_bmp(2, 2, bgr)
     ppm_px = bytes([9, 8, 7, 6, 5, 4])
     ppm = b"P6\n2 1\n255\n" + ppm_px
-    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 16  # PIL absent → NotImplementedError
+    from etl_migrate_api_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    jpeg_src = bytes((x * 7 + 3) % 256 for x in range(16 * 16 * 3))
+    jpeg = encode_jpeg(jpeg_src, 16, 16, "RGB", quality=95)
+    jpeg_px = decode_jpeg(jpeg)[3]
+    bad_jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 16  # truncated garbage
     junk = b"\x00\x01\x02\x03not an image"
     df = spark.createDataFrame(
         [(1, "image", png), (2, "image", bmp), (3, "image", ppm),
-         (4, "image", jpeg), (5, "image", junk)],
+         (4, "image", jpeg), (5, "image", junk), (6, "image", bad_jpeg)],
         "media_id long, media_type string, content binary",
     )
     from etl_migrate_api_spark.operators.multimodal import decode_pixels
@@ -253,8 +258,11 @@ def test_decode_pixels_mapinpandas_exact_crc(spark):
     assert out[2]["ok"] and out[2]["px_crc32"] == zlib.crc32(bgr)
     assert out[3]["ok"] and out[3]["px_crc32"] == zlib.crc32(ppm_px)
     assert out[3]["mean_px"] == sum(ppm_px) / len(ppm_px)
-    assert not out[4]["ok"] and "PIL" in out[4]["err"]
+    # real baseline JPEG decodes through the pure-stdlib path (no PIL)
+    assert out[4]["ok"] and out[4]["px_crc32"] == zlib.crc32(jpeg_px)
+    assert (out[4]["width"], out[4]["height"], out[4]["mode"]) == (16, 16, "RGB")
     assert not out[5]["ok"] and "unknown image container" in out[5]["err"]
+    assert not out[6]["ok"] and "truncated" in out[6]["err"]
 
 
 # --- real audio decode -----------------------------------------------------
