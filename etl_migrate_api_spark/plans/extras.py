@@ -10,7 +10,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_migrate_api_spark.operators import dedup as dd
-from etl_migrate_api_spark.plans.llm_ops import _minhash_oracle, planted_docs
+from etl_migrate_api_spark.plans.llm_ops import (
+    PLANTED_DOCS_SQL,
+    _minhash_oracle,
+    planted_docs,
+)
 from etl_migrate_api_spark.plans.registry import register
 
 
@@ -91,6 +95,134 @@ def llm_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd.simhash_neardup_pairs(planted_docs(spark, sf_dir))
     out = dd.connected_components(pairs)
     pairs.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Representative assignment — the scale-safe OUTPUT of the near-dup family
+# ---------------------------------------------------------------------------
+
+
+def _attach_representatives(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(doc_id, rep_id) for EVERY corpus doc: members of a near-dup
+    component map to its min doc_id, singletons map to themselves.
+    Output is exactly one row per doc — the contract that makes this
+    the 100 TB shape (the pair list is O(cluster²) on dup-heavy
+    corpora; this is O(n) by construction). One hash join of the corpus
+    keys against the component labels (labels cover only docs that
+    appear in some pair — the small side on any real corpus)."""
+    comp = dd.connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left_outer")
+        .select(
+            "doc_id", F.coalesce("root", F.col("doc_id")).alias("rep_id")
+        )
+    )
+
+
+_REP_CLOSURE_SQL = """
+      edges as (
+        select id_a as u, id_b as v from p
+        union
+        select id_b as u, id_a as v from p
+      ),
+      reach(u, v) as (
+        select u, v from edges
+        union
+        select r.u, e.v from reach r join edges e on r.v = e.u
+      ),
+      roots as (
+        select u as id, least(u, min(v)) as root from reach group by u
+      )
+"""
+
+
+def _simhash_representatives_oracle() -> str:
+    from etl_migrate_api_spark.plans.llm_ops import _SIMHASH_DOC_SQL
+
+    sig_sql = _SIMHASH_DOC_SQL.replace(
+        "\nwith docs", "\nwith recursive docs", 1
+    )
+    return (
+        sig_sql
+        + """,
+      p as (
+        select a.id as id_a, b.id as id_b
+        from sig a join sig b on a.id < b.id
+        where bit_count(xor(a.simhash_lo, b.simhash_lo))
+              + bit_count(xor(a.simhash_hi, b.simhash_hi)) <= 3
+      ),
+"""
+        + _REP_CLOSURE_SQL
+        + """
+      select s.id as doc_id, coalesce(r.root, s.id) as rep_id
+      from sig s left join roots r on s.id = r.id
+    """
+    )
+
+
+@register(
+    "llm_simhash_representatives",
+    oracle=_simhash_representatives_oracle(),
+    survey_refs=("E1", "J2"),
+)
+def llm_simhash_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup REPRESENTATIVE assignment: (doc_id, rep_id) for
+    every corpus doc, rep = min doc_id of the hamming ≤ 3 component
+    (self for singletons). This is the output a 100 TB dedup pass
+    actually ships — llm_simhash_neardup's pair list is O(cluster²) on
+    dup-heavy corpora (measured 43× pair growth at 10× data on a
+    repetitive corpus), while this is one row per doc by construction
+    (tests/test_extras.py pins rows == n_docs). Spark side: pigeonhole
+    band join → min-label propagation → one corpus-key join; oracle:
+    recursive transitive closure + left join back to the corpus."""
+    docs = planted_docs(spark, sf_dir)
+    pairs = dd.simhash_neardup_pairs(docs)
+    out = _attach_representatives(docs, pairs)
+    pairs.unpersist()
+    return out
+
+
+_MINHASH_REP_TAU = 0.8
+
+
+def _minhash_representatives_oracle() -> str:
+    return (
+        f"""
+with recursive docs as ({PLANTED_DOCS_SQL}),
+      p as (
+        select id_a, id_b from ({_minhash_oracle()}) q
+        where jaccard >= {_MINHASH_REP_TAU}
+      ),
+"""
+        + _REP_CLOSURE_SQL
+        + """
+select d.doc_id, coalesce(r.root, d.doc_id) as rep_id
+from docs d left join roots r on d.doc_id = r.id
+"""
+    )
+
+
+@register(
+    "llm_minhash_representatives",
+    oracle=_minhash_representatives_oracle(),
+    survey_refs=("E1", "J2"),
+)
+def llm_minhash_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup REPRESENTATIVE assignment: candidates from
+    the banded equi-join, exact-Jaccard-verified at ≥ 0.8, clustered by
+    min-label propagation, then every corpus doc mapped to its
+    component's min doc_id (self if unpaired). Same one-row-per-doc
+    scale contract as llm_simhash_representatives; the jaccard
+    threshold compares identically on both engines (same integer
+    operands, one correctly-rounded double division)."""
+    docs = planted_docs(spark, sf_dir)
+    cands = dd.minhash_lsh_candidates(docs)
+    out = _attach_representatives(
+        docs, cands.where(F.col("jaccard") >= _MINHASH_REP_TAU)
+    )
+    cands.unpersist()
     return out
 
 

@@ -893,20 +893,57 @@ _BPE_MERGES = 8
 _BPE_EOW = "</w>"
 
 
-def bpe_merge_table(
+def _bpe_pair_structs() -> F.Column:
+    # built lazily: F.expr needs an active SparkContext at call time
+    return F.expr(
+        "transform(sequence(1, size(syms) - 1),"
+        " i -> struct(element_at(syms, i) as l,"
+        "            element_at(syms, i + 1) as r))"
+    )
+
+
+def _bpe_pair_rows(df, sign: int) -> "DataFrame":
+    """Un-aggregated (l, r, n) adjacent-pair rows over a (cnt, syms)
+    table, n = sign·cnt — raw input to a map-side-combined sum, so a
+    caller can union several signed streams and pay ONE shuffle."""
+    return (
+        df.where(F.size("syms") >= 2)
+        .select(
+            (F.col("cnt") * F.lit(sign)).alias("n"),
+            F.explode(_bpe_pair_structs()).alias("p"),
+        )
+        .select("p.l", "p.r", "n")
+    )
+
+
+def _bpe_pair_counts(df) -> "DataFrame":
+    """(l, r, n) adjacent-pair corpus counts over a (cnt, syms) table —
+    one map-side-combined aggregate."""
+    return _bpe_pair_rows(df, 1).groupBy("l", "r").agg(F.sum("n").alias("n"))
+
+
+def _bpe_merge_expr(a: str, b: str) -> F.Column:
+    """Greedy left-to-right (a,b)→ab merge of the syms array — pure
+    column fold, no Python."""
+    return F.aggregate(
+        F.col("syms"),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_merge_table_full(
     words, n_merges: int = _BPE_MERGES
 ) -> list[tuple[int, str, str, str, int]]:
-    """Sennrich BPE trained distributed: ``words`` is (word, cnt) —
-    the DISTINCT-word count table, which is the whole trick at corpus
-    scale (Zipf: a 100 TB corpus has millions of distinct words, not
-    billions, so every iteration's pair count runs over the vocab
-    weighted by corpus counts, never over raw text). Per iteration:
-    one map-side-combined pair-count aggregate, ONE driver row
-    (TakeOrdered argmax with the deterministic (count desc, pair asc)
-    tiebreak), and a narrow column-expression merge apply (greedy
-    left-to-right via F.aggregate — no Python in the fold). Returns
-    [(step, left, right, merged, pair_count)].
-    """
+    """Reference trainer: per iteration one FULL pair-count aggregate
+    over the whole word table. Kept as the simple baseline the delta
+    trainer is proven against (tests/test_selection.py); the production
+    path is :func:`bpe_merge_table` below."""
     chars = F.expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
     )
@@ -916,16 +953,8 @@ def bpe_merge_table(
     cur.count()
     merges: list[tuple[int, str, str, str, int]] = []
     for step in range(n_merges):
-        pair_structs = F.expr(
-            "transform(sequence(1, size(syms) - 1),"
-            " i -> struct(element_at(syms, i) as l,"
-            "            element_at(syms, i + 1) as r))"
-        )
         best = (
-            cur.where(F.size("syms") >= 2)
-            .select("cnt", F.explode(pair_structs).alias("p"))
-            .groupBy("p.l", "p.r")
-            .agg(F.sum("cnt").alias("n"))
+            _bpe_pair_counts(cur)
             .orderBy(F.col("n").desc(), "l", "r")
             .limit(1)
             .collect()
@@ -933,25 +962,146 @@ def bpe_merge_table(
         if not best:
             break
         a, b, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
-        ab = a + b
-        merges.append((step, a, b, ab, n))
-        merged = F.aggregate(
-            F.col("syms"),
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(a))
-                & (x == F.lit(b)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(ab))
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
-        nxt = cur.select("cnt", merged.alias("syms")).persist()
-        nxt.count()
+        merges.append((step, a, b, a + b, n))
+        nxt = cur.select("cnt", _bpe_merge_expr(a, b).alias("syms"))
+        if (step + 1) % 8 == 0:
+            # truncate lineage: an unpersist-triggered recompute of a
+            # 64-deep nested fold projection StackOverflows the
+            # executor (measured); checkpointing bounds the depth
+            nxt = nxt.localCheckpoint(eager=True)
+        else:
+            nxt = nxt.persist()
+            nxt.count()
         cur.unpersist()
         cur = nxt
     cur.unpersist()
+    return merges
+
+
+def _bpe_has_pair(a: str, b: str) -> F.Column:
+    """Does ``syms`` contain (a, b) ADJACENT? Zip syms with its own
+    tail — empty-safe for 1-symbol words (slice(_, 2, size-1) of a
+    1-element array is []), no And-short-circuit reliance."""
+    syms = F.col("syms")
+    return F.exists(
+        F.zip_with(
+            F.slice(syms, 1, F.greatest(F.size(syms) - 1, F.lit(0))),
+            F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
+            lambda x, y: (x == F.lit(a)) & (y == F.lit(b)),
+        ),
+        lambda hit: hit,
+    )
+
+
+def bpe_merge_table(
+    words, n_merges: int = _BPE_MERGES, compact_every: int = 16
+) -> list[tuple[int, str, str, str, int]]:
+    """Sennrich BPE trained distributed with DELTA updates of BOTH the
+    pair-count table and the word table: ``words`` is (word, cnt) — the
+    DISTINCT-word count table, which is the whole trick at corpus scale
+    (Zipf: a 100 TB corpus has millions of distinct words, not
+    billions, so iterations run over the vocab weighted by corpus
+    counts, never over raw text).
+
+    The HF-tokenizers optimization, distributed: after picking merge
+    (a,b), only words containing ADJACENT (a,b) can change anything.
+    The full-reaggregate baseline (:func:`bpe_merge_table_full`) pays
+    an O(total pairs) explode+shuffle AND an O(vocab) cache rewrite
+    every merge; measured head-to-head that rewrite dominates, so a
+    delta that still rewrites the word table per step is NOT faster
+    (0.67× at 187k vocab). This trainer therefore never rewrites
+    unaffected words:
+
+    - the word table is an immutable localCheckpoint-ed ``base`` plus a
+      small ``overrides`` table holding only words rewritten since the
+      last compaction; the current view is
+      ``base ANTI-JOIN overrides.word ∪ overrides`` — the anti-join is
+      broadcast (override keys are small by construction) so the view
+      costs one map-side cached scan, zero shuffle, zero rewrite;
+    - argmax comes from the persisted global pair table (count desc,
+      pair asc tiebreak — one tiny TakeOrdered collect);
+    - ``affected = view.where(has adjacent (a,b))`` is checkpointed
+      (the iteration's ONE O(vocab) scan); the pair table is patched in
+      ONE small shuffle: union(old pairs, −cnt pair rows from affected,
+      +cnt pair rows from merged affected) → map-side-combined
+      groupBy(l, r).sum — no join (a full-outer join would cost two
+      sort shuffles and can never broadcast); the merged pair's own old
+      count nets out and the n>0 filter drops it;
+    - every ``compact_every`` steps the view is materialized into a new
+      ``base`` (bounding the broadcast key set and the anti-join
+      chain), exactly like LSM compaction.
+
+    Every iterative table is localCheckpoint-ed, never bare-persisted:
+    a persist keeps the logical plan, so lineage either doubles per
+    step (union-of-unions — driver OOM in explainString at step ~8,
+    measured) or nests per step (64-deep fold projections StackOverflow
+    the executor on an unpersist-triggered recompute, measured).
+    Returns [(step, left, right, merged, pair_count)]; sequence
+    bit-identical to :func:`bpe_merge_table_full` and the pure-python
+    reference (tests/test_selection.py: 8 merges on the corpus, 64
+    merges on a synthetic Zipf vocab; tools/bench_bpe.py A/Bs the two
+    trainers at large vocab).
+    """
+    chars = F.expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    )
+    base = words.select(
+        "word", "cnt", F.concat(chars, F.array(F.lit(_BPE_EOW))).alias("syms")
+    ).localCheckpoint(eager=True)
+    # every checkpointed table below is coalesced back to this width:
+    # localCheckpoint PRESERVES partitioning and every union ADDS
+    # partitions, so without the coalesce the partition count follows
+    # p' = 2p + k — exponential task-count growth (measured: ~2× per
+    # step until iterations took 30 s on 182 rows)
+    n_parts = max(1, base.rdd.getNumPartitions())
+    pairs = _bpe_pair_counts(base).localCheckpoint(eager=True)
+    overrides = None  # (word, cnt, syms) rewritten since last compaction
+    merges: list[tuple[int, str, str, str, int]] = []
+
+    def view_df():
+        if overrides is None:
+            return base
+        return base.join(
+            F.broadcast(overrides.select("word")), "word", "left_anti"
+        ).unionByName(overrides)
+
+    for step in range(n_merges):
+        best = pairs.orderBy(F.col("n").desc(), "l", "r").limit(1).collect()
+        if not best or int(best[0]["n"]) <= 0:
+            break
+        a, b, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
+        merges.append((step, a, b, a + b, n))
+        affected = (
+            view_df()
+            .where(_bpe_has_pair(a, b))
+            .coalesce(n_parts)
+            .localCheckpoint(eager=True)
+        )
+        new_ovr = affected.select(
+            "word", "cnt", _bpe_merge_expr(a, b).alias("syms")
+        )
+        pairs = (
+            pairs.unionByName(_bpe_pair_rows(affected, -1))
+            .unionByName(_bpe_pair_rows(new_ovr, 1))
+            .groupBy("l", "r")
+            .agg(F.sum("n").alias("n"))
+            .where(F.col("n") > 0)
+            .localCheckpoint(eager=True)
+        )
+        if overrides is None:
+            overrides = new_ovr.coalesce(n_parts).localCheckpoint(eager=True)
+        else:
+            overrides = (
+                overrides.join(
+                    F.broadcast(affected.select("word")), "word", "left_anti"
+                )
+                .unionByName(new_ovr)
+                .coalesce(n_parts)
+                .localCheckpoint(eager=True)
+            )
+        if (step + 1) % compact_every == 0:
+            base = view_df().coalesce(n_parts).localCheckpoint(eager=True)
+            overrides = None
     return merges
 
 

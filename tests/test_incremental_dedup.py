@@ -109,3 +109,29 @@ def test_connected_components_raises_on_non_convergence(spark):
     # and with enough rounds the same chain labels correctly
     out = {r["id"]: r["root"] for r in connected_components(chain).collect()}
     assert set(out.values()) == {0}
+
+
+def test_representatives_one_row_per_doc_and_idempotent(spark, sf_small):
+    """The representative-output contract that makes this the 100 TB
+    dedup shape: EXACTLY one output row per corpus doc (never the
+    O(cluster²) pair list), rep ≤ doc_id (min-id rep), reps are fixed
+    points (rep of a rep is itself), and every known planted exact
+    duplicate (doc_id + 200000) maps to a rep different from itself."""
+    from etl_migrate_api_spark.plans.extras import (
+        llm_minhash_representatives,
+        llm_simhash_representatives,
+    )
+    from etl_migrate_api_spark.plans.llm_ops import planted_docs
+
+    n_docs = planted_docs(spark, sf_small).count()
+    for fn in (llm_simhash_representatives, llm_minhash_representatives):
+        out = fn(spark, sf_small).toPandas()
+        assert len(out) == n_docs, fn.__name__
+        assert out["doc_id"].is_unique
+        assert (out["rep_id"] <= out["doc_id"]).all()
+        rep_of = dict(zip(out["doc_id"], out["rep_id"]))
+        reps = set(out["rep_id"])
+        assert all(rep_of[r] == r for r in reps), "rep must be a fixed point"
+        exact_copies = out[out["doc_id"] >= 200000]
+        assert len(exact_copies) > 0
+        assert (exact_copies["rep_id"] != exact_copies["doc_id"]).all()

@@ -285,6 +285,55 @@ def test_bpe_merges_match_python_reference(spark, sf_dir):
     assert got == want, (got[:3], want[:3])
 
 
+def test_bpe_delta_matches_full_and_python_at_64_merges(spark):
+    """The production delta-update trainer must stay bit-identical to
+    the full-reaggregate baseline AND a pure-python Sennrich reference
+    over a LONG merge run (64 — where plan-lineage bugs and delta-patch
+    drift would compound), on a synthetic multi-length vocab with a
+    Zipf-ish count skew. Also regression-pins the two failure modes
+    found building this: union-per-step plan doubling (driver OOM in
+    explainString at step ~8) and unpersist-triggered recompute of a
+    64-deep fold lineage (executor StackOverflow)."""
+    from collections import Counter
+
+    from etl_migrate_api_spark.plans.llm_selection import (
+        _BPE_EOW,
+        bpe_merge_table,
+        bpe_merge_table_full,
+    )
+
+    wc = Counter()
+    for i in range(500):
+        w = "".join("abcdefgh"[(i * j + j * j) % 8] for j in range(2 + i % 7))
+        wc[w] += 1 + (9973 // (i + 1))
+    df = spark.createDataFrame(list(wc.items()), "word string, cnt long")
+
+    vocab = {w: list(w) + [_BPE_EOW] for w in wc}
+    want = []
+    for step in range(64):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += wc[w]
+        if not pairs:
+            break
+        (a, b), n = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((step, a, b, a + b, n))
+        for w, syms in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            vocab[w] = out
+
+    assert bpe_merge_table(df, 64) == want
+    assert bpe_merge_table_full(df, 64) == want
+
+
 def test_selection_pipeline_composes_its_stages(spark, sf_dir):
     """Capstone: every kept doc passed the gate, per-lang keeps respect
     the quota, shard/pos is a valid dense assignment."""

@@ -29,12 +29,36 @@ ETYPES = ["view", "click", "purchase", "error", "signup"]
 LANGS = ["en", "zh", "fr", "es", "de"]
 ADJ = ["large", "hot", "blue", "old", "red", "small", "dark", "pale"]
 NOUN = ["ring", "bolt", "plate", "wheel", "cap", "rod", "pin", "gear"]
-VOCAB = [
-    "spark", "line", "column", "order", "small", "sort", "fast", "value",
-    "scan", "a", "hash", "slow", "group", "batch", "the", "query", "agg",
-    "table", "vector", "part", "customer", "stream", "key", "window",
-    "join", "merge", "big", "filter", "data", "bloom",
+# Document text vocabulary: 6,400 distinct terms with a Zipf(1) rank
+# distribution and per-source head rotation. The earlier 30-word
+# uniform vocab made every document near-identical in shingle space, so
+# sf-scaling numbers for the dedup family measured the generator's
+# self-similarity, not the plans (near-dup pair counts grew 43× at 10×
+# data). Words are composed from base-40 syllable digits of the rank —
+# injective (2 syllables below rank 1600, 3 above), so the vocab is
+# exactly _ZIPF_V distinct strings without a 6k-literal array.
+SYLLABLES = [
+    "ba", "ce", "di", "fo", "gu", "ha", "je", "ki", "lo", "mu",
+    "na", "pe", "qui", "ro", "su", "ta", "ve", "wi", "xo", "yu",
+    "zan", "ber", "cil", "dom", "fen", "gor", "hul", "jam", "ker", "lin",
+    "mos", "nur", "pal", "rec", "sil", "tor", "vus", "wen", "xil", "yor",
 ]
+_ZIPF_V = 6400  # ≤ 40³, so 3 syllable digits stay injective
+
+
+def _zipf_word(rank: F.Column) -> F.Column:
+    """rank ∈ [0, _ZIPF_V) → its unique syllable-composed word."""
+    syl = F.array(*[F.lit(s) for s in SYLLABLES])
+    d0 = F.element_at(syl, (F.pmod(rank, F.lit(40)) + 1).cast("int"))
+    d1 = F.element_at(
+        syl, (F.pmod(F.floor(rank / 40), F.lit(40)) + 1).cast("int")
+    )
+    d2 = F.element_at(
+        syl, (F.pmod(F.floor(rank / 1600), F.lit(40)) + 1).cast("int")
+    )
+    return F.when(rank < 1600, F.concat(d0, d1)).otherwise(
+        F.concat(d0, d1, d2)
+    )
 
 
 def _u(*cols, salt: int) -> F.Column:
@@ -143,12 +167,30 @@ def gen_tables(spark: SparkSession, sf: float) -> dict[str, DataFrame]:
         ).alias("props"),
     )
     n_words = (F.pmod(F.xxhash64("id", F.lit(30)), F.lit(72)) + 8).cast("int")
+    # Zipf(1) rank via inverse-CDF: u ~ U[0,1) → floor(V^u) − 1 has
+    # P(rank = k) ≈ 1/((k+1)·ln V); per-source rotation (src·997 mod V)
+    # gives every source its own head terms — corpus-level dedup work
+    # then scales with real overlap, not a shared 30-word head
+    src_id = F.pmod(F.xxhash64("id", F.lit(33)), F.lit(20))
     text = F.array_join(
         F.transform(
             F.sequence(F.lit(1), n_words),
-            lambda i: F.element_at(
-                F.array(*[F.lit(w) for w in VOCAB]),
-                (F.pmod(F.xxhash64(F.col("id"), i, F.lit(31)), F.lit(len(VOCAB))) + 1).cast("int"),
+            lambda i: _zipf_word(
+                F.pmod(
+                    F.floor(
+                        F.pow(
+                            F.lit(float(_ZIPF_V)),
+                            F.pmod(
+                                F.xxhash64(F.col("id"), i, F.lit(31)),
+                                F.lit(1_000_000),
+                            )
+                            / 1.0e6,
+                        )
+                    ).cast("long")
+                    - 1
+                    + src_id * 997,
+                    F.lit(_ZIPF_V),
+                )
             ),
         ),
         " ",
