@@ -542,6 +542,43 @@ def llm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("llm_model_embed", oracle=None)
+def llm_model_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-inference embeddings over real PNG blobs: decode → resize
+    → normalize → one batched GEMM per Arrow chunk through the
+    env-gated encoder hook (operators/encoder.py). The backend here is
+    the deterministic random-projection encoder — the same batched
+    matrix-multiply shape as a real model's final layer, dependency-
+    free and bit-reproducible; setting SPARK_GRAFT_ONNX_MODEL /
+    SPARK_GRAFT_TORCH_MODEL swaps in a real session with NO plan
+    change. Rows-only check (float inference has no SQL twin);
+    exactness + worker-side batching pinned in tests/test_encoder.py."""
+    from etl_migrate_api_spark.operators.encoder import (
+        model_embed,
+        projection_encoder,
+    )
+    from etl_migrate_api_spark.operators.multimodal import (
+        encode_images,
+        fake_media_table,
+    )
+
+    docs = load(spark, "documents", sf_dir)
+    media = fake_media_table(docs).where(F.col("media_type") == "image")
+    pixels = media.select(
+        "media_id", F.substring("content", 34, 48).alias("pixels")
+    )
+    pngs = encode_images(pixels, 4, 4, "RGB")
+    out = model_embed(pngs, encoder=projection_encoder(dim=16))
+    return out.select(
+        "media_id",
+        F.round(F.element_at("embedding", 1), 6).alias("e0"),
+        F.round(F.element_at("embedding", 16), 6).alias("e15"),
+        F.size("embedding").alias("dim"),
+        "encoder",
+        "ok",
+    )
+
+
 # ---------------------------------------------------------------- text analysis
 
 _STOPWORD_SQL_LIST = (

@@ -978,19 +978,27 @@ def bpe_merge_table_full(
     return merges
 
 
-def _bpe_has_pair(a: str, b: str) -> F.Column:
-    """Does ``syms`` contain (a, b) ADJACENT? Zip syms with its own
-    tail — empty-safe for 1-symbol words (slice(_, 2, size-1) of a
-    1-element array is []), no And-short-circuit reliance."""
-    syms = F.col("syms")
-    return F.exists(
-        F.zip_with(
-            F.slice(syms, 1, F.greatest(F.size(syms) - 1, F.lit(0))),
-            F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
-            lambda x, y: (x == F.lit(a)) & (y == F.lit(b)),
-        ),
-        lambda hit: hit,
+_BPE_SEP = "\x1f"  # unit separator — never a corpus-token character
+
+
+def _bpe_joined(syms: F.Column) -> F.Column:
+    """Separator-wrapped flat form ``␟s1␟s2␟…␟sn␟`` of the syms array —
+    maintained alongside it so the per-iteration adjacency scan is one
+    JVM string ``contains`` instead of a zip_with/exists lambda over
+    array slices (the lambda version made the vocab scan the delta
+    trainer's bottleneck: profiled ~2× slower end-to-end at 2M vocab)."""
+    return F.concat(
+        F.lit(_BPE_SEP), F.array_join(syms, _BPE_SEP), F.lit(_BPE_SEP)
     )
+
+
+def _bpe_has_pair(a: str, b: str) -> F.Column:
+    """Does the word contain (a, b) ADJACENT? Exact test via the
+    ``joined`` column: ``␟a␟b␟`` occurs in ``␟s1␟…␟sn␟`` iff some i has
+    (syms[i], syms[i+1]) == (a, b) — separators delimit whole symbols,
+    so no substring false positives (symbols cannot contain the
+    separator; bpe_merge_table rejects such input at entry)."""
+    return F.col("joined").contains(_BPE_SEP + a + _BPE_SEP + b + _BPE_SEP)
 
 
 def bpe_merge_table(
@@ -1020,8 +1028,12 @@ def bpe_merge_table(
       costs one map-side cached scan, zero shuffle, zero rewrite;
     - argmax comes from the persisted global pair table (count desc,
       pair asc tiebreak — one tiny TakeOrdered collect);
-    - ``affected = view.where(has adjacent (a,b))`` is checkpointed
-      (the iteration's ONE O(vocab) scan); the pair table is patched in
+    - ``affected = view.where(has adjacent (a,b))`` is checkpointed —
+      the iteration's ONE O(vocab) scan, and it is a plain string
+      ``contains`` over a maintained separator-joined symbol column
+      (an exact adjacency test; the zip_with/exists lambda it replaced
+      was the measured bottleneck at 2M vocab); the pair table is
+      patched in
       ONE small shuffle: union(old pairs, −cnt pair rows from affected,
       +cnt pair rows from merged affected) → map-side-combined
       groupBy(l, r).sum — no join (a full-outer join would cost two
@@ -1042,11 +1054,20 @@ def bpe_merge_table(
     merges on a synthetic Zipf vocab; tools/bench_bpe.py A/Bs the two
     trainers at large vocab).
     """
+    if words.where(F.col("word").contains(_BPE_SEP)).limit(1).count():
+        raise ValueError(
+            "bpe_merge_table: input words must not contain the \\x1f "
+            "unit separator (reserved for the adjacency index)"
+        )
     chars = F.expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
     )
+    syms0 = F.concat(chars, F.array(F.lit(_BPE_EOW)))
     base = words.select(
-        "word", "cnt", F.concat(chars, F.array(F.lit(_BPE_EOW))).alias("syms")
+        "word",
+        "cnt",
+        syms0.alias("syms"),
+        _bpe_joined(syms0).alias("joined"),
     ).localCheckpoint(eager=True)
     # every checkpointed table below is coalesced back to this width:
     # localCheckpoint PRESERVES partitioning and every union ADDS
@@ -1077,8 +1098,12 @@ def bpe_merge_table(
             .coalesce(n_parts)
             .localCheckpoint(eager=True)
         )
+        merged_syms = _bpe_merge_expr(a, b)
         new_ovr = affected.select(
-            "word", "cnt", _bpe_merge_expr(a, b).alias("syms")
+            "word",
+            "cnt",
+            merged_syms.alias("syms"),
+            _bpe_joined(merged_syms).alias("joined"),
         )
         pairs = (
             pairs.unionByName(_bpe_pair_rows(affected, -1))

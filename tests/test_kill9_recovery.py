@@ -167,3 +167,117 @@ def test_kill9_between_sink_and_state_write(spark, tmp_path):
 
 def test_kill9_mid_state_bucket_swap(spark, tmp_path):
     _crash_then_rerun(spark, tmp_path, "mid_bucket_swap")
+
+
+# ---------------------------------------------------------------------------
+# Offset-log (Kafka-shaped source) EOS under SIGKILL
+# ---------------------------------------------------------------------------
+
+_OL_CHILD = """
+import os, signal, sys
+sys.path.insert(0, {repo!r})
+topic_dir, sink_dir, mode = sys.argv[1], sys.argv[2], sys.argv[3]
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[2]").appName("kill9-offsetlog")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+import etl_migrate_api_spark.streaming.offset_log as ol
+
+if mode == "before_current_swap":
+    # die AFTER the new (state, offsets) version dir is fully published
+    # but BEFORE the CURRENT pointer moves (fires on the FIRST commit:
+    # v-0 exists on disk, CURRENT never written): the batch looks done,
+    # but is not committed — the rerun must replay it in full and must
+    # NOT double-count (the stale v-dir is cleared and redone)
+    def killing_swap(self, name):
+        os.kill(os.getpid(), signal.SIGKILL)
+    ol.TransactionalStateSink._swap_current = killing_swap
+elif mode == "mid_version_write":
+    # die while the version's state parquet is still a .tmp dir —
+    # nothing was published; the rerun replays the batch
+    real_rename = ol.os.rename
+    def killing_rename(src, dst):
+        if dst.endswith("v-1"):
+            os.kill(os.getpid(), signal.SIGKILL)
+        real_rename(src, dst)
+    ol.os.rename = killing_rename
+else:
+    raise SystemExit(f"unknown mode {{mode}}")
+
+# before_current_swap kills batch 0's pointer swap (v-0 published,
+# never current); mid_version_write lets batch 0 commit and kills
+# batch 1's dir publish (v-1 still a .tmp) — max 2 records/partition
+# forces the multi-batch schedule
+ol.offset_log_fold_loop(
+    spark, topic_dir, sink_dir, max_records_per_partition=2
+)
+print("CHILD-COMPLETED")  # unreachable on a working kill hook
+""".format(repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _ol_crash_then_rerun(spark, tmp_path, mode):
+    import datetime
+
+    from etl_migrate_api_spark.streaming.offset_log import (
+        OffsetLogTopic,
+        offset_log_fold_loop,
+    )
+
+    topic_dir = str(tmp_path / "topic")
+    crash_sink = str(tmp_path / f"sink_{mode}")
+    ref_sink = str(tmp_path / f"ref_{mode}")
+    topic = OffsetLogTopic(spark, topic_dir, n_partitions=2)
+    ts = datetime.datetime(2024, 1, 1)
+    keys = ["a"] * 4 + ["b"] * 3 + ["c"] * 2 + ["d"]
+    topic.append(
+        spark.createDataFrame(
+            [(k, f"v{i}", ts) for i, k in enumerate(keys)],
+            "key string, value string, ts timestamp",
+        )
+    )
+
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _OL_CHILD, topic_dir, crash_sink, mode],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        start_new_session=True,
+    )
+    out, _ = proc.communicate(timeout=300)
+    try:
+        os.killpg(proc.pid, signal.SIGKILL)
+    except ProcessLookupError:
+        pass
+    assert proc.returncode == -signal.SIGKILL, (proc.returncode, out)
+    assert "CHILD-COMPLETED" not in out, "kill hook never fired"
+
+    # clean rerun over the torn sink + a never-crashed reference run
+    got = {
+        r["key"]: r["n"]
+        for r in offset_log_fold_loop(
+            spark, topic_dir, crash_sink, max_records_per_partition=2
+        ).collect()
+    }
+    want = {
+        r["key"]: r["n"]
+        for r in offset_log_fold_loop(spark, topic_dir, ref_sink).collect()
+    }
+    assert got == want == {"a": 4, "b": 3, "c": 2, "d": 1}, (got, want)
+    # offsets recorded with the state equal the topic end — fully caught up
+    from etl_migrate_api_spark.streaming.offset_log import (
+        TransactionalStateSink,
+    )
+
+    _, offsets, _ = TransactionalStateSink(spark, crash_sink).read()
+    assert offsets == topic.end_offsets()
+
+
+def test_kill9_offset_log_before_current_swap(spark, tmp_path):
+    _ol_crash_then_rerun(spark, tmp_path, "before_current_swap")
+
+
+def test_kill9_offset_log_mid_version_write(spark, tmp_path):
+    _ol_crash_then_rerun(spark, tmp_path, "mid_version_write")
