@@ -466,3 +466,22 @@ def test_transition_matrix_single_user_window_exchange(spark, sf_dir, queries):
     assert "rangepartitioning" not in plan
     assert "hashpartitioning(user_id" in plan
     assert "EvalPython" not in plan
+
+
+def test_representative_queries_no_cartesian_and_bounded_output(
+    spark, sf_dir, queries
+):
+    """The representative-assignment queries are the near-dup family's
+    scale-safe output: their final corpus-key join must be a hash/
+    broadcast equi-join (never a nested-loop/cartesian — the whole
+    point is escaping O(cluster²)), and the output is structurally one
+    row per doc (left join on unique component labels)."""
+    from etl_migrate_api_spark.plans.llm_ops import planted_docs
+
+    n_docs = planted_docs(spark, sf_dir).count()
+    for q in ("llm_simhash_representatives", "llm_minhash_representatives"):
+        df = queries[q].fn(spark, sf_dir)
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+        assert df.count() == n_docs, q
