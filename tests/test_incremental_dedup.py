@@ -135,3 +135,38 @@ def test_representatives_one_row_per_doc_and_idempotent(spark, sf_small):
         exact_copies = out[out["doc_id"] >= 200000]
         assert len(exact_copies) > 0
         assert (exact_copies["rep_id"] != exact_copies["doc_id"]).all()
+
+
+def test_minhash_permutations_are_independent():
+    """Regression pin for the correlated-permutation bug: the original
+    family set a_s = (s+1)·A mod P, b_s = (s+1)·B mod P, making every
+    permutation a scalar multiple of the first — π_s(h) = (s+1)·π_0(h)
+    mod P — so a shingle with a tiny π_0 value stayed the minimum
+    across many seeds at once and unrelated docs sharing one popular
+    shingle collided on whole 8-row bands (measured 140× the
+    theoretical band-collision rate: 1.1M jaccard<0.2 candidates at
+    sf1 on a Zipf corpus; 3.2k after the fix). Independent coefficients
+    must pick 16 DISTINCT argmin shingles over a fixed 2000-shingle
+    universe (the linear family picks only 10 on this same universe)
+    and keep per-seed P(minhash match) = jaccard."""
+    import hashlib
+
+    from etl_migrate_api_spark.operators.dedup import (
+        MINHASH_P,
+        MINHASH_PARAMS,
+        N_HASHES,
+    )
+
+    assert len(MINHASH_PARAMS) == N_HASHES
+    hs = [
+        int(hashlib.md5(f"sh{i}".encode()).hexdigest()[:15], 16) % MINHASH_P
+        for i in range(2000)
+    ]
+    argmins = set()
+    for _, a, b in MINHASH_PARAMS:
+        vals = [(a * h + b) % MINHASH_P for h in hs]
+        argmins.add(vals.index(min(vals)))
+    assert len(argmins) == N_HASHES, (
+        f"only {len(argmins)} distinct per-seed minima over a 2000-"
+        "shingle universe — permutations are correlated"
+    )
