@@ -857,6 +857,127 @@ def llm_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_bigram_logprob_score",
+    oracle="""
+      with toks as (
+        select doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '[ \\t\\r\\n\\f]+'),
+                           x -> x <> '') as t
+        from documents
+      ),
+      big as (
+        select doc_id, t[i] as w1, t[i + 1] as w2
+        from toks, unnest(generate_series(1, len(t) - 1)) as g(i)
+        where len(t) >= 2
+      ),
+      bf as (
+        select doc_id, w1, w2, count(*) as f
+        from big group by doc_id, w1, w2
+      ),
+      cb as (select w1, w2, cast(sum(f) as double) as c from bf group by w1, w2),
+      ch as (select w1, cast(sum(c) as double) as h from cb group by w1),
+      uni as (
+        select tok, cast(count(*) as double) as cu
+        from (select unnest(t) as tok from toks) group by tok
+      ),
+      tot as (select cast(sum(cu) as double) as n from uni)
+      select bf.doc_id,
+             cast(sum(bf.f) as bigint) as n_bigrams,
+             round(sum(bf.f * ln(0.75 * (cb.c / ch.h) + 0.25 * (uni.cu / tot.n)))
+                   / sum(bf.f), 4) as avg_logprob
+      from bf
+      join cb on bf.w1 = cb.w1 and bf.w2 = cb.w2
+      join ch on bf.w1 = ch.w1
+      join uni on bf.w2 = uni.tok
+      cross join tot
+      group by bf.doc_id
+    """,
+)
+def llm_bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained INTERPOLATED bigram LM score per document — one
+    step up the KenLM ladder from llm_unigram_logprob_score:
+    score = mean over a doc's bigrams of
+    ln(0.75·P(w2|w1) + 0.25·P(w2)), the Jelinek-Mercer two-level
+    interpolation that keeps unseen-in-head contexts finite without a
+    discounting table (every bigram in the corpus IS in the model here,
+    since train and score run over the same corpus — the interpolation
+    weight is what transfers when scoring held-out text against a
+    pretrained count table).
+
+    Scale shape mirrors the unigram query: per-doc bigram frequencies
+    FIRST (groupBy(doc_id, w1, w2) shrinks every downstream join to
+    distinct doc-bigram rows), then equi-joins against the bigram
+    count, head-margin and unigram tables. The w1 joins are hot on
+    stopword heads ('the …' is a huge key) — AQE skew-join splitting
+    territory, same as the unigram tok join. Adjacent pairs come from
+    zip_with over two array slices — no posexplode self-join, the
+    array never leaves the row. Four aggregates derive from two base
+    tables (doc-bigram freqs, token stream); WITHOUT a materialization
+    barrier Catalyst expands every derived branch back to its own
+    parquet scan — 5 corpus re-tokenizations (measured in the first
+    plan). bf and the tokenized corpus are persisted so the plan reads
+    the corpus ONCE; at 100 TB both caches are the shrunk artifacts
+    (distinct doc-bigrams, doc-token arrays) a real run would
+    checkpoint anyway. Rounded to 4dp: double summation order differs
+    between engines and 1e-12 tails must not flip the hash."""
+    from etl_migrate_api_spark.functions.text import ws_tokens
+
+    docs = load(spark, "documents", sf_dir)
+    toks = dd._spread(
+        docs.select("doc_id", ws_tokens("text").alias("t"))
+    ).persist()
+    big = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("t", 1, F.size("t") - 1),
+                    F.slice("t", 2, F.size("t") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    bf = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("f"))
+    bf = bf.persist()
+    uni = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("cu"))
+    )
+    uni = uni.persist()
+    bf.count()
+    uni.count()
+    toks.unpersist()
+    cb = bf.groupBy("w1", "w2").agg(F.sum("f").cast("double").alias("c"))
+    ch = cb.groupBy("w1").agg(F.sum("c").alias("h"))
+    tot = uni.agg(F.sum("cu").alias("n"))
+    return (
+        bf.join(cb, ["w1", "w2"])
+        .join(ch, "w1")
+        .join(uni, bf["w2"] == uni["tok"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("f").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum(
+                    F.col("f")
+                    * F.log(
+                        0.75 * (F.col("c") / F.col("h"))
+                        + 0.25 * (F.col("cu") / F.col("n"))
+                    )
+                )
+                / F.sum("f"),
+                4,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF keyword extraction
 # ---------------------------------------------------------------------------
@@ -1285,6 +1406,50 @@ def llm_video_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = media.select("media_id", "content").unionByName(
         media.where(F.col("media_id") % 9 == 2).select(
             (F.col("media_id") + 700000).alias("media_id"), "content"
+        )
+    )
+    sigs = video_phash_table(planted).persist()
+    sigs.count()
+    out = hamming64_pairs(sigs, max_hamming=3).orderBy("id_a", "id_b")
+    out = out.persist()
+    out.count()
+    sigs.unpersist()
+    return out
+
+
+@register("llm_mjpeg_keyframe_dedup")
+def llm_mjpeg_keyframe_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup over a COMPRESSED codec with zero third-party
+    decoders: deterministic Motion-JPEG AVIs (operators/video.py::
+    fake_avi_table — RIFF mux of per-frame baseline JPEGs, ids cycling
+    4:4:4/4:2:0) → real container walk + per-frame Huffman+IDCT entropy
+    decode (decode_avi_mjpeg_one over the repo's own jpeg.py) → first-
+    keyframe luma pHash → the shared Manku pigeonhole band join. The
+    same video_phash_table dispatches Y4M and AVI blobs by magic bytes,
+    so a mixed-container corpus dedups in ONE pass. Planted exact byte
+    copies (media_id+800000) land at hamming 0. Rows-only: the codec
+    has no SQL mirror; mux/walk/decode gates live in
+    tests/test_video_avi.py (pinned CRCs, idx1 offsets, luma fidelity,
+    corrupt-input rejection)."""
+    from etl_migrate_api_spark.operators.dedup import _spread, hamming64_pairs
+    from etl_migrate_api_spark.operators.video import (
+        fake_avi_table,
+        video_phash_table,
+    )
+
+    docs = load(spark, "documents", sf_dir)
+    # the encode+decode work is pure CPU — cover every core (see
+    # llm_jpeg_phash_dedup); % 4 keeps the planted corpus a disjoint
+    # slice from the JPEG query's % 3 so the two don't cache-collide
+    ids = _spread(
+        docs.where(F.col("doc_id") % 4 == 1).select(
+            F.col("doc_id").alias("media_id")
+        )
+    )
+    avis = fake_avi_table(ids)
+    planted = avis.unionByName(
+        avis.where(F.col("media_id") % 5 == 1).select(
+            (F.col("media_id") + 800000).alias("media_id"), "content"
         )
     )
     sigs = video_phash_table(planted).persist()
