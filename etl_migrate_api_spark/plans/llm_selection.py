@@ -1153,6 +1153,101 @@ def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_encode_words(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply a trained merge list to the DISTINCT-word table →
+    ``(word, toks array<string>)`` — the tokenizer APPLY step, which at
+    corpus scale is the dominant preprocessing op (every retained byte
+    flows through it once per training run).
+
+    Scale shape: encoding is done once per DISTINCT word (Zipf: a
+    100 TB corpus has millions of distinct words, not trillions — the
+    same asymmetry the trainer exploits), with the merge-rank dict
+    shipped in the task closure (a full 32k-merge vocab is ~1 MB — the
+    faiss-centroid pattern, not a join). Per-doc token streams are then
+    a broadcast-joinable (word → toks) lookup away; corpus-level token
+    statistics re-weight by word count with built-in aggregates and
+    never touch Python again. The per-word loop is the HF-tokenizers
+    algorithm: repeatedly merge the LOWEST-RANK adjacent pair, all
+    occurrences left-to-right — proven in tests/test_selection.py to
+    produce exactly the tokens of a Sennrich in-training-order replay
+    (the two formulations are equivalent when ranks come from the
+    greedy trainer: a merge can only create pairs whose rules were
+    learned later, so the next applicable rule is always the lowest
+    rank present). Words carry the trainer's ``</w>`` end-of-word
+    marker — merges learned against it (word-final fusions) must see
+    it at encode time too."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for w in pdf["word"]:
+                syms = list(w) + [_BPE_EOW]
+                while len(syms) > 1:
+                    best_rank = None
+                    for i in range(len(syms) - 1):
+                        r = ranks.get((syms[i], syms[i + 1]))
+                        if r is not None and (best_rank is None or r < best_rank):
+                            best_rank = r
+                    if best_rank is None:
+                        break
+                    left, right = merges[best_rank]
+                    new: list[str] = []
+                    i = 0
+                    while i < len(syms):
+                        if (
+                            i < len(syms) - 1
+                            and syms[i] == left
+                            and syms[i + 1] == right
+                        ):
+                            new.append(left + right)
+                            i += 2
+                        else:
+                            new.append(syms[i])
+                            i += 1
+                    syms = new
+                out.append(syms)
+            yield pd.DataFrame({"word": list(pdf["word"]), "toks": out})
+
+    return words.select("word").mapInPandas(enc, "word string, toks array<string>")
+
+
+@register("llm_bpe_encode", survey_refs=("A3", "T8"))
+def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the corpus-trained BPE: train the merge
+    table (bpe_merge_table), encode each DISTINCT word once
+    (bpe_encode_words), then the corpus token histogram — top 50
+    (token, total) weighted by word frequency. Train + apply is the
+    complete tokenizer lifecycle; the histogram is the artifact a
+    data pipeline publishes with a tokenizer (vocab coverage, token
+    fertility). Rows-only: the merge loop has no SQL mirror; encode
+    parity, the concat invariant and full-histogram mass conservation
+    are pytest gates (tests/test_selection.py)."""
+    docs = load(spark, "documents", sf_dir)
+    words = (
+        docs.select(F.explode(_ws_tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    words = words.persist()
+    merges = bpe_merge_table(words, _BPE_MERGES)
+    enc = bpe_encode_words(words, [(m[1], m[2]) for m in merges])
+    out = (
+        enc.join(words, "word")
+        .select(F.explode("toks").alias("token"), "cnt")
+        .groupBy("token")
+        .agg(F.sum("cnt").cast("bigint").alias("total"))
+        .orderBy(F.desc("total"), "token")
+        .limit(50)
+    )
+    out = out.persist()
+    out.count()
+    words.unpersist()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Selection-pipeline capstone: gate → DSIR score → per-lang quota → shards
 # ---------------------------------------------------------------------------

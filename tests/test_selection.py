@@ -451,3 +451,76 @@ def test_kcore_matches_python_fixpoint(spark, sf_dir):
     assert got == alive
     for h in got:
         assert len(adj[h] & got) >= _KCORE_K
+
+
+def test_bpe_encode_parity_and_mass_conservation(spark, sf_dir):
+    """bpe_encode_words (HF-style lowest-rank-pair loop) must produce
+    EXACTLY the tokens of a Sennrich in-training-order replay of the
+    same merge list on every corpus word; every encoding must
+    concatenate back to word + </w>; and the full (un-limited) corpus
+    token histogram must conserve token mass:
+    sum(token totals) == sum(word_cnt · len(toks))."""
+    from pyspark.sql import functions as F
+
+    from etl_migrate_api_spark.functions.text import ws_tokens
+    from etl_migrate_api_spark.plans.llm_selection import (
+        _BPE_EOW,
+        bpe_encode_words,
+        bpe_merge_table,
+        llm_bpe_encode,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = (
+        docs.select(F.explode(ws_tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    merges = bpe_merge_table(words, 8)
+    pairs = [(m[1], m[2]) for m in merges]
+
+    enc = {
+        r["word"]: list(r["toks"])
+        for r in bpe_encode_words(words, pairs).collect()
+    }
+    counts = {r["word"]: r["cnt"] for r in words.collect()}
+    assert set(enc) == set(counts)
+    for w, toks in enc.items():
+        # Sennrich replay: apply each merge in training order, all
+        # occurrences left-to-right (the trainer's own update rule)
+        syms = list(w) + [_BPE_EOW]
+        for a, b in pairs:
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms = out
+        assert toks == syms, (w, toks, syms)
+        assert "".join(toks) == w + _BPE_EOW
+
+    hist = (
+        bpe_encode_words(words, pairs)
+        .join(words, "word")
+        .select(F.explode("toks").alias("token"), "cnt")
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("total"))
+        .collect()
+    )
+    mass = sum(r["total"] for r in hist)
+    want_mass = sum(counts[w] * len(t) for w, t in enc.items())
+    assert mass == want_mass
+
+    out = llm_bpe_encode(spark, sf_dir).collect()
+    # 8 merges over a lowercase-ascii corpus: the token inventory is
+    # chars + </w> + 8 merged symbols — may be under the top-50 cap
+    assert len(out) == min(50, len(hist))
+    totals = [r["total"] for r in out]
+    assert totals == sorted(totals, reverse=True)
+    top = {r["token"]: r["total"] for r in out}
+    by_tok = {r["token"]: r["total"] for r in hist}
+    for tok, tot in top.items():
+        assert by_tok[tok] == tot
+    words.unpersist()
