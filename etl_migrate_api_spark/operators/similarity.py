@@ -61,6 +61,108 @@ def bruteforce_topk(
     return _rank_topk(scored, k)
 
 
+MMR_LAMBDA = 0.7  # relevance weight; diversity penalty weight is MMR_MU
+MMR_MU = 0.3  # spelled as its own double (NOT 1-λ: (1-0.7) is
+# 0.30000000000000004 in binary, while the oracle's SQL literal 0.3
+# parses to 0.299999…88 — the constants must be the SAME double on
+# both engines, so both sides parse the literal "0.3")
+
+
+def _seq_cosine(x, y) -> float:
+    """Sequential-order double cosine — bit-identical to the JVM HOF
+    path (functions/vectors.py: left-to-right aggregate over
+    cast-to-double elements) and to DuckDB's list_dot_product over
+    DOUBLE[], so MMR scores computed from it agree across engines
+    without tolerance games. NOT numpy GEMM: blocked summation changes
+    addition order, and the last bits are what survive a round(…, 9)."""
+    dp = na = nb = 0.0
+    for xi, yi in zip(x, y):
+        xi = float(xi)
+        yi = float(yi)
+        dp += xi * yi
+        na += xi * xi
+        nb += yi * yi
+    import math
+
+    denom = math.sqrt(na) * math.sqrt(nb)
+    return dp / denom if denom > 0 else 0.0
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_candidates: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998):
+    exact-cosine top-``n_candidates`` per query, then greedy selection
+    of ``k`` — each step takes the argmax of
+    ``λ·sim(q,d) − μ·max_{s∈S} sim(d,s)`` (ties by neighbor_id), the
+    standard diversity rerank between retrieval and a RAG context
+    window. Output: (query_id, mmr_rank, neighbor_id).
+
+    Scale shape: candidate generation is the distributed part
+    (broadcast queries × corpus scan + per-query WindowGroupLimit —
+    identical to bruteforce_topk); the greedy loop runs per query over
+    ≤ n_candidates rows inside one applyInPandas group, which is how a
+    reranker should sit on a cluster — O(k·n²) work on n≈tens never
+    justifies a shuffle per step. Engine-exactness: scores are rounded
+    to 9dp before each argmax and every pairwise cosine is a
+    sequential double sum (_seq_cosine), so the DuckDB oracle's
+    unrolled greedy steps pick identical ids."""
+    import pandas as pd
+
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = q.join(c, F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        "cv",
+        cosine_similarity(F.col("qv"), F.col("cv")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    cand = scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= n_candidates
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        vecs = [[float(v) for v in x] for x in pdf["cv"]]
+        sims = [float(s) for s in pdf["sim"]]
+        ids = [int(i) for i in pdf["neighbor_id"]]
+        n = len(ids)
+        pair = [[1.0] * n for _ in range(n)]
+        for i in range(n):
+            for j in range(i + 1, n):
+                pair[i][j] = pair[j][i] = _seq_cosine(vecs[i], vecs[j])
+        chosen: list[int] = []
+        remaining = list(range(n))
+        while remaining and len(chosen) < k:
+            best = None
+            for i in remaining:
+                pen = max(pair[i][j] for j in chosen) if chosen else 0.0
+                score = round(MMR_LAMBDA * sims[i] - MMR_MU * pen, 9)
+                key = (-score, ids[i])
+                if best is None or key < best[0]:
+                    best = (key, i)
+            chosen.append(best[1])
+            remaining.remove(best[1])
+        return pd.DataFrame(
+            {
+                "query_id": [int(pdf["query_id"].iloc[0])] * len(chosen),
+                "mmr_rank": list(range(1, len(chosen) + 1)),
+                "neighbor_id": [ids[i] for i in chosen],
+            }
+        )
+
+    return cand.groupBy("query_id").applyInPandas(
+        pick, "query_id bigint, mmr_rank int, neighbor_id bigint"
+    )
+
+
 def hyperplane_weights(n_planes: int, dim: int) -> list[list[int]]:
     """Deterministic ±1 hyperplane weights: plane p, dimension d gets
     the low bit of md5(f"{p}_{d}")'s first hex nibble, mapped to ±1.

@@ -349,6 +349,107 @@ def llm_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.bruteforce_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
+def _mmr_oracle(k: int = 5, n_cand: int = 12, n_queries: int = 5) -> str:
+    """Fully-unrolled greedy MMR as DuckDB CTEs (the graph-operator
+    oracle style): candidates by double-cosine rank, a pairwise-sim
+    table, then one (rem → sc → sel) block per greedy step, each
+    anti-joining the union of all previous selections. Doubles stay
+    bit-compatible with the Spark path because every cosine is a
+    sequential double sum on BOTH engines (list_dot_product over
+    DOUBLE[] vs operators/similarity.py::_seq_cosine) and scores are
+    rounded to 9dp before each argmax; λ/μ are the parsed literals
+    0.7/0.3 on both sides (never 1−0.7, which is a different double)."""
+    cos = (
+        "list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+    parts = [
+        f"""
+      emb as (select vec_id, cast(embedding as double[]) as v from embeddings),
+      q as (select vec_id as query_id, v as qv from emb where vec_id < {n_queries}),
+      scored as (
+        select q.query_id, e.vec_id as neighbor_id, e.v as cv,
+               {cos.format(a='q.qv', b='e.v')} as sim
+        from q join emb e on e.vec_id <> q.query_id
+      ),
+      cand as (
+        select * from (
+          select query_id, neighbor_id, cv, sim,
+                 row_number() over (partition by query_id
+                                    order by sim desc, neighbor_id) as rnk
+          from scored) where rnk <= {n_cand}
+      ),
+      pair as (
+        select a.query_id, a.neighbor_id as ia, b.neighbor_id as ib,
+               {cos.format(a='a.cv', b='b.cv')} as s
+        from cand a join cand b on a.query_id = b.query_id
+                                and a.neighbor_id <> b.neighbor_id
+      ),
+      sel1 as (
+        select query_id, neighbor_id from (
+          select query_id, neighbor_id,
+                 row_number() over (partition by query_id
+                                    order by round(0.7 * sim, 9) desc,
+                                             neighbor_id) as rn
+          from cand) where rn = 1
+      )"""
+    ]
+    sels = ["sel1"]
+    for step in range(2, k + 1):
+        prev_union = " union all ".join(
+            f"select query_id, neighbor_id from {s}" for s in sels
+        )
+        parts.append(
+            f"""
+      prev{step} as ({prev_union}),
+      rem{step} as (
+        select c.query_id, c.neighbor_id, c.sim
+        from cand c
+        left join prev{step} d on d.query_id = c.query_id
+                              and d.neighbor_id = c.neighbor_id
+        where d.neighbor_id is null
+      ),
+      sc{step} as (
+        select r.query_id, r.neighbor_id,
+               round(0.7 * r.sim - 0.3 * max(p.s), 9) as score
+        from rem{step} r
+        join prev{step} ps on ps.query_id = r.query_id
+        join pair p on p.query_id = r.query_id
+                   and p.ia = r.neighbor_id and p.ib = ps.neighbor_id
+        group by r.query_id, r.neighbor_id, r.sim
+      ),
+      sel{step} as (
+        select query_id, neighbor_id from (
+          select query_id, neighbor_id,
+                 row_number() over (partition by query_id
+                                    order by score desc, neighbor_id) as rn
+          from sc{step}) where rn = 1
+      )"""
+        )
+        sels.append(f"sel{step}")
+    final = " union all ".join(
+        f"select query_id, cast({i + 1} as int) as mmr_rank, neighbor_id from {s}"
+        for i, s in enumerate(sels)
+    )
+    return "with " + ",".join(parts) + "\n" + final
+
+
+@register("llm_mmr_rerank", oracle=_mmr_oracle())
+def llm_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity rerank of similarity-search results: exact-cosine
+    top-12 candidates per query (5 queries), then greedy Maximal
+    Marginal Relevance (λ=0.7) down to 5 — the step between retrieval
+    and a RAG context window that stops five near-duplicate passages
+    from filling the prompt. Candidate generation is the distributed
+    half (operators/similarity.py::mmr_rerank — broadcast queries ×
+    corpus scan, never a corpus shuffle); the O(k·n²) greedy loop runs
+    per-query inside one applyInPandas group. Oracle: the greedy
+    selection fully unrolled as CTE steps, bit-compatible by
+    sequential-double cosines + 9dp score rounding on both engines."""
+    emb = load(spark, "embeddings", sf_dir)
+    return sim.mmr_rerank(emb, emb.where(F.col("vec_id") < 5), k=5, n_candidates=12)
+
+
 @register("llm_ann_ivf_topk", oracle=None, headline=True)
 def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k over the PERSISTED index — the scale path:
