@@ -652,6 +652,216 @@ def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# RAG context assembly capstone: chunk → passage-BM25 → per-doc cap →
+# top-k → token-budget pack
+# ---------------------------------------------------------------------------
+
+_RAG_CHUNK = 32  # tokens per passage (non-overlapping)
+_RAG_TOP = 8  # candidate passages after the per-doc cap
+_RAG_BUDGET = 128  # context token budget
+
+
+def _rag_oracle() -> str:
+    terms = ", ".join(f"('{t}')" for t in _BM25_TERMS)
+    return f"""
+      with toks as (
+        select doc_id, {_SQL_TOKS} as t from documents
+      ),
+      pos as (
+        select doc_id, cast((i - 1) // {_RAG_CHUNK} as int) as chunk_idx, t[i] as w
+        from toks, unnest(generate_series(1, len(t))) as g(i)
+        where len(t) > 0
+      ),
+      chunks as (
+        select doc_id, chunk_idx, count(*) as n_tok
+        from pos group by doc_id, chunk_idx
+      ),
+      stats as (select count(*) as n_chunks, sum(n_tok) as n_toks from chunks),
+      q(term) as (values {terms}),
+      tf as (
+        select doc_id, chunk_idx, w as term, count(*) as tf
+        from pos where w in (select term from q)
+        group by doc_id, chunk_idx, w
+      ),
+      df as (select term, count(*) as df from tf group by term),
+      idf as (
+        select term,
+               cast(ln(1.0 + (cast(n_chunks - df as double) + 0.5)
+                             / (cast(df as double) + 0.5))
+                    as decimal(18,9)) as idf
+        from df cross join stats
+      ),
+      scored as (
+        select tf.doc_id, tf.chunk_idx,
+               cast(cast(idf.idf as double)
+                    * (tf.tf * cast({_BM25_K1} + 1.0 as double))
+                    / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                       + {_BM25_B} * c.n_tok
+                         * (cast(stats.n_chunks as double)
+                            / cast(stats.n_toks as double))))
+                    as decimal(18,9)) as s
+        from tf
+        join idf using (term)
+        join chunks c using (doc_id, chunk_idx)
+        cross join stats
+      ),
+      chunk_scores as (
+        select doc_id, chunk_idx, sum(s) as score
+        from scored group by doc_id, chunk_idx
+      ),
+      best_per_doc as (
+        select doc_id, chunk_idx, score from (
+          select cs.*,
+                 row_number() over (partition by doc_id
+                                    order by score desc, chunk_idx) as rd
+          from chunk_scores cs) where rd = 1
+      ),
+      top_k as (
+        select doc_id, chunk_idx, score from best_per_doc
+        order by score desc, doc_id, chunk_idx limit {_RAG_TOP}
+      ),
+      ranked as (
+        select t.doc_id, t.chunk_idx, t.score, c.n_tok,
+               row_number() over (order by t.score desc, t.doc_id,
+                                  t.chunk_idx) as rnk
+        from top_k t join chunks c using (doc_id, chunk_idx)
+      ),
+      packed as (
+        select *, sum(n_tok) over (order by rnk rows between unbounded
+                                   preceding and current row) as cum_tok
+        from ranked
+      )
+      select cast(rnk as int) as ctx_rank,
+             cast(doc_id as bigint) as doc_id,
+             cast(chunk_idx as int) as chunk_idx,
+             cast(n_tok as bigint) as n_tok,
+             cast(cum_tok as bigint) as cum_tok,
+             cast(score as double) as score
+      from packed where cum_tok <= {_RAG_BUDGET}
+    """
+
+
+@register(
+    "llm_rag_context_pack",
+    oracle=_rag_oracle(),
+    survey_refs=("A3", "J2", "O2", "W2"),
+)
+def llm_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval-side capstone (curation and selection have theirs):
+    assemble a RAG context window as ONE plan — chunk every document
+    into non-overlapping 32-token passages, score passages with
+    chunk-level BM25 (same Lucene idf + decimal discipline as
+    llm_bm25_search), cap at ONE passage per document (cheap diversity
+    — five near-identical passages must not fill the prompt; the
+    score-aware version is llm_mmr_rerank), take the global top-8, and
+    pack them in rank order until the 128-token budget: cum n_tok is
+    nondecreasing, so ``cum ≤ budget`` IS stop-at-first-overflow.
+
+    100 TB shape: chunking is posexplode + two integer ops (no
+    shuffle); the term filter prunes the token stream before the tf
+    aggregate; idf/stats ride broadcasts; the per-doc cap is one
+    window on doc_id; the global top-8 is TakeOrderedAndProject (never
+    a global sort); the budget window runs on 8 rows."""
+    from etl_migrate_api_spark.operators.dedup import _spread
+
+    docs = load(spark, "documents", sf_dir)
+    toks = _spread(docs.select("doc_id", _ws_tokens("text").alias("t"))).where(
+        F.size("t") > 0
+    )
+    pos = toks.select(
+        "doc_id", F.posexplode("t").alias("p", "w")
+    ).select("doc_id", F.expr(f"cast(p div {_RAG_CHUNK} as int)").alias("chunk_idx"), "w")
+    chunks = pos.groupBy("doc_id", "chunk_idx").agg(
+        F.count(F.lit(1)).alias("n_tok")
+    )
+    chunks = chunks.persist()
+    stats = chunks.agg(
+        F.count(F.lit(1)).alias("n_chunks"), F.sum("n_tok").alias("n_toks")
+    )
+    tf = (
+        pos.where(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "chunk_idx", F.col("w").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.log(
+            1.0
+            + ((F.col("n_chunks") - F.col("df")).cast("double") + 0.5)
+            / (F.col("df").cast("double") + 0.5)
+        )
+        .cast("decimal(18,9)")
+        .alias("idf"),
+    )
+    k1, b = _BM25_K1, _BM25_B
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(chunks, ["doc_id", "chunk_idx"])
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            (
+                F.col("idf").cast("double")
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (
+                        (1.0 - b)
+                        + b
+                        * F.col("n_tok")
+                        * (
+                            F.col("n_chunks").cast("double")
+                            / F.col("n_toks").cast("double")
+                        )
+                    )
+                )
+            )
+            .cast("decimal(18,9)")
+            .alias("s"),
+        )
+    )
+    chunk_scores = scored.groupBy("doc_id", "chunk_idx").agg(
+        F.sum("s").alias("score")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), "chunk_idx"
+    )
+    best = (
+        chunk_scores.withColumn("rd", F.row_number().over(w_doc))
+        .where(F.col("rd") == 1)
+        .drop("rd")
+    )
+    top = (
+        best.orderBy(F.col("score").desc(), "doc_id", "chunk_idx")
+        .limit(_RAG_TOP)
+        .join(chunks, ["doc_id", "chunk_idx"])
+    )
+    w_rank = Window.orderBy(F.col("score").desc(), "doc_id", "chunk_idx")
+    ranked = top.withColumn("rnk", F.row_number().over(w_rank))
+    packed = ranked.withColumn(
+        "cum_tok",
+        F.sum("n_tok").over(
+            Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    out = packed.where(F.col("cum_tok") <= _RAG_BUDGET).select(
+        F.col("rnk").cast("int").alias("ctx_rank"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        F.col("cum_tok").cast("bigint").alias("cum_tok"),
+        F.col("score").cast("double").alias("score"),
+    )
+    out = out.persist()
+    out.count()
+    chunks.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Epoch-repeat mixture sampling
 # ---------------------------------------------------------------------------
 

@@ -524,3 +524,30 @@ def test_bpe_encode_parity_and_mass_conservation(spark, sf_dir):
     for tok, tot in top.items():
         assert by_tok[tok] == tot
     words.unpersist()
+
+
+def test_rag_context_pack_contracts(spark, sf_dir):
+    """Budget prefix (cum ≤ 128 and ranks contiguous from 1), per-doc
+    diversity cap (no document contributes two passages), rank order =
+    score desc, and cum_tok really is the running sum of n_tok."""
+    from etl_migrate_api_spark.plans.llm_selection import (
+        _RAG_BUDGET,
+        llm_rag_context_pack,
+    )
+
+    rows = sorted(
+        llm_rag_context_pack(spark, sf_dir).collect(),
+        key=lambda r: r["ctx_rank"],
+    )
+    assert rows, "context must not be empty on the test corpus"
+    assert [r["ctx_rank"] for r in rows] == list(range(1, len(rows) + 1))
+    docs = [r["doc_id"] for r in rows]
+    assert len(set(docs)) == len(docs)
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    cum = 0
+    for r in rows:
+        cum += r["n_tok"]
+        assert r["cum_tok"] == cum
+        assert 1 <= r["n_tok"] <= 32
+    assert cum <= _RAG_BUDGET
