@@ -646,12 +646,21 @@ def write_ivf_index(
     index the in-line ivf_topk docstring promises: repeated queries scan
     only their probed cells' directories (partition pruning at
     file-listing time) — at 100 TB a query touches nprobe/k of the
-    corpus bytes, and the index rebuilds only when centroids do."""
+    corpus bytes, and the index rebuilds only when centroids do.
+
+    Metadata columns beyond (id, vector) are CARRIED INTO the index —
+    that is what makes single-stage filtered search possible
+    (ivf_topk_from_index(where=…)): the predicate evaluates against
+    the index's own parquet, pushed to the row-group level, instead of
+    forcing a join back to the source table per query."""
     cents = kmeans_centroids(corpus, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
     cent_rows = [
         (int(r["cent_id"]), [float(x) for x in r["cent_v"]]) for r in cents.collect()
     ]
     assign = _cell_assign_udf(cent_rows)
+    extras = [
+        c for c in corpus.columns if c not in (id_col, vec_col, "cell")
+    ]
     # repartition on the partition column before the partitioned write:
     # without it every input task writes one file per cell it touches
     # (tasks × k files — the classic small-files explosion; 1000
@@ -661,6 +670,7 @@ def write_ivf_index(
     corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
+        *extras,
         assign(F.col(vec_col)).alias("cell"),
     ).repartition(F.col("cell")).write.mode("overwrite").partitionBy("cell").parquet(
         path
@@ -676,12 +686,22 @@ def ivf_topk_from_index(
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    where: Column | None = None,
 ) -> DataFrame:
     """Query a persisted IVF index: assign each query to its nprobe
     nearest cells (centroids are driver-side constants — a pure
     projection), then scan ONLY those cell partitions and rank. The cell
     filter is on the partition column, so pruning happens at file
-    listing, not per row."""
+    listing, not per row.
+
+    ``where`` is an optional metadata predicate over the index's
+    columns — SINGLE-STAGE filtered search (the faiss-IDSelector /
+    vector-DB "pre-filter" strategy): the predicate is applied inside
+    the probed cells BEFORE ranking, so top-k is computed over
+    qualifying vectors only (post-filtering an unfiltered top-k loses
+    recall when the filter is selective). It lands on the parquet scan
+    as a pushed filter (plan-asserted in tests), composing with the
+    partition pruning: files pruned by cell, row groups by predicate."""
     cent_rows = [
         (int(r["cent_id"]), [float(x) for x in r["cent_v"]])
         for r in spark.read.parquet(f"{path}.centroids").collect()
@@ -693,6 +713,8 @@ def ivf_topk_from_index(
     )
     probed = [int(r["cell"]) for r in q.select("cell").distinct().collect()]
     c = spark.read.parquet(path).where(F.col("cell").isin(probed))
+    if where is not None:
+        c = c.where(where)
     scored = (
         F.broadcast(q)
         .join(c, "cell")

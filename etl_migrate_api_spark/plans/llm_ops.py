@@ -349,6 +349,70 @@ def llm_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.bruteforce_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
+@register(
+    "llm_ann_filtered_topk",
+    oracle="""
+      with q as (
+        select vec_id as query_id, embedding as qv, label
+        from embeddings where vec_id < 10
+      ),
+      scored as (
+        select q.query_id, c.vec_id as neighbor_id,
+               list_cosine_similarity(q.qv, c.embedding) as sim
+        from q join embeddings c on c.vec_id <> q.query_id
+                                and c.label = q.label
+      ),
+      r as (select query_id, neighbor_id,
+                   row_number() over (partition by query_id
+                                      order by sim desc, neighbor_id) as rank
+            from scored)
+      select query_id, cast(rank as int) as rank, neighbor_id
+      from r where rank <= 5
+    """,
+    survey_refs=("J2", "O2"),
+)
+def llm_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED similarity search — the vector-DB hybrid query: exact
+    cosine top-5 restricted to neighbors sharing the query's label
+    (metadata predicate + vector ranking in ONE pass). This is the
+    pre-filter strategy: the predicate narrows the candidate set
+    BEFORE ranking, so top-k is over qualifying vectors only —
+    post-filtering an unfiltered top-k silently returns < k (or worse)
+    whenever the filter is selective. The scale path is the same
+    predicate pushed inside the IVF index's probed cells
+    (operators/similarity.py::ivf_topk_from_index(where=…),
+    recall-tested + plan-asserted in tests/test_filtered_ann.py); this
+    query is the exact oracle-checked baseline, a broadcast of the 10
+    queries against a corpus scan with the label equi-condition IN the
+    join — never a corpus shuffle."""
+    emb = load(spark, "embeddings", sf_dir)
+    q = F.broadcast(
+        emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("label").alias("qlabel"),
+        )
+    )
+    from etl_migrate_api_spark.functions.vectors import cosine_similarity
+    from etl_migrate_api_spark.operators.similarity import _rank_topk
+
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        F.col("label").alias("clabel"),
+    )
+    scored = q.join(
+        c,
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (F.col("qlabel") == F.col("clabel")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("qv"), F.col("cv")).alias("sim"),
+    )
+    return _rank_topk(scored, 5)
+
+
 def _mmr_oracle(k: int = 5, n_cand: int = 12, n_queries: int = 5) -> str:
     """Fully-unrolled greedy MMR as DuckDB CTEs (the graph-operator
     oracle style): candidates by double-cosine rank, a pairwise-sim
