@@ -677,6 +677,134 @@ def decode_audio(media: DataFrame) -> DataFrame:
     )
 
 
+def encode_wav(
+    pcm16: bytes, sample_rate: int, n_channels: int = 1
+) -> bytes:
+    """Mux 16-bit PCM as a RIFF/WAVE blob — the inverse of
+    decode_wav_one for the resample path. Pure function of its inputs."""
+    import struct
+
+    block = 2 * n_channels
+    return b"".join(
+        [
+            b"RIFF",
+            struct.pack("<I", 36 + len(pcm16)),
+            b"WAVEfmt ",
+            struct.pack(
+                "<IHHIIHH",
+                16, 1, n_channels, sample_rate,
+                sample_rate * block, block, 16,
+            ),
+            b"data",
+            struct.pack("<I", len(pcm16)),
+            pcm16,
+        ]
+    )
+
+
+def resample_pcm_one(content: bytes, target_rate: int) -> bytes:
+    """Linear-interpolation resample of a WAV blob to ``target_rate``,
+    re-muxed as 16-bit PCM WAV (channels preserved). Output frame i
+    reads source position i·(src/target); exact-integer positions copy
+    the source sample, so a 2× upsample followed by a 2× downsample is
+    the identity on the surviving samples — the property the cross-rate
+    dedup test pins. 8/32-bit inputs are rescaled to 16-bit range."""
+    import numpy as np
+
+    if target_rate <= 0:
+        raise ValueError("target_rate must be positive")
+    n_ch, rate, bits, n_frames, pcm = decode_wav_one(content)
+    dt = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
+    x = np.frombuffer(pcm, dtype=dt).astype(np.float64)
+    if bits == 8:
+        x = (x - 128.0) * 256.0
+    elif bits == 32:
+        x = x / 65536.0
+    frames = x.reshape(n_frames, n_ch) if n_frames else x.reshape(0, n_ch)
+    if rate == target_rate or n_frames == 0:
+        out = frames
+    else:
+        n_out = max(1, round(n_frames * target_rate / rate))
+        # position of output frame i in source frames
+        pos = np.arange(n_out, dtype=np.float64) * (rate / target_rate)
+        lo = np.minimum(np.floor(pos).astype(np.int64), n_frames - 1)
+        hi = np.minimum(lo + 1, n_frames - 1)
+        frac = (pos - lo)[:, None]
+        out = frames[lo] * (1.0 - frac) + frames[hi] * frac
+    pcm16 = np.clip(np.rint(out), -32768, 32767).astype("<i2").tobytes()
+    return encode_wav(pcm16, target_rate, n_ch)
+
+
+def resample_audio(media: DataFrame, target_rate: int = 8000) -> DataFrame:
+    """Rate-normalize audio blobs over mapInPandas → (media_id, content
+    [16-bit WAV at target_rate], sample_rate, n_frames, ok, err) — the
+    canonicalization step BEFORE audio fingerprint dedup: the
+    energy-contour hash windows over sample counts, so the same
+    recording at 8 kHz and 16 kHz produces unrelated fingerprints until
+    both sit at one canonical rate (pinned in tests/test_resample.py:
+    cross-rate copies collide at hamming 0 after resample, and do NOT
+    collide without it). Per-row failures are (ok=false, err) data,
+    like every decoder here; 100 TB shape: bytes stay in Arrow batches
+    on executors, output is a same-cardinality narrow table."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    blob = resample_pcm_one(bytes(c), target_rate)
+                    _, rate, _, n_frames, _ = decode_wav_one(blob)
+                    rows.append((int(mid), blob, rate, n_frames, True, None))
+                except (ValueError, KeyError) as exc:
+                    rows.append((int(mid), None, 0, 0, False, str(exc)[:200]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "content", "sample_rate", "n_frames",
+                    "ok", "err",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run,
+        schema="media_id bigint, content binary, sample_rate int, "
+        "n_frames int, ok boolean, err string",
+    )
+
+
+def fake_wav_table(media_ids: DataFrame, n_ms: int = 100) -> DataFrame:
+    """Deterministic REAL WAV blobs rich enough for the 65-window
+    energy-contour fingerprint: per media_id a seeded 16-bit noise
+    recording of ``n_ms`` milliseconds at a rate cycling 8 kHz (even
+    ids) / 16 kHz (odd ids), so the planted corpus is genuinely
+    MIXED-RATE — the condition the resample-then-dedup query exists to
+    handle. (fake_media_table's audio plants are 32 samples — enough to
+    exercise the RIFF parse, but degenerate under a 65-window contour
+    hash; these are 800–1600 samples, so every blob's contour is
+    distinct.) mapInPandas — blob bytes never hit the driver. Input:
+    any DataFrame with a media_id column; output (media_id, content)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                rate = 16000 if mid % 2 else 8000
+                rng = np.random.RandomState(mid % (2**31))
+                pcm = rng.randint(
+                    -20000, 20000, (n_ms * rate) // 1000
+                ).astype("<i2")
+                blobs.append(encode_wav(pcm.tobytes(), rate))
+                ids.append(mid)
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return media_ids.select("media_id").mapInPandas(
+        run, schema="media_id bigint, content binary"
+    )
+
+
 # --- perceptual hashing ----------------------------------------------------
 
 

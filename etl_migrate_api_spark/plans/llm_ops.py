@@ -498,7 +498,7 @@ def _mmr_oracle(k: int = 5, n_cand: int = 12, n_queries: int = 5) -> str:
     return "with " + ",".join(parts) + "\n" + final
 
 
-@register("llm_mmr_rerank", oracle=_mmr_oracle())
+@register("llm_mmr_rerank", oracle=_mmr_oracle(), headline=True)
 def llm_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity rerank of similarity-search results: exact-cosine
     top-12 candidates per query (5 queries), then greedy Maximal
@@ -1024,6 +1024,7 @@ def llm_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_bigram_logprob_score",
+    headline=True,
     oracle="""
       with toks as (
         select doc_id,
@@ -1574,6 +1575,62 @@ def llm_video_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sigs = video_phash_table(planted).persist()
+    sigs.count()
+    out = hamming64_pairs(sigs, max_hamming=3).orderBy("id_a", "id_b")
+    out = out.persist()
+    out.count()
+    sigs.unpersist()
+    return out
+
+
+@register("llm_audio_resample_dedup")
+def llm_audio_resample_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-RATE audio dedup: the same recording published at 8 kHz
+    and 16 kHz has energy-contour fingerprints many bits apart (the
+    hash windows over sample counts — measured in
+    tests/test_resample.py), so the dedup pass rate-normalizes first
+    (operators/multimodal.py::resample_audio, linear-interp to 8 kHz)
+    and THEN fingerprints. Corpus: fake_wav_table's mixed-rate seeded
+    noise recordings (800–1600 samples — rich enough that every
+    contour is distinct, unlike fake_media_table's 32-sample
+    header-parse plants); every 8 kHz recording is also republished at
+    16 kHz (media_id+900000, produced by the same resampler — a 2×
+    up/down round trip is byte-exact on surviving samples) and lands
+    at hamming 0 after normalization, while the native-16 kHz
+    recordings downsample to unique contours. Rows-only: DSP has no
+    SQL mirror; resample gates (identity, round-trip exactness, sine
+    frequency, bit-depth mapping, the raw-fingerprints-diverge
+    negative) live in tests/test_resample.py."""
+    from etl_migrate_api_spark.operators.dedup import _spread, hamming64_pairs
+    from etl_migrate_api_spark.operators.multimodal import (
+        audio_hash_table,
+        fake_wav_table,
+        resample_audio,
+    )
+
+    docs = load(spark, "documents", sf_dir)
+    # % 5 keeps this planted corpus a disjoint slice from the JPEG
+    # (% 3) and MJPEG (% 4) queries'; _spread covers every core with
+    # the synth + resample + hash CPU
+    ids = _spread(
+        docs.where(F.col("doc_id") % 5 == 2).select(
+            F.col("doc_id").alias("media_id")
+        )
+    )
+    wavs = fake_wav_table(ids)
+    # ids ≡ 2 (mod 5): the even ones are ≡ 2 (mod 10) — exactly the
+    # 8 kHz recordings; republish each at 16 kHz
+    cross = (
+        resample_audio(wavs.where(F.col("media_id") % 10 == 2), 16000)
+        .where("ok")
+        .select((F.col("media_id") + 900000).alias("media_id"), "content")
+    )
+    normalized = (
+        resample_audio(wavs.unionByName(cross), 8000)
+        .where("ok")
+        .select("media_id", "content")
+    )
+    sigs = audio_hash_table(normalized).persist()
     sigs.count()
     out = hamming64_pairs(sigs, max_hamming=3).orderBy("id_a", "id_b")
     out = out.persist()

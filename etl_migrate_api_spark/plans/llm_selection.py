@@ -744,6 +744,7 @@ def _rag_oracle() -> str:
 @register(
     "llm_rag_context_pack",
     oracle=_rag_oracle(),
+    headline=True,
     survey_refs=("A3", "J2", "O2", "W2"),
 )
 def llm_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:

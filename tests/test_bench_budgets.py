@@ -65,6 +65,13 @@ BUDGETS_SEC: dict[str, float] = {
     # gate trips on real regressions, not on which half of the burst
     # window the run hit
     "llm_ann_sq8_topk": 1.30,
+    # r8 additions, measured on the r8 (slower) host — deliberately on
+    # the loose side relative to the r7-host numbers above; the fleet-
+    # median env factor is clamped at 1 so a faster host never tightens
+    # them, it just makes them easier to meet
+    "llm_bigram_logprob_score": 3.28,
+    "llm_rag_context_pack": 2.88,
+    "llm_mmr_rerank": 1.04,
 }
 
 

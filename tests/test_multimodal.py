@@ -408,7 +408,7 @@ def test_decode_video_mapinpandas(spark):
     strided = decode_video(df.where("media_id = 1"), frame_stride=2).collect()
     assert sorted(r["frame_idx"] for r in strided) == [0, 2, 4]
     bad = [r for r in rows if r["media_id"] == 2]
-    assert len(bad) == 1 and not bad[0]["ok"] and "YUV4MPEG2" in bad[0]["err"]
+    assert len(bad) == 1 and not bad[0]["ok"] and "video container" in bad[0]["err"]
 
 
 def test_planted_y4m_rows_really_decode(media):
