@@ -1064,3 +1064,311 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H tail: the five queries whose canonical form needs PARTSUPP — a
+# table this dataset does not ship. Each keeps the reference query's
+# PLAN SHAPE (the part the engine must prove it can run at 100 TB) and
+# swaps the partsupp-derived quantities for lineitem/part-derived
+# stand-ins, documented per query. With these, all 22 TPC-H shapes are
+# covered (q1..q22).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+      with cat as (
+        select l_partkey, l_suppkey,
+               min(cast(l_extendedprice as decimal(18,2))) as cost
+        from lineitem group by 1, 2
+      ),
+      eur as (
+        select s_suppkey, s_name, s_acctbal, n_name
+        from supplier join nation on s_nationkey = n_nationkey
+                      join region on n_regionkey = r_regionkey
+        where r_name = 'EUROPE'
+      )
+      select e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_name,
+             cast(c.cost as double) as cost
+      from part p
+      join cat c on c.l_partkey = p.p_partkey
+      join eur e on c.l_suppkey = e.s_suppkey
+      where p.p_size <= 10 and p.p_type = 'LARGE'
+        and c.cost = (select min(c2.cost)
+                      from cat c2 join eur e2 on c2.l_suppkey = e2.s_suppkey
+                      where c2.l_partkey = p.p_partkey)
+      order by e.s_acctbal desc, e.n_name, e.s_name, p.p_partkey
+      limit 100
+    """,
+    survey_refs=("J2", "A1", "O2", "W1"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier with a correlated-min
+    subquery). partsupp stand-in: the observed catalog — per
+    (partkey, suppkey) the MINIMUM extended price this supplier ever
+    sold the part at. The correlated `cost = min(cost) over suppliers
+    in the region` becomes a window min over the already-joined offers
+    (one shuffle on p_partkey, no second scan of the catalog — the
+    decorrelation Catalyst can't be handed a subquery for). min() is
+    exact on any engine (no accumulation), so decimal equality against
+    the window min is engine-safe. Region dims broadcast; the final
+    top-100 is a TakeOrderedAndProject on a fully-tiebroken key."""
+    li = load(spark, "lineitem", sf_dir)
+    cat = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice").cast(_DEC)).alias("cost")
+    )
+    n = load(spark, "nation", sf_dir)
+    r = load(spark, "region", sf_dir).where(F.col("r_name") == "EUROPE")
+    eur = (
+        load(spark, "supplier", sf_dir)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = load(spark, "part", sf_dir).where(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "LARGE")
+    ).select("p_partkey", "p_name")
+    offers = (
+        cat.join(eur, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+    )
+    wmin = Window.partitionBy("p_partkey")
+    return (
+        offers.withColumn("min_cost", F.min("cost").over(wmin))
+        .where(F.col("cost") == F.col("min_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            F.col("cost").cast("double").alias("cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    oracle="""
+      select n_name as nation,
+             cast(extract(year from o_orderdate) as int) as o_year,
+             cast(round(sum(cast(l_extendedprice as decimal(18,2))
+                              * cast(1 - l_discount as decimal(18,2))
+                            - cast(p_retailprice as decimal(18,2))
+                              * cast(l_quantity as decimal(18,2))), 2)
+                  as double) as sum_profit
+      from lineitem
+      join part     on l_partkey = p_partkey
+      join supplier on l_suppkey = s_suppkey
+      join nation   on s_nationkey = n_nationkey
+      join orders   on l_orderkey = o_orderkey
+      where p_name like 'red%'
+      group by 1, 2
+    """,
+    survey_refs=("J2", "A3", "T8"),
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit: 5-way join + two-key agg).
+    partsupp stand-in: unit cost = the part's retail price (profit =
+    discounted revenue − retailprice·quantity; sign doesn't matter,
+    the decimal accumulation does). Scale: the p_name prefix filter
+    prunes part before the fact join; nation broadcasts; the orderkey
+    and suppkey joins shuffle narrow projections only; all arithmetic
+    is decimal until the final round-to-double."""
+    p = load(spark, "part", sf_dir).where(
+        F.col("p_name").like("red%")
+    ).select("p_partkey", "p_retailprice")
+    s = load(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    n = load(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    o = load(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    li = load(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    profit = (
+        F.col("l_extendedprice").cast(_DEC)
+        * (F.lit(1) - F.col("l_discount")).cast(_DEC)
+        - F.col("p_retailprice").cast(_DEC) * F.col("l_quantity").cast(_DEC)
+    )
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(_dbl(F.sum(profit)).alias("sum_profit"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+      with eur as (
+        select s_suppkey from supplier
+        join nation on s_nationkey = n_nationkey
+        join region on n_regionkey = r_regionkey
+        where r_name = 'EUROPE'
+      ),
+      val as (
+        select l_partkey as p_partkey,
+               sum(cast(l_extendedprice as decimal(18,2))
+                   * cast(l_quantity as decimal(18,2))) as v
+        from lineitem join eur on l_suppkey = s_suppkey
+        group by 1
+      ),
+      tot as (select sum(v) as t, count(*) as n from val)
+      select p_partkey, cast(round(v, 2) as double) as value
+      from val, tot
+      where v * n > t * 2
+    """,
+    survey_refs=("A3", "T8", "PH2", "F1"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock: group-agg HAVING against a
+    GLOBAL scalar from the same slice). partsupp stand-in: a part's
+    "stock value" = Σ extendedprice·quantity over lineitems sold by
+    suppliers in one region. Q11's fixed fraction (0.0001/SF) is
+    SF-dependent by definition, so the cut here is scale-free: keep
+    parts worth more than 2× the mean part value — `v·n > 2·t` in pure
+    decimal/integer arithmetic, no float division on either engine.
+    Scale: the scalar total is a 1-row broadcast against the per-part
+    aggregate; one shuffle on l_partkey total."""
+    n = load(spark, "nation", sf_dir)
+    r = load(spark, "region", sf_dir).where(F.col("r_name") == "EUROPE")
+    eur = (
+        load(spark, "supplier", sf_dir)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    li = load(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    v = F.col("l_extendedprice").cast(_DEC) * F.col("l_quantity").cast(_DEC)
+    val = (
+        li.join(eur, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(v).alias("v"))
+    )
+    tot = val.agg(F.sum("v").alias("t"), F.count(F.lit(1)).alias("n"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .where(F.col("v") * F.col("n") > F.col("t") * F.lit(2))
+        .select("p_partkey", _dbl(F.col("v")).alias("value"))
+    )
+
+
+@register(
+    "q16_parts_supplier_count",
+    oracle="""
+      select p_brand, p_type, p_size,
+             count(distinct l_suppkey) as supplier_cnt
+      from part join lineitem on p_partkey = l_partkey
+      where p_brand <> 'Brand#1' and p_type <> 'PROMO'
+        and p_size in (1, 9, 17, 25, 33, 41, 49)
+        and l_suppkey not in
+            (select s_suppkey from supplier where s_acctbal < 0)
+      group by 1, 2, 3
+    """,
+    survey_refs=("J1", "E1", "A3", "F1"),
+)
+def q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier count per part group, excluding a
+    NOT-IN supplier set). Stand-ins: the part-supplier relation is the
+    observed (l_partkey, l_suppkey) pairs; "customer complaints"
+    becomes s_acctbal < 0 (the dataset's only supplier blemish).
+    Scale: the exclusion set is a broadcast anti join (s_suppkey is
+    never null, so NOT IN ≡ anti join); count(distinct) shuffles once
+    on the 3-part group key with the suppkey carried; the brand/type/
+    size filters push to the part scan."""
+    bad = load(spark, "supplier", sf_dir).where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    p = load(spark, "part", sf_dir).where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 17, 25, 33, 41, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    li = load(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    oracle="""
+      with blue as (select p_partkey from part where p_name like 'blue%'),
+      shipped as (
+        select l_partkey, l_suppkey,
+               sum(cast(l_quantity as decimal(18,2))) as qty
+        from lineitem join blue on l_partkey = p_partkey
+        where l_shipdate >= timestamp '2000-01-01 00:00:00'
+          and l_shipdate <  timestamp '2001-01-01 00:00:00'
+        group by 1, 2
+      ),
+      tot as (select l_partkey, sum(qty) as total from shipped group by 1),
+      qual as (
+        select distinct s.l_suppkey from shipped s
+        join tot t on s.l_partkey = t.l_partkey
+        where s.qty * 2 > t.total
+      )
+      select s_name, s_acctbal
+      from supplier
+      join nation on s_nationkey = n_nationkey
+      join region on n_regionkey = r_regionkey
+      where r_name = 'EUROPE'
+        and s_suppkey in (select l_suppkey from qual)
+      order by s_name
+    """,
+    survey_refs=("J1", "A3", "F2", "T8"),
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion: nested aggregate
+    subquery feeding a chain of IN semi-joins). partsupp stand-in:
+    "has excess availability" becomes "shipped more than HALF of the
+    part's total shipped quantity in the window" — a supplier that
+    dominant on a part is the promotion candidate. `2·qty > total` is
+    pure decimal, no float fraction. Scale: shipped is one shuffle on
+    (partkey, suppkey); the per-part total is a WINDOW over l_partkey
+    on that same aggregate — a groupBy-self-join formulation plans the
+    whole shipped subtree (fact scan + shuffle) TWICE because Spark
+    does not CSE subtrees (verified in the formatted plan), while the
+    window re-sorts the already-aggregated narrow table once; the
+    qualifier set then semi-joins into the region-filtered supplier
+    dim."""
+    blue = load(spark, "part", sf_dir).where(
+        F.col("p_name").like("blue%")
+    ).select("p_partkey")
+    li = load(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2001-01-01 00:00:00").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    shipped = (
+        li.join(blue, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("qty"))
+    )
+    wtot = Window.partitionBy("l_partkey")
+    qual = (
+        shipped.withColumn("total", F.sum("qty").over(wtot))
+        .where(F.col("qty") * F.lit(2) > F.col("total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    n = load(spark, "nation", sf_dir)
+    r = load(spark, "region", sf_dir).where(F.col("r_name") == "EUROPE")
+    return (
+        load(spark, "supplier", sf_dir)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(qual, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
