@@ -362,3 +362,79 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(tot).cast("double")
         ).alias("prob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split — dedup-aware eval hygiene
+# ---------------------------------------------------------------------------
+
+
+def _leakage_safe_split_oracle() -> str:
+    from etl_migrate_api_spark.plans.llm_ops import _SIMHASH_DOC_SQL
+
+    sig_sql = _SIMHASH_DOC_SQL.replace(
+        "\nwith docs", "\nwith recursive docs", 1
+    )
+    return (
+        sig_sql
+        + """,
+      p as (
+        select a.id as id_a, b.id as id_b
+        from sig a join sig b on a.id < b.id
+        where bit_count(xor(a.simhash_lo, b.simhash_lo))
+              + bit_count(xor(a.simhash_hi, b.simhash_hi)) <= 3
+      ),
+"""
+        + _REP_CLOSURE_SQL
+        + """,
+      rep as (
+        select s.id as doc_id, coalesce(r.root, s.id) as rep_id
+        from sig s left join roots r on s.id = r.id
+      )
+      select doc_id, rep_id,
+             case when substring(md5('split' || cast(rep_id as varchar)), 1, 2) < 'f6'
+                  then 'train'
+                  when substring(md5('split' || cast(rep_id as varchar)), 1, 2) < 'fb'
+                  then 'val'
+                  else 'test' end as split
+      from rep
+    """
+    )
+
+
+@register(
+    "llm_leakage_safe_split",
+    oracle=_leakage_safe_split_oracle(),
+    survey_refs=("E1", "J2", "F3"),
+)
+def llm_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test assignment — eval-set hygiene at
+    the dataset level: hashing doc_id (llm_split_assign) puts two
+    near-identical documents in DIFFERENT splits with probability
+    2·p·(1−p), which leaks training text into eval. This query hashes
+    the near-dup component REPRESENTATIVE instead (SimHash hamming ≤ 3
+    components, min-id rep — the verified llm_simhash_representatives
+    machinery), so every member of a duplicate cluster lands in the
+    SAME split by construction. Singleton docs hash their own id with
+    the same salt and thresholds as llm_split_assign, so the two
+    queries agree everywhere except inside near-dup clusters — the
+    exact set whose naive assignment was the leak. Scale: rep
+    assignment is the banded pair join + min-label propagation already
+    bounded by the dup set; the split itself is a pure expression on
+    rep_id (no extra shuffle)."""
+    docs = planted_docs(spark, sf_dir)
+    pairs = dd.simhash_neardup_pairs(docs)
+    reps = _attach_representatives(docs, pairs)
+    b = F.substring(
+        F.md5(F.concat(F.lit("split"), F.col("rep_id").cast("string"))), 1, 2
+    )
+    out = reps.select(
+        "doc_id",
+        "rep_id",
+        F.when(b < "f6", "train").when(b < "fb", "val").otherwise("test")
+        .alias("split"),
+    )
+    out = out.persist()
+    out.count()
+    pairs.unpersist()
+    return out

@@ -500,7 +500,9 @@ _BM25_B = 0.75
 _BM25_TOP = 20
 
 
-def _bm25_oracle() -> str:
+def _bm25_ranked_cte() -> str:
+    """The shared CTE chain up to per-doc BM25 scores — reused by the
+    plain search oracle and by the RRF-fusion oracle below."""
     terms = ", ".join(f"('{t}')" for t in _BM25_TERMS)
     return f"""
       with toks as (
@@ -546,7 +548,13 @@ def _bm25_oracle() -> str:
       ranked as (
         select doc_id, sum(s) as score, count(*) as n_terms
         from scored group by doc_id
-      )
+      )"""
+
+
+def _bm25_oracle() -> str:
+    return (
+        _bm25_ranked_cte()
+        + f"""
       select cast(doc_id as bigint) as doc_id,
              cast(n_terms as bigint) as n_terms,
              cast(score as double) as score
@@ -554,6 +562,7 @@ def _bm25_oracle() -> str:
       order by score desc, doc_id
       limit {_BM25_TOP}
     """
+    )
 
 
 @register(
@@ -582,6 +591,22 @@ def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus stats are scalar/3-row broadcasts; the per-doc sum shuffles
     only docs that contain ≥1 query term; top-k is
     TakeOrderedAndProject."""
+    ranked = _bm25_doc_ranked(spark, sf_dir)
+    return (
+        ranked.orderBy(F.col("score").desc(), "doc_id")
+        .limit(_BM25_TOP)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("n_terms").cast("bigint").alias("n_terms"),
+            F.col("score").cast("double").alias("score"),
+        )
+    )
+
+
+def _bm25_doc_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BM25 (doc_id, score decimal(18,9)-summed, n_terms) for
+    the fixed query — the shared lexical leg of llm_bm25_search and
+    llm_rrf_fusion (mirrors _bm25_ranked_cte the same way)."""
     from etl_migrate_api_spark.operators.dedup import _spread
 
     docs = load(spark, "documents", sf_dir)
@@ -637,17 +662,134 @@ def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("s"),
         )
     )
-    ranked = scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id").agg(
         F.sum("s").alias("score"), F.count(F.lit(1)).alias("n_terms")
     )
+
+
+_RRF_K = 60
+_RRF_QUERY_VEC = 7
+_RRF_TOP = 10
+
+
+def _rrf_oracle() -> str:
     return (
-        ranked.orderBy(F.col("score").desc(), "doc_id")
+        _bm25_ranked_cte()
+        + f""",
+      lex as (
+        select doc_id, r from (
+          select doc_id,
+                 row_number() over (order by score desc, doc_id) as r
+          from ranked) where r <= {_BM25_TOP}
+      ),
+      dq as (
+        select embedding as qv from embeddings where vec_id = {_RRF_QUERY_VEC}
+      ),
+      dscored as (
+        select c.vec_id, list_cosine_similarity(c.embedding, dq.qv) as sim
+        from embeddings c, dq where c.vec_id <> {_RRF_QUERY_VEC}
+      ),
+      dense as (
+        select vec_id as doc_id, r from (
+          select vec_id,
+                 row_number() over (order by sim desc, vec_id) as r
+          from dscored) where r <= {_BM25_TOP}
+      ),
+      fused as (
+        select coalesce(l.doc_id, d.doc_id) as doc_id,
+               coalesce(l.r, 0) as r_lex,
+               coalesce(d.r, 0) as r_dense
+        from lex l full outer join dense d on l.doc_id = d.doc_id
+      )
+      select cast(doc_id as bigint) as doc_id,
+             cast(r_lex as int) as r_lex,
+             cast(r_dense as int) as r_dense,
+             cast(round(
+               (case when r_lex > 0 then 1.0 / ({_RRF_K} + r_lex) else 0.0 end)
+             + (case when r_dense > 0 then 1.0 / ({_RRF_K} + r_dense) else 0.0 end),
+               9) as double) as rrf
+      from fused
+      order by rrf desc, doc_id
+      limit {_RRF_TOP}
+    """
+    )
+
+
+@register(
+    "llm_rrf_fusion",
+    oracle=_rrf_oracle(),
+    survey_refs=("J2", "O2", "T8"),
+)
+def llm_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009) of a lexical and a
+    dense retrieval run — THE standard hybrid-search combiner:
+    rrf(d) = Σ_runs 1/(k + rank_run(d)), k=60, over the BM25 top-20
+    (shared _bm25_doc_ranked leg, fixed 3-term query) and the exact-
+    cosine top-20 around a fixed query embedding (vec_id 7; the
+    doc_id↔vec_id identification is the dataset's embedding-per-
+    document convention). Engine-exactness comes free: both legs
+    reduce to INTEGER ranks before fusion (the cosine itself never
+    leaves the ranking), so the fused score is two correctly-rounded
+    divisions of identical integers plus one addition — bit-equal on
+    any IEEE engine; absent-from-run is rank 0 contributing 0.0.
+    Scale: each leg is its own top-k (TakeOrderedAndProject); the
+    fusion is a full outer join of two ≤20-row tables."""
+    from etl_migrate_api_spark.functions.vectors import cosine_similarity
+
+    lex = (
+        _bm25_doc_ranked(spark, sf_dir)
+        .orderBy(F.col("score").desc(), "doc_id")
         .limit(_BM25_TOP)
         .select(
             F.col("doc_id").cast("bigint").alias("doc_id"),
-            F.col("n_terms").cast("bigint").alias("n_terms"),
-            F.col("score").cast("double").alias("score"),
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+            .alias("r"),
         )
+    )
+    emb = load(spark, "embeddings", sf_dir)
+    qv = F.broadcast(
+        emb.where(F.col("vec_id") == _RRF_QUERY_VEC).select(
+            F.col("embedding").alias("qv")
+        )
+    )
+    dscored = (
+        emb.where(F.col("vec_id") != _RRF_QUERY_VEC)
+        .crossJoin(qv)
+        .select(
+            "vec_id",
+            cosine_similarity(F.col("embedding"), F.col("qv")).alias("sim"),
+        )
+    )
+    dense = (
+        dscored.orderBy(F.col("sim").desc(), "vec_id")
+        .limit(_BM25_TOP)
+        .select(
+            F.col("vec_id").cast("bigint").alias("doc_id"),
+            F.row_number()
+            .over(Window.orderBy(F.col("sim").desc(), "vec_id"))
+            .alias("r"),
+        )
+    )
+    fused = lex.withColumnRenamed("r", "rl").join(
+        dense.withColumnRenamed("r", "rd"), "doc_id", "full_outer"
+    )
+    r_lex = F.coalesce(F.col("rl"), F.lit(0))
+    r_dense = F.coalesce(F.col("rd"), F.lit(0))
+    contrib = lambda r: F.when(  # noqa: E731
+        r > 0, F.lit(1.0) / (F.lit(_RRF_K) + r)
+    ).otherwise(F.lit(0.0))
+    return (
+        fused.select(
+            "doc_id",
+            r_lex.cast("int").alias("r_lex"),
+            r_dense.cast("int").alias("r_dense"),
+            F.round(contrib(r_lex) + contrib(r_dense), 9)
+            .cast("double")
+            .alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(_RRF_TOP)
     )
 
 

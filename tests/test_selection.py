@@ -551,3 +551,90 @@ def test_rag_context_pack_contracts(spark, sf_dir):
         assert r["cum_tok"] == cum
         assert 1 <= r["n_tok"] <= 32
     assert cum <= _RAG_BUDGET
+
+
+def test_rrf_fusion_contracts(spark, sf_dir):
+    """RRF output is internally consistent: ranks are within the top-20
+    legs, the fused score is exactly 1/(60+r_lex)+1/(60+r_dense) with
+    rank-0 (absent) contributing nothing, ordering is (rrf desc,
+    doc_id), and a doc present in BOTH legs outranks the same best
+    single-leg rank."""
+    from etl_migrate_api_spark.plans.llm_selection import llm_rrf_fusion
+
+    rows = llm_rrf_fusion(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        assert 0 <= r["r_lex"] <= 20 and 0 <= r["r_dense"] <= 20
+        assert r["r_lex"] > 0 or r["r_dense"] > 0
+        want = round(
+            (1.0 / (60 + r["r_lex"]) if r["r_lex"] else 0.0)
+            + (1.0 / (60 + r["r_dense"]) if r["r_dense"] else 0.0),
+            9,
+        )
+        assert r["rrf"] == want
+    key = [(-r["rrf"], r["doc_id"]) for r in rows]
+    assert key == sorted(key)
+    both = [r for r in rows if r["r_lex"] and r["r_dense"]]
+    single = [r for r in rows if not (r["r_lex"] and r["r_dense"])]
+    if both and single:
+        # any doc on both lists beats any single-list doc whose one
+        # rank is not better than both of its ranks
+        b = both[0]
+        for s in single:
+            sr = max(s["r_lex"], s["r_dense"])  # its only rank
+            if sr >= max(b["r_lex"], b["r_dense"]):
+                assert b["rrf"] > s["rrf"]
+
+
+def test_leakage_safe_split_no_cluster_straddles(spark, sf_dir):
+    """The property the query exists for: every near-dup cluster lands
+    in ONE split; singletons agree with the naive doc_id-hash split
+    (same salt/thresholds), so the two assignments differ only inside
+    clusters."""
+    import pyspark.sql.functions as F
+
+    from etl_migrate_api_spark.plans.extras import llm_leakage_safe_split
+
+    out = llm_leakage_safe_split(spark, sf_dir)
+    # 1. one split per rep — no cluster straddles a split boundary
+    straddle = (
+        out.groupBy("rep_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert straddle == 0
+    # 2. planted exact copies (doc_id+200000 twins) share their twin's split
+    twins = (
+        out.alias("a")
+        .join(
+            out.alias("b"),
+            F.col("a.doc_id") + 200000 == F.col("b.doc_id"),
+        )
+        .where(F.col("a.split") != F.col("b.split"))
+        .count()
+    )
+    assert twins == 0
+    # 3. singletons (rep == self AND nobody else maps to this rep) get
+    # the naive assignment
+    sizes = out.groupBy("rep_id").agg(F.count(F.lit(1)).alias("n"))
+    singles = (
+        out.join(sizes, "rep_id")
+        .where((F.col("n") == 1) & (F.col("rep_id") == F.col("doc_id")))
+    )
+    b = F.substring(
+        F.md5(F.concat(F.lit("split"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    naive = F.when(b < "f6", "train").when(b < "fb", "val").otherwise("test")
+    assert singles.where(F.col("split") != naive).count() == 0
+    # 4. and the clusters are where naive WOULD have leaked: at least
+    # one multi-member cluster exists whose members' naive splits differ
+    clustered = out.join(sizes, "rep_id").where(F.col("n") > 1)
+    assert (
+        clustered.select("rep_id", naive.alias("naive"))
+        .groupBy("rep_id")
+        .agg(F.countDistinct("naive").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+        > 0
+    )
