@@ -1372,3 +1372,168 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout audit — multi-dimensional data skipping
+# ---------------------------------------------------------------------------
+
+_Z_BUCKETS = 32
+_Z_LO, _Z_HI = 115, 140  # query box in scaled [0,256) space (~10% per dim)
+
+
+def _zorder_oracle() -> str:
+    from etl_migrate_api_spark.operators.layout import zorder_key_sql
+
+    branches = []
+    for name, key in (
+        ("natural", "o_orderkey"),
+        ("linear", "an * 256 + bn"),
+        ("zorder", "zkey"),
+    ):
+        branches.append(
+            f"""
+      bx_{name} as (
+        select ((rn - 1) * {_Z_BUCKETS}) // n as bucket,
+               min(an) as amin, max(an) as amax,
+               min(bn) as bmin, max(bn) as bmax
+        from (select an, bn, n,
+                     row_number() over (order by {key}, o_orderkey) as rn
+              from keyed)
+        group by 1
+      ),
+      t_{name} as (
+        select
+          '{name}' as layout,
+          cast(count(*) as bigint) as n_buckets,
+          cast(sum(case when amax >= {_Z_LO} and amin <= {_Z_HI}
+                   then 1 else 0 end) as bigint) as touched_a,
+          cast(sum(case when bmax >= {_Z_LO} and bmin <= {_Z_HI}
+                   then 1 else 0 end) as bigint) as touched_b,
+          cast(sum(case when amax >= {_Z_LO} and amin <= {_Z_HI}
+                    and bmax >= {_Z_LO} and bmin <= {_Z_HI}
+                   then 1 else 0 end) as bigint) as touched_ab
+        from bx_{name}
+      )"""
+        )
+    union = " union all ".join(
+        f"select * from t_{n}" for n in ("natural", "linear", "zorder")
+    )
+    return f"""
+      with base as (
+        select o_orderkey, o_custkey as a_raw,
+               date_diff('day', date '1995-01-01', o_orderdate) as b_raw
+        from orders
+      ),
+      bounds as (
+        select min(a_raw) as alo, max(a_raw) as ahi,
+               min(b_raw) as blo, max(b_raw) as bhi,
+               count(*) as n
+        from base
+      ),
+      keyed as (
+        select o_orderkey, an, bn, n,
+               {zorder_key_sql('an', 'bn')} as zkey
+        from (
+          select o_orderkey, n,
+                 ((a_raw - alo) * 255) // greatest(ahi - alo, 1) as an,
+                 ((b_raw - blo) * 255) // greatest(bhi - blo, 1) as bn
+          from base, bounds)
+      ),
+      {",".join(branches)}
+      {union}
+    """
+
+
+@register(
+    "orders_zorder_skipping",
+    oracle=_zorder_oracle(),
+    survey_refs=("T8", "A3", "W2"),
+)
+def orders_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping audit of three physical layouts of the orders
+    fact — the Delta/Iceberg ``OPTIMIZE ZORDER BY`` decision, measured:
+    cut the table into 32 equal buckets under (1) its natural order,
+    (2) a linear (custkey-major) sort, (3) the Morton Z-curve of
+    (custkey, order-date) — operators/layout.py::zorder_key, a pure
+    shift/mask column expression — and count how many bucket bounding
+    boxes a ~10%-per-dimension filter must touch, for a custkey-only,
+    a date-only, and the conjunctive predicate. The bucket boxes are
+    exactly what parquet footer min/max pruning consults (the REAL
+    writer + pyarrow footer audit is operators/layout.py::
+    write_zordered/footer_boxes, pytest-verified); the expected story
+    is the classic one — linear wins its own column and is useless on
+    the other; Z-order is the only layout bounded on BOTH single-column
+    predicates AND the conjunction. All arithmetic is integer (scaled
+    [0,256) coordinates, integer-div bucketing), so the DuckDB twin
+    matches bit-for-bit. The global row_number here is the audit's
+    model of the writer's repartitionByRange; the writer itself never
+    plans a single-partition sort."""
+    from etl_migrate_api_spark.operators.layout import (
+        scale_to_bits_int,
+        zorder_key,
+    )
+
+    o = load(spark, "orders", sf_dir)
+    base = o.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("a_raw"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+        ).cast("bigint").alias("b_raw"),
+    )
+    bounds = base.agg(
+        F.min("a_raw").alias("alo"), F.max("a_raw").alias("ahi"),
+        F.min("b_raw").alias("blo"), F.max("b_raw").alias("bhi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    scaled = base.crossJoin(F.broadcast(bounds)).select(
+        "o_orderkey",
+        "n",
+        scale_to_bits_int(F.col("a_raw"), F.col("alo"), F.col("ahi"))
+        .alias("an"),
+        scale_to_bits_int(F.col("b_raw"), F.col("blo"), F.col("bhi"))
+        .alias("bn"),
+    )
+    keyed = scaled.select(
+        "o_orderkey", "an", "bn", "n",
+        zorder_key(F.col("an"), F.col("bn")).alias("zkey"),
+        (F.col("an") * 256 + F.col("bn")).alias("linkey"),
+    )
+    keyed = keyed.persist()
+    keyed.count()
+
+    def branch(name: str, *key_cols) -> DataFrame:
+        w = Window.orderBy(*key_cols, "o_orderkey")
+        boxes = (
+            keyed.withColumn("rn", F.row_number().over(w))
+            .select(
+                F.expr(f"((rn - 1) * {_Z_BUCKETS}) div n").alias("bucket"),
+                "an", "bn",
+            )
+            .groupBy("bucket")
+            .agg(
+                F.min("an").alias("amin"), F.max("an").alias("amax"),
+                F.min("bn").alias("bmin"), F.max("bn").alias("bmax"),
+            )
+        )
+        hit_a = (F.col("amax") >= _Z_LO) & (F.col("amin") <= _Z_HI)
+        hit_b = (F.col("bmax") >= _Z_LO) & (F.col("bmin") <= _Z_HI)
+        one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+        return boxes.agg(
+            F.lit(name).alias("layout"),
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            one(hit_a).alias("touched_a"),
+            one(hit_b).alias("touched_b"),
+            one(hit_a & hit_b).alias("touched_ab"),
+        )
+
+    out = (
+        branch("natural", F.col("o_orderkey"))
+        .unionByName(branch("linear", F.col("linkey")))
+        .unionByName(branch("zorder", F.col("zkey")))
+    )
+    out = out.persist()
+    out.count()
+    keyed.unpersist()
+    return out

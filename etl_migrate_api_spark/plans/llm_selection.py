@@ -1867,3 +1867,125 @@ def graph_kcore_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = hosts.select(F.col("host").cast("bigint").alias("host"))
     und.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# BFS layers from a seed set — crawl-frontier distance
+# ---------------------------------------------------------------------------
+
+_BFS_LAYERS = 4
+_BFS_SEED_MOD = 17  # seeds = hosts ≡ 0 (mod 17): {0, 17, 34} of the 50
+
+
+def _bfs_oracle() -> str:
+    """Unrolled BFS as DuckDB CTEs (the pagerank/k-core style): one
+    (frontier, layer) block per hop, each anti-joining the union of
+    all previous layers. Pure integer set algebra — exact on any
+    engine."""
+    layers = ["l0"]
+    parts = [
+        f"""
+      links as (
+        select doc_id % {_PR_HOSTS} as src,
+               (7 * doc_id + 3) % {_PR_HOSTS} as dst
+        from documents
+        union all
+        select doc_id % {_PR_HOSTS} as src,
+               (11 * doc_id + 5) % {_PR_HOSTS} as dst
+        from documents
+      ),
+      edges as (
+        select distinct src, dst from links where src <> dst
+      ),
+      hosts as (
+        select src as host from edges union select dst from edges
+      ),
+      l0 as (
+        select host, 0 as dist from hosts
+        where host % {_BFS_SEED_MOD} = 0
+      )"""
+    ]
+    for i in range(1, _BFS_LAYERS + 1):
+        seen = " union ".join(f"select host from {s}" for s in layers)
+        parts.append(
+            f"""
+      l{i} as (
+        select distinct e.dst as host, {i} as dist
+        from edges e join l{i-1} f on f.host = e.src
+        where e.dst not in ({seen})
+      )"""
+        )
+        layers.append(f"l{i}")
+    union = " union all ".join(f"select host, dist from {s}" for s in layers)
+    return (
+        "with "
+        + ",".join(parts)
+        + f"""
+      select cast(host as bigint) as host, cast(dist as int) as dist
+      from ({union})
+    """
+    )
+
+
+@register(
+    "graph_bfs_layers",
+    oracle=_bfs_oracle(),
+    survey_refs=("J1", "J2", "X1", "E1"),
+)
+def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS distance layers from a seed set over the planted host graph
+    (directed, ≤ 4 hops) — the crawl-curation operator behind seed-
+    based domain trust: dist(h) = min link-hops from any seed host
+    (hosts ≡ 0 mod 17), unreached hosts are absent. The fourth graph
+    operator next to PageRank / triangles / k-core, and like them
+    fully ORACLE-CHECKED: BFS is pure integer set algebra (distinct,
+    anti-join, union), so the unrolled DuckDB twin reproduces every
+    layer exactly.
+
+    100 TB shape: the frontier and visited sets are |hosts|-bounded —
+    always ≪ corpus — so each hop is a broadcast join of the frontier
+    ONTO the edge table plus a broadcast anti join against visited;
+    the edge table never re-shuffles. At web scale both flip to
+    shuffled joins — one shuffle per layer, BFS's lower bound. Layer
+    count is fixed (4), so no convergence loop, no lineage blowup."""
+    docs = load(spark, "documents", sf_dir)
+    # two link families per doc (outdeg ≤ 2 per host) — the single
+    # (7d+3) family is a functional graph whose BFS never branches
+    links = docs.select(
+        (F.col("doc_id") % _PR_HOSTS).alias("src"),
+        ((7 * F.col("doc_id") + 3) % _PR_HOSTS).alias("dst"),
+    ).unionAll(
+        docs.select(
+            (F.col("doc_id") % _PR_HOSTS).alias("src"),
+            ((11 * F.col("doc_id") + 5) % _PR_HOSTS).alias("dst"),
+        )
+    )
+    edges = links.where(F.col("src") != F.col("dst")).distinct().persist()
+    hosts = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    frontier = hosts.where(F.col("host") % _BFS_SEED_MOD == 0).select("host")
+    visited = frontier.withColumn("dist", F.lit(0))
+    for i in range(1, _BFS_LAYERS + 1):
+        nxt = (
+            edges.join(
+                F.broadcast(frontier), edges.src == frontier.host
+            )
+            .select(F.col("dst").alias("host"))
+            .distinct()
+            .join(F.broadcast(visited.select("host")), "host", "left_anti")
+        )
+        frontier = nxt
+        visited = visited.unionByName(
+            nxt.withColumn("dist", F.lit(i))
+        ).localCheckpoint()
+    out = visited.select(
+        F.col("host").cast("bigint").alias("host"),
+        F.col("dist").cast("int").alias("dist"),
+    )
+    out = out.persist()
+    out.count()
+    edges.unpersist()
+    return out
