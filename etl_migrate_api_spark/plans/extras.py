@@ -438,3 +438,102 @@ def llm_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     pairs.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Per-source dedup report — the corpus-quality dashboard
+# ---------------------------------------------------------------------------
+
+_FP_SQL = (
+    "md5(lower(regexp_replace(trim(text), '[ \\t\\r\\n\\f]+', ' ', 'g')))"
+)
+
+
+def _dedup_report_oracle() -> str:
+    from etl_migrate_api_spark.plans.llm_ops import _SIMHASH_DOC_SQL
+
+    sig_sql = _SIMHASH_DOC_SQL.replace(
+        "\nwith docs", "\nwith recursive docs", 1
+    )
+    return (
+        sig_sql
+        + f""",
+      p as (
+        select a.id as id_a, b.id as id_b
+        from sig a join sig b on a.id < b.id
+        where bit_count(xor(a.simhash_lo, b.simhash_lo))
+              + bit_count(xor(a.simhash_hi, b.simhash_hi)) <= 3
+      ),
+"""
+        + _REP_CLOSURE_SQL
+        + f""",
+      flags as (
+        select d.doc_id, d.source,
+               case when row_number() over (
+                      partition by {_FP_SQL}
+                      order by d.doc_id) > 1
+                    then 1 else 0 end as is_exact_dup,
+               case when coalesce(r.root, d.doc_id) <> d.doc_id
+                    then 1 else 0 end as is_near_dup
+        from docs d left join roots r on d.doc_id = r.id
+      )
+      select source,
+             cast(count(*) as bigint) as n_docs,
+             cast(sum(is_exact_dup) as bigint) as n_exact_dup,
+             cast(sum(is_near_dup) as bigint) as n_near_dup,
+             cast(sum(case when is_exact_dup = 0 and is_near_dup = 0
+                      then 1 else 0 end) as bigint) as n_clean
+      from flags group by source
+    """
+    )
+
+
+@register(
+    "llm_dedup_report",
+    oracle=_dedup_report_oracle(),
+    survey_refs=("A3", "E1", "E2", "W1"),
+)
+def llm_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup dashboard — the report a 100 TB curation run
+    ships to its owners: for every source, how many docs, how many are
+    exact duplicates (not the first occurrence of their content
+    fingerprint — the llm_exact_dedup identity), how many are near
+    duplicates (member of a SimHash hamming ≤ 3 cluster but not its
+    min-id representative), and how many are clean. Integer counts
+    only — no rate arithmetic to disagree on. Composes the two already-
+    verified dedup identities into one aggregate; scale shape is one
+    fingerprint window + the banded near-dup machinery + a single
+    groupBy(source)."""
+    from pyspark.sql import Window
+
+    from etl_migrate_api_spark.functions.text import fingerprint
+
+    docs = planted_docs(spark, sf_dir)
+    w = Window.partitionBy(fingerprint("text")).orderBy("doc_id")
+    flagged = docs.select(
+        "doc_id",
+        "source",
+        (F.row_number().over(w) > 1).cast("int").alias("is_exact_dup"),
+    )
+    pairs = dd.simhash_neardup_pairs(docs)
+    reps = _attach_representatives(docs, pairs)
+    joined = flagged.join(reps, "doc_id").withColumn(
+        "is_near_dup",
+        (F.col("rep_id") != F.col("doc_id")).cast("int"),
+    )
+    out = joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("is_exact_dup").cast("bigint").alias("n_exact_dup"),
+        F.sum("is_near_dup").cast("bigint").alias("n_near_dup"),
+        F.sum(
+            F.when(
+                (F.col("is_exact_dup") == 0) & (F.col("is_near_dup") == 0), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_clean"),
+    )
+    out = out.persist()
+    out.count()
+    pairs.unpersist()
+    return out
