@@ -925,3 +925,79 @@ def llm_fixed_k_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 20)
         .select("lang", "doc_id", F.col("rnk").cast("int"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering — difficulty-phased training order
+# ---------------------------------------------------------------------------
+
+_CURR_PHASES = 4
+_CURR_SALT = "curr"
+
+
+@register(
+    "llm_curriculum_order",
+    oracle=f"""
+      with toks as (
+        select doc_id,
+               len(list_filter(string_split_regex(lower(trim(text)),
+                   '[ \\t\\r\\n\\f]+'), x -> x <> '')) as n_tok
+        from documents
+      ),
+      phased as (
+        select doc_id, n_tok,
+               ntile({_CURR_PHASES}) over (order by n_tok, doc_id) as phase
+        from toks
+      )
+      select cast(doc_id as bigint) as doc_id,
+             cast(n_tok as int) as n_tok,
+             cast(phase as int) as phase,
+             cast(row_number() over (
+               partition by phase
+               order by md5('{_CURR_SALT}' || cast(doc_id as varchar)), doc_id
+             ) as bigint) as pos
+      from phased
+    """,
+    survey_refs=("W2", "O2", "T8"),
+)
+def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order (Bengio et al. 2009 easy→hard pacing):
+    bucket the corpus into 4 difficulty phases by token count (ntile
+    over (n_tok, doc_id) — the tiebreak makes ntile's equal-split
+    engine-deterministic), then order WITHIN each phase by a salted
+    md5 of doc_id (the deterministic-shuffle discipline of
+    llm_global_shuffle: reproducible across runs, engines, and
+    partitionings — no rand()). A trainer reads phase 1 in pos order,
+    then phase 2, … Output (doc_id, n_tok, phase, pos).
+
+    Scale: one tokenize-and-count projection, one global ntile (rank
+    over a 2-column sort — at 100 TB swap for the exact-percentile
+    cut table of agg_quantile_battery: 3 boundary values, broadcast,
+    no global window), one per-phase shuffle for pos. The md5 order
+    also makes the within-phase stream i.i.d.-like, so sequential
+    readers see no length gradient inside a phase."""
+    from pyspark.sql import Window
+
+    from etl_migrate_api_spark.functions.text import ws_tokens
+
+    docs = load(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.size(ws_tokens("text")).alias("n_tok")
+    )
+    phased = toks.select(
+        "doc_id",
+        "n_tok",
+        F.ntile(_CURR_PHASES)
+        .over(Window.orderBy("n_tok", "doc_id"))
+        .alias("phase"),
+    )
+    wpos = Window.partitionBy("phase").orderBy(
+        F.md5(F.concat(F.lit(_CURR_SALT), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return phased.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_tok").cast("int").alias("n_tok"),
+        F.col("phase").cast("int").alias("phase"),
+        F.row_number().over(wpos).cast("bigint").alias("pos"),
+    )

@@ -485,3 +485,47 @@ def test_representative_queries_no_cartesian_and_bounded_output(
         assert "CartesianProduct" not in plan, q
         assert "BroadcastNestedLoopJoin" not in plan, q
         assert df.count() == n_docs, q
+
+
+def test_runtime_bloom_filter_reaches_fact_scan(spark, sf_dir):
+    """Scale posture: when a selective dim filter feeds a NON-broadcast
+    join (the 100 TB fact-fact case — SMJ forced here by disabling
+    broadcast), Spark's runtime bloom filter must be injected on the
+    fact side so the shuffle carries only possibly-matching rows. The
+    size thresholds are scaled down to the test data (at real scale the
+    defaults — 10 MB creation side, 10 GB application side — trigger on
+    their own); the assertion is that the plumbing is ON and the
+    predicate lands next to the fact scan."""
+    import pyspark.sql.functions as F
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom" in plan.lower(), plan[:2000]
+        # and it still computes the right thing
+        rows = {r["o_orderpriority"]: r["count"] for r in j.collect()}
+        assert set(rows) == {"1-URGENT"} and rows["1-URGENT"] > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold"
+        )
