@@ -53,7 +53,7 @@ import uuid
 from collections.abc import Iterator
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 RECORD_SCHEMA = "offset bigint, key string, value string, ts timestamp"
@@ -378,6 +378,122 @@ def offset_log_fold_loop(
     if state is None:
         return spark.createDataFrame([], "key string, n bigint")
     return state
+
+
+_DEDUP_STATE_SCHEMA = (
+    "kind string, k string, n_docs bigint, n_exact_dup bigint"
+)
+
+
+def dedup_report_loop(
+    spark: SparkSession,
+    topic_dir: str,
+    sink_dir: str,
+    max_records_per_partition: Optional[int] = None,
+    max_batches: int = 1000,
+) -> DataFrame:
+    """Streaming twin of llm_dedup_report's exact-dup leg: documents
+    arrive on the offset log as (key=source, value=text); per
+    micro-batch the loop fingerprints the batch, marks a doc an exact
+    duplicate if its fingerprint was already seen EARLIER IN THE
+    STREAM (in the persisted fingerprint store, or earlier within the
+    batch by the deterministic (p, offset) order), folds per-source
+    (n_docs, n_exact_dup) counters, and commits counters + fingerprint
+    store + consumed offsets in ONE TransactionalStateSink version
+    swap — so a crash anywhere replays the in-flight batch exactly
+    once and the counters can never double-count (the X2/X3 contract,
+    applied to a curation metric instead of a contact fold).
+
+    State is one DataFrame with a kind column: ('fp', fingerprint)
+    rows are the seen-set, ('src', source) rows carry the counters —
+    one sink version holds both, which is exactly why they cannot
+    drift. 100 TB shape: the seen-set union is a distinct on the
+    fingerprint hash (one shuffle over batch-sized input + store); at
+    real scale the store side stays bucketed by fingerprint so the
+    anti join is co-located. Returns the per-source counter table."""
+    topic = OffsetLogTopic(spark, topic_dir)
+    sink = TransactionalStateSink(spark, sink_dir)
+    fp = F.md5(
+        F.lower(
+            F.regexp_replace(F.trim(F.col("value")), r"[ \t\r\n\f]+", " ")
+        )
+    )
+    for _ in range(max_batches):
+        state, offsets, version = sink.read()
+        frm = {p: offsets.get(p, 0) for p in range(topic.n_partitions)}
+        end = topic.end_offsets()
+        if max_records_per_partition is not None:
+            end = {
+                p: min(end[p], frm[p] + max_records_per_partition)
+                for p in end
+            }
+        if all(end[p] <= frm[p] for p in end):
+            break
+        batch = topic.read_range(frm, end).select(
+            F.col("key").alias("source"), fp.alias("f"), "p", "offset"
+        )
+        if state is None:
+            store = spark.createDataFrame([], "f string")
+            counters = spark.createDataFrame(
+                [], "k string, n_docs bigint, n_exact_dup bigint"
+            )
+        else:
+            store = state.where(F.col("kind") == "fp").select(
+                F.col("k").alias("f")
+            )
+            counters = state.where(F.col("kind") == "src").select(
+                "k", "n_docs", "n_exact_dup"
+            )
+        w = Window.partitionBy("f").orderBy("p", "offset")
+        flagged = (
+            batch.withColumn("rn", F.row_number().over(w))
+            .join(
+                store.select(F.col("f"), F.lit(1).alias("seen")),
+                "f",
+                "left_outer",
+            )
+            .select(
+                "source",
+                "f",
+                ((F.col("rn") > 1) | F.col("seen").isNotNull())
+                .cast("int")
+                .alias("is_dup"),
+            )
+        )
+        delta = flagged.groupBy(F.col("source").alias("k")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("is_dup").cast("bigint").alias("n_exact_dup"),
+        )
+        new_counters = (
+            counters.unionByName(delta)
+            .groupBy("k")
+            .agg(
+                F.sum("n_docs").cast("bigint").alias("n_docs"),
+                F.sum("n_exact_dup").cast("bigint").alias("n_exact_dup"),
+            )
+        )
+        new_store = store.unionByName(
+            flagged.select("f")
+        ).distinct()
+        new_state = new_counters.select(
+            F.lit("src").alias("kind"), "k", "n_docs", "n_exact_dup"
+        ).unionByName(
+            new_store.select(
+                F.lit("fp").alias("kind"),
+                F.col("f").alias("k"),
+                F.lit(None).cast("bigint").alias("n_docs"),
+                F.lit(None).cast("bigint").alias("n_exact_dup"),
+            )
+        )
+        sink.commit(new_state, end, version + 1)
+    state, _, _ = sink.read()
+    if state is None:
+        return spark.createDataFrame(
+            [], "k string, n_docs bigint, n_exact_dup bigint"
+        )
+    return state.where(F.col("kind") == "src").select(
+        "k", "n_docs", "n_exact_dup"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -217,3 +217,82 @@ def test_offset_commit_file_is_atomic_json(spark, tmp_path):
         n for n in os.listdir(str(tmp_path / "g")) if ".tmp" in n
     ]
     assert leftovers == []
+
+
+def test_dedup_report_loop_exactly_once(spark, tmp_path):
+    """Streaming dedup-report twin: per-source (n_docs, n_exact_dup)
+    folded over the offset log with the counters, fingerprint store
+    and offsets in ONE sink version. Checks: (1) the multi-micro-batch
+    result equals a batch recompute over the whole topic with the same
+    first-occurrence semantics; (2) re-running after completion is a
+    no-op; (3) stopping after one batch and resuming converges to the
+    same counters (the replay path the EOS swap exists for); (4) dups
+    are detected ACROSS appends via the persisted store."""
+    import pyspark.sql.functions as F
+
+    from etl_migrate_api_spark.streaming.offset_log import (
+        OffsetLogTopic,
+        dedup_report_loop,
+    )
+
+    topic_dir, sink_dir = str(tmp_path / "topic"), str(tmp_path / "sink")
+    topic = OffsetLogTopic(spark, topic_dir, n_partitions=2)
+    rows1 = (
+        [("web", f"unique web doc {i}", i) for i in range(8)]
+        + [("web", "the same boilerplate page", 100 + i) for i in range(3)]
+        + [("books", f"unique book {i}", 200 + i) for i in range(5)]
+    )
+    topic.append(spark.createDataFrame(rows1, "key string, value string, ts long"))
+    # second append republished the boilerplate + one book verbatim
+    rows2 = [
+        ("web", "the same boilerplate page", 300),
+        ("books", "unique book 0", 301),
+        ("books", "a fresh second-wave book", 302),
+    ]
+    topic.append(spark.createDataFrame(rows2, "key string, value string, ts long"))
+
+    out = dedup_report_loop(
+        spark, topic_dir, sink_dir, max_records_per_partition=4
+    )
+    got = {r["k"]: (r["n_docs"], r["n_exact_dup"]) for r in out.collect()}
+    # batch recompute over the full topic, same first-occurrence rule
+    full = topic.read_range(
+        {0: 0, 1: 0}, topic.end_offsets()
+    ).select(
+        F.col("key").alias("source"),
+        F.md5(
+            F.lower(F.regexp_replace(F.trim(F.col("value")), r"[ \t\r\n\f]+", " "))
+        ).alias("f"),
+        "p", "offset",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("f").orderBy("p", "offset")
+    want_df = (
+        full.withColumn("rn", F.row_number().over(w))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("rn") > 1).cast("int")).alias("n_dup"),
+        )
+    )
+    want = {r["source"]: (r["n_docs"], r["n_dup"]) for r in want_df.collect()}
+    assert got == want
+    # totals make sense: 11+1 web docs, 3 boilerplate repeats (2 in
+    # append 1 + 1 in append 2); 5+2 book docs, 1 republished
+    assert got["web"] == (12, 3) and got["books"] == (7, 1)
+    # re-run: no-op
+    again = dedup_report_loop(spark, topic_dir, sink_dir)
+    assert {r["k"]: (r["n_docs"], r["n_exact_dup"]) for r in again.collect()} == got
+    # cold start with an interruption after ONE micro-batch, then resume
+    sink2 = str(tmp_path / "sink2")
+    partial = dedup_report_loop(
+        spark, topic_dir, sink2, max_records_per_partition=3, max_batches=1
+    )
+    assert sum(r["n_docs"] for r in partial.collect()) < sum(
+        v[0] for v in got.values()
+    )
+    resumed = dedup_report_loop(
+        spark, topic_dir, sink2, max_records_per_partition=3
+    )
+    assert {r["k"]: (r["n_docs"], r["n_exact_dup"]) for r in resumed.collect()} == got
