@@ -713,6 +713,16 @@ def ivf_topk_from_index(
     )
     probed = [int(r["cell"]) for r in q.select("cell").distinct().collect()]
     c = spark.read.parquet(path).where(F.col("cell").isin(probed))
+    tombs = _read_tombstones(spark, path)
+    if tombs is not None:
+        # deletes are a LOG, not a rewrite (see delete_from_ivf_index):
+        # mask them here with a broadcast anti join — the tombstone set
+        # is tiny relative to the corpus until compaction folds it in
+        c = c.join(
+            F.broadcast(tombs.withColumnRenamed("vec_id", "_dead")),
+            F.col("vec_id") == F.col("_dead"),
+            "left_anti",
+        )
     if where is not None:
         c = c.where(where)
     scored = (
@@ -1401,6 +1411,74 @@ def add_to_ivf_index(
         .partitionBy("cell")
         .parquet(path)
     )
+
+
+def _read_tombstones(spark: SparkSession, path: str):
+    """The index's delete log as a (vec_id) DataFrame, or None if no
+    delete was ever issued (no directory — the common case costs one
+    os.path check, no Spark job)."""
+    import os
+
+    tpath = f"{path}.tombstones"
+    if not os.path.isdir(tpath):
+        return None
+    return spark.read.parquet(tpath).select("vec_id").distinct()
+
+
+def delete_from_ivf_index(
+    ids: DataFrame, path: str, id_col: str = "vec_id"
+) -> None:
+    """Delete vectors from a persisted IVF index WITHOUT rewriting it:
+    append the ids to a tombstone log (``path``.tombstones) that every
+    ivf_topk_from_index query masks with a broadcast anti join — the
+    log-structured analog of faiss ``remove_ids`` (which eagerly
+    rewrites the inverted lists; at 100 TB nobody rewrites a
+    cell-partitioned corpus to drop 0.01% of rows). Deleted ids
+    disappear from results IMMEDIATELY and atomically per append.
+    Run compact_ivf_index when the log grows past broadcast size."""
+    ids.select(F.col(id_col).alias("vec_id")).write.mode("append").parquet(
+        f"{path}.tombstones"
+    )
+
+
+def compact_ivf_index(spark: SparkSession, path: str) -> int:
+    """Fold the tombstone log into the index: rewrite the cell
+    partitions minus deleted ids (same repartition-by-cell no-small-
+    files discipline as the builder) and clear the log. Returns the
+    number of rows physically removed. The rewrite goes through a
+    temporary directory + atomic rename, so a crash mid-compaction
+    leaves the old index + log fully intact (queries stay correct
+    throughout — the tombstone mask covers the not-yet-compacted
+    state)."""
+    import os
+    import shutil
+
+    tombs = _read_tombstones(spark, path)
+    if tombs is None:
+        return 0
+    live = spark.read.parquet(path)
+    n_before = live.count()
+    kept = live.join(
+        F.broadcast(tombs.withColumnRenamed("vec_id", "_dead")),
+        F.col("vec_id") == F.col("_dead"),
+        "left_anti",
+    )
+    tmp = f"{path}.compact.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        kept.repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(tmp)
+    )
+    n_after = spark.read.parquet(tmp).count()
+    old = f"{path}.old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    shutil.rmtree(f"{path}.tombstones")
+    return n_before - n_after
 
 
 def ivf_index_staleness(

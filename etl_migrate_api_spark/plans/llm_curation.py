@@ -1001,3 +1001,97 @@ def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("phase").cast("int").alias("phase"),
         F.row_number().over(wpos).cast("bigint").alias("pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate strip — web-corpus text extraction
+# ---------------------------------------------------------------------------
+
+
+def _html_of_sql(text: str) -> str:
+    return (
+        "concat('<html><head><title>d', cast(doc_id as varchar), "
+        "'</title><script>var x=1; if(a<b){track();}</script>"
+        "<style>.m{color:red}</style></head><body>"
+        "<nav>home | about | contact</nav><p>', "
+        + text
+        + ", '</p><footer>&copy; corp &amp; co</footer></body></html>')"
+    )
+
+
+_HTML_STRIP_SQL = """
+      trim(regexp_replace(
+        replace(replace(replace(replace(replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace({h}, '(?s)<script.*?</script>', ' ', 'g'),
+              '(?s)<style.*?</style>', ' ', 'g'),
+            '<[^>]*>', ' ', 'g'),
+          '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          '&#39;', ''''),
+        '[ \\t\\r\\n\\f]+', ' ', 'g'))
+"""
+
+
+@register(
+    "llm_html_extract",
+    oracle=f"""
+      with pages as (
+        select doc_id, {_html_of_sql('text')} as html from documents
+      )
+      select doc_id,
+             {_HTML_STRIP_SQL.format(h='html')} as clean,
+             cast(length(html) as bigint) as n_raw,
+             cast(length({_HTML_STRIP_SQL.format(h='html')}) as bigint)
+               as n_clean
+      from pages
+    """,
+    survey_refs=("T1", "T2", "P3", "T8"),
+)
+def llm_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus text extraction — the step every Common-Crawl-shaped
+    pipeline runs before any quality/dedup pass: drop <script>/<style>
+    blocks wholesale (their CONTENT is code, not prose — a tag-only
+    strip would leak `var x=1` into the corpus), replace remaining
+    tags with a space (tag boundaries are word boundaries), decode the
+    five core entities, collapse whitespace. Pure JVM regexp chain —
+    the same expressions DuckDB's RE2 runs, so the oracle matches
+    byte-for-byte (lazy `.*?` + `(?s)` behave identically on both
+    engines; pinned here by the hash gate). Pages are planted
+    deterministically around documents.text (nav/footer text remains —
+    DOM-aware boilerplate scoring is the quality stage's job, and the
+    retained '(c) corp' boilerplate is exactly what llm_span_dedup and
+    the Gopher repetition signals then catch). Output keeps the
+    raw→clean length drop as the extraction-ratio metric. One narrow
+    projection — fuses into the scan, shuffle-free at any scale."""
+    docs = load(spark, "documents", sf_dir)
+    html = F.concat(
+        F.lit("<html><head><title>d"),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            "</title><script>var x=1; if(a<b){track();}</script>"
+            "<style>.m{color:red}</style></head><body>"
+            "<nav>home | about | contact</nav><p>"
+        ),
+        F.col("text"),
+        F.lit("</p><footer>&copy; corp &amp; co</footer></body></html>"),
+    )
+    def strip(h):
+        no_script = F.regexp_replace(h, r"(?s)<script.*?</script>", " ")
+        no_style = F.regexp_replace(no_script, r"(?s)<style.*?</style>", " ")
+        no_tags = F.regexp_replace(no_style, r"<[^>]*>", " ")
+        decoded = no_tags
+        for ent, ch in (
+            ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+            ("&quot;", '"'), ("&#39;", "'"),
+        ):
+            decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
+        return F.trim(F.regexp_replace(decoded, r"[ \t\r\n\f]+", " "))
+
+    pages = docs.select("doc_id", html.alias("html"))
+    return pages.select(
+        "doc_id",
+        strip(F.col("html")).alias("clean"),
+        F.length("html").cast("bigint").alias("n_raw"),
+        F.length(strip(F.col("html"))).cast("bigint").alias("n_clean"),
+    )

@@ -183,3 +183,52 @@ def test_staleness_flags_out_of_distribution_growth(spark, split, tmp_path):
     assert on_drift["mean_dist"] > on_train["mean_dist"] * 1.05, (
         on_train, on_drift,
     )
+
+
+def test_delete_tombstones_and_compaction(spark, emb, tmp_path):
+    """Log-structured deletes: tombstoned ids vanish from query results
+    immediately (broadcast anti-join mask), results equal a filtered
+    brute force over the surviving corpus, compaction physically
+    removes exactly the tombstoned rows and clears the log, and
+    post-compaction results are identical to pre-compaction."""
+    from etl_migrate_api_spark.operators.similarity import (
+        bruteforce_topk,
+        compact_ivf_index,
+        delete_from_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf_del")
+    write_ivf_index(emb, path, k=8)
+    queries = emb.where(F.col("vec_id") < 5)
+    before = ivf_topk_from_index(spark, path, queries, k=5, nprobe=8)
+    # kill every current top-1 neighbor
+    dead_ids = [
+        r["neighbor_id"] for r in before.where(F.col("rank") == 1).collect()
+    ]
+    assert dead_ids
+    delete_from_ivf_index(
+        spark.createDataFrame([(i,) for i in dead_ids], "vec_id long"), path
+    )
+    after = ivf_topk_from_index(spark, path, queries, k=5, nprobe=8)
+    got_ids = {r["neighbor_id"] for r in after.collect()}
+    assert got_ids.isdisjoint(set(dead_ids))
+    # nprobe=8 == k probes every cell -> must equal exact brute force
+    # over the surviving corpus
+    survivors = emb.where(~F.col("vec_id").isin(dead_ids))
+    want = bruteforce_topk(survivors, queries, k=5)
+    w = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in want.collect()}
+    g = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in after.collect()}
+    assert g == w
+    # compaction: removes exactly the dead rows, clears the log,
+    # changes no results
+    n_corpus = emb.count()
+    removed = compact_ivf_index(spark, path)
+    assert removed == len(set(dead_ids))
+    assert not os.path.isdir(f"{path}.tombstones")
+    assert spark.read.parquet(path).count() == n_corpus - removed
+    again = ivf_topk_from_index(spark, path, queries, k=5, nprobe=8)
+    assert {
+        (r["query_id"], r["rank"]): r["neighbor_id"] for r in again.collect()
+    } == g
+    # idempotent: compacting with no log is a 0-row no-op
+    assert compact_ivf_index(spark, path) == 0
