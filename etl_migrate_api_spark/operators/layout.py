@@ -141,13 +141,18 @@ def skippable_fraction(
 ) -> float:
     """Fraction of files a conjunctive range filter can PROVE empty
     from footer stats alone (no overlap with the query box on at least
-    one dimension) — the number min/max pruning acts on."""
+    one dimension) — the number min/max pruning acts on. A file with
+    MISSING stats counts as touched: a scan can never prune what it
+    cannot bound, so the auditor must be conservative exactly where
+    the reader is."""
     if not boxes:
         return 0.0
 
     def overlaps(lohi, qlo, qhi):
         lo, hi = lohi
-        return lo is not None and not (hi < qlo or lo > qhi)
+        if lo is None or hi is None:
+            return True  # no stats -> the scan must read it
+        return not (hi < qlo or lo > qhi)
 
     touched = sum(
         1

@@ -1441,18 +1441,41 @@ def delete_from_ivf_index(
     )
 
 
+def recover_ivf_index(path: str) -> bool:
+    """Heal the one non-atomic window in compact_ivf_index: a crash
+    between its two renames leaves the index at ``path``.old with
+    ``path`` missing. Restores it and returns True; False if there was
+    nothing to heal. The tombstone log (cleared only after a complete
+    swap) still masks the deletes, so the restored index answers
+    correctly."""
+    import os
+
+    old = f"{path}.old"
+    if not os.path.isdir(path) and os.path.isdir(old):
+        os.rename(old, path)
+        return True
+    return False
+
+
 def compact_ivf_index(spark: SparkSession, path: str) -> int:
     """Fold the tombstone log into the index: rewrite the cell
     partitions minus deleted ids (same repartition-by-cell no-small-
     files discipline as the builder) and clear the log. Returns the
-    number of rows physically removed. The rewrite goes through a
-    temporary directory + atomic rename, so a crash mid-compaction
-    leaves the old index + log fully intact (queries stay correct
-    throughout — the tombstone mask covers the not-yet-compacted
-    state)."""
+    number of rows physically removed.
+
+    Crash contract: the rewrite lands in a temp dir first, so a crash
+    before the swap leaves index + log untouched (queries correct
+    throughout — the tombstone mask covers them). The swap itself is
+    two renames (directories cannot be os.replace'd atomically), so a
+    crash BETWEEN them leaves the index at ``path``.old — healed by
+    recover_ivf_index, which this function runs on entry. The log is
+    cleared strictly last. A fully-tombstoned index is NOT compacted
+    (an all-deleted rewrite would be an unreadable empty parquet dir);
+    it returns 0 with the log intact — drop the index instead."""
     import os
     import shutil
 
+    recover_ivf_index(path)
     tombs = _read_tombstones(spark, path)
     if tombs is None:
         return 0
@@ -1463,6 +1486,9 @@ def compact_ivf_index(spark: SparkSession, path: str) -> int:
         F.col("vec_id") == F.col("_dead"),
         "left_anti",
     )
+    n_after = kept.count()
+    if n_after == 0:
+        return 0
     tmp = f"{path}.compact.tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     (
@@ -1471,7 +1497,6 @@ def compact_ivf_index(spark: SparkSession, path: str) -> int:
         .partitionBy("cell")
         .parquet(tmp)
     )
-    n_after = spark.read.parquet(tmp).count()
     old = f"{path}.old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)

@@ -1508,7 +1508,12 @@ def orders_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         boxes = (
             keyed.withColumn("rn", F.row_number().over(w))
             .select(
-                F.expr(f"((rn - 1) * {_Z_BUCKETS}) div n").alias("bucket"),
+                # rn is IntegerType: widen BEFORE the multiply or the
+                # product overflows 32-bit past ~67M rows (ANSI throw /
+                # wraparound) while the DuckDB twin stays bigint
+                F.expr(
+                    f"((cast(rn as bigint) - 1) * {_Z_BUCKETS}) div n"
+                ).alias("bucket"),
                 "an", "bn",
             )
             .groupBy("bucket")

@@ -1617,7 +1617,11 @@ def llm_audio_resample_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("media_id")
         )
     )
-    wavs = fake_wav_table(ids)
+    # persist: wavs feeds both the republish branch and the union —
+    # unpersisted, the per-row synth + RIFF mux runs twice (the CPU
+    # the _spread above exists to spread)
+    wavs = fake_wav_table(ids).persist()
+    wavs.count()
     # ids ≡ 2 (mod 5): the even ones are ≡ 2 (mod 10) — exactly the
     # 8 kHz recordings; republish each at 16 kHz
     cross = (
@@ -1632,6 +1636,7 @@ def llm_audio_resample_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sigs = audio_hash_table(normalized).persist()
     sigs.count()
+    wavs.unpersist()
     out = hamming64_pairs(sigs, max_hamming=3).orderBy("id_a", "id_b")
     out = out.persist()
     out.count()

@@ -1966,9 +1966,17 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(edges.select(F.col("dst").alias("host")))
         .distinct()
     )
-    frontier = hosts.where(F.col("host") % _BFS_SEED_MOD == 0).select("host")
+    frontier = (
+        hosts.where(F.col("host") % _BFS_SEED_MOD == 0)
+        .select("host")
+        .localCheckpoint()
+    )
     visited = frontier.withColumn("dist", F.lit(0))
     for i in range(1, _BFS_LAYERS + 1):
+        # checkpoint the FRONTIER, not just visited: a lazy frontier
+        # chains every previous layer's joins into layer i's plan
+        # (O(L²) join executions); materialized, each layer is exactly
+        # one edges-join + distinct + anti-join — BFS's lower bound
         nxt = (
             edges.join(
                 F.broadcast(frontier), edges.src == frontier.host
@@ -1976,11 +1984,9 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("host"))
             .distinct()
             .join(F.broadcast(visited.select("host")), "host", "left_anti")
-        )
-        frontier = nxt
-        visited = visited.unionByName(
-            nxt.withColumn("dist", F.lit(i))
         ).localCheckpoint()
+        frontier = nxt
+        visited = visited.unionByName(nxt.withColumn("dist", F.lit(i)))
     out = visited.select(
         F.col("host").cast("bigint").alias("host"),
         F.col("dist").cast("int").alias("dist"),

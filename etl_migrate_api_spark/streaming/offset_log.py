@@ -335,19 +335,21 @@ class TransactionalStateSink:
         os.replace(tmp, os.path.join(self.dir, "CURRENT"))
 
 
-def offset_log_fold_loop(
+def _eos_fold_loop(
     spark: SparkSession,
     topic_dir: str,
     sink_dir: str,
+    fold,
     max_records_per_partition: Optional[int] = None,
     max_batches: int = 1000,
-) -> DataFrame:
-    """Micro-batch loop (X1) against the replayable log with EOS:
-    per batch — read (state, offsets) from the sink, poll the topic
-    beyond those offsets, fold per-key counts into the state, commit
-    (state', offsets') in one atomic version swap. Restart-safe at any
-    kill point; re-running after completion is a no-op (offsets equal
-    end). Returns the final state (key, n)."""
+) -> Optional[DataFrame]:
+    """The shared micro-batch EOS driver (X1): per batch — read
+    (state, offsets) from the sink, poll the topic beyond those
+    offsets (optionally clamped for bounded batches), apply
+    ``fold(state_or_None, batch) -> new_state``, commit (state',
+    offsets') in one atomic version swap. Restart-safe at any kill
+    point; re-running after completion is a no-op (offsets equal end).
+    Returns the final state, or None if nothing was ever committed."""
     topic = OffsetLogTopic(spark, topic_dir)
     sink = TransactionalStateSink(spark, sink_dir)
     for _ in range(max_batches):
@@ -361,20 +363,38 @@ def offset_log_fold_loop(
             }
         if all(end[p] <= frm[p] for p in end):
             break
-        batch = topic.read_range(frm, end)
+        new_state = fold(state, topic.read_range(frm, end))
+        sink.commit(new_state, end, version + 1)
+    state, _, _ = sink.read()
+    return state
+
+
+def offset_log_fold_loop(
+    spark: SparkSession,
+    topic_dir: str,
+    sink_dir: str,
+    max_records_per_partition: Optional[int] = None,
+    max_batches: int = 1000,
+) -> DataFrame:
+    """Per-key counting over the replayable log with EOS (the simplest
+    _eos_fold_loop instance). Returns the final state (key, n)."""
+
+    def fold(state, batch):
         delta = batch.groupBy("key").agg(
             F.count(F.lit(1)).cast("bigint").alias("n")
         )
         if state is None:
-            new_state = delta
-        else:
-            new_state = (
-                state.unionByName(delta)
-                .groupBy("key")
-                .agg(F.sum("n").cast("bigint").alias("n"))
-            )
-        sink.commit(new_state, end, version + 1)
-    state, _, _ = sink.read()
+            return delta
+        return (
+            state.unionByName(delta)
+            .groupBy("key")
+            .agg(F.sum("n").cast("bigint").alias("n"))
+        )
+
+    state = _eos_fold_loop(
+        spark, topic_dir, sink_dir, fold,
+        max_records_per_partition, max_batches,
+    )
     if state is None:
         return spark.createDataFrame([], "key string, n bigint")
     return state
@@ -395,14 +415,26 @@ def dedup_report_loop(
     """Streaming twin of llm_dedup_report's exact-dup leg: documents
     arrive on the offset log as (key=source, value=text); per
     micro-batch the loop fingerprints the batch, marks a doc an exact
-    duplicate if its fingerprint was already seen EARLIER IN THE
-    STREAM (in the persisted fingerprint store, or earlier within the
-    batch by the deterministic (p, offset) order), folds per-source
-    (n_docs, n_exact_dup) counters, and commits counters + fingerprint
-    store + consumed offsets in ONE TransactionalStateSink version
-    swap — so a crash anywhere replays the in-flight batch exactly
-    once and the counters can never double-count (the X2/X3 contract,
-    applied to a curation metric instead of a contact fold).
+    duplicate if its fingerprint was already seen EARLIER IN
+    CONSUMPTION ORDER (in the persisted fingerprint store, or earlier
+    within the batch by the deterministic (p, offset) order), folds
+    per-source (n_docs, n_exact_dup) counters, and commits counters +
+    fingerprint store + consumed offsets in ONE TransactionalStateSink
+    version swap — so a crash anywhere replays the in-flight batch
+    exactly once and the counters can never double-count (the X2/X3
+    contract, applied to a curation metric instead of a contact fold).
+
+    Semantics contract (any Kafka-shaped consumer has it): WITHIN a
+    (partition, fingerprint) the first copy wins deterministically,
+    and the TOTAL duplicate count is batch-boundary-invariant (exactly
+    one copy of each fingerprint is ever 'first'). But cross-partition
+    consumption order is a property of the micro-batching, so when
+    copies of one text arrive under DIFFERENT sources on different
+    partitions, which source absorbs the dup count can shift with
+    batch boundaries — a stream has no global (p, offset) order, only
+    per-partition order. Callers needing order-independent attribution
+    should key the attribution to the fingerprint's min source in a
+    batch job (llm_dedup_report's keeper rule), not to arrival.
 
     State is one DataFrame with a kind column: ('fp', fingerprint)
     rows are the seen-set, ('src', source) rows carry the counters —
@@ -411,25 +443,14 @@ def dedup_report_loop(
     fingerprint hash (one shuffle over batch-sized input + store); at
     real scale the store side stays bucketed by fingerprint so the
     anti join is co-located. Returns the per-source counter table."""
-    topic = OffsetLogTopic(spark, topic_dir)
-    sink = TransactionalStateSink(spark, sink_dir)
     fp = F.md5(
         F.lower(
             F.regexp_replace(F.trim(F.col("value")), r"[ \t\r\n\f]+", " ")
         )
     )
-    for _ in range(max_batches):
-        state, offsets, version = sink.read()
-        frm = {p: offsets.get(p, 0) for p in range(topic.n_partitions)}
-        end = topic.end_offsets()
-        if max_records_per_partition is not None:
-            end = {
-                p: min(end[p], frm[p] + max_records_per_partition)
-                for p in end
-            }
-        if all(end[p] <= frm[p] for p in end):
-            break
-        batch = topic.read_range(frm, end).select(
+
+    def fold(state, raw_batch):
+        batch = raw_batch.select(
             F.col("key").alias("source"), fp.alias("f"), "p", "offset"
         )
         if state is None:
@@ -472,10 +493,8 @@ def dedup_report_loop(
                 F.sum("n_exact_dup").cast("bigint").alias("n_exact_dup"),
             )
         )
-        new_store = store.unionByName(
-            flagged.select("f")
-        ).distinct()
-        new_state = new_counters.select(
+        new_store = store.unionByName(flagged.select("f")).distinct()
+        return new_counters.select(
             F.lit("src").alias("kind"), "k", "n_docs", "n_exact_dup"
         ).unionByName(
             new_store.select(
@@ -485,8 +504,11 @@ def dedup_report_loop(
                 F.lit(None).cast("bigint").alias("n_exact_dup"),
             )
         )
-        sink.commit(new_state, end, version + 1)
-    state, _, _ = sink.read()
+
+    state = _eos_fold_loop(
+        spark, topic_dir, sink_dir, fold,
+        max_records_per_partition, max_batches,
+    )
     if state is None:
         return spark.createDataFrame(
             [], "k string, n_docs bigint, n_exact_dup bigint"

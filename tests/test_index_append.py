@@ -232,3 +232,37 @@ def test_delete_tombstones_and_compaction(spark, emb, tmp_path):
     } == g
     # idempotent: compacting with no log is a 0-row no-op
     assert compact_ivf_index(spark, path) == 0
+
+
+def test_compaction_crash_window_recovery_and_full_delete(spark, emb, tmp_path):
+    """The two compaction edges the crash contract documents: (1) a
+    crash between the swap's two renames (index at path.old, path
+    missing) heals on the next compact entry — and the tombstone mask
+    keeps queries correct before and after; (2) a fully-tombstoned
+    index refuses to compact (0, log intact) instead of writing an
+    unreadable empty parquet dir."""
+    from etl_migrate_api_spark.operators.similarity import (
+        compact_ivf_index,
+        delete_from_ivf_index,
+        recover_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf_crash")
+    write_ivf_index(emb.where(F.col("vec_id") < 50), path, k=4)
+    delete_from_ivf_index(
+        spark.createDataFrame([(1,), (2,)], "vec_id long"), path
+    )
+    # simulate the mid-swap crash
+    os.rename(path, f"{path}.old")
+    assert recover_ivf_index(path) is True
+    assert recover_ivf_index(path) is False  # idempotent
+    removed = compact_ivf_index(spark, path)
+    assert removed == 2
+    # (2) tombstone EVERYTHING that's left
+    remaining = spark.read.parquet(path).select("vec_id")
+    delete_from_ivf_index(remaining, path)
+    assert compact_ivf_index(spark, path) == 0
+    assert os.path.isdir(f"{path}.tombstones")  # log intact
+    # masked query over a fully-deleted index returns no neighbors
+    q = emb.where(F.col("vec_id") < 2)
+    assert ivf_topk_from_index(spark, path, q, k=3, nprobe=4).count() == 0

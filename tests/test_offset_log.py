@@ -296,3 +296,44 @@ def test_dedup_report_loop_exactly_once(spark, tmp_path):
         spark, topic_dir, sink2, max_records_per_partition=3
     )
     assert {r["k"]: (r["n_docs"], r["n_exact_dup"]) for r in resumed.collect()} == got
+
+
+def test_dedup_report_loop_cross_source_total_invariant(spark, tmp_path):
+    """Copies of ONE text under DIFFERENT sources land on different
+    partitions, so which source absorbs the dup count legitimately
+    depends on batch boundaries (documented contract: a stream has no
+    global cross-partition order). What must NOT move: the TOTAL dup
+    count (= n_docs − distinct fingerprints) and per-source n_docs —
+    asserted across three different micro-batch sizes."""
+    from etl_migrate_api_spark.streaming.offset_log import (
+        OffsetLogTopic,
+        dedup_report_loop,
+    )
+
+    topic_dir = str(tmp_path / "topic")
+    topic = OffsetLogTopic(spark, topic_dir, n_partitions=4)
+    rows = (
+        [("web", f"web doc {i}", i) for i in range(6)]
+        + [("books", f"book {i}", 50 + i) for i in range(4)]
+        # the SAME text under three sources — keys hash to different
+        # partitions, so "who was first" is batch-size-dependent
+        + [(src, "shared viral snippet", 100 + j)
+           for j, src in enumerate(["web", "books", "wiki"])]
+    )
+    topic.append(
+        spark.createDataFrame(rows, "key string, value string, ts long")
+    )
+    results = []
+    for i, mrpp in enumerate([None, 2, 5]):
+        out = dedup_report_loop(
+            spark, topic_dir, str(tmp_path / f"sink{i}"),
+            max_records_per_partition=mrpp,
+        )
+        results.append(
+            {r["k"]: (r["n_docs"], r["n_exact_dup"]) for r in out.collect()}
+        )
+    for got in results:
+        assert sum(v[0] for v in got.values()) == 13
+        assert sum(v[1] for v in got.values()) == 2  # 3 copies, 1 first
+        assert got["web"][0] == 7 and got["books"][0] == 5
+        assert got["wiki"][0] == 1
