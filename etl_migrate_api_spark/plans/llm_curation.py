@@ -1033,6 +1033,36 @@ _HTML_STRIP_SQL = """
 """
 
 
+def _planted_html_col() -> F.Column:
+    """The deterministic page plant — Spark twin of _html_of_sql; both
+    the extraction query and the web capstone build pages from it so
+    the two cannot drift."""
+    return F.concat(
+        F.lit("<html><head><title>d"),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            "</title><script>var x=1; if(a<b){track();}</script>"
+            "<style>.m{color:red}</style></head><body>"
+            "<nav>home | about | contact</nav><p>"
+        ),
+        F.col("text"),
+        F.lit("</p><footer>&copy; corp &amp; co</footer></body></html>"),
+    )
+
+
+def _html_strip_col(h: F.Column) -> F.Column:
+    """Spark twin of _HTML_STRIP_SQL — one shared chain."""
+    no_script = F.regexp_replace(h, r"(?s)<script.*?</script>", " ")
+    no_style = F.regexp_replace(no_script, r"(?s)<style.*?</style>", " ")
+    decoded = F.regexp_replace(no_style, r"<[^>]*>", " ")
+    for ent, ch in (
+        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"),
+    ):
+        decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(decoded, r"[ \t\r\n\f]+", " "))
+
+
 @register(
     "llm_html_extract",
     oracle=f"""
@@ -1065,33 +1095,138 @@ def llm_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw→clean length drop as the extraction-ratio metric. One narrow
     projection — fuses into the scan, shuffle-free at any scale."""
     docs = load(spark, "documents", sf_dir)
-    html = F.concat(
-        F.lit("<html><head><title>d"),
-        F.col("doc_id").cast("string"),
-        F.lit(
-            "</title><script>var x=1; if(a<b){track();}</script>"
-            "<style>.m{color:red}</style></head><body>"
-            "<nav>home | about | contact</nav><p>"
-        ),
-        F.col("text"),
-        F.lit("</p><footer>&copy; corp &amp; co</footer></body></html>"),
-    )
-    def strip(h):
-        no_script = F.regexp_replace(h, r"(?s)<script.*?</script>", " ")
-        no_style = F.regexp_replace(no_script, r"(?s)<style.*?</style>", " ")
-        no_tags = F.regexp_replace(no_style, r"<[^>]*>", " ")
-        decoded = no_tags
-        for ent, ch in (
-            ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-            ("&quot;", '"'), ("&#39;", "'"),
-        ):
-            decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
-        return F.trim(F.regexp_replace(decoded, r"[ \t\r\n\f]+", " "))
-
-    pages = docs.select("doc_id", html.alias("html"))
+    strip = _html_strip_col
+    pages = docs.select("doc_id", _planted_html_col().alias("html"))
     return pages.select(
         "doc_id",
         strip(F.col("html")).alias("clean"),
         F.length("html").cast("bigint").alias("n_raw"),
         F.length(strip(F.col("html"))).cast("bigint").alias("n_clean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Web-corpus capstone: extract → gate → exact dedup → near-dup drop →
+# split → per-split accounting
+# ---------------------------------------------------------------------------
+
+_WEB_MIN_TOK = 20
+
+
+def _web_pipeline_oracle() -> str:
+    from etl_migrate_api_spark.plans.llm_ops import _simhash_chain_sql
+
+    strip = _HTML_STRIP_SQL.format(h="html")
+    return f"""
+      with pages as (
+        select doc_id, {_html_of_sql('text')} as html from documents
+      ),
+      clean as (
+        select doc_id, {strip} as text from pages
+      ),
+      gated as (
+        select doc_id, text,
+               len(list_filter(string_split_regex(lower(trim(text)),
+                   '[ \\t\\r\\n\\f]+'), x -> x <> '')) as n_tok
+        from clean
+        where len(list_filter(string_split_regex(lower(trim(text)),
+              '[ \\t\\r\\n\\f]+'), x -> x <> '')) >= {_WEB_MIN_TOK}
+      ),
+      keep1 as (
+        select doc_id, text, n_tok from (
+          select doc_id, text, n_tok,
+                 row_number() over (
+                   partition by md5(lower(regexp_replace(trim(text),
+                     '[ \\t\\r\\n\\f]+', ' ', 'g')))
+                   order by doc_id) as rn
+          from gated) where rn = 1
+      ),
+      {_simhash_chain_sql("keep1")},
+      drops as (
+        select distinct b.id as doc_id
+        from sig a join sig b
+          on a.id < b.id
+         and bit_count(xor(a.simhash_lo, b.simhash_lo))
+           + bit_count(xor(a.simhash_hi, b.simhash_hi)) <= 3
+      ),
+      survivors as (
+        select k.doc_id, k.n_tok from keep1 k
+        where not exists (select 1 from drops d where d.doc_id = k.doc_id)
+      ),
+      assigned as (
+        select n_tok,
+               case when substring(md5('split' || cast(doc_id as varchar)), 1, 2) < 'f6'
+                    then 'train'
+                    when substring(md5('split' || cast(doc_id as varchar)), 1, 2) < 'fb'
+                    then 'val'
+                    else 'test' end as split
+        from survivors
+      )
+      select split,
+             cast(count(*) as bigint) as n_docs,
+             cast(sum(n_tok) as bigint) as n_tok_total
+      from assigned group by split
+    """
+
+
+@register(
+    "llm_web_pipeline",
+    oracle=_web_pipeline_oracle(),
+    survey_refs=("T1", "F1", "E1", "E2", "W1", "A3"),
+)
+def llm_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WEB-corpus capstone — raw pages to training-ready splits in
+    ONE plan, each stage the already-verified operator: HTML extraction
+    (llm_html_extract's shared strip chain) → minimum-length gate
+    (≥ 20 ws-tokens of the CLEAN text — gates must run on what survives
+    extraction, not on markup length) → exact dedup (first occurrence
+    per content fingerprint) → SimHash near-dup drop (hamming ≤ 3 over
+    survivors only — the filters-first ordering that keeps near-dup
+    cost proportional to what passes the cheap gates) → hash train/
+    val/test split → per-split doc + token accounting. Composition is
+    what the oracle pins: the CTE chain reuses _html_of_sql /
+    _HTML_STRIP_SQL / _simhash_chain_sql verbatim, so capstone and
+    stage oracles cannot drift. 100 TB shape: extraction and the gate
+    fuse into the scan; the fingerprint window and the banded near-dup
+    join run on monotonically shrinking survivor sets; the final
+    accounting is a 3-row aggregate."""
+    from pyspark.sql import Window
+
+    from etl_migrate_api_spark.functions.text import fingerprint, ws_tokens
+    from etl_migrate_api_spark.operators import dedup as dd
+
+    docs = load(spark, "documents", sf_dir)
+    clean = docs.select(
+        "doc_id", _html_strip_col(_planted_html_col()).alias("text")
+    )
+    gated = clean.withColumn("n_tok", F.size(ws_tokens("text"))).where(
+        F.col("n_tok") >= _WEB_MIN_TOK
+    )
+    w = Window.partitionBy(fingerprint("text")).orderBy("doc_id")
+    keep1 = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "text", "n_tok")
+    )
+    keep1 = keep1.persist()
+    keep1.count()
+    pairs = dd.simhash_neardup_pairs(keep1, "text", "doc_id", max_hamming=3)
+    drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = keep1.join(drops, "doc_id", "left_anti")
+    b = F.substring(
+        F.md5(F.concat(F.lit("split"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    assigned = survivors.select(
+        "n_tok",
+        F.when(b < "f6", "train").when(b < "fb", "val").otherwise("test")
+        .alias("split"),
+    )
+    out = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tok_total"),
+    )
+    out = out.persist()
+    out.count()
+    keep1.unpersist()
+    pairs.unpersist()
+    return out
