@@ -117,3 +117,40 @@ def test_spark_resample_pipeline_cross_rate_dedup(spark):
     )
     r = resample_audio(bad).collect()[0]
     assert not r["ok"] and r["err"]
+
+
+def test_resample_properties_hypothesis():
+    """Property gates over random PCM and rates: output frame count is
+    exactly round(n·target/src), same-rate resample is the identity,
+    integer-ratio upsample keeps every source sample at stride k, and
+    output samples never leave the convex hull of the input (linear
+    interpolation cannot overshoot)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=400),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        src=st.sampled_from([8000, 11025, 16000, 22050, 44100]),
+        k=st.integers(min_value=2, max_value=4),
+    )
+    def check(n, seed, src, k):
+        rng = np.random.RandomState(seed)
+        x = rng.randint(-32768, 32767, n).astype("<i2")
+        w = encode_wav(x.tobytes(), src)
+        up = resample_pcm_one(w, src * k)
+        _, rate, _, n_out, pcm = decode_wav_one(up)
+        y = np.frombuffer(pcm, "<i2")
+        assert rate == src * k and n_out == round(n * k)
+        # stride-k samples are the source, untouched
+        assert np.array_equal(y[::k], x)
+        # no overshoot: linear interp stays inside [min, max]
+        assert y.min() >= x.min() and y.max() <= x.max()
+        # identity at the same rate
+        assert decode_wav_one(resample_pcm_one(w, src))[4] == x.tobytes()
+        # arbitrary-ratio frame-count contract
+        third = resample_pcm_one(w, 12000)
+        assert decode_wav_one(third)[3] == max(1, round(n * 12000 / src))
+
+    check()
