@@ -60,6 +60,7 @@ def _load_all() -> None:
     from etl_migrate_api_spark.plans import extras  # noqa: F401
     from etl_migrate_api_spark.plans import llm_curation  # noqa: F401
     from etl_migrate_api_spark.plans import llm_selection  # noqa: F401
+    from etl_migrate_api_spark.plans import stats_ops  # noqa: F401
 
 
 # The driver's CORRECTNESS gate processes only the FIRST 50 entries of

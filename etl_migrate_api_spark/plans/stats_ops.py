@@ -1,0 +1,370 @@
+"""Statistical / relationship analytics the reference's users run
+downstream of the ETL surface (SURVEY §2 T8/A3 arithmetic + aggregation
+carriers, extended): correlation & regression moments, market-basket
+co-occurrence, robust time-series anomaly flags, and weighted
+reservoir sampling (Efraimidis–Sprakis A-ES) for training-data
+selection.
+
+Engine-exactness discipline (same as plans/llm_selection.py):
+
+- Every SUM runs over exact decimals; floats never accumulate.
+- Decimal moments cross into double through a VARCHAR round-trip
+  (``cast(cast(x as string) as double)``): decimal→string is exact on
+  both engines and string→double is correctly rounded on both (strtod
+  / Double.parseDouble), which sidesteps DuckDB's two-step
+  hugeint→double cast that can double-round against Spark's
+  BigDecimal.doubleValue().
+- Derived statistics are identical double expression trees on both
+  engines (+,−,×,÷,sqrt are all IEEE correctly rounded → bit-equal),
+  quantized to decimal once at the end for output stability.
+- ``ln`` (the one non-correctly-rounded op) is quantized to
+  decimal(18,9) immediately, the proven DSIR pattern.
+
+Registered in the tail (after DRIVER_WINDOW): pytest's oracle-parity
+mirror and tools/driver_sim.py hash-verify them on every run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_migrate_api_spark.catalog import load
+from etl_migrate_api_spark.plans.registry import register
+
+_DEC = "decimal(18,2)"
+
+
+# ---------------------------------------------------------------------------
+# Correlation / regression battery
+# ---------------------------------------------------------------------------
+
+
+def _via_str(c: F.Column) -> F.Column:
+    """Exact-decimal → double through the string round-trip (see module
+    docstring for why not a direct cast)."""
+    return c.cast("string").cast("double")
+
+
+_CORR_ORACLE = """
+  with m as (
+    select l_returnflag,
+           count(*) as n,
+           sum(cast(l_quantity as decimal(18,2))) as sx,
+           sum(cast(l_extendedprice as decimal(18,2))) as sy,
+           sum(cast(l_quantity as decimal(18,2))
+               * cast(l_quantity as decimal(18,2))) as sxx,
+           sum(cast(l_extendedprice as decimal(18,2))
+               * cast(l_extendedprice as decimal(18,2))) as syy,
+           sum(cast(l_quantity as decimal(18,2))
+               * cast(l_extendedprice as decimal(18,2))) as sxy
+    from lineitem
+    group by l_returnflag
+  ),
+  d as (
+    select l_returnflag, n,
+           cast(n as double) as dn,
+           cast(cast(sx as varchar) as double) as dsx,
+           cast(cast(sy as varchar) as double) as dsy,
+           cast(cast(sxx as varchar) as double) as dsxx,
+           cast(cast(syy as varchar) as double) as dsyy,
+           cast(cast(sxy as varchar) as double) as dsxy
+    from m
+  )
+  select l_returnflag, n,
+         cast(cast((dn * dsxy - dsx * dsy)
+                   / sqrt((dn * dsxx - dsx * dsx) * (dn * dsyy - dsy * dsy))
+                   as decimal(28,9)) as double) as corr_qty_price,
+         cast(cast((dn * dsxy - dsx * dsy) / (dn * dsxx - dsx * dsx)
+                   as decimal(28,9)) as double) as slope,
+         cast(cast((dsy - ((dn * dsxy - dsx * dsy) / (dn * dsxx - dsx * dsx))
+                           * dsx) / dn
+                   as decimal(28,9)) as double) as intercept,
+         cast(cast((dn * dsxy - dsx * dsy) / (dn * dn)
+                   as decimal(28,9)) as double) as covar_pop
+  from d
+"""
+
+
+@register(
+    "stats_corr_battery",
+    oracle=_CORR_ORACLE,
+    survey_refs=("A3", "T8"),
+)
+def stats_corr_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation, OLS slope/intercept, and population
+    covariance of quantity vs extended price per return flag — the
+    moment-based formulation (n, Σx, Σy, Σx², Σy², Σxy) instead of
+    the engines' corr()/covar_pop() aggregates, whose float
+    accumulation order is partition-dependent and can never hash-match
+    across engines. Moments are exact decimal sums (one map-side-
+    combined shuffle on the 3-value group key); the five derived
+    statistics are pure double arithmetic on those exact moments —
+    identical expression trees on both engines, so bit-equal.
+
+    100 TB: this is the canonical "stats in one pass" shape — a single
+    partial-aggregated groupBy, no second scan, no window; the derived
+    math runs on ≤ |groups| rows."""
+    li = load(spark, "lineitem", sf_dir)
+    x = F.col("l_quantity").cast(_DEC)
+    y = F.col("l_extendedprice").cast(_DEC)
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    dn = F.col("n").cast("double")
+    dsx, dsy = _via_str(F.col("sx")), _via_str(F.col("sy"))
+    dsxx, dsyy = _via_str(F.col("sxx")), _via_str(F.col("syy"))
+    dsxy = _via_str(F.col("sxy"))
+    num = dn * dsxy - dsx * dsy
+    denx = dn * dsxx - dsx * dsx
+    deny = dn * dsyy - dsy * dsy
+
+    def q(c: F.Column) -> F.Column:
+        return c.cast("decimal(28,9)").cast("double")
+
+    return m.select(
+        "l_returnflag",
+        "n",
+        q(num / F.sqrt(denx * deny)).alias("corr_qty_price"),
+        q(num / denx).alias("slope"),
+        q((dsy - (num / denx) * dsx) / dn).alias("intercept"),
+        q(num / (dn * dn)).alias("covar_pop"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence
+# ---------------------------------------------------------------------------
+
+_BASKET_TOP = 50
+
+
+@register(
+    "orders_market_basket",
+    oracle=f"""
+      with lp as (
+        select distinct l_orderkey, l_partkey from lineitem
+      ),
+      pairs as (
+        select a.l_partkey as part_a, b.l_partkey as part_b
+        from lp a join lp b
+          on a.l_orderkey = b.l_orderkey and a.l_partkey < b.l_partkey
+      )
+      select part_a, part_b, count(*) as support
+      from pairs
+      group by part_a, part_b
+      order by support desc, part_a, part_b
+      limit {_BASKET_TOP}
+    """,
+    headline=True,
+    survey_refs=("A3", "J2", "E1", "O2"),
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise part co-occurrence within an order (the support-count
+    stage of market-basket / frequent-itemset mining), top-{k} pairs
+    with a full (support, part_a, part_b) tiebreak so the LIMIT is
+    deterministic.
+
+    Scale shape: the pair generator is a SELF-JOIN ON THE ORDER KEY —
+    both sides shuffle-partition on l_orderkey once and the join is
+    co-located; pairs per order are C(lines,2) with lines bounded by
+    the order schema (≤7 in TPC-H), so the blow-up factor is a small
+    constant, NOT O(n²). The support aggregate map-side combines, and
+    the top-k is TakeOrderedAndProject (per-partition heaps, driver
+    merges k rows). A collect_set-then-explode variant would save the
+    self-join shuffle but builds per-order arrays; the join form keeps
+    every operator whole-stage-codegen'd."""
+    lp = (
+        load(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(_BASKET_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly flags (median / MAD)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+      with daily as (
+        select event_type, cast(ts as date) as day, count(*) as n
+        from events
+        group by event_type, cast(ts as date)
+      ),
+      med as (
+        select event_type, quantile_cont(n, 0.5) as med
+        from daily group by event_type
+      ),
+      dev as (
+        select d.event_type, d.day, d.n, m.med,
+               abs(cast(d.n as double) - m.med) as dev
+        from daily d join med m on d.event_type = m.event_type
+      ),
+      mad as (
+        select event_type, quantile_cont(dev, 0.5) as mad
+        from dev group by event_type
+      )
+      select d.event_type, strftime(d.day, '%Y-%m-%d') as day, d.n,
+             d.med, m.mad,
+             d.dev > 3.0 * 1.4826 * m.mad as is_anomaly
+      from dev d join mad m on d.event_type = m.event_type
+    """,
+    survey_refs=("A3", "F3", "T6", "J2"),
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume anomaly flags per event type: deviation from
+    the MEDIAN of daily counts, scaled by the MAD (×1.4826, the normal-
+    consistency constant) — the outlier detector that, unlike mean/σ
+    z-scores, is not dragged by the anomalies themselves.
+
+    Engine-exactness: daily counts are integers; the exact 0.5-quantile
+    linearly interpolates two integers (an exact double, worst case one
+    halving), deviations are exact differences of those, and the MAD
+    interpolates exact quarter-multiples — no accumulation, so both
+    engines agree bit-for-bit. The flag compares against
+    3·1.4826·mad evaluated left-to-right on both engines.
+
+    Scale: one groupBy(event_type, day) with map-side combine collapses
+    the corpus to |types|×|days| rows; both exact medians then run over
+    that tiny frame (exact percentile sorts PER GROUP of bounded size —
+    never the raw events)."""
+    ev = load(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(n, 0.5)").alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("n").cast("double") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        "med",
+        "mad",
+        (F.col("dev") > 3.0 * 1.4826 * F.col("mad")).alias("is_anomaly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+_AES_K = 100
+_AES_SALT = "aes"
+_AES_DENOM = float(16**15)  # 2^60 — exact power of two in double
+
+
+@register(
+    "llm_weighted_sample",
+    oracle=f"""
+      with s as (
+        select doc_id, lang, greatest(n_chars, 1) as w,
+               cast(concat('0x', substr(
+                     md5('{_AES_SALT}' || cast(doc_id as varchar)), 1, 15))
+                    as bigint) as m
+        from documents
+      ),
+      k as (
+        select doc_id, lang, w,
+               (cast(cast(cast(ln(cast(m + 1 as double) / {_AES_DENOM!r})
+                               as decimal(18,9)) as decimal(28,9))
+                     * -1000000000 as bigint)
+                * 1000000) // w as aes_cost
+        from s
+      )
+      select doc_id, lang, w as weight, aes_cost
+      from k
+      order by aes_cost, doc_id
+      limit {_AES_K}
+    """,
+    survey_refs=("A3", "O2", "T8"),
+)
+def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES): each doc draws u ~ U(0,1] from a salted md5 (reproducible
+    across runs/engines/partitionings, unlike rand(seed)) and is ranked
+    by key = u^(1/w) — here by the monotone-equivalent ln(u)/w — so the
+    top-k IS a weighted sample: P(doc first) = w/Σw, then recursively
+    without the winner. The length-weighted selection every
+    token-budgeted corpus draw needs (sample ∝ document length without
+    exploding docs into rows). Ranking by ln(u)/w descending is
+    expressed as the POSITIVE integer cost −ln(u)·10⁹·10⁶ div w
+    ascending (same order, exact arithmetic).
+
+    Engine-exactness: u = (m+1)/2^60 with m an exact 60-bit integer —
+    the dividend's double conversion is correctly rounded on both
+    engines and the divisor is a power of two, so u is bit-equal;
+    ln(u) quantizes to decimal(18,9) immediately (the DSIR pattern),
+    and everything after is bigint arithmetic: scale to an exact
+    integer, positive integer division (truncation ≡ floor, identical
+    on both engines — a double→decimal output cast here actually
+    DIVERGED at sf0.01: Spark rounds HALF_UP on the double's exact
+    binary expansion, DuckDB pre-multiplies and loses the tie).
+    Quantization can only merge neighbors, and ties break on doc_id —
+    both engines pick the identical k.
+
+    100 TB: zero shuffles until the top-k — the key is a pure
+    projection, and TakeOrderedAndProject keeps per-partition heaps of
+    k and merges k rows on the driver."""
+    docs = load(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "n_chars"
+    )
+    m = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(_AES_SALT), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = F.greatest(F.col("n_chars"), F.lit(1))
+    lnq = F.log((m + 1).cast("double") / F.lit(_AES_DENOM)).cast(
+        "decimal(18,9)"
+    )
+    p9 = (lnq * F.lit(-1000000000)).cast("bigint")  # exact: scale 9 × 10⁹
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            w.alias("weight"),
+            (p9 * F.lit(1000000)).alias("num"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "weight",
+            F.expr("num div weight").alias("aes_cost"),
+        )
+        .orderBy("aes_cost", "doc_id")
+        .limit(_AES_K)
+    )
