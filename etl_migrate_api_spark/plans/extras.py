@@ -537,3 +537,101 @@ def llm_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     pairs.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# JSONL ingest round-trip — the file-source contract, oracled
+# ---------------------------------------------------------------------------
+
+_JSONL_CHECKSUM_SQL = """
+  select lang,
+         count(*) as n_docs,
+         cast(sum(cast(concat('0x',
+                substr(md5(concat_ws('|', cast(doc_id as varchar), text,
+                                     source, cast(n_chars as varchar))),
+                       1, 10)) as bigint)) as bigint) as checksum,
+         0 as n_corrupt
+  from documents
+  group by lang
+"""
+
+
+@register(
+    "llm_jsonl_roundtrip",
+    oracle=_JSONL_CHECKSUM_SQL,
+    survey_refs=("S1", "K2"),
+)
+def llm_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JSONL corpus-ingest contract, proven lossless end-to-end:
+    export the documents table as gzip'd JSONL shards
+    (sources/jsonl.py::write_jsonl), re-ingest with the schema-pinned
+    PERMISSIVE reader, and aggregate a per-language row count + content
+    checksum + corrupt-line count. The oracle computes the same
+    aggregate DIRECTLY on the parquet table — a hash match means JSON
+    escaping round-tripped every byte of every doc (newlines, quotes,
+    non-ASCII) and the reader parsed zero lines as corrupt.
+
+    Checksum discipline: per-row 40-bit md5 prefix as bigint, summed as
+    exact decimal (40-bit values keep the sum inside bigint range well
+    past sf10 on the oracle side; the engine widens to decimal before
+    summing for the same reason).
+
+    100 TB: gzip shards are unsplittable, so write_jsonl's n_shards is
+    the read-parallelism knob; the reader never infers (one scan, not
+    two); corrupt lines become rows to count, not exceptions to crash
+    on. The tmp index-dir hygiene mirrors llm_ann_ivf_topk."""
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from etl_migrate_api_spark.catalog import load
+    from etl_migrate_api_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    docs = load(spark, "documents", sf_dir)
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_jsonl")
+    cutoff = time.time() - 6 * 3600
+    for stale in (
+        os.path.join(root, d)
+        for d in (os.listdir(root) if os.path.isdir(root) else [])
+    ):
+        try:
+            if os.path.getmtime(stale) < cutoff:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass  # a concurrent sweep already took it
+    path = os.path.join(root, f"corpus_{tag}_{uuid.uuid4().hex[:8]}")
+    write_jsonl(docs, path, n_shards=8, compression="gzip")
+    back = read_jsonl(
+        spark,
+        path,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("doc_id").cast("string"),
+                    "text",
+                    "source",
+                    F.col("n_chars").cast("string"),
+                )
+            ),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(h.cast("decimal(20,0)")).cast("bigint").alias("checksum"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)
+        )
+        .cast("int")
+        .alias("n_corrupt"),
+    )
