@@ -635,3 +635,121 @@ def llm_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_corrupt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality expectations (operators/quality.py)
+# ---------------------------------------------------------------------------
+
+_DQ_ORACLE = """
+  with o as (
+    select count(*) as n,
+           sum(case when o_custkey is null then 1 else 0 end) as v_notnull,
+           count(o_orderkey) - count(distinct o_orderkey) as v_unique,
+           sum(case when o_orderstatus not in ('O','F','P')
+                      or o_orderstatus is null then 1 else 0 end) as v_status,
+           sum(case when o_totalprice < 0 or o_totalprice is null
+                    then 1 else 0 end) as v_price,
+           sum(case when not (o_orderdate < timestamp '2100-01-01')
+                      or o_orderdate is null then 1 else 0 end) as v_date
+    from orders
+  ),
+  l as (
+    select count(*) as n,
+           sum(case when l_discount < 0 or l_discount > 1
+                      or l_discount is null then 1 else 0 end) as v_disc,
+           sum(case when not (l_quantity > 0) or l_quantity is null
+                    then 1 else 0 end) as v_qty,
+           sum(case when l_orderkey is null then 1 else 0 end) as v_ok
+    from lineitem
+  ),
+  fk1 as (
+    select (select count(*) from lineitem) as n,
+           (select count(*) from lineitem li
+             left join (select distinct o_orderkey from orders) o
+               on li.l_orderkey = o.o_orderkey
+            where o.o_orderkey is null) as v
+  ),
+  fk2 as (
+    select (select count(*) from orders) as n,
+           (select count(*) from orders r
+             left join (select distinct c_custkey from customer) c
+               on r.o_custkey = c.c_custkey
+            where c.c_custkey is null) as v
+  )
+  select 'not_null(o_custkey)' as check, n as n_rows,
+         cast(v_notnull as bigint) as violations, v_notnull = 0 as passed from o
+  union all
+  select 'unique(o_orderkey)', n, cast(v_unique as bigint), v_unique = 0 from o
+  union all
+  select 'accepted_values(o_orderstatus)', n, cast(v_status as bigint),
+         v_status = 0 from o
+  union all
+  select 'in_range(o_totalprice)', n, cast(v_price as bigint),
+         v_price = 0 from o
+  union all
+  select 'o_orderdate sane', n, cast(v_date as bigint), v_date = 0 from o
+  union all
+  select 'in_range(l_discount)', n, cast(v_disc as bigint), v_disc = 0 from l
+  union all
+  select 'l_quantity positive', n, cast(v_qty as bigint), v_qty = 0 from l
+  union all
+  select 'not_null(l_orderkey)', n, cast(v_ok as bigint), v_ok = 0 from l
+  union all
+  select 'fk(l_orderkey -> o_orderkey)', n, cast(v as bigint), v = 0 from fk1
+  union all
+  select 'fk(o_custkey -> c_custkey)', n, cast(v as bigint), v = 0 from fk2
+"""
+
+
+@register(
+    "dq_expectations_report",
+    oracle=_DQ_ORACLE,
+    survey_refs=("A3", "F1", "J1", "J3"),
+)
+def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite (operators/quality.py) over the
+    orders/lineitem/customer triangle: null/uniqueness/domain/range
+    checks compile to ONE aggregate scan per table, referential checks
+    to one anti-join each, and the whole report is a 10-row frame a
+    load pipeline gates on. The Deequ/Great-Expectations surface
+    re-expressed as plain Catalyst plans — no collect, no per-check
+    jobs."""
+    from etl_migrate_api_spark.catalog import load
+    from etl_migrate_api_spark.operators import quality as q
+
+    orders = load(spark, "orders", sf_dir)
+    lineitem = load(spark, "lineitem", sf_dir)
+    customer = load(spark, "customer", sf_dir)
+    return q.expectation_report(
+        suites=[
+            (
+                orders,
+                [
+                    q.not_null("o_custkey"),
+                    q.unique("o_orderkey"),
+                    q.accepted_values("o_orderstatus", ["O", "F", "P"]),
+                    q.in_range("o_totalprice", lo=0),
+                    q.satisfies(
+                        "o_orderdate sane",
+                        F.col("o_orderdate")
+                        < F.to_timestamp(F.lit("2100-01-01")),
+                    ),
+                ],
+            ),
+            (
+                lineitem,
+                [
+                    q.in_range("l_discount", lo=0, hi=1),
+                    q.satisfies(
+                        "l_quantity positive", F.col("l_quantity") > 0
+                    ),
+                    q.not_null("l_orderkey"),
+                ],
+            ),
+        ],
+        fk_reports=[
+            q.fk_check(lineitem, "l_orderkey", orders, "o_orderkey"),
+            q.fk_check(orders, "o_custkey", customer, "c_custkey"),
+        ],
+    )
