@@ -753,3 +753,68 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.fk_check(orders, "o_custkey", customer, "c_custkey"),
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Versioned table: time travel + change feed (sinks/versioned.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_version_diff",
+    oracle="""
+      select o_orderkey,
+             case when o_orderkey % 97 = 0 then 'added'
+                  else 'changed' end as change
+      from orders
+      where o_orderkey % 97 = 0 or o_orderkey % 89 = 0
+    """,
+    survey_refs=("K8", "X3", "E2"),
+)
+def orders_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest-log table exercised end-to-end: v1 = yesterday's
+    load (every %97 key missing), v2 = APPEND of the missing keys (the
+    manifest reuses v1's segment — no rewrite), v3 = OVERWRITE with
+    every %89 status mutated. The query time-travels back to v1 and
+    change-feeds v1→v3: %97 keys surface as 'added', %89 (and not %97)
+    as 'changed', everything else is filtered inside the diff join.
+    The oracle derives the same classification from arithmetic alone —
+    a hash match proves commit isolation, time travel, and the
+    CDF join in one go."""
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from etl_migrate_api_spark.catalog import load
+    from etl_migrate_api_spark.sinks.versioned import VersionedTable
+
+    orders = load(spark, "orders", sf_dir)
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_versioned")
+    cutoff = time.time() - 6 * 3600
+    for stale in (
+        os.path.join(root, d)
+        for d in (os.listdir(root) if os.path.isdir(root) else [])
+    ):
+        try:
+            if os.path.getmtime(stale) < cutoff:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass  # a concurrent sweep already took it
+    t = VersionedTable(
+        os.path.join(root, f"orders_{tag}_{uuid.uuid4().hex[:8]}")
+    )
+    t.commit(orders.where(F.col("o_orderkey") % 97 != 0), mode="overwrite")
+    t.commit(orders.where(F.col("o_orderkey") % 97 == 0), mode="append")
+    mutated = orders.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 89 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    t.commit(mutated, mode="overwrite")
+    return t.diff(spark, 1, 3, ["o_orderkey"]).where(
+        F.col("change").isNotNull()
+    )

@@ -1,0 +1,159 @@
+"""Manifest-log versioned table — the transaction-log pattern Delta
+Lake / Iceberg built the lakehouse on, reduced to its load-bearing
+parts over plain parquet + POSIX renames:
+
+- **Data files are immutable.** Every commit writes a fresh segment
+  directory under ``data/``; nothing ever rewrites a published file.
+  An *append* commit's manifest lists the parent's segments plus the
+  new one — appending to a 100 TB table moves only the new bytes.
+- **The manifest IS the commit.** A version exists iff
+  ``_log/v<N>.json`` exists; it's published with hard-link-exclusive
+  creation (``os.link`` fails EEXIST on a lost race), so commits are
+  atomic and two concurrent writers serialize by retry — the loser
+  REBASES (re-reads the winner's segment list) before trying N+1,
+  which is exactly Delta's optimistic concurrency for blind appends.
+- **Readers pin a version.** ``read(spark)`` resolves the latest
+  manifest once; ``read(spark, version=k)`` is time travel. A reader
+  never sees a half-commit: either the manifest file is there or it
+  isn't.
+- **Vacuum is two honest phases.** Expired manifests are deleted
+  FIRST, then any segment no remaining manifest references; a crash
+  between phases leaves only orphan segments, and re-running vacuum
+  (or the next one) sweeps them. A crashed commit (segment written,
+  manifest never published) leaves the same kind of orphan — one
+  cleanup path heals both.
+
+Change-data-feed between versions reuses operators/diff.py::table_diff
+(one co-partitioned full-outer join on the key, payload pre-hashed).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class VersionedTable:
+    def __init__(self, path: str):
+        self.path = path
+        self._log = os.path.join(path, "_log")
+        self._data = os.path.join(path, "data")
+
+    # -- log ----------------------------------------------------------------
+
+    def _vpath(self, v: int) -> str:
+        return os.path.join(self._log, f"v{v:08d}.json")
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self._log):
+            return []
+        return sorted(
+            int(f[1:9])
+            for f in os.listdir(self._log)
+            if f.startswith("v") and f.endswith(".json")
+        )
+
+    def latest_version(self) -> int:
+        vs = self.versions()
+        return vs[-1] if vs else 0
+
+    def manifest(self, version: int) -> dict:
+        with open(self._vpath(version)) as fh:
+            return json.load(fh)
+
+    # -- write --------------------------------------------------------------
+
+    def commit(self, df: DataFrame, mode: str = "append") -> int:
+        """Write ``df`` as a new immutable segment and publish the next
+        version. Returns the committed version number. ``mode``:
+        'append' (manifest = parent segments + this one) or 'overwrite'
+        (manifest = this segment only). Safe under concurrent
+        committers (lost races rebase and retry)."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        os.makedirs(self._log, exist_ok=True)
+        seg = os.path.join(self._data, f"seg-{uuid.uuid4().hex}")
+        df.write.mode("error").parquet(seg)
+        while True:
+            parent = self.latest_version()
+            base = (
+                self.manifest(parent)["segments"]
+                if (mode == "append" and parent)
+                else []
+            )
+            v = parent + 1
+            body = {
+                "version": v,
+                "parent": parent,
+                "mode": mode,
+                "segments": base + [os.path.relpath(seg, self.path)],
+            }
+            tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w") as fh:
+                json.dump(body, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            try:
+                os.link(tmp, self._vpath(v))  # EXCLUSIVE: loses race loudly
+                os.unlink(tmp)
+                return v
+            except FileExistsError:
+                os.unlink(tmp)  # rebase on the winner's segments, retry
+
+    # -- read ---------------------------------------------------------------
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        v = self.latest_version() if version is None else version
+        if v < 1:
+            raise FileNotFoundError(f"{self.path}: no committed version")
+        segs = [
+            os.path.join(self.path, s) for s in self.manifest(v)["segments"]
+        ]
+        return spark.read.parquet(*segs)
+
+    def diff(
+        self,
+        spark: SparkSession,
+        v_old: int,
+        v_new: int,
+        keys: list[str],
+    ) -> DataFrame:
+        """Row-level change feed between two versions:
+        (keys…, change ∈ added|removed|changed)."""
+        from etl_migrate_api_spark.operators.diff import table_diff
+
+        return table_diff(
+            self.read(spark, v_old), self.read(spark, v_new), keys
+        )
+
+    # -- maintenance ----------------------------------------------------------
+
+    def vacuum(self, keep_last: int = 1) -> dict:
+        """Drop manifests older than the newest ``keep_last`` versions,
+        then delete every segment directory no surviving manifest
+        references (this also sweeps orphans from crashed commits).
+        Returns counts. Phase order is the crash contract: manifests
+        first, so a kept version can never lose a referenced segment."""
+        vs = self.versions()
+        keep = set(vs[-keep_last:]) if keep_last > 0 else set(vs)
+        dropped = 0
+        for v in vs:
+            if v not in keep:
+                os.unlink(self._vpath(v))
+                dropped += 1
+        referenced = {
+            os.path.normpath(os.path.join(self.path, s))
+            for v in keep
+            for s in self.manifest(v)["segments"]
+        }
+        swept = 0
+        for d in os.listdir(self._data) if os.path.isdir(self._data) else []:
+            full = os.path.normpath(os.path.join(self._data, d))
+            if full not in referenced:
+                shutil.rmtree(full, ignore_errors=True)
+                swept += 1
+        return {"manifests_dropped": dropped, "segments_swept": swept}
