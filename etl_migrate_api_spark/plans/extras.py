@@ -818,3 +818,77 @@ def orders_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.diff(spark, 1, 3, ["o_orderkey"]).where(
         F.col("change").isNotNull()
     )
+
+
+@register(
+    "orders_incremental_rollup",
+    oracle="""
+      select o_orderstatus,
+             count(*) as n_orders,
+             cast(round(sum(cast(o_totalprice as decimal(18,2))), 2)
+                  as double) as total_price
+      from orders
+      group by o_orderstatus
+    """,
+    survey_refs=("A3", "K7", "X1"),
+)
+def orders_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance over the manifest log: orders land
+    in three commits (initial load + two appends), and the per-status
+    rollup is maintained by aggregating ONLY each increment's segments
+    (sinks/versioned.py::read_increment) and re-aggregating the
+    partials — the base data is never rescanned. The oracle is the
+    full-recompute groupBy over the whole table: a hash match proves
+    partial-merge ≡ recompute, the property IVM rests on.
+
+    100 TB: each maintenance pass scans |increment| bytes, not |table|;
+    the merge aggregates |groups|×|batches| partial rows. Sums stay
+    exact decimals through the merge (the partials must be mergeable
+    EXACTLY — a double partial would make the merged total depend on
+    batch boundaries)."""
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from etl_migrate_api_spark.catalog import load
+    from etl_migrate_api_spark.sinks.versioned import VersionedTable
+
+    orders = load(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_versioned")
+    cutoff = time.time() - 6 * 3600
+    for stale in (
+        os.path.join(root, d)
+        for d in (os.listdir(root) if os.path.isdir(root) else [])
+    ):
+        try:
+            if os.path.getmtime(stale) < cutoff:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass  # a concurrent sweep already took it
+    t = VersionedTable(
+        os.path.join(root, f"rollup_{tag}_{uuid.uuid4().hex[:8]}")
+    )
+    t.commit(orders.where(F.col("o_orderkey") % 3 == 0), mode="overwrite")
+    t.commit(orders.where(F.col("o_orderkey") % 3 == 1), mode="append")
+    t.commit(orders.where(F.col("o_orderkey") % 3 == 2), mode="append")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+        )
+
+    parts = (
+        partial(t.read(spark, 1))
+        .unionByName(partial(t.read_increment(spark, 1, 2)))
+        .unionByName(partial(t.read_increment(spark, 2, 3)))
+    )
+    return parts.groupBy("o_orderstatus").agg(
+        F.sum("n").alias("n_orders"),
+        F.round(F.sum("s"), 2).cast("double").alias("total_price"),
+    )

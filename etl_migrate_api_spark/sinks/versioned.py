@@ -115,6 +115,37 @@ class VersionedTable:
         ]
         return spark.read.parquet(*segs)
 
+    def segments_added(self, v_from: int, v_to: int) -> list[str] | None:
+        """Relative segment paths committed after ``v_from`` up to
+        ``v_to`` — the INCREMENT — or None if any commit in the range
+        was an overwrite (the increment is then undefined; callers fall
+        back to a full read + diff). v_from = 0 means 'from empty'."""
+        start = v_from + 1 if v_from else 2  # v1 may be the initial load
+        for v in range(start, v_to + 1):
+            if self.manifest(v)["mode"] != "append":
+                return None
+        base = set(self.manifest(v_from)["segments"]) if v_from else set()
+        return [s for s in self.manifest(v_to)["segments"] if s not in base]
+
+    def read_increment(
+        self, spark: SparkSession, v_from: int, v_to: int
+    ) -> DataFrame:
+        """Rows added between two versions of an APPEND chain, read
+        from ONLY the new segments — the input an incremental
+        view-maintenance pass aggregates instead of rescanning the
+        table (raises if the range contains an overwrite)."""
+        segs = self.segments_added(v_from, v_to)
+        if segs is None:
+            raise ValueError(
+                f"{self.path}: v{v_from}->v{v_to} contains an overwrite; "
+                "increment undefined — use read() + diff()"
+            )
+        if not segs:
+            return self.read(spark, v_to).limit(0)
+        return spark.read.parquet(
+            *[os.path.join(self.path, s) for s in segs]
+        )
+
     def diff(
         self,
         spark: SparkSession,

@@ -126,3 +126,61 @@ def test_empty_and_error_paths(spark, tmp_path):
     t.commit(_df(spark, 0, 1), mode="overwrite")
     body = json.load(open(t._vpath(1)))
     assert not os.path.isabs(body["segments"][0])
+
+
+def test_read_increment_appends_only(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 5), mode="overwrite")
+    t.commit(_df(spark, 5, 8), mode="append")
+    t.commit(_df(spark, 8, 12), mode="append")
+    inc = t.read_increment(spark, 1, 3)
+    assert sorted(r["k"] for r in inc.collect()) == list(range(5, 12))
+    # from-empty increment over the initial load is the whole table
+    assert t.read_increment(spark, 0, 3).count() == 12
+    # same-version increment is empty but keeps the schema
+    empty = t.read_increment(spark, 2, 2)
+    assert empty.count() == 0 and empty.columns == ["k", "v"]
+
+
+def test_read_increment_rejects_overwrite_in_range(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 3), mode="overwrite")
+    t.commit(_df(spark, 3, 5), mode="append")
+    t.commit(_df(spark, 0, 2), mode="overwrite")
+    assert t.segments_added(1, 3) is None
+    with pytest.raises(ValueError):
+        t.read_increment(spark, 1, 3)
+    # but the post-overwrite chain increments fine
+    t.commit(_df(spark, 2, 4), mode="append")
+    assert sorted(
+        r["k"] for r in t.read_increment(spark, 3, 4).collect()
+    ) == [2, 3]
+
+
+def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 40), mode="overwrite")
+    t.commit(_df(spark, 40, 70), mode="append")
+    t.commit(_df(spark, 70, 100), mode="append")
+
+    def agg(df):
+        return df.groupBy((F.col("k") % 7).alias("g")).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+        )
+
+    # maintain the rollup: base partial + one partial per increment,
+    # merged by re-aggregating the partials (never rescanning the base)
+    parts = (
+        agg(t.read(spark, 1))
+        .unionByName(agg(t.read_increment(spark, 1, 2)))
+        .unionByName(agg(t.read_increment(spark, 2, 3)))
+    )
+    merged = parts.groupBy("g").agg(
+        F.sum("n").alias("n"), F.sum("s").alias("s")
+    )
+    full = agg(t.read(spark, 3))
+    got = {r["g"]: (r["n"], r["s"]) for r in merged.collect()}
+    want = {r["g"]: (r["n"], r["s"]) for r in full.collect()}
+    assert got == want
