@@ -1697,3 +1697,97 @@ def sq8_topk(
         return _rank_topk(scored, k, F.col("sim").alias("est_ip"))
     shortlist = _rank_topk(scored, max(rerank, k), F.col("sim").alias("est_ip"))
     return _exact_rerank(shortlist, qrows, corpus, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# kNN graph — every node's top-k neighbors (the input to graph-based
+# clustering, SemDeDup-style pruning, and NN-descent refinement)
+# ---------------------------------------------------------------------------
+
+
+def knn_graph(
+    nodes: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT kNN graph over a BOUNDED node set: the node set is both
+    the broadcast query side and the scanned corpus side of
+    bruteforce_topk, so this is |nodes|² cosines by definition. Use it
+    for sets that fit a broadcast (cluster representatives, a sampled
+    panel, the shortlist another stage produced); the corpus-scale path
+    is :func:`knn_graph_banded`."""
+    return bruteforce_topk(nodes, nodes, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def knn_graph_banded(
+    nodes: DataFrame,
+    k: int = 5,
+    block_col: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bands: int = NEARDUP_N_BANDS,
+    band_size: int = NEARDUP_BAND_SIZE,
+) -> DataFrame:
+    """Approximate kNN graph at corpus scale: hyperplane-LSH band
+    collisions generate each node's candidate set (|band bucket|-sized,
+    never |corpus|), exact cosine ranks the candidates, top-k per node
+    survives. The same banding that makes embedding_neardup_pairs
+    sub-quadratic, kept SYMMETRIC here (both directions of every
+    collision) so every node ranks its own candidates.
+
+    Approximation contract: a node's true neighbor is found iff it
+    agrees on ≥1 band; nodes whose neighborhood is angularly spread can
+    return FEWER than k edges (no candidates ≠ no neighbors). Recall
+    against the exact graph is pinned in tests/test_knn_graph.py —
+    raise n_bands for more recall at more candidate cost."""
+    bits = hyperplane_sign_bits(F.col("v"), n_bands * band_size, dim)
+    base = (
+        nodes.select(
+            F.col(id_col).alias("id"),
+            (F.col(block_col) if block_col else F.lit(1)).alias("blk"),
+            F.col(vec_col).alias("v"),
+        )
+        .withColumn("bits", bits)
+        .persist()
+    )
+    base.count()  # eager: the band explode + two vector joins reuse it
+    banded = base.select(
+        "id",
+        "blk",
+        _band_explode(F.col("bits"), n_bands, band_size).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("query_id"),
+            F.col("b.id").alias("neighbor_id"),
+        )
+        .distinct()
+    )
+    vq = base.select(F.col("id").alias("query_id"), F.col("v").alias("qv"))
+    vn = base.select(F.col("id").alias("neighbor_id"), F.col("v").alias("nv"))
+    scored = (
+        cand.join(vq, "query_id")
+        .join(vn, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("qv"), F.col("nv")).alias("sim"),
+        )
+    )
+    out = _rank_topk(scored, k)
+    out = out.persist()
+    out.count()
+    base.unpersist()
+    return out

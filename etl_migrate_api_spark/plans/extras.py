@@ -892,3 +892,55 @@ def orders_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_orders"),
         F.round(F.sum("s"), 2).cast("double").alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN graph (operators/similarity.py::knn_graph / knn_graph_banded)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_knn_graph",
+    oracle="""
+      with n as (select vec_id, embedding from embeddings where vec_id < 200),
+      scored as (
+        select q.vec_id as query_id, c.vec_id as neighbor_id,
+               list_cosine_similarity(q.embedding, c.embedding) as sim
+        from n q join n c on c.vec_id <> q.vec_id
+      ),
+      r as (select query_id, neighbor_id,
+                   row_number() over (partition by query_id
+                                      order by sim desc, neighbor_id) as rank
+            from scored)
+      select query_id, cast(rank as int) as rank, neighbor_id
+      from r where rank <= 3
+    """,
+    survey_refs=("J2", "O2", "W1"),
+)
+def llm_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT kNN graph (k=3) over a bounded node panel (vec_id < 200) —
+    every node's nearest neighbors, the input to graph clustering and
+    SemDeDup-style pruning. |panel|² cosines by definition (this is the
+    exactness baseline; llm_knn_graph_banded is the corpus-scale path).
+    Rank-only output: both engines compute the identical sequential-
+    double cosine, so the (sim desc, neighbor_id) total order is
+    engine-stable without shipping float scores."""
+    from etl_migrate_api_spark.catalog import load
+    from etl_migrate_api_spark.operators import similarity as sim
+
+    nodes = load(spark, "embeddings", sf_dir).where(F.col("vec_id") < 200)
+    return sim.knn_graph(nodes, k=3)
+
+
+@register("llm_knn_graph_banded", oracle=None, survey_refs=("J2", "O2"))
+def llm_knn_graph_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN graph over the WHOLE embedding corpus:
+    hyperplane-band collisions generate candidates (|bucket|-sized,
+    never |corpus|²), exact cosine ranks them, top-5 per node survives.
+    Rows-only gate; recall vs the exact graph is pinned in
+    tests/test_knn_graph.py."""
+    from etl_migrate_api_spark.catalog import load
+    from etl_migrate_api_spark.operators import similarity as sim
+
+    emb = load(spark, "embeddings", sf_dir)
+    return sim.knn_graph_banded(emb, k=5, block_col="label")
