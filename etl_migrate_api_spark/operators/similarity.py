@@ -1729,6 +1729,7 @@ def knn_graph_banded(
     dim: int = 64,
     n_bands: int = NEARDUP_N_BANDS,
     band_size: int = NEARDUP_BAND_SIZE,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate kNN graph at corpus scale: hyperplane-LSH band
     collisions generate each node's candidate set (|band bucket|-sized,
@@ -1741,7 +1742,17 @@ def knn_graph_banded(
     agrees on ≥1 band; nodes whose neighborhood is angularly spread can
     return FEWER than k edges (no candidates ≠ no neighbors). Recall
     against the exact graph is pinned in tests/test_knn_graph.py —
-    raise n_bands for more recall at more candidate cost."""
+    raise n_bands for more recall at more candidate cost.
+
+    SIZE the band key to the corpus: a band of b planes has 2^b
+    buckets, so candidates grow as n²/2^b within a block — b must grow
+    with log₂(n) or the join goes quadratic (measured: the 4-bit
+    default was 5.4× slower at 10× nodes). ``max_bucket`` is the
+    safety valve: each (block, band, key) bucket keeps at most that
+    many nodes, chosen by deterministic md5 rank — recall inside huge
+    buckets degrades (documentedly; NN-descent recovery in
+    knn_graph_refine is the counterpart) but the pair count is bounded
+    by n_bands·2^b·max_bucket²."""
     bits = hyperplane_sign_bits(F.col("v"), n_bands * band_size, dim)
     base = (
         nodes.select(
@@ -1760,6 +1771,15 @@ def knn_graph_banded(
             "band_idx", "band_key"
         ),
     )
+    if max_bucket is not None:
+        w = Window.partitionBy("blk", "band_idx", "band_key").orderBy(
+            F.md5(F.col("id").cast("string")), "id"
+        )
+        banded = (
+            banded.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= max_bucket)
+            .drop("__r")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

