@@ -67,15 +67,67 @@ class VersionedTable:
 
     # -- write --------------------------------------------------------------
 
-    def commit(self, df: DataFrame, mode: str = "append") -> int:
+    def last_batch_id(self) -> int | None:
+        """Newest committed batch_id on the log, scanning back past
+        commits (e.g. optimize) that carried none."""
+        for v in reversed(self.versions()):
+            b = self.manifest(v).get("batch_id")
+            if b is not None:
+                return int(b)
+        return None
+
+    def commit(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        batch_id: int | None = None,
+        allow_evolution: bool = False,
+        _data_change: bool = True,
+    ) -> int:
         """Write ``df`` as a new immutable segment and publish the next
         version. Returns the committed version number. ``mode``:
         'append' (manifest = parent segments + this one) or 'overwrite'
         (manifest = this segment only). Safe under concurrent
-        committers (lost races rebase and retry)."""
+        committers (lost races rebase and retry).
+
+        ``batch_id`` makes the commit IDEMPOTENT for streaming sinks:
+        foreachBatch replays a batch after a crash with the SAME id, so
+        a commit whose batch_id is ≤ the newest one already on the log
+        is skipped (returns the current version, writes nothing) — the
+        Delta txn-version contract. Ids must be monotone per table.
+
+        Schema is part of the table contract: an append whose column
+        names/types differ from the log's schema raises unless
+        ``allow_evolution=True`` (readers always merge schemas, so
+        evolved segments read back with NULLs for missing columns);
+        an overwrite resets the schema."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         os.makedirs(self._log, exist_ok=True)
+        if batch_id is not None:
+            last = self.last_batch_id()
+            if last is not None and batch_id <= last:
+                return self.latest_version()
+        schema_json = df.schema.json()
+        # drift = name/type drift; nullability is NOT part of the
+        # contract (a parquet round-trip relaxes NOT NULL to nullable)
+        canon = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+        parent0 = self.latest_version()
+        if mode == "append" and parent0:
+            logged = self.manifest(parent0).get("schema")
+            if logged and not allow_evolution:
+                from pyspark.sql.types import StructType
+
+                logged_canon = [
+                    (f.name, f.dataType.simpleString())
+                    for f in StructType.fromJson(json.loads(logged)).fields
+                ]
+                if logged_canon != canon:
+                    raise ValueError(
+                        f"{self.path}: append schema differs from the "
+                        "table's (pass allow_evolution=True to evolve; "
+                        "readers merge schemas)"
+                    )
         seg = os.path.join(self._data, f"seg-{uuid.uuid4().hex}")
         df.write.mode("error").parquet(seg)
         while True:
@@ -90,8 +142,12 @@ class VersionedTable:
                 "version": v,
                 "parent": parent,
                 "mode": mode,
+                "data_change": _data_change,
+                "schema": schema_json,
                 "segments": base + [os.path.relpath(seg, self.path)],
             }
+            if batch_id is not None:
+                body["batch_id"] = batch_id
             tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}")
             with open(tmp, "w") as fh:
                 json.dump(body, fh)
@@ -103,6 +159,26 @@ class VersionedTable:
                 return v
             except FileExistsError:
                 os.unlink(tmp)  # rebase on the winner's segments, retry
+                if batch_id is not None:
+                    last = self.last_batch_id()
+                    if last is not None and batch_id <= last:
+                        return self.latest_version()  # rival was our replay
+
+    def optimize(self, spark: SparkSession | None = None, n_files: int = 1) -> int:
+        """Compact the current version into ``n_files`` files, published
+        as an overwrite commit with ``data_change=False`` — history
+        stays time-travelable, and streams/increments know no rows
+        changed (the Delta OPTIMIZE contract: layout, not data).
+        Returns the new version; vacuum afterwards reclaims the old
+        small files once their manifests expire."""
+        if spark is None:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise RuntimeError("optimize() needs a live SparkSession")
+        cur = self.read(spark).coalesce(n_files)
+        return self.commit(cur, mode="overwrite", _data_change=False)
 
     # -- read ---------------------------------------------------------------
 
@@ -113,19 +189,31 @@ class VersionedTable:
         segs = [
             os.path.join(self.path, s) for s in self.manifest(v)["segments"]
         ]
-        return spark.read.parquet(*segs)
+        # mergeSchema: evolved appends read back with NULLs for columns
+        # a segment predates
+        return spark.read.option("mergeSchema", "true").parquet(*segs)
 
     def segments_added(self, v_from: int, v_to: int) -> list[str] | None:
-        """Relative segment paths committed after ``v_from`` up to
-        ``v_to`` — the INCREMENT — or None if any commit in the range
-        was an overwrite (the increment is then undefined; callers fall
-        back to a full read + diff). v_from = 0 means 'from empty'."""
+        """Relative segment paths of rows ADDED after ``v_from`` up to
+        ``v_to`` — the INCREMENT — walked per version: an append
+        contributes the segments it added over its parent; a
+        ``data_change=False`` commit (optimize) contributes nothing —
+        its rewritten segment holds no new rows; a data-changing
+        overwrite makes the increment undefined → None (callers fall
+        back to read() + diff()). v_from = 0 means 'from empty'."""
         start = v_from + 1 if v_from else 2  # v1 may be the initial load
+        out: list[str] = []
+        if v_from == 0 and v_to >= 1:
+            out.extend(self.manifest(1)["segments"])
         for v in range(start, v_to + 1):
-            if self.manifest(v)["mode"] != "append":
+            m = self.manifest(v)
+            if not m.get("data_change", True):
+                continue  # compaction: same rows, new layout
+            if m["mode"] != "append":
                 return None
-        base = set(self.manifest(v_from)["segments"]) if v_from else set()
-        return [s for s in self.manifest(v_to)["segments"] if s not in base]
+            parent = set(self.manifest(v - 1)["segments"])
+            out.extend(s for s in m["segments"] if s not in parent)
+        return out
 
     def read_increment(
         self, spark: SparkSession, v_from: int, v_to: int

@@ -58,7 +58,10 @@ def _ddl_type(arrow_type) -> str:
 
 def table_schema(table_path: str) -> tuple[str, list[str]]:
     """(DDL string, field-name order) from the newest manifest's first
-    segment footer."""
+    segment footer. Caveat: on a schema-EVOLVED append chain the first
+    segment predates the new columns — the stream carries the original
+    schema until an overwrite resets it (evolved columns are for batch
+    readers, which merge schemas)."""
     import pyarrow.parquet as pq
 
     t = VersionedTable(table_path)
@@ -89,6 +92,8 @@ def _scan_versions(
 
     t = VersionedTable(table_path)
     for v in range(v_from + 1, v_to + 1):
+        if not t.manifest(v).get("data_change", True):
+            continue  # optimize/compaction: same rows, new layout
         if v > 1 and t.manifest(v)["mode"] != "append":
             if on_overwrite == "fail":
                 raise RuntimeError(

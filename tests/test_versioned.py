@@ -184,3 +184,109 @@ def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
     got = {r["g"]: (r["n"], r["s"]) for r in merged.collect()}
     want = {r["g"]: (r["n"], r["s"]) for r in full.collect()}
     assert got == want
+
+
+def test_batch_id_commit_is_idempotent(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    v1 = t.commit(_df(spark, 0, 3), mode="overwrite", batch_id=0)
+    v2 = t.commit(_df(spark, 3, 6), mode="append", batch_id=1)
+    # foreachBatch replay after a crash: same batch id arrives again
+    v_replay = t.commit(_df(spark, 3, 6), mode="append", batch_id=1)
+    assert (v1, v2, v_replay) == (1, 2, 2)
+    assert t.read(spark).count() == 6, "replay must not duplicate rows"
+    # a STALE id (smaller than the log's newest) is also skipped
+    assert t.commit(_df(spark, 99, 100), mode="append", batch_id=0) == 2
+    assert t.read(spark).count() == 6
+    # the next real batch commits normally
+    assert t.commit(_df(spark, 6, 8), mode="append", batch_id=2) == 3
+    assert t.read(spark).count() == 8
+    assert t.last_batch_id() == 2
+
+
+def test_optimize_compacts_without_changing_data(spark, tmp_path):
+    import glob
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 10).repartition(4), mode="overwrite")
+    t.commit(_df(spark, 10, 20).repartition(4), mode="append")
+    before = sorted(r["k"] for r in t.read(spark).collect())
+    n_files_before = len(
+        glob.glob(os.path.join(t.path, "data", "*", "*.parquet"))
+    )
+    v = t.optimize(spark)
+    assert v == 3
+    assert sorted(r["k"] for r in t.read(spark).collect()) == before
+    # the new current version is ONE file
+    cur_segs = t.manifest(3)["segments"]
+    assert len(cur_segs) == 1
+    n_cur = len(
+        glob.glob(os.path.join(t.path, cur_segs[0], "*.parquet"))
+    )
+    assert n_cur == 1 < n_files_before
+    # optimize is not data change: increments skip it entirely
+    assert t.segments_added(2, 3) == []
+    t.commit(_df(spark, 20, 25), mode="append")
+    inc = t.read_increment(spark, 2, 4)
+    assert sorted(r["k"] for r in inc.collect()) == list(range(20, 25))
+    # time travel to the pre-compaction layout still works
+    assert t.read(spark, 2).count() == 20
+    # and vacuum after expiry reclaims the small files
+    t.vacuum(keep_last=2)
+    assert t.read(spark).count() == 25
+
+
+def test_optimize_does_not_break_stream(spark, tmp_path):
+    from etl_migrate_api_spark.streaming.table_stream import (
+        VersionedTableDataSource,
+    )
+
+    if VersionedTableDataSource is None:
+        pytest.skip("Python DataSource API unavailable")
+    spark.dataSource.register(VersionedTableDataSource)
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 4), mode="overwrite")
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def run_once():
+        def process(batch_df, batch_id):
+            batch_df.write.mode("overwrite").parquet(
+                f"{out}/batch={batch_id}"
+            )
+
+        q = (
+            spark.readStream.format("versioned_table")
+            .option("path", t.path)
+            .load()
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    t.optimize(spark)  # default onOverwrite=fail must NOT trip on this
+    t.commit(_df(spark, 4, 7), mode="append")
+    for _ in range(3):
+        run_once()
+        if spark.read.parquet(out).count() == 7:
+            break
+    got = spark.read.parquet(out).toPandas()
+    assert sorted(got["k"]) == list(range(7))
+    assert len(got) == len(set(got["k"])), "compaction must emit nothing"
+
+
+def test_schema_drift_guard_and_evolution(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 3), mode="overwrite")
+    drifted = spark.range(3, 5).selectExpr(
+        "id as k", "cast(id * 10 as bigint) as v", "'x' as extra"
+    )
+    with pytest.raises(ValueError, match="schema"):
+        t.commit(drifted, mode="append")
+    # explicit evolution: append lands, batch readers merge schemas
+    t.commit(drifted, mode="append", allow_evolution=True)
+    got = t.read(spark).toPandas()
+    assert sorted(got.columns) == ["extra", "k", "v"]
+    assert got[got["k"] < 3]["extra"].isna().all()
+    assert set(got[got["k"] >= 3]["extra"]) == {"x"}
