@@ -186,3 +186,30 @@ try:  # pragma: no cover - import surface depends on the PySpark build
 
 except ImportError:  # pragma: no cover
     VersionedTableDataSource = None  # type: ignore[assignment]
+
+
+def stream_to_table(
+    stream_df,
+    table: VersionedTable,
+    checkpoint: str,
+    mode: str = "append",
+    available_now: bool = True,
+):
+    """Exactly-once landing of a stream into a VersionedTable: each
+    micro-batch commits with its Spark-assigned ``batch_id``, so the
+    at-least-once replay foreachBatch guarantees (a batch re-delivered
+    after a crash between sink write and checkpoint ack) hits the
+    table's idempotence guard and writes nothing — offsets live in
+    Spark's checkpoint, batch identity lives in the manifest log, and
+    the pair composes to exactly-once (the same split Delta's
+    txnVersion/appId makes). Returns the started StreamingQuery."""
+
+    def process(batch_df, batch_id: int) -> None:
+        table.commit(batch_df, mode=mode, batch_id=batch_id)
+
+    w = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

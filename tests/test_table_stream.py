@@ -111,3 +111,77 @@ def test_overwrite_emitnew_reemits_rewritten_rows(spark, tmp_path):
     got = spark.read.parquet(out).toPandas()
     # initial load once + the overwrite's own segment once
     assert sorted(got["k"]) == [0, 1, 2, 100, 101, 102, 103]
+
+
+def test_stream_to_table_exactly_once_under_replay(spark, tmp_path):
+    """The at-least-once seam, forced: the sink commits a batch and then
+    dies BEFORE Spark acks the checkpoint; the restart re-delivers the
+    same batch id, whose commit must be a no-op. Topic → stream →
+    versioned table lands every record exactly once."""
+    import pyspark.sql.functions as F
+
+    from etl_migrate_api_spark.streaming.offset_log import (
+        OffsetLogDataSource,
+        OffsetLogTopic,
+    )
+    from etl_migrate_api_spark.streaming.table_stream import stream_to_table
+
+    spark.dataSource.register(OffsetLogDataSource)
+    topic_dir = str(tmp_path / "topic")
+    topic = OffsetLogTopic(spark, topic_dir, n_partitions=2)
+    recs = spark.range(9).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key"),
+        F.col("id").cast("string").alias("value"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+    )
+    topic.append(recs)
+
+    table = VersionedTable(str(tmp_path / "t"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def stream():
+        return (
+            spark.readStream.format("offset_log")
+            .option("path", topic_dir)
+            .option("maxRecordsPerPartition", "3")
+            .load()
+        )
+
+    # run 1: normal drain step
+    q = stream_to_table(stream(), table, ckpt)
+    q.awaitTermination(120)
+    v_after_first = table.latest_version()
+    assert v_after_first >= 1
+
+    # run 2: commit succeeds, then the job dies before the ack
+    boom = {"armed": True}
+
+    def dying(batch_df, batch_id):
+        table.commit(batch_df, mode="append", batch_id=batch_id)
+        if boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("crash after sink write, before ack")
+
+    import pytest as _pytest
+
+    q = (
+        stream()
+        .writeStream.foreachBatch(dying)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with _pytest.raises(Exception):
+        q.awaitTermination(120)
+
+    # runs 3+: plain exactly-once sink drains the rest; the replayed
+    # batch id writes nothing
+    for _ in range(5):
+        q = stream_to_table(stream(), table, ckpt)
+        q.awaitTermination(120)
+        if table.read(spark).count() == 9:
+            break
+    got = table.read(spark).toPandas()
+    assert len(got) == 9
+    assert sorted(got["key"]) == sorted(f"k{i}" for i in range(9))
+    assert len(set(got["key"])) == 9, "replayed batch must not duplicate"
