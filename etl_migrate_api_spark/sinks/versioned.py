@@ -249,6 +249,77 @@ class VersionedTable:
             self.read(spark, v_old), self.read(spark, v_new), keys
         )
 
+    def delete_where(self, spark: SparkSession, predicate) -> int:
+        """Row-level DELETE as copy-on-write at SEGMENT granularity:
+        one pass finds which segments actually contain matching rows
+        (``input_file_name`` per matching row — the file list is
+        bounded by the table's file count, never its row count),
+        untouched segments carry over into the new manifest verbatim,
+        and only the affected ones are rewritten without their matching
+        rows. This is the GDPR-delete shape: deleting one user from a
+        100 TB table rewrites the few files that hold them, not the
+        table. Published as a data-changing non-append commit (streams
+        on the default contract stop — deletes are not representable in
+        an append feed; increments return None).
+
+        NULL predicate rows are KEPT (SQL DELETE semantics: only rows
+        where the predicate is TRUE are removed). Time travel still
+        sees the pre-delete version. Returns the new version number."""
+        from pyspark.sql import functions as F
+
+        v = self.latest_version()
+        segs = self.manifest(v)["segments"]
+        cur = self.read(spark, v)
+        hit_files = [
+            r[0]
+            for r in cur.where(predicate)
+            .select(F.input_file_name())
+            .distinct()
+            .collect()
+        ]
+        # map files -> their segment dir (file URIs contain the
+        # segment's relpath exactly once — segment names are uuid4)
+        affected = [
+            s for s in segs if any(("/" + s + "/") in f for f in hit_files)
+        ]
+        if not affected:
+            return v  # nothing matched: no new version, no rewrite
+        keep = [s for s in segs if s not in affected]
+        survivors = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.path, s) for s in affected]
+        ).where(~F.coalesce(predicate, F.lit(False)))
+        new_seg = os.path.join(self._data, f"seg-{uuid.uuid4().hex}")
+        survivors.write.mode("error").parquet(new_seg)
+        nv = v + 1
+        body = {
+            "version": nv,
+            "parent": v,
+            "mode": "delete",
+            "data_change": True,
+            "schema": self.manifest(v).get("schema"),
+            "segments": keep + [os.path.relpath(new_seg, self.path)],
+        }
+        tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(body, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, self._vpath(nv))
+        except FileExistsError:
+            # UNLIKE append, a delete cannot rebase: its keep-list was
+            # computed against snapshot v, so a lost race is a genuine
+            # write conflict (Delta raises ConcurrentAppendException
+            # here for the same reason). The orphaned survivor segment
+            # is vacuum's problem, by design.
+            raise RuntimeError(
+                f"{self.path}: concurrent commit during delete_where — "
+                "re-run the delete against the new current version"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        return nv
+
     # -- maintenance ----------------------------------------------------------
 
     def vacuum(self, keep_last: int = 1) -> dict:

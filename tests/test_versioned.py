@@ -290,3 +290,85 @@ def test_schema_drift_guard_and_evolution(spark, tmp_path):
     assert sorted(got.columns) == ["extra", "k", "v"]
     assert got[got["k"] < 3]["extra"].isna().all()
     assert set(got[got["k"] >= 3]["extra"]) == {"x"}
+
+
+def test_delete_where_rewrites_only_affected_segments(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 10), mode="overwrite")   # seg A: k 0..9
+    t.commit(_df(spark, 10, 20), mode="append")     # seg B: k 10..19
+    t.commit(_df(spark, 20, 30), mode="append")     # seg C: k 20..29
+    segs_before = t.manifest(3)["segments"]
+    mtimes = {}
+    for s in segs_before:
+        d = os.path.join(t.path, s)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                mtimes[os.path.join(d, f)] = os.path.getmtime(
+                    os.path.join(d, f)
+                )
+    # delete rows living ONLY in segment B
+    v = t.delete_where(spark, (F.col("k") >= 12) & (F.col("k") < 15))
+    assert v == 4
+    got = sorted(r["k"] for r in t.read(spark).collect())
+    assert got == [k for k in range(30) if not (12 <= k < 15)]
+    # segments A and C carried over verbatim — same relpaths, files
+    # untouched on disk
+    after = t.manifest(4)["segments"]
+    assert segs_before[0] in after and segs_before[2] in after
+    assert segs_before[1] not in after
+    for f, mt in mtimes.items():
+        if segs_before[1] not in f:
+            assert os.path.getmtime(f) == mt
+    # time travel still sees the pre-delete rows
+    assert t.read(spark, 3).count() == 30
+    # increments across a delete are undefined
+    assert t.segments_added(3, 4) is None
+
+
+def test_delete_where_null_predicate_rows_kept(spark, tmp_path):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame(
+            [Row(k=1, v=10), Row(k=2, v=None), Row(k=3, v=30)]
+        ),
+        mode="overwrite",
+    )
+    t.delete_where(spark, F.col("v") > 15)
+    got = sorted(
+        (r["k"], r["v"]) for r in t.read(spark).collect()
+    )
+    # v=NULL row survives (predicate is not TRUE for it)
+    assert got == [(1, 10), (2, None)]
+
+
+def test_delete_where_no_match_is_noop(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 5), mode="overwrite")
+    assert t.delete_where(spark, F.col("k") > 100) == 1
+    assert t.versions() == [1]
+
+
+def test_delete_where_conflict_raises(spark, tmp_path):
+    """A delete computed against a stale snapshot must refuse to
+    publish over a rival's commit (its keep-list no longer describes
+    the table) — simulated by pinning latest_version to the stale
+    value while a rival takes the next slot."""
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 5), mode="overwrite")
+    stale = t.latest_version()
+    VersionedTable(t.path).commit(_df(spark, 50, 52), mode="append")
+    t_stale = VersionedTable(t.path)
+    t_stale.latest_version = lambda: stale  # type: ignore[method-assign]
+    with pytest.raises(RuntimeError, match="concurrent"):
+        t_stale.delete_where(spark, F.col("k") == 0)
+    # the table is untouched by the failed delete (5 + 2 rows)
+    assert VersionedTable(t.path).read(spark).count() == 7
