@@ -290,13 +290,24 @@ class VersionedTable:
         ).where(~F.coalesce(predicate, F.lit(False)))
         new_seg = os.path.join(self._data, f"seg-{uuid.uuid4().hex}")
         survivors.write.mode("error").parquet(new_seg)
-        nv = v + 1
+        return self._publish_snapshot(v, keep, new_seg, "delete")
+
+    def _publish_snapshot(
+        self, parent: int, keep: list[str], new_seg: str, mode: str
+    ) -> int:
+        """Publish a copy-on-write commit (delete/merge) computed
+        against snapshot ``parent``. UNLIKE append, these cannot
+        rebase: the keep-list describes a snapshot, so a lost
+        publication race is a genuine write conflict (Delta's
+        ConcurrentAppendException). The orphaned rewritten segment is
+        vacuum's problem, by design."""
+        nv = parent + 1
         body = {
             "version": nv,
-            "parent": v,
-            "mode": "delete",
+            "parent": parent,
+            "mode": mode,
             "data_change": True,
-            "schema": self.manifest(v).get("schema"),
+            "schema": self.manifest(parent).get("schema"),
             "segments": keep + [os.path.relpath(new_seg, self.path)],
         }
         tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}")
@@ -307,18 +318,61 @@ class VersionedTable:
         try:
             os.link(tmp, self._vpath(nv))
         except FileExistsError:
-            # UNLIKE append, a delete cannot rebase: its keep-list was
-            # computed against snapshot v, so a lost race is a genuine
-            # write conflict (Delta raises ConcurrentAppendException
-            # here for the same reason). The orphaned survivor segment
-            # is vacuum's problem, by design.
             raise RuntimeError(
-                f"{self.path}: concurrent commit during delete_where — "
-                "re-run the delete against the new current version"
+                f"{self.path}: concurrent commit during {mode} — "
+                "re-run against the new current version"
             ) from None
         finally:
             os.unlink(tmp)
         return nv
+
+    def merge_by_key(
+        self, spark: SparkSession, updates: DataFrame, keys: list[str]
+    ) -> int:
+        """MERGE (upsert): rows in ``updates`` REPLACE current rows
+        sharing their key; keys not yet in the table INSERT. The same
+        copy-on-write shape as delete_where — one pass finds the
+        segments holding matched keys (semi-join → input_file_name),
+        untouched segments carry over verbatim, and ONE new segment
+        holds the affected segments' unmatched survivors plus every
+        update row. Delta's whenMatched-updateAll /
+        whenNotMatched-insertAll, at segment granularity.
+
+        Contract: ``updates`` must be key-unique (two update rows with
+        one key would both land — dedup upstream, e.g. last-write-wins
+        by a seq column); NULL keys never match (SQL join semantics)
+        and insert as new rows. Returns the new version."""
+        from pyspark.sql import functions as F
+
+        v = self.latest_version()
+        segs = self.manifest(v)["segments"]
+        cur = self.read(spark, v)
+        kdf = updates.select(*keys).distinct()
+        hit_files = [
+            r[0]
+            for r in cur.join(F.broadcast(kdf), keys, "left_semi")
+            .select(F.input_file_name())
+            .distinct()
+            .collect()
+        ]
+        affected = [
+            s for s in segs if any(("/" + s + "/") in f for f in hit_files)
+        ]
+        keep = [s for s in segs if s not in affected]
+        if affected:
+            survivors = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*[os.path.join(self.path, s) for s in affected])
+                .join(F.broadcast(kdf), keys, "left_anti")
+            )
+            new_rows = survivors.unionByName(
+                updates, allowMissingColumns=True
+            )
+        else:
+            new_rows = updates
+        new_seg = os.path.join(self._data, f"seg-{uuid.uuid4().hex}")
+        new_rows.write.mode("error").parquet(new_seg)
+        return self._publish_snapshot(v, keep, new_seg, "merge")
 
     # -- maintenance ----------------------------------------------------------
 

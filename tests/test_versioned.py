@@ -372,3 +372,36 @@ def test_delete_where_conflict_raises(spark, tmp_path):
         t_stale.delete_where(spark, F.col("k") == 0)
     # the table is untouched by the failed delete (5 + 2 rows)
     assert VersionedTable(t.path).read(spark).count() == 7
+
+
+def test_merge_by_key_upserts_with_cow_pruning(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 10), mode="overwrite")   # seg A
+    t.commit(_df(spark, 10, 20), mode="append")     # seg B
+    segs_before = t.manifest(2)["segments"]
+    # updates touch only segment B keys, plus brand-new keys
+    updates = spark.createDataFrame(
+        [(12, 999), (15, 888), (100, 1)], "k long, v long"
+    )
+    v = t.merge_by_key(spark, updates, ["k"])
+    assert v == 3
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got[12] == 999 and got[15] == 888  # matched: replaced
+    assert got[100] == 1  # unmatched: inserted
+    assert got[11] == 110 and got[0] == 0  # everyone else untouched
+    assert len(got) == 21
+    # segment A carried over verbatim; B was rewritten
+    after = t.manifest(3)["segments"]
+    assert segs_before[0] in after and segs_before[1] not in after
+    # time travel pre-merge
+    assert t.read(spark, 2).count() == 20
+
+
+def test_merge_by_key_into_untouched_table_inserts(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 3), mode="overwrite")
+    updates = spark.createDataFrame([(50, 5)], "k long, v long")
+    t.merge_by_key(spark, updates, ["k"])
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [0, 1, 2, 50]
+    # no key matched → the original segment carried over verbatim
+    assert t.manifest(1)["segments"][0] in t.manifest(2)["segments"]
