@@ -976,3 +976,66 @@ def llm_knn_graph_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sim.knn_graph_refine(emb, banded, k=5, iters=1)
     banded.unpersist()
     return out
+
+
+@register(
+    "orders_merge_upsert",
+    oracle="""
+      select o_orderkey, 'changed' as change
+      from orders where o_orderkey % 89 = 0
+      union all
+      select o_orderkey + 10000000 as o_orderkey, 'added' as change
+      from orders where o_orderkey % 101 = 0
+    """,
+    survey_refs=("K2", "K3", "E2", "J3"),
+)
+def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE through the manifest log, driver-gated end-to-end: load
+    orders as v1, merge an update batch (every %89 key with a mutated
+    status — whenMatched — plus every %101 key re-keyed +10M —
+    whenNotMatched), then CHANGE-FEED v1→v2. The oracle derives the
+    expected classification arithmetically: mutated keys surface as
+    'changed', re-keyed ones as 'added', everything else is filtered
+    inside the diff join — a hash match proves the upsert replaced
+    exactly the matched rows, inserted exactly the new ones, and
+    touched nothing else (the untouched-segment carryover is pinned
+    byte-level in tests/test_versioned.py)."""
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from etl_migrate_api_spark.catalog import load
+    from etl_migrate_api_spark.sinks.versioned import VersionedTable
+
+    orders = load(spark, "orders", sf_dir)
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_versioned")
+    cutoff = time.time() - 6 * 3600
+    for stale in (
+        os.path.join(root, d)
+        for d in (os.listdir(root) if os.path.isdir(root) else [])
+    ):
+        try:
+            if os.path.getmtime(stale) < cutoff:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass  # a concurrent sweep already took it
+    t = VersionedTable(
+        os.path.join(root, f"merge_{tag}_{uuid.uuid4().hex[:8]}")
+    )
+    t.commit(orders, mode="overwrite")
+    updates = (
+        orders.where(F.col("o_orderkey") % 89 == 0)
+        .withColumn("o_orderstatus", F.lit("X"))
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 101 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 10000000
+            )
+        )
+    )
+    t.merge_by_key(spark, updates, ["o_orderkey"])
+    return t.diff(spark, 1, 2, ["o_orderkey"]).where(
+        F.col("change").isNotNull()
+    )

@@ -348,10 +348,16 @@ class VersionedTable:
         segs = self.manifest(v)["segments"]
         cur = self.read(spark, v)
         kdf = updates.select(*keys).distinct()
+        # attach the file name BELOW the join: input_file_name() must
+        # sit over a single file source, and the updates side may well
+        # be parquet-backed too (Spark's MULTI_SOURCES_UNSUPPORTED rule)
+        tagged = cur.select(
+            *keys, F.input_file_name().alias("__src_file")
+        )
         hit_files = [
             r[0]
-            for r in cur.join(F.broadcast(kdf), keys, "left_semi")
-            .select(F.input_file_name())
+            for r in tagged.join(F.broadcast(kdf), keys, "left_semi")
+            .select("__src_file")
             .distinct()
             .collect()
         ]
