@@ -82,6 +82,7 @@ class VersionedTable:
         mode: str = "append",
         batch_id: int | None = None,
         allow_evolution: bool = False,
+        expectations: list | None = None,
         _data_change: bool = True,
     ) -> int:
         """Write ``df`` as a new immutable segment and publish the next
@@ -100,10 +101,31 @@ class VersionedTable:
         names/types differ from the log's schema raises unless
         ``allow_evolution=True`` (readers always merge schemas, so
         evolved segments read back with NULLs for missing columns);
-        an overwrite resets the schema."""
+        an overwrite resets the schema.
+
+        ``expectations`` (a list of operators/quality.py Checks) gates
+        the commit the way Delta CHECK constraints do: the suite runs
+        as ONE aggregate pass over the batch BEFORE any file is
+        written, and any violation refuses the whole commit with the
+        failing report in the error — a bad batch can never become a
+        published version (re-drive it through a quarantine split
+        upstream if partial landing is wanted)."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         os.makedirs(self._log, exist_ok=True)
+        if expectations:
+            from etl_migrate_api_spark.operators.quality import run_checks
+
+            failed = [
+                (r["check"], r["violations"])
+                for r in run_checks(df, expectations).collect()
+                if not r["passed"]
+            ]
+            if failed:
+                raise ValueError(
+                    f"{self.path}: commit refused — expectations failed: "
+                    + ", ".join(f"{c} ({v} violations)" for c, v in failed)
+                )
         if batch_id is not None:
             last = self.last_batch_id()
             if last is not None and batch_id <= last:

@@ -405,3 +405,26 @@ def test_merge_by_key_into_untouched_table_inserts(spark, tmp_path):
     assert sorted(r["k"] for r in t.read(spark).collect()) == [0, 1, 2, 50]
     # no key matched → the original segment carried over verbatim
     assert t.manifest(1)["segments"][0] in t.manifest(2)["segments"]
+
+
+def test_expectation_gated_commit(spark, tmp_path):
+    from etl_migrate_api_spark.operators import quality as q
+
+    t = VersionedTable(str(tmp_path / "t"))
+    gate = [q.not_null("k"), q.in_range("v", lo=0)]
+    t.commit(_df(spark, 0, 5), mode="overwrite", expectations=gate)
+    bad = spark.createDataFrame(
+        [(None, 10), (6, -1)], "k long, v long"
+    )
+    with pytest.raises(ValueError, match="not_null"):
+        t.commit(bad, mode="append", expectations=gate)
+    # the refused batch published nothing: no new version, no orphan
+    # visible to readers, clean rows still needed to re-drive upstream
+    assert t.versions() == [1]
+    assert t.read(spark).count() == 5
+    # the gate runs BEFORE any file write — no orphan segment appears
+    segs_on_disk = os.listdir(os.path.join(t.path, "data"))
+    assert len(segs_on_disk) == 1
+    # a clean batch then lands
+    t.commit(_df(spark, 5, 8), mode="append", expectations=gate)
+    assert t.read(spark).count() == 8
