@@ -25,10 +25,14 @@ from pyspark.sql import functions as F
 @dataclass(frozen=True)
 class Check:
     """One named expectation: ``violations`` counts offending rows
-    inside the suite's single aggregate pass."""
+    inside the suite's single aggregate pass; ``row_violation`` is the
+    per-row boolean behind that count (never NULL by construction) for
+    checks with row semantics — None for set-level checks like
+    uniqueness, which no single row can be blamed for."""
 
     name: str
     violations: Column
+    row_violation: Column | None = None
 
 
 def _q(name: str) -> Column:
@@ -37,17 +41,20 @@ def _q(name: str) -> Column:
     return F.col("`" + name.replace("`", "``") + "`")
 
 
+def _row_check(name: str, cond: Column) -> Check:
+    """A row-semantic check: the aggregate count is the SUM of the
+    (null-proof) per-row violation flag."""
+    return Check(name, F.sum(cond.cast("bigint")), cond)
+
+
 def not_null(col: str) -> Check:
-    return Check(
-        f"not_null({col})",
-        F.sum(_q(col).isNull().cast("bigint")),
-    )
+    return _row_check(f"not_null({col})", _q(col).isNull())
 
 
 def unique(col: str) -> Check:
     """Exact duplicate count: rows minus distinct non-null values minus
     nulls (a NULL key is not a duplicate of another NULL here — flag
-    nulls with not_null separately)."""
+    nulls with not_null separately). Set-level: no row_violation."""
     return Check(
         f"unique({col})",
         F.count(_q(col)) - F.count_distinct(_q(col)),
@@ -55,11 +62,9 @@ def unique(col: str) -> Check:
 
 
 def accepted_values(col: str, values: list) -> Check:
-    return Check(
+    return _row_check(
         f"accepted_values({col})",
-        F.sum(
-            (~_q(col).isin(values) | _q(col).isNull()).cast("bigint")
-        ),
+        ~_q(col).isin(values) | _q(col).isNull(),
     )
 
 
@@ -70,13 +75,37 @@ def in_range(col: str, lo=None, hi=None) -> Check:
     if hi is not None:
         cond = cond | (_q(col) > hi)
     cond = cond | _q(col).isNull()
-    return Check(f"in_range({col})", F.sum(cond.cast("bigint")))
+    return _row_check(f"in_range({col})", cond)
 
 
 def satisfies(name: str, predicate: Column) -> Check:
     """Escape hatch: count rows where ``predicate`` is NOT true (NULL
     counts as a violation — expectations are three-valued-logic-proof)."""
-    return Check(name, F.sum((~predicate | predicate.isNull()).cast("bigint")))
+    return _row_check(name, ~predicate | predicate.isNull())
+
+
+def split_by_expectations(
+    df: DataFrame, checks: list[Check]
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantined): route each row by the OR of the suite's
+    row violations — the dead-letter alternative to refusing a whole
+    batch (sinks/versioned.py::commit(expectations=…) is the refuse
+    path). Every check must have row semantics; a set-level check
+    (unique) raises — no single row can be blamed for a duplicate pair,
+    quarantining 'the second one' would silently depend on row order.
+    Both returned frames are pure filters over ``df`` (no shuffle; at
+    scale this is one scan if both sides are consumed in one action,
+    two narrow scans otherwise)."""
+    setlevel = [c.name for c in checks if c.row_violation is None]
+    if setlevel:
+        raise ValueError(
+            f"split_by_expectations: set-level checks {setlevel} have "
+            "no per-row blame — gate with run_checks/commit instead"
+        )
+    bad = checks[0].row_violation
+    for c in checks[1:]:
+        bad = bad | c.row_violation
+    return df.where(~bad), df.where(bad)
 
 
 def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:

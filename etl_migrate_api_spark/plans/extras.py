@@ -1039,3 +1039,60 @@ def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.diff(spark, 1, 2, ["o_orderkey"]).where(
         F.col("change").isNotNull()
     )
+
+
+@register(
+    "llm_quarantine_split",
+    oracle="""
+      select source,
+             cast(sum(case when bad then 0 else 1 end) as bigint) as n_clean,
+             cast(sum(case when bad then 1 else 0 end) as bigint)
+               as n_quarantined
+      from (
+        select source,
+               (text is null)
+               or (n_chars < 1 or n_chars > 300 or n_chars is null)
+               or (lang not in ('en','de','es','fr') or lang is null)
+               as bad
+        from documents
+      )
+      group by source
+    """,
+    survey_refs=("F1", "F5", "A3"),
+)
+def llm_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level quarantine routing (operators/quality.py::
+    split_by_expectations): every document goes to exactly one of
+    clean/quarantined by the OR of the suite's per-row violations —
+    the dead-letter alternative to refusing a whole batch. Reported as
+    per-source disposition counts; the oracle recomputes the routing
+    predicate inline, so a hash match proves the split is a PARTITION
+    (no row dropped, none double-counted) with exactly the suite's
+    semantics (NULLs quarantine — 3VL-proof). Both sides are narrow
+    filters of one scan; the counts are map-side-combined aggregates."""
+    from etl_migrate_api_spark.catalog import load
+    from etl_migrate_api_spark.operators import quality as q
+
+    docs = load(spark, "documents", sf_dir)
+    clean, bad = q.split_by_expectations(
+        docs,
+        [
+            q.not_null("text"),
+            q.in_range("n_chars", lo=1, hi=300),
+            q.accepted_values("lang", ["en", "de", "es", "fr"]),
+        ],
+    )
+    c = clean.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_clean")
+    )
+    b = bad.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_quarantined")
+    )
+    return (
+        c.join(b, "source", "full_outer")
+        .select(
+            "source",
+            F.coalesce("n_clean", F.lit(0)).alias("n_clean"),
+            F.coalesce("n_quarantined", F.lit(0)).alias("n_quarantined"),
+        )
+    )

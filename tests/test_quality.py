@@ -109,3 +109,33 @@ def test_expectation_report_unions_suites(spark):
         suites=[(a, [q.not_null("k")]), (b, [q.not_null("j")])]
     ).collect()
     assert {r["check"] for r in rep} == {"not_null(k)", "not_null(j)"}
+
+
+def test_split_by_expectations_partitions_rows(spark):
+    df = spark.createDataFrame(
+        [
+            Row(k=1, status="O", price=10.0),
+            Row(k=2, status="X", price=5.0),
+            Row(k=3, status="O", price=None),
+            Row(k=4, status=None, price=-1.0),
+        ]
+    )
+    checks = [
+        q.accepted_values("status", ["O", "F"]),
+        q.in_range("price", lo=0),
+    ]
+    clean, bad = q.split_by_expectations(df, checks)
+    ck = sorted(r["k"] for r in clean.collect())
+    bk = sorted(r["k"] for r in bad.collect())
+    assert ck == [1]
+    assert bk == [2, 3, 4]  # bad status / NULL price / both
+    # partition: every row lands exactly once
+    assert len(ck) + len(bk) == df.count()
+
+
+def test_split_rejects_set_level_checks(spark):
+    df = spark.createDataFrame([Row(k=1)])
+    import pytest
+
+    with pytest.raises(ValueError, match="unique"):
+        q.split_by_expectations(df, [q.unique("k"), q.not_null("k")])
