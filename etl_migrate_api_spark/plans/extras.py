@@ -894,6 +894,92 @@ def orders_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "orders_zonemap_pruned_scan",
+    oracle="""
+      select month(o_orderdate) as mo,
+             count(*) as n_orders,
+             cast(round(sum(cast(o_totalprice as decimal(18,2))), 2)
+                  as double) as total_price
+      from orders
+      where o_orderdate >= timestamp '1997-01-01'
+        and o_orderdate <  timestamp '1998-01-01'
+      group by mo
+      order by mo
+    """,
+    survey_refs=("F2", "F3", "A3"),
+)
+def orders_zonemap_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data skipping end-to-end: orders land as one APPEND per
+    year (the natural layout of a date-partitioned ingest stream), so
+    each segment's manifest stats carry a disjoint o_orderdate range;
+    a one-year scan then PROVABLY opens exactly one segment — the query
+    raises if pruning kept more, making the skip itself part of the
+    oracled contract. The residual predicate still applies on top, so
+    the monthly rollup is identical to a full scan + filter (which is
+    what the oracle computes on the raw table).
+
+    100 TB: the prune is a manifest-only decision (O(#segments) driver
+    work, zero data I/O) — a 7-year table serves a 1-year query by
+    opening 1/7 of its files, before parquet row-group pruning even
+    starts. Cites the Delta/Iceberg min-max skipping design."""
+    import datetime
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from etl_migrate_api_spark.catalog import load
+    from etl_migrate_api_spark.sinks.versioned import VersionedTable
+
+    orders = load(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_versioned")
+    cutoff = time.time() - 6 * 3600
+    for stale in (
+        os.path.join(root, d)
+        for d in (os.listdir(root) if os.path.isdir(root) else [])
+    ):
+        try:
+            if os.path.getmtime(stale) < cutoff:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass  # a concurrent sweep already took it
+    t = VersionedTable(
+        os.path.join(root, f"zonemap_{tag}_{uuid.uuid4().hex[:8]}")
+    )
+    for yr in range(1995, 2002):
+        t.commit(
+            orders.where(F.year("o_orderdate") == yr), mode="append"
+        )
+    filters = [
+        ("o_orderdate", ">=", datetime.datetime(1997, 1, 1)),
+        ("o_orderdate", "<", datetime.datetime(1998, 1, 1)),
+    ]
+    kept, skipped = t.pruned_segments(filters)
+    if len(kept) != 1:
+        raise AssertionError(
+            f"zone maps failed to isolate 1997: kept {len(kept)} of "
+            f"{len(kept) + len(skipped)} segments"
+        )
+    return (
+        t.scan(spark, filters)
+        .groupBy(F.month("o_orderdate").alias("mo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+            )
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("mo")
+    )
+
+
 # ---------------------------------------------------------------------------
 # kNN graph (operators/similarity.py::knn_graph / knn_graph_banded)
 # ---------------------------------------------------------------------------

@@ -23,18 +23,197 @@ parts over plain parquet + POSIX renames:
   manifest never published) leaves the same kind of orphan — one
   cleanup path heals both.
 
+- **Zone maps ride the manifest.** Every commit records per-segment
+  column min/max/null-count read from the parquet footers the write
+  already produced (metadata-only, no extra scan — the stats Delta
+  collects at write time). ``scan(filters)`` skips whole segments
+  whose zone maps prove no match, then applies the full predicate on
+  top, so pruning can never change results — only which files open.
+
 Change-data-feed between versions reuses operators/diff.py::table_diff
 (one co-partitioned full-outer join on the key, payload pre-hashed).
 """
 
 from __future__ import annotations
 
+import datetime as _dt
+import decimal as _decimal
 import json
+import math
 import os
 import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Zone-map stats: string min/max longer than this are DROPPED rather
+# than trusted — parquet writers may truncate binary statistics, and a
+# truncated max is only a PREFIX of the true max (an unsound upper
+# bound for pruning). Numeric/temporal stats are never truncated.
+_STATS_MAX_STR = 16
+
+
+def _norm_stat(v):
+    """Normalize a parquet-footer statistic (or a filter value) to a
+    ``(kind, json-serializable)`` pair whose within-kind ordering
+    matches the column's ordering, or None if the value can't be used
+    soundly. Temporal values become FIXED-WIDTH ISO strings (always
+    with microseconds) so lexicographic compare == temporal compare."""
+    if isinstance(v, bool):
+        return ("num", int(v))
+    if isinstance(v, int):
+        return ("num", v)
+    if isinstance(v, float):
+        if math.isnan(v) or math.isinf(v):
+            return None
+        return ("num", v)
+    if isinstance(v, _decimal.Decimal):
+        return ("dec", str(v))
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return ("ts", v.isoformat(sep=" ", timespec="microseconds"))
+    if isinstance(v, _dt.date):
+        return ("date", v.isoformat())
+    if isinstance(v, str):
+        return ("str", v) if len(v) <= _STATS_MAX_STR else None
+    return None
+
+
+def _cmp_pair(kind_a, a, kind_b, b):
+    """Comparable (x, y) for two normalized values, or None if the
+    kinds are incomparable (→ caller must keep the segment). num and
+    dec cross-compare exactly through Decimal."""
+    if kind_a == kind_b and kind_a != "dec":
+        return (a, b)
+    if {kind_a, kind_b} <= {"num", "dec"}:
+        return (_decimal.Decimal(str(a)), _decimal.Decimal(str(b)))
+    return None
+
+
+def _excluded(colstat: dict | None, op: str, value) -> bool:
+    """True iff the segment's [min, max] PROVES no row can satisfy
+    ``col <op> value``. Any doubt (missing stats, incomparable kinds,
+    unusable value) returns False — pruning is an optimization, never
+    a correctness decision."""
+    if colstat is None:
+        return False
+    if op == "in":
+        return all(_excluded(colstat, "=", m) for m in value)
+    if op == "between":
+        a, b = value
+        return _excluded(colstat, ">=", a) or _excluded(colstat, "<=", b)
+    nv = _norm_stat(value)
+    if nv is None:
+        return False
+    vkind, v = nv
+    kind = colstat["kind"]
+    lo_pair = _cmp_pair(kind, colstat["min"], vkind, v)
+    hi_pair = _cmp_pair(kind, colstat["max"], vkind, v)
+    if lo_pair is None or hi_pair is None:
+        return False
+    lo, v1 = lo_pair
+    hi, v2 = hi_pair
+    if op == "=":
+        return v1 < lo or v2 > hi
+    if op == "<":
+        return lo >= v1
+    if op == "<=":
+        return lo > v1
+    if op == ">":
+        return hi <= v2
+    if op == ">=":
+        return hi < v2
+    raise ValueError(f"unknown filter op {op!r}")
+
+
+def _filters_predicate(filters):
+    """The residual Column predicate for a filter spec — applied on
+    top of the pruned scan so pruning can never change results."""
+    from pyspark.sql import functions as F
+
+    pred = F.lit(True)
+    for col, op, value in filters:
+        c = F.col(col)
+        if op == "=":
+            pred = pred & (c == F.lit(value))
+        elif op == "<":
+            pred = pred & (c < F.lit(value))
+        elif op == "<=":
+            pred = pred & (c <= F.lit(value))
+        elif op == ">":
+            pred = pred & (c > F.lit(value))
+        elif op == ">=":
+            pred = pred & (c >= F.lit(value))
+        elif op == "in":
+            pred = pred & c.isin(list(value))
+        elif op == "between":
+            pred = pred & (c >= F.lit(value[0])) & (c <= F.lit(value[1]))
+        else:
+            raise ValueError(f"unknown filter op {op!r}")
+    return pred
+
+
+def _segment_stats(seg_abs: str) -> dict:
+    """Per-segment zone map read from the parquet FOOTERS the write
+    already produced — metadata-only I/O (the same numbers Delta
+    collects at write time), no data scan. A column keeps stats only
+    if EVERY row group provided usable min/max; nested columns and
+    over-long strings are dropped."""
+    import pyarrow.parquet as pq
+
+    rows = 0
+    cols: dict[str, dict] = {}
+    bad: set[str] = set()
+    for fn in sorted(os.listdir(seg_abs)):
+        if not fn.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(seg_abs, fn)).metadata
+        rows += md.num_rows
+        for rg_i in range(md.num_row_groups):
+            rg = md.row_group(rg_i)
+            for ci in range(rg.num_columns):
+                c = rg.column(ci)
+                name = c.path_in_schema
+                if "." in name or name in bad:
+                    bad.add(name)
+                    continue
+                st = c.statistics
+                if st is None or not st.has_min_max:
+                    bad.add(name)
+                    continue
+                mn, mx = _norm_stat(st.min), _norm_stat(st.max)
+                if mn is None or mx is None or mn[0] != mx[0]:
+                    bad.add(name)
+                    continue
+                nulls = st.null_count if st.has_null_count else None
+                cur = cols.get(name)
+                if cur is None:
+                    cols[name] = {
+                        "kind": mn[0],
+                        "min": mn[1],
+                        "max": mx[1],
+                        "nulls": nulls,
+                    }
+                else:
+                    # within a column every row group shares one kind
+                    lo = _cmp_pair(cur["kind"], cur["min"], mn[0], mn[1])
+                    hi = _cmp_pair(cur["kind"], cur["max"], mx[0], mx[1])
+                    if lo is None or hi is None:
+                        bad.add(name)
+                        continue
+                    if lo[1] < lo[0]:
+                        cur["min"] = mn[1]
+                    if hi[1] > hi[0]:
+                        cur["max"] = mx[1]
+                    cur["nulls"] = (
+                        None
+                        if (nulls is None or cur["nulls"] is None)
+                        else cur["nulls"] + nulls
+                    )
+    for name in bad:
+        cols.pop(name, None)
+    return {"rows": rows, "cols": cols}
 
 
 class VersionedTable:
@@ -152,13 +331,16 @@ class VersionedTable:
                     )
         seg = os.path.join(self._data, f"seg-{uuid.uuid4().hex}")
         df.write.mode("error").parquet(seg)
+        seg_rel = os.path.relpath(seg, self.path)
+        seg_stats = _segment_stats(seg)
         while True:
             parent = self.latest_version()
-            base = (
-                self.manifest(parent)["segments"]
-                if (mode == "append" and parent)
-                else []
-            )
+            if mode == "append" and parent:
+                pm = self.manifest(parent)
+                base = pm["segments"]
+                parent_stats = pm.get("stats", {})
+            else:
+                base, parent_stats = [], {}
             v = parent + 1
             body = {
                 "version": v,
@@ -166,7 +348,11 @@ class VersionedTable:
                 "mode": mode,
                 "data_change": _data_change,
                 "schema": schema_json,
-                "segments": base + [os.path.relpath(seg, self.path)],
+                "segments": base + [seg_rel],
+                "stats": {
+                    **{s: parent_stats[s] for s in base if s in parent_stats},
+                    seg_rel: seg_stats,
+                },
             }
             if batch_id is not None:
                 body["batch_id"] = batch_id
@@ -214,6 +400,62 @@ class VersionedTable:
         # mergeSchema: evolved appends read back with NULLs for columns
         # a segment predates
         return spark.read.option("mergeSchema", "true").parquet(*segs)
+
+    def pruned_segments(
+        self, filters, version: int | None = None
+    ) -> tuple[list[str], list[str]]:
+        """Split the version's segments into ``(kept, skipped)`` under
+        the AND of ``filters`` using the manifest's zone maps — the
+        Delta/Iceberg data-skipping core. A filter is a tuple
+        ``(col, op, value)`` with op ∈ {=, <, <=, >, >=, in, between}
+        (in → iterable, between → (lo, hi), both inclusive). Segments
+        without stats (pre-stats manifests, evolved columns, long
+        strings) are always KEPT; empty segments are always skipped.
+
+        100 TB: this is a manifest-only decision — O(#segments) driver
+        work, zero data I/O. A date-partitioned append stream gives
+        naturally disjoint zone maps, so a time-range query opens only
+        the matching fraction of the table's files."""
+        v = self.latest_version() if version is None else version
+        m = self.manifest(v)
+        stats = m.get("stats", {})
+        kept: list[str] = []
+        skipped: list[str] = []
+        for s in m["segments"]:
+            st = stats.get(s)
+            if st is None:
+                kept.append(s)
+                continue
+            if st.get("rows") == 0:
+                skipped.append(s)
+                continue
+            cols = st.get("cols", {})
+            if any(_excluded(cols.get(c), op, val) for c, op, val in filters):
+                skipped.append(s)
+            else:
+                kept.append(s)
+        return kept, skipped
+
+    def scan(
+        self, spark: SparkSession, filters, version: int | None = None
+    ) -> DataFrame:
+        """Stat-pruned read: open only the segments whose zone maps MAY
+        satisfy ``filters`` (see pruned_segments), then apply the full
+        predicate on top — pruning is transparent, results are always
+        identical to ``read().where(...)``. The residual filter also
+        reaches the parquet scans as ordinary pushed filters, so row
+        groups inside kept segments prune a second time."""
+        from pyspark.sql import functions as F
+
+        v = self.latest_version() if version is None else version
+        kept, _ = self.pruned_segments(filters, version=v)
+        pred = _filters_predicate(filters)
+        if not kept:
+            return self.read(spark, v).where(F.lit(False))
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.path, s) for s in kept]
+        )
+        return df.where(pred)
 
     def segments_added(self, v_from: int, v_to: int) -> list[str] | None:
         """Relative segment paths of rows ADDED after ``v_from`` up to
@@ -324,13 +566,20 @@ class VersionedTable:
         ConcurrentAppendException). The orphaned rewritten segment is
         vacuum's problem, by design."""
         nv = parent + 1
+        pm = self.manifest(parent)
+        parent_stats = pm.get("stats", {})
+        new_rel = os.path.relpath(new_seg, self.path)
         body = {
             "version": nv,
             "parent": parent,
             "mode": mode,
             "data_change": True,
-            "schema": self.manifest(parent).get("schema"),
-            "segments": keep + [os.path.relpath(new_seg, self.path)],
+            "schema": pm.get("schema"),
+            "segments": keep + [new_rel],
+            "stats": {
+                **{s: parent_stats[s] for s in keep if s in parent_stats},
+                new_rel: _segment_stats(new_seg),
+            },
         }
         tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
