@@ -370,3 +370,191 @@ def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("aes_cost", "doc_id")
         .limit(_AES_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (Flajolet et al., AMS 2007)
+# ---------------------------------------------------------------------------
+# The canonical 100 TB cardinality operator: per-group distinct counts
+# from a FIXED-SIZE (m=256 registers) mergeable sketch instead of an
+# exact distinct's full shuffle of the key space. Registers are
+# max-of-rho per bucket, so partial sketches from any partitioning (or
+# any batch boundary) merge by element-wise MAX — the property the
+# mergeability pytest pins.
+#
+# Engine-exactness: the whole pipeline is integer arithmetic shared
+# literal-for-literal with the DuckDB oracle —
+#   h      = 60-bit md5 int (Spark conv(hex) ≡ DuckDB '0x…'::bigint)
+#   bucket = h mod 256; v = h div 256 (52 bits)
+#   rho    = 53 - bitlength(v) via length(bin(v)) (identical on both)
+#   S      = Σ 2^(53-rho) + zeros·2^53  — the harmonic-mean denominator
+#            SCALED BY 2^53 so it is an exact bigint, never a float
+#   E_raw  = (alpha_micro·m²·2^53) DIV S — exact integral division of a
+#            38-digit decimal, estimate in MILLIONTHS
+# The small-range linear-counting branch (E ≤ 2.5m, zeros > 0) needs
+# ln(m/zeros) — zeros has only 255 possible values, so the table
+# round(m·ln(m/z)·10⁶) is computed ONCE in python and injected into
+# BOTH engines as literals: no cross-engine libm parity risk at all.
+
+HLL_M = 256
+HLL_ALPHA_MICRO = 718272  # floor(1e6 · 0.7213/(1 + 1.079/256))
+_HLL_SHIFT = 1 << 53
+_HLL_NUMER = HLL_ALPHA_MICRO * HLL_M * HLL_M * _HLL_SHIFT
+_HLL_LC_BOUND = 2500000 * HLL_M  # 2.5·m in millionths
+
+
+def _hll_lc_table() -> list[int]:
+    import math
+
+    return [
+        round(HLL_M * math.log(HLL_M / z) * 1e6) for z in range(1, HLL_M)
+    ]
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], elem_col: str, salt: str = "hll"
+) -> DataFrame:
+    """(group…, bucket, rho) register table — the sketch itself. Fixed
+    size (≤ m rows per group), mergeable across any split of ``df`` by
+    groupBy(bucket).max(rho)."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(salt + ":"), F.col(elem_col).cast("string"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    hdf = df.select(*group_cols, h.alias("h")).select(
+        *group_cols,
+        (F.col("h") % HLL_M).alias("bucket"),
+        F.expr(f"h div {HLL_M}").alias("v"),
+    )
+    rho = F.when(F.col("v") == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin("v"))
+    )
+    return (
+        hdf.select(*group_cols, "bucket", rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """(group…, estimate_micro) from a register table. All-integer; see
+    the section comment for the formula."""
+    lc_arr = F.array(*[F.lit(v) for v in _hll_lc_table()])
+    s = registers.groupBy(*group_cols).agg(
+        (
+            F.sum(
+                F.expr("shiftleft(cast(1 as bigint), cast(53 - rho as int))")
+            )
+            + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(_HLL_SHIFT)
+        ).alias("s"),
+        (F.lit(HLL_M) - F.count(F.lit(1))).alias("zeros"),
+    )
+    e_raw = F.expr(f"cast('{_HLL_NUMER}' as decimal(38,0)) div s")
+    return s.select(
+        *group_cols, e_raw.alias("e_raw_micro"), "zeros"
+    ).select(
+        *group_cols,
+        F.when(
+            (F.col("e_raw_micro") <= F.lit(_HLL_LC_BOUND))
+            & (F.col("zeros") > 0),
+            F.element_at(lc_arr, F.col("zeros").cast("int")),
+        )
+        .otherwise(F.col("e_raw_micro"))
+        .alias("estimate_micro"),
+    )
+
+
+def _hll_oracle() -> str:
+    lc_values = ", ".join(
+        f"({z}, {v})" for z, v in enumerate(_hll_lc_table(), start=1)
+    )
+    return f"""
+with h as (
+  select o_orderpriority as grp,
+         ('0x' || substr(md5('hll:' || cast(o_custkey as varchar)), 1, 15))::bigint as h
+  from orders
+),
+b as (select grp, h % {HLL_M} as bucket, h // {HLL_M} as v from h),
+r as (
+  select grp, bucket,
+         max(case when v = 0 then 53 else 53 - length(bin(v)) end) as rho
+  from b group by grp, bucket
+),
+s as (
+  select grp,
+         (sum((1::bigint << (53 - rho)))
+          + ({HLL_M} - count(*)) * (1::bigint << 53))::bigint as s,
+         {HLL_M} - count(*) as zeros
+  from r group by grp
+),
+lc(z, v) as (values {lc_values}),
+est as (
+  select grp, zeros,
+         cast({_HLL_NUMER}::hugeint // s::hugeint as bigint) as e_raw_micro
+  from s
+),
+fin as (
+  select grp,
+         case when e_raw_micro <= {_HLL_LC_BOUND} and zeros > 0
+              then (select v from lc where lc.z = est.zeros)
+              else e_raw_micro end as estimate_micro
+  from est
+),
+x as (
+  select o_orderpriority as grp,
+         count(distinct o_custkey) as n_exact
+  from orders group by grp
+)
+select x.grp as o_orderpriority,
+       x.n_exact,
+       f.estimate_micro,
+       abs(f.estimate_micro - x.n_exact * 1000000) // x.n_exact as err_ppm
+from x join fin f on f.grp = x.grp
+order by o_orderpriority
+"""
+
+
+@register(
+    "agg_hll_distinct",
+    oracle=_hll_oracle(),
+    survey_refs=("A3", "T8"),
+)
+def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers per order priority, twice: exactly, and from
+    a 256-register HyperLogLog sketch — emitted side by side with the
+    error in ppm, so the oracle hash pins the estimator itself (both
+    the raw harmonic-mean branch and the small-range linear-counting
+    branch, which different SFs exercise naturally).
+
+    100 TB: the exact column is the demo foil — at scale you keep only
+    the sketch: 256 registers per group regardless of cardinality,
+    partial sketches merge by MAX across partitions/batches/days, and
+    the answer never shuffles the key space. The oracle recomputes the
+    identical integer pipeline in SQL (md5 → bucket/rho → scaled
+    harmonic sum → integral division), with the 255-entry ln table
+    shared as literals."""
+    orders = load(spark, "orders", sf_dir)
+    regs = hll_registers(orders, ["o_orderpriority"], "o_custkey")
+    est = hll_estimate(regs, ["o_orderpriority"])
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    return (
+        exact.join(est, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_exact",
+            "estimate_micro",
+            F.expr(
+                "abs(estimate_micro - n_exact * 1000000) div n_exact"
+            ).alias("err_ppm"),
+        )
+        .orderBy("o_orderpriority")
+    )
