@@ -1,0 +1,458 @@
+"""Unigram language-model tokenizer trainer (Kudo 2018, the
+SentencePiece ``--model_type=unigram`` algorithm) — the second
+tokenizer-training family next to BPE (plans/llm_selection.py), built
+the same way: driver holds only the vocab-sized model, executors do
+all per-word work over the DISTINCT-word table.
+
+Algorithm (faithful to the paper's EM loop; one documented
+simplification):
+
+1. Seed vocabulary: every positional substring of length 1..max_len of
+   every corpus word, weighted by word count; top ``seed_size`` by
+   (count desc, piece asc) UNIONed with the full single-character set
+   (closure: every word stays segmentable).
+2. EM: the E-step runs the forward-backward lattice over each distinct
+   word (mapInPandas, piece→logprob dict broadcast in the task closure
+   — the faiss-centroid pattern; a 32k vocab is ~1 MB), producing
+   per-piece POSTERIOR expected counts; the M-step renormalizes
+   logprobs from the summed counts on the driver (vocab-sized rows).
+3. Prune the lowest-expected-count pieces (never single chars) by
+   ``shrink`` per round, rounds of 2 EM iterations, until ≤ vocab_size.
+   (SentencePiece prunes by likelihood LOSS of removing a piece; the
+   frequency proxy is the documented simplification — loss-based
+   pruning drops into `_prune` without touching the EM machinery.)
+
+Exact reproducibility — the property the parity test pins: per-word
+expected counts are QUANTIZED to integer millionths before the global
+sum, so the aggregation is associative and order-independent; the
+M-step is then a deterministic function of integers. Distributed
+training is therefore BIT-IDENTICAL to the sequential replay
+(train_unigram_local) — same vocab, same logprobs, independent of
+partitioning, task order, or cluster size. Per-word lattice floats are
+safe: each word's DP runs single-threaded in one python function with
+a fixed evaluation order in BOTH paths.
+
+100 TB: every pass is one scan of the distinct-word table (Zipf-
+bounded, ≪ corpus size) with a broadcast model; the only driver state
+is the vocab itself. No shuffle grows with corpus size — word counts
+are the ONLY corpus-sized aggregation, done once upfront.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# Per-word lattice (shared verbatim by the distributed and local paths)
+# ---------------------------------------------------------------------------
+
+
+def _word_expected_counts(
+    word: str, count: int, lp: dict[str, float], max_len: int
+) -> tuple[dict[str, int], float]:
+    """Forward-backward over the segmentation lattice of one word.
+    Returns ({piece: expected_count_micro × word_count}, loglik·count).
+    Expected counts are quantized HERE (per word) so the global sum is
+    an integer sum — associative, order-independent."""
+    n = len(word)
+    NEG = float("-inf")
+    # arcs[j] = list of (i, piece, logprob) for pieces word[j:i]
+    arcs: list[list[tuple[int, str, float]]] = [[] for _ in range(n)]
+    for j in range(n):
+        for i in range(j + 1, min(j + max_len, n) + 1):
+            p = word[j:i]
+            v = lp.get(p)
+            if v is not None:
+                arcs[j].append((i, p, v))
+    alpha = [NEG] * (n + 1)
+    alpha[0] = 0.0
+    for j in range(n):
+        aj = alpha[j]
+        if aj == NEG:
+            continue
+        for i, _p, v in arcs[j]:
+            x = aj + v
+            ai = alpha[i]
+            # log-add with a fixed evaluation order (j ascending)
+            alpha[i] = (
+                x
+                if ai == NEG
+                else (ai + math.log1p(math.exp(x - ai)) if ai >= x
+                      else x + math.log1p(math.exp(ai - x)))
+            )
+    z = alpha[n]
+    if z == NEG:
+        return {}, 0.0  # unsegmentable (cannot happen with char closure)
+    beta = [NEG] * (n + 1)
+    beta[n] = 0.0
+    for j in range(n - 1, -1, -1):
+        acc = NEG
+        for i, _p, v in arcs[j]:
+            x = v + beta[i]
+            acc = (
+                x
+                if acc == NEG
+                else (acc + math.log1p(math.exp(x - acc)) if acc >= x
+                      else x + math.log1p(math.exp(acc - x)))
+            )
+        beta[j] = acc
+    out: dict[str, int] = {}
+    for j in range(n):
+        aj = alpha[j]
+        if aj == NEG:
+            continue
+        for i, p, v in arcs[j]:
+            post = math.exp(aj + v + beta[i] - z)
+            micro = round(post * count * MICRO)
+            if micro:
+                out[p] = out.get(p, 0) + micro
+    return out, z * count
+
+
+def viterbi_encode(
+    word: str, lp: dict[str, float], max_len: int
+) -> list[str]:
+    """Best segmentation (argmax likelihood). Deterministic tie-break:
+    scanning split points ascending with strict improvement keeps the
+    EARLIEST split — i.e. the longest first piece — on exact ties."""
+    n = len(word)
+    NEG = float("-inf")
+    best = [NEG] * (n + 1)
+    back: list[tuple[int, str] | None] = [None] * (n + 1)
+    best[0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_len), i):
+            if best[j] == NEG:
+                continue
+            p = word[j:i]
+            v = lp.get(p)
+            if v is None:
+                continue
+            x = best[j] + v
+            if x > best[i]:
+                best[i] = x
+                back[i] = (j, p)
+    if best[n] == NEG:
+        raise ValueError(f"unsegmentable word {word!r}")
+    pieces: list[str] = []
+    i = n
+    while i > 0:
+        j, p = back[i]  # type: ignore[misc]
+        pieces.append(p)
+        i = j
+    return pieces[::-1]
+
+
+# ---------------------------------------------------------------------------
+# Model steps (driver-side, vocab-sized)
+# ---------------------------------------------------------------------------
+
+
+def _floor_chars(
+    counts_micro: dict[str, int], chars: frozenset[str] | set[str]
+) -> dict[str, int]:
+    """1-micro floor for single characters (the SentencePiece
+    required-character rule): a char whose posterior mass rounds to
+    zero must still stay in the model, or an unseen word containing it
+    becomes unsegmentable."""
+    out = {
+        p: (max(c, 1) if p in chars else c) for p, c in counts_micro.items()
+    }
+    for ch in chars:
+        out.setdefault(ch, 1)
+    return out
+
+
+def _m_step(
+    counts_micro: dict[str, int], chars: frozenset[str] | set[str] = frozenset()
+) -> dict[str, float]:
+    """logprob = log(count/total) from INTEGER micro-counts — a pure
+    function of integers, identical on every host (chars floored, see
+    _floor_chars)."""
+    floored = _floor_chars(counts_micro, chars)
+    total = sum(floored.values())
+    return {
+        p: math.log(c) - math.log(total) for p, c in floored.items() if c
+    }
+
+
+def _prune(
+    counts_micro: dict[str, int],
+    chars: set[str],
+    keep: int,
+) -> dict[str, int]:
+    """Keep the ``keep`` highest-count pieces plus every single char.
+    Ties break (count desc, piece asc) — fully deterministic."""
+    multi = sorted(
+        ((p, c) for p, c in counts_micro.items() if len(p) > 1),
+        key=lambda t: (-t[1], t[0]),
+    )
+    kept = {p: c for p, c in multi[: max(0, keep - len(chars))]}
+    for ch in chars:
+        kept[ch] = counts_micro.get(ch, 1)  # chars never die
+    return kept
+
+
+# ---------------------------------------------------------------------------
+# Seed + word table (Spark)
+# ---------------------------------------------------------------------------
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n) over lowercased whitespace tokens — the Zipf-bounded
+    table every subsequent pass scans instead of the corpus."""
+    return (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def seed_substring_counts(words: DataFrame, max_len: int) -> DataFrame:
+    """(piece, cnt): positional substrings of length 1..max_len of every
+    word, weighted by word count — HOF expressions, no python."""
+    w = F.col("word")
+
+    # NB: the lambda must take exactly ONE parameter — pyspark reads
+    # the lambda's arity to decide between (element) and
+    # (element, index) HOF forms, so the usual `lambda i, L=L:`
+    # loop-capture idiom silently rebinds L to the ARRAY INDEX. A
+    # factory closure captures L safely.
+    def _substr_of_len(L: int):
+        return lambda i: w.substr(i, F.lit(L))
+
+    pieces = F.flatten(
+        F.array(
+            *[
+                F.when(
+                    F.length(w) >= L,
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(w) - F.lit(L - 1)),
+                        _substr_of_len(L),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+                for L in range(1, max_len + 1)
+            ]
+        )
+    )
+    return (
+        words.select(F.explode(pieces).alias("piece"), F.col("n"))
+        .groupBy("piece")
+        .agg(F.sum("n").alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trainers
+# ---------------------------------------------------------------------------
+
+
+def _seed_model(
+    words_rows: list[tuple[str, int]] | None,
+    seed_df: DataFrame | None,
+    seed_size: int,
+    words_df: DataFrame | None = None,
+    max_len: int = 4,
+):
+    """Shared seeding: top substrings + char closure, from either a
+    Spark substring table (distributed) or raw word rows (local)."""
+    if seed_df is not None:
+        top = seed_df.orderBy(
+            F.col("cnt").desc(), F.col("piece")
+        ).limit(seed_size)
+        seed = {r["piece"]: int(r["cnt"]) for r in top.collect()}
+        chars = {
+            r["c"]
+            for r in words_df.select(
+                F.explode(
+                    F.split(F.col("word"), "(?!^)")
+                ).alias("c")
+            )
+            .where(F.col("c") != "")
+            .distinct()
+            .collect()
+        }
+    else:
+        counts: dict[str, int] = {}
+        chars = set()
+        assert words_rows is not None
+        for w, n in words_rows:
+            chars.update(w)
+            for L in range(1, max_len + 1):
+                for j in range(len(w) - L + 1):
+                    p = w[j : j + L]
+                    counts[p] = counts.get(p, 0) + n
+        top_sorted = sorted(counts.items(), key=lambda t: (-t[1], t[0]))
+        seed = dict(top_sorted[:seed_size])
+    for ch in chars:
+        if ch not in seed:
+            seed[ch] = 1
+    return seed, chars
+
+
+def train_unigram(
+    docs: DataFrame,
+    vocab_size: int = 400,
+    seed_size: int = 2000,
+    max_len: int = 4,
+    em_iters: int = 2,
+    shrink: float = 0.75,
+    text_col: str = "text",
+) -> list[tuple[str, int, int]]:
+    """Distributed trainer. Returns the final model as
+    [(piece, count_micro, logprob_micro)] sorted (count desc, piece) —
+    logprob_micro = round(logprob·10⁶), the model's stable public form.
+    """
+    spark = docs.sparkSession
+    words = word_counts(docs, text_col).persist()
+    try:
+        seed_counts, chars = _seed_model(
+            None,
+            seed_substring_counts(words, max_len),
+            seed_size,
+            words_df=words,
+        )
+        counts = {p: c * MICRO for p, c in seed_counts.items()}
+        model = _m_step(counts, chars)
+        while True:
+            for _ in range(em_iters):
+                counts = _e_step_spark(spark, words, model, max_len)
+                model = _m_step(counts, chars)
+            if len(model) <= vocab_size:
+                break
+            keep = max(vocab_size, int(len(model) * shrink))
+            counts = _prune(counts, chars, keep)
+            model = _m_step(counts, chars)
+        return _final(counts, model, chars)
+    finally:
+        words.unpersist()
+
+
+def _e_step_spark(
+    spark, words: DataFrame, model: dict[str, float], max_len: int
+) -> dict[str, int]:
+    """One distributed E-step: mapInPandas over the word table, model
+    in the task closure, integer micro-counts summed by Spark, then
+    collected (vocab-sized result)."""
+    import pandas as pd
+
+    lp = dict(model)
+    ml = max_len
+
+    def gen(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        acc: dict[str, int] = {}
+        for pdf in batches:
+            for w, n in zip(pdf["word"], pdf["n"]):
+                ec, _ll = _word_expected_counts(str(w), int(n), lp, ml)
+                for p, c in ec.items():
+                    acc[p] = acc.get(p, 0) + c
+        if acc:
+            yield pd.DataFrame(
+                {"piece": list(acc), "cnt": list(acc.values())}
+            )
+
+    out = (
+        words.mapInPandas(gen, schema="piece string, cnt long")
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    return {r["piece"]: int(r["cnt"]) for r in out}
+
+
+def train_unigram_local(
+    word_rows: list[tuple[str, int]],
+    vocab_size: int = 400,
+    seed_size: int = 2000,
+    max_len: int = 4,
+    em_iters: int = 2,
+    shrink: float = 0.75,
+) -> list[tuple[str, int, int]]:
+    """Sequential replay of the EXACT same algorithm over in-memory
+    word rows — the parity reference the distributed trainer must
+    match bit-for-bit."""
+    seed_counts, chars = _seed_model(
+        word_rows, None, seed_size, max_len=max_len
+    )
+    counts = {p: c * MICRO for p, c in seed_counts.items()}
+    model = _m_step(counts, chars)
+
+    def e_step(m: dict[str, float]) -> dict[str, int]:
+        acc: dict[str, int] = {}
+        for w, n in word_rows:
+            ec, _ll = _word_expected_counts(w, n, m, max_len)
+            for p, c in ec.items():
+                acc[p] = acc.get(p, 0) + c
+        return acc
+
+    while True:
+        for _ in range(em_iters):
+            counts = e_step(model)
+            model = _m_step(counts, chars)
+        if len(model) <= vocab_size:
+            break
+        keep = max(vocab_size, int(len(model) * shrink))
+        counts = _prune(counts, chars, keep)
+        model = _m_step(counts, chars)
+    return _final(counts, model, chars)
+
+
+def _final(
+    counts: dict[str, int],
+    model: dict[str, float],
+    chars: frozenset[str] | set[str],
+) -> list[tuple[str, int, int]]:
+    floored = _floor_chars(counts, chars)
+    rows = [
+        (p, c, round(model[p] * MICRO))
+        for p, c in floored.items()
+        if p in model
+    ]
+    rows.sort(key=lambda t: (-t[1], t[0]))
+    return rows
+
+
+def encode_corpus(
+    docs: DataFrame,
+    model_rows: list[tuple[str, int, int]],
+    max_len: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """APPLY the trained model: Viterbi-encode each DISTINCT word once
+    (model dict in the task closure), join the piece stream back by
+    word weight → (piece, n_tokens) histogram. Same once-per-distinct-
+    word shape as bpe_encode_words."""
+    import pandas as pd
+
+    lp = {p: lpm / MICRO for p, _c, lpm in model_rows}
+    ml = max_len
+    words = word_counts(docs, text_col)
+
+    def gen(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out_p: list[str] = []
+            out_n: list[int] = []
+            for w, n in zip(pdf["word"], pdf["n"]):
+                for p in viterbi_encode(str(w), lp, ml):
+                    out_p.append(p)
+                    out_n.append(int(n))
+            if out_p:
+                yield pd.DataFrame({"piece": out_p, "n": out_n})
+
+    return (
+        words.mapInPandas(gen, schema="piece string, n long")
+        .groupBy("piece")
+        .agg(F.sum("n").alias("n_tokens"))
+    )

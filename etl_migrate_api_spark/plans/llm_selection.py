@@ -1601,6 +1601,57 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_UNIGRAM_VOCAB = 200
+_UNIGRAM_SEED = 1500
+
+
+@register("llm_unigram_train", survey_refs=("A3", "X1"))
+def llm_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram-LM tokenizer trained on the corpus
+    (operators/unigram.py): seed substrings → distributed
+    forward-backward EM over the distinct-word table → frequency
+    pruning to the target vocab. Returns (piece, count_micro,
+    logprob_micro) — the published model artifact. Rows-only gate
+    like the BPE trainer (iterative EM has no SQL mirror);
+    tests/test_unigram.py proves the distributed trainer BIT-IDENTICAL
+    to a sequential replay (expected counts quantized to integer
+    millionths make the EM aggregation associative), plus char-closure
+    and segmentability properties."""
+    from etl_migrate_api_spark.operators.unigram import train_unigram
+
+    docs = load(spark, "documents", sf_dir)
+    rows = train_unigram(
+        docs, vocab_size=_UNIGRAM_VOCAB, seed_size=_UNIGRAM_SEED
+    )
+    return spark.createDataFrame(
+        rows, schema="piece string, count_micro bigint, logprob_micro bigint"
+    )
+
+
+@register("llm_unigram_encode", survey_refs=("A3", "T8"))
+def llm_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the unigram model, then Viterbi-encode the corpus (once
+    per DISTINCT word, model in the task closure) → top-50 corpus
+    token histogram weighted by word frequency — the same
+    train-then-apply lifecycle as llm_bpe_encode, on the second
+    tokenizer family. Rows-only; encode determinism, the concat
+    invariant and mass conservation are pytest gates."""
+    from etl_migrate_api_spark.operators.unigram import (
+        encode_corpus,
+        train_unigram,
+    )
+
+    docs = load(spark, "documents", sf_dir)
+    model = train_unigram(
+        docs, vocab_size=_UNIGRAM_VOCAB, seed_size=_UNIGRAM_SEED
+    )
+    return (
+        encode_corpus(docs, model)
+        .orderBy(F.desc("n_tokens"), "piece")
+        .limit(50)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Selection-pipeline capstone: gate → DSIR score → per-lang quota → shards
 # ---------------------------------------------------------------------------

@@ -1,0 +1,147 @@
+"""Unigram-LM tokenizer trainer (operators/unigram.py): the
+distributed EM must be BIT-IDENTICAL to its sequential replay (the
+micro-count quantization property), plus model invariants and the
+encode contract.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_migrate_api_spark.operators.unigram import (
+    MICRO,
+    _m_step,
+    _word_expected_counts,
+    encode_corpus,
+    train_unigram,
+    train_unigram_local,
+    viterbi_encode,
+    word_counts,
+)
+
+TEXTS = [
+    "the cat sat on the mat",
+    "the dog sat on the log",
+    "cats and dogs and mats",
+    "a cat and a dog sat on a mat",
+    "the the the cat cat dog logs",
+    "dogs chase cats and cats chase rats",
+    "a rat sat on a log",
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS * 3)],
+        "doc_id long, text string",
+    )
+
+
+@pytest.fixture(scope="module")
+def model(docs):
+    return train_unigram(docs, vocab_size=40, seed_size=120)
+
+
+def test_distributed_equals_sequential_replay(spark, docs, model):
+    """The headline property: same vocab, same counts, same logprobs,
+    bit for bit — independent of partitioning and task order, because
+    per-word expected counts are quantized to integer millionths
+    BEFORE the global sum (associative integer aggregation) and the
+    M-step is a pure function of those integers."""
+    rows = [(r["word"], r["n"]) for r in word_counts(docs).collect()]
+    local = train_unigram_local(rows, vocab_size=40, seed_size=120)
+    assert model == local
+    # and under a different partitioning of the same corpus
+    repart = docs.repartition(7)
+    assert train_unigram(repart, vocab_size=40, seed_size=120) == local
+
+
+def test_char_closure_every_word_segmentable(docs, model):
+    lp = {p: m / MICRO for p, _c, m in model}
+    rows = [r["word"] for r in word_counts(docs).collect()]
+    for w in rows:
+        pieces = viterbi_encode(w, lp, 4)
+        assert "".join(pieces) == w  # concat invariant
+
+
+def test_logprobs_normalize(model):
+    """Σ exp(logprob) == 1 up to micro-quantization error."""
+    total = sum(math.exp(m / MICRO) for _p, _c, m in model)
+    assert abs(total - 1.0) < 1e-3
+
+
+def test_vocab_size_and_ordering(model):
+    assert len(model) <= 40
+    counts = [c for _p, c, _m in model]
+    assert counts == sorted(counts, reverse=True)
+    singles = {p for p, _c, _m in model if len(p) == 1}
+    corpus_chars = set("".join("".join(TEXTS).split()))
+    assert corpus_chars <= singles  # chars never pruned
+
+
+def test_expected_counts_sum_to_word_length(model):
+    """Posterior occupancy: Σ over pieces of (expected count × piece
+    length) == word length — every character is explained exactly once
+    in expectation."""
+    lp = {p: m / MICRO for p, _c, m in model}
+    for w in ("cats", "the", "chase"):
+        ec, _ll = _word_expected_counts(w, 1, lp, 4)
+        mass = sum(c / MICRO * len(p) for p, c in ec.items())
+        assert abs(mass - len(w)) < 1e-3
+
+
+def test_em_improves_likelihood(docs):
+    """Each EM iteration must not decrease the corpus log-likelihood
+    (the EM guarantee, on the quantized counts ≈ up to micro noise)."""
+    rows = [(r["word"], r["n"]) for r in word_counts(docs).collect()]
+    # seed model
+    from etl_migrate_api_spark.operators.unigram import _seed_model
+
+    seed, _chars = _seed_model(rows, None, 120, max_len=4)
+    model = _m_step({p: c * MICRO for p, c in seed.items()})
+
+    def loglik(m):
+        return sum(
+            _word_expected_counts(w, n, m, 4)[1] for w, n in rows
+        )
+
+    prev = loglik(model)
+    for _ in range(4):
+        acc: dict[str, int] = {}
+        for w, n in rows:
+            ec, _ = _word_expected_counts(w, n, model, 4)
+            for p, c in ec.items():
+                acc[p] = acc.get(p, 0) + c
+        model = _m_step(acc)
+        cur = loglik(model)
+        assert cur >= prev - 1e-6 * abs(prev)
+        prev = cur
+
+
+def test_encode_corpus_mass_conservation(spark, docs, model):
+    """Token histogram totals == Σ over words of (pieces per word ×
+    word count) — nothing lost or duplicated through the distributed
+    encode + join."""
+    hist = encode_corpus(docs, model).agg(
+        F.sum("n_tokens").alias("t")
+    ).collect()[0]["t"]
+    lp = {p: m / MICRO for p, _c, m in model}
+    rows = [(r["word"], r["n"]) for r in word_counts(docs).collect()]
+    want = sum(len(viterbi_encode(w, lp, 4)) * n for w, n in rows)
+    assert hist == want
+
+
+def test_registered_queries_run(spark, sf_small):
+    from etl_migrate_api_spark.plans.registry import query_map
+
+    q = query_map()
+    train = q["llm_unigram_train"](spark, sf_small)
+    out = train.collect()
+    assert len(out) > 0
+    assert train.columns == ["piece", "count_micro", "logprob_micro"]
+    enc = q["llm_unigram_encode"](spark, sf_small).collect()
+    assert 0 < len(enc) <= 50
