@@ -980,6 +980,101 @@ def orders_zonemap_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "orders_bloom_point_lookup",
+    oracle="""
+      with mid as (
+        select (min(o_orderkey) + max(o_orderkey)) // 2 as m from orders
+      ),
+      keys as (
+        select o_orderkey from orders, mid
+        order by abs(o_orderkey - m), o_orderkey limit 5
+      )
+      select o_orderkey, o_custkey, o_totalprice
+      from orders
+      where o_orderkey in (select o_orderkey from keys)
+      order by o_orderkey
+    """,
+    survey_refs=("F1", "PH2"),
+)
+def orders_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-sidecar point lookup on a HASH-distributed layout: orders
+    land as 8 appends keyed by o_orderkey % 8, so every segment's zone
+    map spans the whole key range and min/max skipping proves nothing
+    — the layout surrogate-key ingest produces at scale. The per-
+    segment bloom sidecars (built once per immutable segment) then
+    prune the lookup of 5 known keys down to the few segments that can
+    actually hold them; the query raises if the blooms failed to skip
+    at least 3 of 8. Results are re-filtered on top, so pruning can
+    never change them — the oracle is the plain IN query on the raw
+    table.
+
+    100 TB: the probe is driver-side (k bit tests per value per
+    segment against a ~1-byte-per-row sidecar); false positives cost
+    one extra file open, false negatives are impossible. The 5-key
+    collect is a bounded TakeOrdered, not a data-plane collect."""
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from etl_migrate_api_spark.catalog import load
+    from etl_migrate_api_spark.sinks.versioned import VersionedTable
+
+    orders = load(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_versioned")
+    cutoff = time.time() - 6 * 3600
+    for stale in (
+        os.path.join(root, d)
+        for d in (os.listdir(root) if os.path.isdir(root) else [])
+    ):
+        try:
+            if os.path.getmtime(stale) < cutoff:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass  # a concurrent sweep already took it
+    t = VersionedTable(
+        os.path.join(root, f"bloom_{tag}_{uuid.uuid4().hex[:8]}")
+    )
+    for r in range(8):
+        t.commit(
+            orders.where(F.col("o_orderkey") % 8 == r), mode="append"
+        )
+    t.build_bloom(spark, "o_orderkey")
+    # MID-RANGE keys: every segment's [min, max] contains them (keys
+    # at the extremes would let the zone maps prune after all, since
+    # per-residue minima/maxima differ near the range ends). Two
+    # bounded scalar reads, then a bounded TakeOrdered.
+    lo_hi = orders.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).collect()[0]
+    mid = (lo_hi["lo"] + lo_hi["hi"]) // 2
+    keys = [
+        r["o_orderkey"]
+        for r in orders.select("o_orderkey")
+        .orderBy(F.abs(F.col("o_orderkey") - mid), "o_orderkey")
+        .limit(5)
+        .collect()
+    ]
+    zm_kept, _ = t.pruned_segments([("o_orderkey", "in", keys)])
+    bl_kept, bl_skipped = t.bloom_prune("o_orderkey", keys)
+    if len(zm_kept) != 8:
+        raise AssertionError(
+            "hash layout should defeat zone maps, but they pruned "
+            f"{8 - len(zm_kept)} segments"
+        )
+    if len(bl_skipped) < 3:
+        raise AssertionError(
+            f"blooms skipped only {len(bl_skipped)} of 8 segments for "
+            f"5 keys"
+        )
+    return t.lookup(spark, "o_orderkey", keys).orderBy("o_orderkey")
+
+
 # ---------------------------------------------------------------------------
 # kNN graph (operators/similarity.py::knn_graph / knn_graph_banded)
 # ---------------------------------------------------------------------------

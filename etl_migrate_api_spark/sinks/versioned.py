@@ -36,6 +36,7 @@ Change-data-feed between versions reuses operators/diff.py::table_diff
 
 from __future__ import annotations
 
+import base64
 import datetime as _dt
 import decimal as _decimal
 import json
@@ -677,4 +678,211 @@ class VersionedTable:
             if full not in referenced:
                 shutil.rmtree(full, ignore_errors=True)
                 swept += 1
-        return {"manifests_dropped": dropped, "segments_swept": swept}
+        # bloom sidecars of swept segments are derived data — sweep any
+        # whose segment no longer exists
+        blooms = 0
+        broot = os.path.join(self.path, "_index", "bloom")
+        ref_names = {os.path.basename(r) for r in referenced}
+        for d in os.listdir(broot) if os.path.isdir(broot) else []:
+            if d not in ref_names:
+                shutil.rmtree(os.path.join(broot, d), ignore_errors=True)
+                blooms += 1
+        return {
+            "manifests_dropped": dropped,
+            "segments_swept": swept,
+            "blooms_swept": blooms,
+        }
+
+    # -- bloom point-lookup index ---------------------------------------------
+    #
+    # Zone maps prune RANGE-clustered layouts; a point lookup on a key
+    # that every segment's [min, max] spans (hash-distributed ingest,
+    # surrogate keys) prunes nothing. The bloom sidecar is the Delta
+    # bloom-filter-index answer: one fixed-size bit array per (segment,
+    # column), built from the segment's own rows, probed driver-side
+    # per lookup value. False positives only cost an extra file open;
+    # false negatives are impossible (the property the test pins).
+    # Sidecars are DERIVED data: missing/crashed ones lose pruning,
+    # never correctness, and vacuum sweeps them with their segment.
+
+    _BLOOM_FPP = 0.01
+
+    def _bloom_path(self, seg_rel: str, col: str) -> str:
+        return os.path.join(
+            self.path, "_index", "bloom", os.path.basename(seg_rel),
+            f"{col}.json",
+        )
+
+    @staticmethod
+    def _bloom_geometry(n: int) -> tuple[int, int]:
+        """(m bits, k probes) for n values at the configured fpp —
+        m rounded up to a multiple of 64."""
+        n = max(n, 1)
+        m = int(math.ceil(-n * math.log(VersionedTable._BLOOM_FPP)
+                          / (math.log(2) ** 2)))
+        m = ((m + 63) // 64) * 64
+        k = max(1, round(m / n * math.log(2)))
+        return m, min(k, 15)
+
+    @staticmethod
+    def _bloom_positions_py(v, m: int, k: int) -> list[int]:
+        """Driver-side probe positions — EXACTLY the executor formula:
+        two 60-bit md5 ints (matching Spark's
+        conv(substring(md5(concat(cast(col as string), salt)), 1, 15)))
+        reduced to base + i·stride mod m. str(int) == Spark's bigint
+        cast, so int and string keys probe identically on both sides."""
+        import hashlib
+
+        h1 = int(
+            hashlib.md5(f"{v}:b1".encode()).hexdigest()[:15], 16
+        )
+        h2 = int(
+            hashlib.md5(f"{v}:b2".encode()).hexdigest()[:15], 16
+        )
+        base = h1 % m
+        stride = h2 % (m - 1) + 1  # never 0: all k probes distinct-ish
+        return [(base + i * stride) % m for i in range(k)]
+
+    def build_bloom(
+        self, spark: SparkSession, col: str, version: int | None = None
+    ) -> int:
+        """Build the ``col`` bloom sidecar for every segment of the
+        version that lacks one. Returns how many were built. One scan
+        PER NEW SEGMENT only (the incremental-ingest shape: existing
+        segments are immutable, their blooms never change); bits are
+        folded per partition in numpy and OR-merged on the driver
+        (#partitions × m/8 bytes, never the key stream)."""
+        from pyspark.sql import functions as F
+
+        v = self.latest_version() if version is None else version
+        m_obj = self.manifest(v)
+        stats = m_obj.get("stats", {})
+        built = 0
+        for seg in m_obj["segments"]:
+            out_path = self._bloom_path(seg, col)
+            if os.path.exists(out_path):
+                continue
+            seg_abs = os.path.join(self.path, seg)
+            df = spark.read.parquet(seg_abs)
+            if col not in df.columns:
+                continue
+            n = stats.get(seg, {}).get("rows")
+            if n is None:
+                n = df.count()
+            if n == 0:
+                continue
+            m, k = self._bloom_geometry(n)
+            c = F.col(col).cast("string")
+            h1 = F.conv(
+                F.substring(F.md5(F.concat(c, F.lit(":b1"))), 1, 15), 16, 10
+            ).cast("bigint")
+            h2 = F.conv(
+                F.substring(F.md5(F.concat(c, F.lit(":b2"))), 1, 15), 16, 10
+            ).cast("bigint")
+            base = h1 % F.lit(m)
+            stride = h2 % F.lit(m - 1) + F.lit(1)
+            pos = df.where(F.col(col).isNotNull()).select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(k - 1)),
+                        lambda i: (base + i * stride) % m,
+                    )
+                ).alias("pos")
+            )
+
+            def fold(batches, _m=m):
+                import numpy as np
+                import pandas as pd
+
+                bits = np.zeros(_m // 8, dtype=np.uint8)
+                seen = False
+                for pdf in batches:
+                    a = pdf["pos"].to_numpy("int64")
+                    if len(a):
+                        seen = True
+                        # unbuffered |= : duplicate byte indices all land
+                        np.bitwise_or.at(
+                            bits,
+                            a >> 3,
+                            (1 << (a & 7)).astype(np.uint8),
+                        )
+                if seen:
+                    yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+            parts = pos.mapInPandas(fold, schema="bits binary").collect()
+            merged = bytearray(m // 8)
+            for r in parts:
+                b = r["bits"]
+                for i, byte in enumerate(b):
+                    merged[i] |= byte
+            body = {
+                "col": col,
+                "m": m,
+                "k": k,
+                "n": int(n),
+                "bits": base64.b64encode(bytes(merged)).decode(),
+            }
+            os.makedirs(os.path.dirname(out_path), exist_ok=True)
+            tmp = out_path + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as fh:
+                json.dump(body, fh)
+            os.replace(tmp, out_path)
+            built += 1
+        return built
+
+    def bloom_prune(
+        self, col: str, values, version: int | None = None
+    ) -> tuple[list[str], list[str]]:
+        """(kept, skipped) for a point lookup ``col IN values``: a
+        segment is skipped iff its bloom PROVES none of the values can
+        be present. Segments without a sidecar are kept."""
+        v = self.latest_version() if version is None else version
+        kept: list[str] = []
+        skipped: list[str] = []
+        for seg in self.manifest(v)["segments"]:
+            p = self._bloom_path(seg, col)
+            if not os.path.exists(p):
+                kept.append(seg)
+                continue
+            with open(p) as fh:
+                body = json.load(fh)
+            bits = base64.b64decode(body["bits"])
+            m, k = body["m"], body["k"]
+
+            def maybe_present(val) -> bool:
+                return all(
+                    bits[q >> 3] & (1 << (q & 7))
+                    for q in self._bloom_positions_py(val, m, k)
+                )
+
+            if any(maybe_present(val) for val in values):
+                kept.append(seg)
+            else:
+                skipped.append(seg)
+        return kept, skipped
+
+    def lookup(
+        self,
+        spark: SparkSession,
+        col: str,
+        values,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Point lookup ``col IN values`` with BOTH pruning layers:
+        zone maps first (free, from the manifest), blooms second (one
+        sidecar read per surviving segment), then the real predicate on
+        whatever still opens — results always identical to a full scan
+        + filter."""
+        from pyspark.sql import functions as F
+
+        v = self.latest_version() if version is None else version
+        values = list(values)
+        zm_kept, _ = self.pruned_segments([(col, "in", values)], version=v)
+        bl_kept, _ = self.bloom_prune(col, values, version=v)
+        kept = [s for s in zm_kept if s in set(bl_kept)]
+        if not kept:
+            return self.read(spark, v).where(F.lit(False))
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.path, s) for s in kept]
+        )
+        return df.where(F.col(col).isin(values))
