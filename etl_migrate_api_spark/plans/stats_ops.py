@@ -524,6 +524,7 @@ order by o_orderpriority
 @register(
     "agg_hll_distinct",
     oracle=_hll_oracle(),
+    headline=True,
     survey_refs=("A3", "T8"),
 )
 def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -558,3 +559,394 @@ def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Log2-histogram quantile sketch (mergeable, integer-exact)
+# ---------------------------------------------------------------------------
+# The other fixed-size streaming summary next to HLL: a power-of-two
+# histogram (bucket = bitlength(x) - 1, i.e. floor(log2 x) — computed
+# with length(bin(x)), no floating log anywhere) whose buckets merge
+# by SUM across partitions/batches/days. A quantile query walks the
+# cumulative counts to the first bucket reaching ceil(q·n) and reports
+# the bucket's [2^b, 2^(b+1)-1] bounds — a guaranteed SANDWICH of the
+# exact order statistic, which the query emits alongside so the oracle
+# hash pins lo ≤ exact ≤ hi at every SF. One-sided relative error is
+# bounded by 2× (the bucket base); tighter bases are the obvious knob.
+
+_HISTO_QS = [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+
+
+def _histo_oracle() -> str:
+    qvals = ", ".join(f"('{ql}', {num}, {den})" for ql, num, den in _HISTO_QS)
+    return f"""
+with v as (
+  select o_orderpriority as g,
+         cast(floor(o_totalprice * 100) as bigint) as x
+  from orders
+  where o_totalprice > 0
+),
+b as (select g, length(bin(x)) - 1 as bkt, x from v),
+h as (select g, bkt, count(*) as c from b group by g, bkt),
+t as (select g, sum(c)::bigint as n from h group by g),
+cum as (
+  select g, bkt, c, sum(c) over (partition by g order by bkt) as cc
+  from h
+),
+q(ql, num, den) as (values {qvals}),
+r as (
+  select t.g, q.ql, t.n,
+         (t.n * q.num + q.den - 1) // q.den as rk
+  from t cross join q
+),
+sel as (
+  select r.g, r.ql, r.n, r.rk, min(cum.bkt) as bkt
+  from r join cum on cum.g = r.g and cum.cc >= r.rk
+  group by r.g, r.ql, r.n, r.rk
+),
+ranked as (
+  select g, x, row_number() over (partition by g order by x) as rn
+  from b
+),
+ex as (
+  select sel.g, sel.ql, sel.n, sel.bkt, ranked.x as exact
+  from sel join ranked on ranked.g = sel.g and ranked.rn = sel.rk
+)
+select g as o_orderpriority, ql as quantile, n as n_rows,
+       (1::bigint << bkt) as est_lo,
+       (1::bigint << (bkt + 1)) - 1 as est_hi,
+       exact
+from ex
+order by o_orderpriority, quantile
+"""
+
+
+@register(
+    "agg_histogram_sketch",
+    oracle=_histo_oracle(),
+    headline=True,
+    survey_refs=("A3", "T8"),
+)
+def agg_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority p50/p90/p99 of the order value (in cents) from the
+    log2-histogram sketch, with the exact order statistic emitted
+    beside the bucket bounds — the hash match proves the sandwich
+    est_lo ≤ exact ≤ est_hi on every group × quantile × SF. floor()
+    before the int cast on BOTH engines (Spark truncates, DuckDB
+    rounds — the known double→int divergence).
+
+    100 TB: the histogram is ~64 counters per group, merges by sum
+    (tests pin partial-merge ≡ whole, incl. as a union+groupBy plan),
+    and the quantile walk touches counters, never rows. The exact
+    column is the demo foil, same as agg_hll_distinct's."""
+    from pyspark.sql import Window
+
+    orders = load(spark, "orders", sf_dir)
+    v = orders.where(F.col("o_totalprice") > 0).select(
+        F.col("o_orderpriority").alias("g"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("x"),
+    )
+    b = v.select("g", (F.length(F.bin("x")) - 1).alias("bkt"), "x")
+    h = b.groupBy("g", "bkt").agg(F.count(F.lit(1)).alias("c"))
+    t = h.groupBy("g").agg(F.sum("c").alias("n"))
+    cum = h.select(
+        "g",
+        "bkt",
+        F.sum("c")
+        .over(Window.partitionBy("g").orderBy("bkt"))
+        .alias("cc"),
+    )
+    qdf = F.broadcast(
+        orders.sparkSession.createDataFrame(
+            _HISTO_QS, "ql string, num int, den int"
+        )
+    )
+    r = t.crossJoin(qdf).select(
+        "g",
+        "ql",
+        "n",
+        F.expr("(n * num + den - 1) div den").alias("rk"),
+    )
+    sel = (
+        r.join(cum, "g")
+        .where(F.col("cc") >= F.col("rk"))
+        .groupBy("g", "ql", "n", "rk")
+        .agg(F.min("bkt").alias("bkt"))
+    )
+    ranked = b.select(
+        "g",
+        "x",
+        F.row_number()
+        .over(Window.partitionBy("g").orderBy("x"))
+        .alias("rn"),
+    )
+    ex = sel.join(
+        ranked,
+        (ranked["g"] == sel["g"]) & (ranked["rn"] == sel["rk"]),
+    ).select(
+        sel["g"], "ql", "n", "bkt", F.col("x").alias("exact")
+    )
+    return ex.select(
+        F.col("g").alias("o_orderpriority"),
+        F.col("ql").alias("quantile"),
+        F.col("n").alias("n_rows"),
+        F.expr("shiftleft(cast(1 as bigint), cast(bkt as int))").alias(
+            "est_lo"
+        ),
+        (
+            F.expr("shiftleft(cast(1 as bigint), cast(bkt + 1 as int))")
+            - 1
+        ).alias("est_hi"),
+        "exact",
+    ).orderBy("o_orderpriority", "quantile")
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch with set intersection (theta-sketch shape)
+# ---------------------------------------------------------------------------
+# The third mergeable summary: where HLL answers |A| and |A ∪ B|, the
+# KMV/theta family also answers |A ∩ B| — the "customers in both
+# years" question — from two fixed-size sketches. A sketch is the k
+# smallest DISTINCT 60-bit md5 hashes of a set; density estimation
+# gives |S| ≈ (k-1)·2^60 / h_k, and for the intersection both
+# sketches are cut at θ = min(θ_A, θ_B) and the SHARED hashes below θ
+# are scaled by 2^60/θ (Beyer et al., SIGMOD'07). Everything is
+# integer: hashes exact, θ exact, estimates one integral division —
+# so the DuckDB oracle hash-matches bit for bit. Sets smaller than k
+# keep all their hashes and estimate EXACTLY (the sketch degrades to
+# the set), which different SFs exercise naturally.
+
+KMV_K = 256
+_KMV_SPACE = 1 << 60  # md5-conv hashes are uniform in [0, 2^60)
+
+
+def _kmv_oracle() -> str:
+    return f"""
+with elems as (
+  select year(o_orderdate) as yr,
+         ('0x' || substr(md5('kmv:' || cast(o_custkey as varchar)), 1, 15))::bigint as h,
+         o_custkey
+  from orders
+  where year(o_orderdate) in (1995, 1996)
+),
+dh as (select distinct yr, h from elems),
+ranked as (
+  select yr, h, row_number() over (partition by yr order by h) as rn,
+         count(*) over (partition by yr) as n_h
+  from dh
+),
+sk as (select yr, h, rn, n_h from ranked where rn <= {KMV_K}),
+theta as (
+  select yr,
+         case when max(n_h) < {KMV_K} then {_KMV_SPACE}::bigint
+              else max(case when rn = {KMV_K} then h end) end as th,
+         max(n_h) as n_h
+  from sk group by yr
+),
+est as (
+  select yr,
+         case when n_h < {KMV_K} then n_h * 1000000
+              else cast(({KMV_K} - 1)::hugeint * {_KMV_SPACE}::hugeint
+                        * 1000000 // th::hugeint as bigint) end as est_micro
+  from theta
+),
+tmin as (select min(th) as th from theta),
+common as (
+  select count(*) as matches
+  from sk a join sk b on a.h = b.h and a.yr = 1995 and b.yr = 1996
+  cross join tmin
+  where a.h < tmin.th
+),
+inter_est as (
+  select case when tmin.th = {_KMV_SPACE} then common.matches * 1000000
+              else cast(common.matches::hugeint * {_KMV_SPACE}::hugeint
+                        * 1000000 // tmin.th::hugeint as bigint) end
+         as inter_micro
+  from common cross join tmin
+),
+ex as (
+  select
+    (select count(distinct o_custkey) from elems where yr = 1995) as n_a,
+    (select count(distinct o_custkey) from elems where yr = 1996) as n_b,
+    (select count(*) from
+       (select distinct o_custkey from elems where yr = 1995
+        intersect
+        select distinct o_custkey from elems where yr = 1996)) as n_ab
+)
+select ex.n_a,
+       (select est_micro from est where yr = 1995) as a_est_micro,
+       ex.n_b,
+       (select est_micro from est where yr = 1996) as b_est_micro,
+       ex.n_ab,
+       inter_est.inter_micro as ab_est_micro
+from ex cross join inter_est
+"""
+
+
+@register(
+    "agg_kmv_set_intersection",
+    oracle=_kmv_oracle(),
+    survey_refs=("A3", "E1", "T8"),
+)
+def agg_kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 1995-customers, 1996-customers, and BOTH-years
+    customers — exact and from two 256-hash KMV sketches, side by
+    side. The intersection estimate is the theta-sketch composition:
+    cut both sketches at θ = min(θ_A, θ_B), count shared hashes below
+    θ, scale by the hash-space density. Small sets (|S| < k) carry
+    their full hash set and the estimate collapses to exact — the
+    oracle hash pins both regimes across SFs.
+
+    100 TB: each sketch is ≤ k hashes regardless of cardinality, built
+    by one TakeOrdered per set over the distinct-hash stream; the
+    intersection never touches raw keys — two sketches meet in a
+    k-row join. Union/merge is just 'k smallest of the concatenation'
+    (same shape as the build, pinned in tests)."""
+    from pyspark.sql import Window
+
+    orders = load(spark, "orders", sf_dir)
+    elems = orders.where(
+        F.year("o_orderdate").isin(1995, 1996)
+    ).select(
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_custkey").alias("ck"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("kmv:"), F.col("o_custkey").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    dh = elems.select("yr", "h").distinct()
+
+    # k-smallest per set, scalably: each PARTITION emits its own k
+    # minima (numpy partial-select, no sort of the full stream), then
+    # the global k minima come from a tiny candidate set of
+    # ≤ partitions × k rows — no single-reducer sort of a set's whole
+    # hash stream, which is what a row_number window would do. The
+    # sketch holding FEWER than k rows is itself the proof the set was
+    # smaller than k (it then holds every hash), so the exact-regime
+    # branch needs no separate distinct count.
+    def _kmin_per_partition(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc: dict = {}
+        for pdf in batches:
+            for yr, g in pdf.groupby("yr"):
+                h = g["h"].to_numpy("int64")
+                cur = acc.get(yr)
+                merged = h if cur is None else np.concatenate([cur, h])
+                if len(merged) > KMV_K:
+                    merged = np.partition(merged, KMV_K - 1)[:KMV_K]
+                acc[yr] = merged
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "yr": np.repeat(
+                        list(acc), [len(v) for v in acc.values()]
+                    ),
+                    "h": np.concatenate(list(acc.values())),
+                }
+            )
+
+    cand = dh.mapInPandas(_kmin_per_partition, schema="yr int, h bigint")
+    w = Window.partitionBy("yr").orderBy("h")
+    sk = (
+        cand.select(
+            "yr", "h", F.row_number().over(w).alias("rn")
+        )
+        .where(F.col("rn") <= KMV_K)
+        .persist()
+    )
+    theta = sk.groupBy("yr").agg(
+        F.when(F.count(F.lit(1)) < KMV_K, F.lit(_KMV_SPACE))
+        .otherwise(F.max(F.when(F.col("rn") == KMV_K, F.col("h"))))
+        .alias("th"),
+        F.count(F.lit(1)).alias("n_h"),
+    )
+    est = theta.select(
+        "yr",
+        F.when(
+            F.col("n_h") < KMV_K, F.col("n_h") * F.lit(1000000)
+        )
+        .otherwise(
+            F.expr(
+                f"cast(cast({KMV_K - 1} as decimal(38,0))"
+                f" * {_KMV_SPACE} * 1000000 div th as bigint)"
+            )
+        )
+        .alias("est_micro"),
+    )
+    tmin = theta.agg(F.min("th").alias("th"))
+    a = sk.where(F.col("yr") == 1995).select(F.col("h").alias("ha"))
+    b = sk.where(F.col("yr") == 1996).select(F.col("h").alias("hb"))
+    common = (
+        a.join(b, F.col("ha") == F.col("hb"))
+        .crossJoin(F.broadcast(tmin))
+        .where(F.col("ha") < F.col("th"))
+        .agg(F.count(F.lit(1)).alias("matches"))
+    )
+    inter = common.crossJoin(F.broadcast(tmin)).select(
+        F.when(
+            F.col("th") == _KMV_SPACE,
+            F.col("matches") * F.lit(1000000),
+        )
+        .otherwise(
+            F.expr(
+                f"cast(cast(matches as decimal(38,0))"
+                f" * {_KMV_SPACE} * 1000000 div th as bigint)"
+            )
+        )
+        .alias("ab_est_micro")
+    )
+    n_a = elems.where(F.col("yr") == 1995).agg(
+        F.countDistinct("ck").alias("n_a")
+    )
+    n_b = elems.where(F.col("yr") == 1996).agg(
+        F.countDistinct("ck").alias("n_b")
+    )
+    n_ab = (
+        elems.where(F.col("yr") == 1995)
+        .select("ck")
+        .distinct()
+        .join(
+            elems.where(F.col("yr") == 1996).select("ck").distinct(),
+            "ck",
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    est_a = est.where(F.col("yr") == 1995).select(
+        F.col("est_micro").alias("a_est_micro")
+    )
+    est_b = est.where(F.col("yr") == 1996).select(
+        F.col("est_micro").alias("b_est_micro")
+    )
+    out = (
+        n_a.crossJoin(est_a)
+        .crossJoin(n_b)
+        .crossJoin(est_b)
+        .crossJoin(n_ab)
+        .crossJoin(inter)
+        .select(
+            "n_a",
+            "a_est_micro",
+            "n_b",
+            "b_est_micro",
+            "n_ab",
+            "ab_est_micro",
+        )
+    )
+    out = out.persist()
+    out.count()
+    sk.unpersist()
+    return out

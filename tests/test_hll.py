@@ -103,3 +103,41 @@ def test_register_table_is_bounded(spark):
     assert all(r["count"] <= HLL_M for r in counts)
     # at 50k distinct per group every bucket is occupied
     assert all(r["count"] == HLL_M for r in counts)
+
+
+def test_hll_incremental_maintenance_over_versioned_table(spark, tmp_path):
+    """The sketch + lakehouse composition: orders-like rows land in
+    three appends on the manifest-log table; the per-group distinct
+    sketch is maintained by sketching ONLY each increment
+    (read_increment) and merging registers by max — proven equal to
+    sketching the whole table. The IVM pattern for COUNT DISTINCT,
+    which plain counters famously cannot do."""
+    from etl_migrate_api_spark.sinks.versioned import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "t"))
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") % 700).alias("x"),
+    )
+    t.commit(df.where(F.col("id") < 1000), mode="overwrite")
+    t.commit(df.where((F.col("id") >= 1000) & (F.col("id") < 2000)), mode="append")
+    t.commit(df.where(F.col("id") >= 2000), mode="append")
+
+    partials = (
+        hll_registers(t.read(spark, 1), ["g"], "x")
+        .unionByName(hll_registers(t.read_increment(spark, 1, 2), ["g"], "x"))
+        .unionByName(hll_registers(t.read_increment(spark, 2, 3), ["g"], "x"))
+        .groupBy("g", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    merged = {
+        (r["g"], r["estimate_micro"])
+        for r in hll_estimate(partials, ["g"]).collect()
+    }
+    whole = {
+        (r["g"], r["estimate_micro"])
+        for r in hll_estimate(
+            hll_registers(t.read(spark), ["g"], "x"), ["g"]
+        ).collect()
+    }
+    assert merged == whole
