@@ -658,3 +658,54 @@ try:  # pragma: no cover - import surface depends on the PySpark build
 
 except ImportError:  # pragma: no cover
     OffsetLogDataSource = None  # type: ignore[assignment]
+
+
+def hll_distinct_loop(
+    spark: SparkSession,
+    topic_dir: str,
+    sink_dir: str,
+    max_records_per_partition: Optional[int] = None,
+    max_batches: int = 1000,
+) -> DataFrame:
+    """Streaming DISTINCT-COUNT over the replayable log with EOS — the
+    sketch + stream composition: per micro-batch, the batch's
+    (key=group, value=element) rows sketch into HyperLogLog registers
+    (plans/stats_ops.py) which merge into the persisted register store
+    by element-wise MAX; registers + consumed offsets commit in one
+    TransactionalStateSink version swap. State is the SKETCH, never
+    the key set: ≤ 256 rows per group forever, no matter how many
+    distinct elements flow past — the property that makes per-user /
+    per-source distinct counters feasible on an unbounded stream.
+
+    Redelivery is idempotent twice over: by offsets (the X2 contract),
+    AND by algebra — max-merge of already-merged data is a no-op, so
+    even an at-least-once seam (crash between commit and an external
+    ack) cannot move a register. The batch-boundary-invariance test
+    pins that any chunking of the stream yields the identical register
+    store. Returns (key, estimate_micro)."""
+    # lazy import: streaming reuses the sketch primitives, plans must
+    # not import streaming back
+    from etl_migrate_api_spark.plans.stats_ops import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    def fold(state, batch):
+        delta = hll_registers(
+            batch.select("key", "value"), ["key"], "value"
+        )
+        if state is None:
+            return delta
+        return (
+            state.unionByName(delta)
+            .groupBy("key", "bucket")
+            .agg(F.max("rho").alias("rho"))
+        )
+
+    state = _eos_fold_loop(
+        spark, topic_dir, sink_dir, fold,
+        max_records_per_partition, max_batches,
+    )
+    if state is None:
+        return spark.createDataFrame([], "key string, estimate_micro bigint")
+    return hll_estimate(state, ["key"])
