@@ -4,8 +4,7 @@ tokenizer-training family next to BPE (plans/llm_selection.py), built
 the same way: driver holds only the vocab-sized model, executors do
 all per-word work over the DISTINCT-word table.
 
-Algorithm (faithful to the paper's EM loop; one documented
-simplification):
+Algorithm (faithful to the paper's EM loop):
 
 1. Seed vocabulary: every positional substring of length 1..max_len of
    every corpus word, weighted by word count; top ``seed_size`` by
@@ -16,11 +15,12 @@ simplification):
    — the faiss-centroid pattern; a 32k vocab is ~1 MB), producing
    per-piece POSTERIOR expected counts; the M-step renormalizes
    logprobs from the summed counts on the driver (vocab-sized rows).
-3. Prune the lowest-expected-count pieces (never single chars) by
-   ``shrink`` per round, rounds of 2 EM iterations, until ≤ vocab_size.
-   (SentencePiece prunes by likelihood LOSS of removing a piece; the
-   frequency proxy is the documented simplification — loss-based
-   pruning drops into `_prune` without touching the EM machinery.)
+3. Prune by likelihood LOSS (the SentencePiece rule, default): for
+   every multi-char piece on a word's Viterbi path, the corpus-
+   likelihood drop if the piece were removed — one extra distributed
+   Viterbi pass per prune round, same integer-micro aggregation.
+   ``prune_by='freq'`` keeps the cheaper expected-count proxy. Chars
+   never die. Rounds of ``em_iters`` EM steps until ≤ vocab_size.
 
 Exact reproducibility — the property the parity test pins: per-word
 expected counts are QUANTIZED to integer millionths before the global
@@ -200,6 +200,77 @@ def _prune(
     return kept
 
 
+def _viterbi_score(
+    word: str, lp: dict[str, float], max_len: int, masked: str | None = None
+) -> float:
+    """Best-segmentation log-likelihood, optionally with one piece
+    MASKED out of the vocabulary — the counterfactual the loss-based
+    prune compares against. Char closure guarantees a finite score
+    for any masked multi-char piece."""
+    n = len(word)
+    NEG = float("-inf")
+    best = [NEG] * (n + 1)
+    best[0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_len), i):
+            if best[j] == NEG:
+                continue
+            p = word[j:i]
+            if p == masked:
+                continue
+            v = lp.get(p)
+            if v is None:
+                continue
+            x = best[j] + v
+            if x > best[i]:
+                best[i] = x
+    return best[n]
+
+
+def _word_prune_losses(
+    word: str, count: int, lp: dict[str, float], max_len: int
+) -> dict[str, int]:
+    """SentencePiece's prune signal for one word: for every multi-char
+    piece on the word's Viterbi path, the corpus-likelihood DROP if
+    that piece were removed (best score with the piece minus best
+    score without it), × word count, quantized to integer millionths —
+    the same associativity trick as the E-step, so distributed
+    aggregation stays bit-reproducible."""
+    s1 = _viterbi_score(word, lp, max_len)
+    if s1 == float("-inf"):
+        return {}
+    path = viterbi_encode(word, lp, max_len)
+    out: dict[str, int] = {}
+    for p in {q for q in path if len(q) > 1}:
+        s2 = _viterbi_score(word, lp, max_len, masked=p)
+        micro = round((s1 - s2) * count * MICRO)
+        if micro:
+            out[p] = out.get(p, 0) + micro
+    return out
+
+
+def _prune_by_loss(
+    counts_micro: dict[str, int],
+    losses_micro: dict[str, int],
+    chars: set[str],
+    keep: int,
+) -> dict[str, int]:
+    """Keep the ``keep`` pieces whose REMOVAL would cost the most
+    likelihood (absent from ``losses_micro`` → loss 0: the piece sits
+    on no Viterbi path and is free to drop). Chars never die. Ties
+    break (loss desc, piece asc)."""
+    multi = sorted(
+        ((p, losses_micro.get(p, 0)) for p in counts_micro if len(p) > 1),
+        key=lambda t: (-t[1], t[0]),
+    )
+    kept = {
+        p: counts_micro[p] for p, _l in multi[: max(0, keep - len(chars))]
+    }
+    for ch in chars:
+        kept[ch] = counts_micro.get(ch, 1)
+    return kept
+
+
 # ---------------------------------------------------------------------------
 # Seed + word table (Spark)
 # ---------------------------------------------------------------------------
@@ -310,11 +381,16 @@ def train_unigram(
     em_iters: int = 2,
     shrink: float = 0.75,
     text_col: str = "text",
+    prune_by: str = "loss",
 ) -> list[tuple[str, int, int]]:
     """Distributed trainer. Returns the final model as
     [(piece, count_micro, logprob_micro)] sorted (count desc, piece) —
     logprob_micro = round(logprob·10⁶), the model's stable public form.
-    """
+    ``prune_by``: 'loss' (default — SentencePiece's likelihood-drop
+    rule, one extra distributed Viterbi pass per prune round) or
+    'freq' (expected-count proxy, cheaper)."""
+    if prune_by not in ("loss", "freq"):
+        raise ValueError(f"prune_by must be loss|freq, got {prune_by!r}")
     spark = docs.sparkSession
     words = word_counts(docs, text_col).persist()
     try:
@@ -324,6 +400,11 @@ def train_unigram(
             seed_size,
             words_df=words,
         )
+        if vocab_size <= len(chars):
+            raise ValueError(
+                f"vocab_size={vocab_size} must exceed the corpus "
+                f"alphabet ({len(chars)} chars — they are never pruned)"
+            )
         counts = {p: c * MICRO for p, c in seed_counts.items()}
         model = _m_step(counts, chars)
         while True:
@@ -333,7 +414,11 @@ def train_unigram(
             if len(model) <= vocab_size:
                 break
             keep = max(vocab_size, int(len(model) * shrink))
-            counts = _prune(counts, chars, keep)
+            if prune_by == "loss":
+                losses = _loss_spark(spark, words, model, max_len)
+                counts = _prune_by_loss(counts, losses, chars, keep)
+            else:
+                counts = _prune(counts, chars, keep)
             model = _m_step(counts, chars)
         return _final(counts, model, chars)
     finally:
@@ -372,6 +457,39 @@ def _e_step_spark(
     return {r["piece"]: int(r["cnt"]) for r in out}
 
 
+def _loss_spark(
+    spark, words: DataFrame, model: dict[str, float], max_len: int
+) -> dict[str, int]:
+    """Distributed prune-loss pass: same shape as the E-step (model in
+    the task closure, integer micro sums), computing per-piece
+    likelihood drops over each word's Viterbi path."""
+    import pandas as pd
+
+    lp = dict(model)
+    ml = max_len
+
+    def gen(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        acc: dict[str, int] = {}
+        for pdf in batches:
+            for w, n in zip(pdf["word"], pdf["n"]):
+                for p, c in _word_prune_losses(
+                    str(w), int(n), lp, ml
+                ).items():
+                    acc[p] = acc.get(p, 0) + c
+        if acc:
+            yield pd.DataFrame(
+                {"piece": list(acc), "cnt": list(acc.values())}
+            )
+
+    out = (
+        words.mapInPandas(gen, schema="piece string, cnt long")
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    return {r["piece"]: int(r["cnt"]) for r in out}
+
+
 def train_unigram_local(
     word_rows: list[tuple[str, int]],
     vocab_size: int = 400,
@@ -379,13 +497,21 @@ def train_unigram_local(
     max_len: int = 4,
     em_iters: int = 2,
     shrink: float = 0.75,
+    prune_by: str = "loss",
 ) -> list[tuple[str, int, int]]:
     """Sequential replay of the EXACT same algorithm over in-memory
     word rows — the parity reference the distributed trainer must
     match bit-for-bit."""
+    if prune_by not in ("loss", "freq"):
+        raise ValueError(f"prune_by must be loss|freq, got {prune_by!r}")
     seed_counts, chars = _seed_model(
         word_rows, None, seed_size, max_len=max_len
     )
+    if vocab_size <= len(chars):
+        raise ValueError(
+            f"vocab_size={vocab_size} must exceed the corpus "
+            f"alphabet ({len(chars)} chars — they are never pruned)"
+        )
     counts = {p: c * MICRO for p, c in seed_counts.items()}
     model = _m_step(counts, chars)
 
@@ -397,6 +523,13 @@ def train_unigram_local(
                 acc[p] = acc.get(p, 0) + c
         return acc
 
+    def loss_step(m: dict[str, float]) -> dict[str, int]:
+        acc: dict[str, int] = {}
+        for w, n in word_rows:
+            for p, c in _word_prune_losses(w, n, m, max_len).items():
+                acc[p] = acc.get(p, 0) + c
+        return acc
+
     while True:
         for _ in range(em_iters):
             counts = e_step(model)
@@ -404,7 +537,10 @@ def train_unigram_local(
         if len(model) <= vocab_size:
             break
         keep = max(vocab_size, int(len(model) * shrink))
-        counts = _prune(counts, chars, keep)
+        if prune_by == "loss":
+            counts = _prune_by_loss(counts, loss_step(model), chars, keep)
+        else:
+            counts = _prune(counts, chars, keep)
         model = _m_step(counts, chars)
     return _final(counts, model, chars)
 

@@ -145,3 +145,57 @@ def test_registered_queries_run(spark, sf_small):
     assert train.columns == ["piece", "count_micro", "logprob_micro"]
     enc = q["llm_unigram_encode"](spark, sf_small).collect()
     assert 0 < len(enc) <= 50
+
+
+def test_loss_prune_parity_and_mode_difference(spark, docs):
+    """Loss-based pruning (the SentencePiece rule, default) keeps the
+    bit-reproducibility property, and actually decides differently
+    from the frequency proxy on this corpus at SOME pruning point (if
+    the two modes always agreed the extra Viterbi pass would be dead
+    weight — not asserted per-size, only that outputs stay valid)."""
+    rows = [(r["word"], r["n"]) for r in word_counts(docs).collect()]
+    d_loss = train_unigram(docs, vocab_size=40, seed_size=120, prune_by="loss")
+    l_loss = train_unigram_local(rows, vocab_size=40, seed_size=120, prune_by="loss")
+    assert d_loss == l_loss
+    l_freq = train_unigram_local(rows, vocab_size=40, seed_size=120, prune_by="freq")
+    # both are valid models over the same corpus
+    for m in (l_loss, l_freq):
+        singles = {p for p, _c, _m in m if len(p) == 1}
+        assert set("".join("".join(TEXTS).split())) <= singles
+
+
+def test_loss_prune_drops_redundant_piece_first():
+    """Construct the case that separates the two rules: piece 'bc' is
+    SUBSTRING-frequent (it occurs inside every 'abcd') but never on a
+    Viterbi path once 'abcd' exists, so its removal costs nothing;
+    piece 'xy' is rarer but irreplaceable-cheaply in 'xy' words. The
+    loss rule must rank 'xy' above 'bc'."""
+    from etl_migrate_api_spark.operators.unigram import (
+        _prune_by_loss,
+        _word_prune_losses,
+    )
+
+    lp = {
+        "abcd": math.log(0.4),
+        "bc": math.log(0.05),
+        "xy": math.log(0.1),
+        **{c: math.log(0.05) for c in "abcdxy"},
+    }
+    losses: dict[str, int] = {}
+    for w, n in [("abcd", 100), ("xy", 10)]:
+        for p, c in _word_prune_losses(w, n, lp, 4).items():
+            losses[p] = losses.get(p, 0) + c
+    assert losses.get("bc", 0) == 0  # never on a path → free to drop
+    assert losses.get("xy", 0) > 0
+    counts = {p: 1_000_000 for p in lp}
+    counts["bc"] = 50_000_000  # substring-frequent
+    kept = _prune_by_loss(counts, losses, set("abcdxy"), keep=8)
+    assert "xy" in kept and "bc" not in kept
+
+
+def test_vocab_below_alphabet_raises(docs):
+    rows = [("abcdefghij", 1)]
+    with pytest.raises(ValueError, match="alphabet"):
+        train_unigram_local(rows, vocab_size=5, seed_size=20)
+    with pytest.raises(ValueError, match="alphabet"):
+        train_unigram(docs, vocab_size=3, seed_size=20)
