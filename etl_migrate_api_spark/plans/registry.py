@@ -83,6 +83,23 @@ def _load_all() -> None:
 # hash-checked on every pytest run (tests/test_oracle_parity.py +
 # tools/driver_sim.py). After this round only 9 rows-only queries have
 # never seen a driver window; they rotate in next.
+#
+# r9 rotation queue (never-windowed as of end-of-r8), in priority
+# order: the oracled r8 additions (orders_zonemap_pruned_scan,
+# orders_bloom_point_lookup, agg_hll_distinct, agg_histogram_sketch,
+# agg_kmv_set_intersection, orders_version_diff, orders_merge_upsert,
+# orders_incremental_rollup, llm_jsonl_roundtrip,
+# dq_expectations_report, stats_corr_battery, orders_market_basket,
+# events_anomaly_mad, llm_weighted_sample, llm_mmr_rerank,
+# llm_rag_context_pack, llm_ann_filtered_topk, llm_bigram_logprob_score,
+# q2/q9/q11/q16/q20, llm_leakage_safe_split, llm_rrf_fusion,
+# graph_bfs_layers, llm_curriculum_order, llm_html_extract,
+# llm_web_pipeline, llm_knn_graph, llm_mixture_epochs carriers…), then
+# the rows-only tail (llm_unigram_train/encode, llm_bpe_encode,
+# llm_jpeg_phash_dedup, llm_mjpeg_keyframe_dedup, llm_model_embed,
+# llm_audio_resample_dedup, the ANN PQ/IVFPQ family). Rotating them in
+# also retires the S1/K2/K3/X3 exemption in
+# test_no_survey_item_orphaned_by_window_rotation.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- never-windowed, oracled (34) --
     "q4_order_priority",

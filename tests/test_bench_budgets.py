@@ -86,6 +86,9 @@ BUDGETS_SEC: dict[str, float] = {
     # r8 session-3 addition; ratcheted 2.30 -> 1.60 with the
     # collect_set/array-combos rewrite (one shuffle instead of three)
     "orders_market_basket": 1.60,
+    # r8 session-4 sketch headliners, measured best-of-3 on the r8 host
+    "agg_hll_distinct": 2.20,
+    "agg_histogram_sketch": 4.80,
 }
 
 
