@@ -389,6 +389,102 @@ class VersionedTable:
         cur = self.read(spark).coalesce(n_files)
         return self.commit(cur, mode="overwrite", _data_change=False)
 
+    def optimize_zorder(
+        self,
+        spark: SparkSession,
+        a_col: str,
+        b_col: str,
+        n_segments: int = 8,
+    ) -> int:
+        """OPTIMIZE ... ZORDER BY (a, b): rewrite the current snapshot
+        into ``n_segments`` segments cut along the Morton curve of the
+        two columns (operators/layout.py), published as ONE
+        ``data_change=False`` overwrite — history stays
+        time-travelable and streams/increments know no rows changed,
+        exactly like plain optimize(). The payoff composes with the
+        manifest zone maps: after the rewrite every segment's stats
+        carry a SMALL bounding box on BOTH columns, so ``scan`` prunes
+        conjunctive range filters on either — multi-dimensional data
+        skipping at manifest granularity, the Delta OPTIMIZE ZORDER
+        contract.
+
+        Plan shape: one broadcast min/max, one repartitionByRange on
+        the Morton key + within-partition sort (tight row-group stats
+        too), one write; the per-partition files then become one
+        segment each by driver-side rename — no second data pass."""
+        from etl_migrate_api_spark.operators.layout import (
+            scale_to_bits_int,
+            zorder_key,
+        )
+        from pyspark.sql import functions as F
+
+        parent = self.latest_version()
+        df = self.read(spark, parent)
+        bounds = df.agg(
+            F.min(a_col).alias("alo"), F.max(a_col).alias("ahi"),
+            F.min(b_col).alias("blo"), F.max(b_col).alias("bhi"),
+        )
+        keyed = (
+            df.crossJoin(F.broadcast(bounds))
+            .withColumn(
+                "_zkey",
+                zorder_key(
+                    scale_to_bits_int(
+                        F.col(a_col), F.col("alo"), F.col("ahi")
+                    ),
+                    scale_to_bits_int(
+                        F.col(b_col), F.col("blo"), F.col("bhi")
+                    ),
+                ),
+            )
+            .drop("alo", "ahi", "blo", "bhi")
+        )
+        tmp = os.path.join(self._data, f".zorder-tmp-{uuid.uuid4().hex}")
+        (
+            keyed.repartitionByRange(n_segments, "_zkey")
+            .sortWithinPartitions("_zkey")
+            .drop("_zkey")
+            .write.mode("error")
+            .parquet(tmp)
+        )
+        seg_rels: list[str] = []
+        stats: dict[str, dict] = {}
+        for fn in sorted(os.listdir(tmp)):
+            if not fn.endswith(".parquet"):
+                continue
+            seg = os.path.join(self._data, f"seg-{uuid.uuid4().hex}")
+            os.makedirs(seg)
+            os.rename(os.path.join(tmp, fn), os.path.join(seg, fn))
+            rel = os.path.relpath(seg, self.path)
+            seg_rels.append(rel)
+            stats[rel] = _segment_stats(seg)
+        shutil.rmtree(tmp, ignore_errors=True)
+        nv = parent + 1
+        body = {
+            "version": nv,
+            "parent": parent,
+            "mode": "overwrite",
+            "data_change": False,
+            "schema": self.manifest(parent).get("schema"),
+            "segments": seg_rels,
+            "stats": stats,
+        }
+        tmpf = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}")
+        with open(tmpf, "w") as fh:
+            json.dump(body, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmpf, self._vpath(nv))
+        except FileExistsError:
+            raise RuntimeError(
+                f"{self.path}: concurrent commit during zorder optimize"
+                " — re-run against the new current version"
+            ) from None
+        finally:
+            os.unlink(tmpf)
+        return nv
+
     # -- read ---------------------------------------------------------------
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
@@ -714,12 +810,12 @@ class VersionedTable:
         )
 
     @staticmethod
-    def _bloom_geometry(n: int) -> tuple[int, int]:
-        """(m bits, k probes) for n values at the configured fpp —
-        m rounded up to a multiple of 64."""
+    def _bloom_geometry(n: int, fpp: float | None = None) -> tuple[int, int]:
+        """(m bits, k probes) for n values at the given (or default)
+        false-positive rate — m rounded up to a multiple of 64."""
+        p = VersionedTable._BLOOM_FPP if fpp is None else fpp
         n = max(n, 1)
-        m = int(math.ceil(-n * math.log(VersionedTable._BLOOM_FPP)
-                          / (math.log(2) ** 2)))
+        m = int(math.ceil(-n * math.log(p) / (math.log(2) ** 2)))
         m = ((m + 63) // 64) * 64
         k = max(1, round(m / n * math.log(2)))
         return m, min(k, 15)
@@ -744,7 +840,11 @@ class VersionedTable:
         return [(base + i * stride) % m for i in range(k)]
 
     def build_bloom(
-        self, spark: SparkSession, col: str, version: int | None = None
+        self,
+        spark: SparkSession,
+        col: str,
+        version: int | None = None,
+        fpp: float | None = None,
     ) -> int:
         """Build the ``col`` bloom sidecar for every segment of the
         version that lacks one. Returns how many were built. One scan
@@ -771,7 +871,7 @@ class VersionedTable:
                 n = df.count()
             if n == 0:
                 continue
-            m, k = self._bloom_geometry(n)
+            m, k = self._bloom_geometry(n, fpp)
             c = F.col(col).cast("string")
             h1 = F.conv(
                 F.substring(F.md5(F.concat(c, F.lit(":b1"))), 1, 15), 16, 10
