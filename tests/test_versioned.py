@@ -88,7 +88,11 @@ def test_vacuum_keeps_referenced_segments(spark, tmp_path):
     out = t.vacuum(keep_last=1)
     # v1/v2 manifests dropped, but v3 references ALL THREE segments —
     # nothing sweeps
-    assert out == {"manifests_dropped": 2, "segments_swept": 0}
+    assert out == {
+        "manifests_dropped": 2,
+        "segments_swept": 0,
+        "blooms_swept": 0,
+    }
     assert t.versions() == [3]
     assert t.read(spark).count() == 9
     with pytest.raises(Exception):
