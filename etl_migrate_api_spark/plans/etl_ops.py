@@ -2033,3 +2033,196 @@ def llm_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(chunk, " ").alias("chunk_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap filling + linear interpolation (time_bucket_gapfill)
+# ---------------------------------------------------------------------------
+
+_GAPFILL_ORACLE = """
+with base as (
+  select event_type, date_trunc('hour', ts) as h, count(*) as n
+  from events where event_id % 37 = 0
+  group by 1, 2
+),
+bounds as (
+  select date_trunc('hour', min(ts)) as lo,
+         date_trunc('hour', max(ts)) as hi
+  from events
+),
+spine as (
+  select unnest(generate_series(lo, hi, interval 1 hour)) as h from bounds
+),
+types as (select distinct event_type from base),
+grid as (select t.event_type, s.h from types t cross join spine s),
+j as (
+  select g.event_type, g.h, b.n
+  from grid g left join base b
+    on b.event_type = g.event_type and b.h = g.h
+),
+marked as (
+  select event_type, h, n,
+    last_value(case when n is not null then h end ignore nulls)
+      over (partition by event_type order by h
+            rows between unbounded preceding and current row) as ph,
+    last_value(n ignore nulls)
+      over (partition by event_type order by h
+            rows between unbounded preceding and current row) as pv,
+    first_value(case when n is not null then h end ignore nulls)
+      over (partition by event_type order by h
+            rows between current row and unbounded following) as nh,
+    first_value(n ignore nulls)
+      over (partition by event_type order by h
+            rows between current row and unbounded following) as nv
+  from j
+)
+select event_type, h as hour_ts,
+  case
+    when n is not null then n * 1000000
+    when ph is null then nv * 1000000
+    when nh is null then pv * 1000000
+    else pv * 1000000
+         + ((nv - pv) * 1000000 * date_diff('hour', ph, h))
+           // date_diff('hour', ph, nh)
+  end as n_micro,
+  case when n is not null then 'observed' else 'interpolated' end as src
+from marked
+order by event_type, hour_ts
+"""
+
+
+@register(
+    "events_gapfill_interpolate",
+    oracle=_GAPFILL_ORACLE,
+    survey_refs=("A3", "T6", "T8", "W2"),
+)
+def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time_bucket_gapfill: a thinned hourly event series (1/37 of
+    events, so every SF has real gaps) is completed onto the full hour
+    spine — missing buckets get LINEAR interpolation between the
+    nearest observed neighbors (integer-exact, in millionths:
+    pv·10⁶ + (nv−pv)·10⁶·Δ div Δtot), edge buckets extrapolate flat,
+    and every row is tagged observed|interpolated. The timeseries-DB
+    operation (Timescale's time_bucket_gapfill / InfluxDB fill)
+    re-expressed as spine cross join + two IGNORE NULLS window scans.
+
+    100 TB: the spine is |hours| × |types| rows — metadata-sized next
+    to the fact scan; the two windows run per type over the spine, not
+    over raw events (the aggregate already shrank them), and the whole
+    plan is one aggregation plus one join plus two window passes over
+    a tiny frame. No python anywhere."""
+    events = load(spark, "events", sf_dir)
+    base = (
+        events.where(F.col("event_id") % 37 == 0)
+        .groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("h")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("h")
+    )
+    types = base.select("event_type").distinct()
+    grid = types.crossJoin(spine)
+    j = grid.join(base, ["event_type", "h"], "left_outer")
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    h_if_obs = F.when(F.col("n").isNotNull(), F.col("h"))
+    marked = j.select(
+        "event_type",
+        "h",
+        "n",
+        F.last(h_if_obs, ignorenulls=True).over(w_prev).alias("ph"),
+        F.last("n", ignorenulls=True).over(w_prev).alias("pv"),
+        F.first(h_if_obs, ignorenulls=True).over(w_next).alias("nh"),
+        F.first("n", ignorenulls=True).over(w_next).alias("nv"),
+    )
+    interp = F.expr(
+        "pv * 1000000 + ((nv - pv) * 1000000 * timestampdiff(HOUR, ph, h))"
+        " div timestampdiff(HOUR, ph, nh)"
+    )
+    return marked.select(
+        "event_type",
+        F.col("h").alias("hour_ts"),
+        F.when(F.col("n").isNotNull(), F.col("n") * 1000000)
+        .when(F.col("ph").isNull(), F.col("nv") * 1000000)
+        .when(F.col("nh").isNull(), F.col("pv") * 1000000)
+        .otherwise(interp)
+        .alias("n_micro"),
+        F.when(F.col("n").isNotNull(), F.lit("observed"))
+        .otherwise(F.lit("interpolated"))
+        .alias("src"),
+    ).orderBy("event_type", "hour_ts")
+
+
+@register(
+    "events_ewma_hourly",
+    oracle="""
+      with base as (
+        select event_type, date_trunc('hour', ts) as h, count(*) as n
+        from events group by 1, 2
+      ),
+      arr as (
+        select event_type, list(n * 1000000 order by h, n) as xs
+        from base group by event_type
+      )
+      select event_type,
+             list_reduce(xs, (acc, x) -> (x + 3 * acc) // 4) as ewma_micro,
+             len(xs) as n_points
+      from arr
+      order by event_type
+    """,
+    survey_refs=("A6", "W2", "T8"),
+)
+def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α = 1/4) over each
+    type's hourly series — the classic smoothing recursion
+    s' = α·x + (1−α)·s expressed as an ORDER-SENSITIVE fold (A6's
+    shape applied to a time series instead of phone slots). All
+    integer: the state lives in millionths and each step is
+    (x + 3·acc) div 4, so both engines walk bit-identical states; the
+    seed is the series' first point (DuckDB's list_reduce seeds with
+    the first element — mirrored here by folding from the second).
+
+    100 TB: the per-type series collapses to an array AFTER the
+    hourly aggregate (≤ |hours| elements), so the fold is a per-group
+    array op over a tiny frame — never a window over raw events."""
+    base = (
+        load(spark, "events", sf_dir)
+        .groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("h")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    arr = base.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("h", "n"))),
+            lambda s: s["n"].cast("bigint") * 1000000,
+        ).alias("xs")
+    )
+    # div 4 as shiftright 2: Spark's `/` is always a double divide, but
+    # the state must stay an exact bigint; >>2 ≡ //4 on non-negatives
+    fold = F.aggregate(
+        F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.element_at(F.col("xs"), 1),
+        lambda acc, x: F.shiftright(x + 3 * acc, 2),
+    )
+    return arr.select(
+        "event_type",
+        fold.alias("ewma_micro"),
+        F.size("xs").alias("n_points"),
+    ).orderBy("event_type")
