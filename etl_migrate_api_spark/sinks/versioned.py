@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import base64
 import datetime as _dt
+import time as _time
 import decimal as _decimal
 import json
 import math
@@ -314,7 +315,7 @@ class VersionedTable:
         # drift = name/type drift; nullability is NOT part of the
         # contract (a parquet round-trip relaxes NOT NULL to nullable)
         canon = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
-        parent0 = self.latest_version()
+        parent0 = self.latest_main_version()
         if mode == "append" and parent0:
             logged = self.manifest(parent0).get("schema")
             if logged and not allow_evolution:
@@ -335,20 +336,24 @@ class VersionedTable:
         seg_rel = os.path.relpath(seg, self.path)
         seg_stats = _segment_stats(seg)
         while True:
-            parent = self.latest_version()
+            # numbering is GLOBAL (max over main + branches), the
+            # append base is the MAIN head — a main commit must never
+            # absorb branch segments
+            parent = self.latest_main_version()
             if mode == "append" and parent:
                 pm = self.manifest(parent)
                 base = pm["segments"]
                 parent_stats = pm.get("stats", {})
             else:
                 base, parent_stats = [], {}
-            v = parent + 1
+            v = self.latest_version() + 1
             body = {
                 "version": v,
                 "parent": parent,
                 "mode": mode,
                 "data_change": _data_change,
                 "schema": schema_json,
+                "committed_at": _time.time(),
                 "segments": base + [seg_rel],
                 "stats": {
                     **{s: parent_stats[s] for s in base if s in parent_stats},
@@ -389,6 +394,179 @@ class VersionedTable:
         cur = self.read(spark).coalesce(n_files)
         return self.commit(cur, mode="overwrite", _data_change=False)
 
+    # -- named refs: tags + branches (Iceberg-style) --------------------------
+    #
+    # A TAG is an immutable name → version pointer (release pinning:
+    # "train-data-2024-06"). A BRANCH is a mutable head: commits made
+    # with ``branch=`` advance the branch pointer only — ``main`` (the
+    # plain numbered log) never sees them, and a branch can be
+    # fast-forwarded into main explicitly. Refs are tiny JSON files
+    # under _refs/, written with the same atomic replace as CURRENT
+    # pointers; they reference versions, so vacuum must keep any
+    # version a ref names (vacuum refuses otherwise).
+
+    def _ref_path(self, name: str) -> str:
+        return os.path.join(self.path, "_refs", f"{name}.json")
+
+    def _write_ref(self, name: str, body: dict) -> None:
+        os.makedirs(os.path.join(self.path, "_refs"), exist_ok=True)
+        tmp = self._ref_path(name) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(body, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self._ref_path(name))
+
+    def refs(self) -> dict[str, dict]:
+        d = os.path.join(self.path, "_refs")
+        out: dict[str, dict] = {}
+        for f in sorted(os.listdir(d)) if os.path.isdir(d) else []:
+            if f.endswith(".json"):
+                with open(os.path.join(d, f)) as fh:
+                    out[f[:-5]] = json.load(fh)
+        return out
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin ``name`` to a version (default: current). Tags are
+        immutable — re-tagging an existing name raises."""
+        v = self.latest_version() if version is None else version
+        if not os.path.exists(self._vpath(v)):
+            raise FileNotFoundError(f"{self.path}: no version {v} to tag")
+        if os.path.exists(self._ref_path(name)):
+            raise ValueError(f"{self.path}: tag {name!r} already exists")
+        self._write_ref(name, {"kind": "tag", "version": v})
+        return v
+
+    def read_ref(self, spark: SparkSession, name: str) -> DataFrame:
+        ref = self.refs().get(name)
+        if ref is None:
+            raise FileNotFoundError(f"{self.path}: no ref {name!r}")
+        return self.read(spark, ref["version"])
+
+    def branch(self, name: str, from_version: int | None = None) -> int:
+        """Create a branch headed at ``from_version`` (default:
+        current main)."""
+        v = self.latest_version() if from_version is None else from_version
+        if os.path.exists(self._ref_path(name)):
+            raise ValueError(f"{self.path}: ref {name!r} already exists")
+        self._write_ref(name, {"kind": "branch", "version": v})
+        return v
+
+    def commit_to_branch(
+        self, name: str, df: DataFrame, mode: str = "append"
+    ) -> int:
+        """Commit onto a branch: writes a NUMBERED version like any
+        commit (so vacuum/time-travel see it) but advances ONLY the
+        branch pointer — main's head is wherever a main commit last
+        put it, and main readers (``read`` with no version) are
+        unaffected because read() resolves through the branch-aware
+        head, see ``latest_main_version``. The WAP (write-audit-
+        publish) pattern: land on a branch, validate, then
+        fast_forward into main."""
+        ref = self.refs().get(name)
+        if ref is None or ref["kind"] != "branch":
+            raise FileNotFoundError(f"{self.path}: no branch {name!r}")
+        base_v = ref["version"]
+        # stage the commit as a child of the BRANCH head: reuse commit()
+        # mechanics by temporarily reading the branch head's segments
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        seg = os.path.join(self._data, f"seg-{uuid.uuid4().hex}")
+        df.write.mode("error").parquet(seg)
+        seg_rel = os.path.relpath(seg, self.path)
+        seg_stats = _segment_stats(seg)
+        while True:
+            parent = self.latest_version()
+            bm = self.manifest(base_v)
+            base = bm["segments"] if mode == "append" else []
+            base_stats = bm.get("stats", {}) if mode == "append" else {}
+            v = parent + 1
+            body = {
+                "version": v,
+                "parent": base_v,
+                "mode": mode,
+                "data_change": True,
+                "branch": name,
+                "committed_at": _time.time(),
+                "schema": df.schema.json(),
+                "segments": base + [seg_rel],
+                "stats": {
+                    **{s: base_stats[s] for s in base if s in base_stats},
+                    seg_rel: seg_stats,
+                },
+            }
+            tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w") as fh:
+                json.dump(body, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            try:
+                os.link(tmp, self._vpath(v))
+                os.unlink(tmp)
+                break
+            except FileExistsError:
+                os.unlink(tmp)
+        self._write_ref(name, {"kind": "branch", "version": v})
+        return v
+
+    def latest_main_version(self) -> int:
+        """Newest version NOT belonging to a branch — what plain
+        ``read`` should resolve to."""
+        for v in reversed(self.versions()):
+            if "branch" not in self.manifest(v):
+                return v
+        return 0
+
+    def fast_forward(self, name: str) -> int:
+        """Publish a branch head into main (the WAP publish step): a
+        new main version whose manifest copies the branch head's
+        segments/stats verbatim — no data moves."""
+        ref = self.refs().get(name)
+        if ref is None or ref["kind"] != "branch":
+            raise FileNotFoundError(f"{self.path}: no branch {name!r}")
+        bm = self.manifest(ref["version"])
+        while True:
+            parent = self.latest_version()
+            v = parent + 1
+            body = {
+                "version": v,
+                "parent": parent,
+                "mode": "overwrite",
+                "data_change": True,
+                "schema": bm.get("schema"),
+                "committed_at": _time.time(),
+                "segments": bm["segments"],
+                "stats": bm.get("stats", {}),
+            }
+            tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w") as fh:
+                json.dump(body, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            try:
+                os.link(tmp, self._vpath(v))
+                os.unlink(tmp)
+                return v
+            except FileExistsError:
+                os.unlink(tmp)
+
+    def read_as_of(self, spark: SparkSession, ts: float) -> DataFrame:
+        """Timestamp time travel: the newest MAIN version committed at
+        or before unix-seconds ``ts`` (manifests carry committed_at —
+        pre-feature manifests sort as 0, i.e. 'always before')."""
+        best = 0
+        for v in self.versions():
+            m = self.manifest(v)
+            if "branch" in m:
+                continue
+            if m.get("committed_at", 0.0) <= ts and v > best:
+                best = v
+        if best < 1:
+            raise FileNotFoundError(
+                f"{self.path}: no main version at or before {ts}"
+            )
+        return self.read(spark, best)
+
     def optimize_zorder(
         self,
         spark: SparkSession,
@@ -418,7 +596,7 @@ class VersionedTable:
         )
         from pyspark.sql import functions as F
 
-        parent = self.latest_version()
+        parent = self.latest_main_version()
         df = self.read(spark, parent)
         bounds = df.agg(
             F.min(a_col).alias("alo"), F.max(a_col).alias("ahi"),
@@ -459,13 +637,14 @@ class VersionedTable:
             seg_rels.append(rel)
             stats[rel] = _segment_stats(seg)
         shutil.rmtree(tmp, ignore_errors=True)
-        nv = parent + 1
+        nv = self.latest_version() + 1
         body = {
             "version": nv,
             "parent": parent,
             "mode": "overwrite",
             "data_change": False,
             "schema": self.manifest(parent).get("schema"),
+            "committed_at": _time.time(),
             "segments": seg_rels,
             "stats": stats,
         }
@@ -488,7 +667,10 @@ class VersionedTable:
     # -- read ---------------------------------------------------------------
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        v = self.latest_version() if version is None else version
+        # default resolves the MAIN head: commits made on a branch are
+        # numbered versions (time-travelable explicitly) but invisible
+        # to plain readers until fast_forward publishes them
+        v = self.latest_main_version() if version is None else version
         if v < 1:
             raise FileNotFoundError(f"{self.path}: no committed version")
         segs = [
@@ -556,24 +738,34 @@ class VersionedTable:
 
     def segments_added(self, v_from: int, v_to: int) -> list[str] | None:
         """Relative segment paths of rows ADDED after ``v_from`` up to
-        ``v_to`` — the INCREMENT — walked per version: an append
+        ``v_to`` — the INCREMENT — walked down the MAIN chain via each
+        manifest's recorded parent pointer (branch commits carry their
+        own numbering but never sit on this chain): an append
         contributes the segments it added over its parent; a
         ``data_change=False`` commit (optimize) contributes nothing —
         its rewritten segment holds no new rows; a data-changing
         overwrite makes the increment undefined → None (callers fall
         back to read() + diff()). v_from = 0 means 'from empty'."""
-        start = v_from + 1 if v_from else 2  # v1 may be the initial load
         out: list[str] = []
-        if v_from == 0 and v_to >= 1:
-            out.extend(self.manifest(1)["segments"])
-        for v in range(start, v_to + 1):
+        v = v_to
+        while v > v_from and v >= 1:
             m = self.manifest(v)
+            if m.get("branch"):
+                return None  # not a main-chain version
+            p = m.get("parent", v - 1)
             if not m.get("data_change", True):
+                v = p
                 continue  # compaction: same rows, new layout
-            if m["mode"] != "append":
+            initial = p == 0 and v_from == 0
+            if m["mode"] != "append" and not initial:
                 return None
-            parent = set(self.manifest(v - 1)["segments"])
-            out.extend(s for s in m["segments"] if s not in parent)
+            parent_segs = (
+                set(self.manifest(p)["segments"]) if p >= 1 else set()
+            )
+            out = [
+                s for s in m["segments"] if s not in parent_segs
+            ] + out
+            v = p
         return out
 
     def read_increment(
@@ -628,7 +820,7 @@ class VersionedTable:
         sees the pre-delete version. Returns the new version number."""
         from pyspark.sql import functions as F
 
-        v = self.latest_version()
+        v = self.latest_main_version()
         segs = self.manifest(v)["segments"]
         cur = self.read(spark, v)
         hit_files = [
@@ -662,7 +854,7 @@ class VersionedTable:
         publication race is a genuine write conflict (Delta's
         ConcurrentAppendException). The orphaned rewritten segment is
         vacuum's problem, by design."""
-        nv = parent + 1
+        nv = self.latest_version() + 1
         pm = self.manifest(parent)
         parent_stats = pm.get("stats", {})
         new_rel = os.path.relpath(new_seg, self.path)
@@ -672,6 +864,7 @@ class VersionedTable:
             "mode": mode,
             "data_change": True,
             "schema": pm.get("schema"),
+            "committed_at": _time.time(),
             "segments": keep + [new_rel],
             "stats": {
                 **{s: parent_stats[s] for s in keep if s in parent_stats},
@@ -712,7 +905,7 @@ class VersionedTable:
         and insert as new rows. Returns the new version."""
         from pyspark.sql import functions as F
 
-        v = self.latest_version()
+        v = self.latest_main_version()
         segs = self.manifest(v)["segments"]
         cur = self.read(spark, v)
         kdf = updates.select(*keys).distinct()
@@ -758,6 +951,11 @@ class VersionedTable:
         first, so a kept version can never lose a referenced segment."""
         vs = self.versions()
         keep = set(vs[-keep_last:]) if keep_last > 0 else set(vs)
+        # refs (tags, branch heads) PIN their versions: a named release
+        # must stay time-travelable until the ref itself is deleted
+        keep |= {
+            r["version"] for r in self.refs().values() if r["version"] in vs
+        }
         dropped = 0
         for v in vs:
             if v not in keep:

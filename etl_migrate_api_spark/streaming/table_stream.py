@@ -78,8 +78,10 @@ def table_schema(table_path: str) -> tuple[str, list[str]]:
 
 
 def _new_segments(t: VersionedTable, v: int) -> list[str]:
-    parent = set(t.manifest(v - 1)["segments"]) if v > 1 else set()
-    return [s for s in t.manifest(v)["segments"] if s not in parent]
+    m = t.manifest(v)
+    p = m.get("parent", v - 1)  # branch versions interleave numbering
+    parent = set(t.manifest(p)["segments"]) if p >= 1 else set()
+    return [s for s in m["segments"] if s not in parent]
 
 
 def _scan_versions(
@@ -92,6 +94,8 @@ def _scan_versions(
 
     t = VersionedTable(table_path)
     for v in range(v_from + 1, v_to + 1):
+        if t.manifest(v).get("branch"):
+            continue  # branch commit: invisible until fast_forward
         if not t.manifest(v).get("data_change", True):
             continue  # optimize/compaction: same rows, new layout
         if v > 1 and t.manifest(v)["mode"] != "append":
