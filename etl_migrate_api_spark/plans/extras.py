@@ -981,6 +981,91 @@ def orders_zonemap_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_wap_publish",
+    oracle="""
+      select o_orderstatus,
+             count(*) as n_orders,
+             cast(round(sum(cast(o_totalprice as decimal(18,2))), 2)
+                  as double) as total_price
+      from orders
+      group by o_orderstatus
+      order by o_orderstatus
+    """,
+    survey_refs=("X3", "K2", "A3"),
+)
+def orders_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish over the versioned table's branch refs: the
+    initial load lands on main WITHOUT every %3 key, the missing batch
+    lands on a BRANCH (numbered version, invisible to main readers —
+    asserted in-query), an expectation suite audits the branch head,
+    and only then fast_forward publishes the snapshot into main. The
+    final rollup must equal the plain groupBy over ALL orders — a hash
+    match proves branch isolation, the audit read, and the
+    publish-by-manifest-copy end to end.
+
+    100 TB: this is how risky batches reach a production table — the
+    audit runs against real committed files, and publish moves zero
+    bytes (the manifest copy). Cites Iceberg's WAP / branch refs."""
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from etl_migrate_api_spark.catalog import load
+    from etl_migrate_api_spark.operators import quality as q
+    from etl_migrate_api_spark.sinks.versioned import VersionedTable
+
+    orders = load(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_versioned")
+    cutoff = time.time() - 6 * 3600
+    for stale in (
+        os.path.join(root, d)
+        for d in (os.listdir(root) if os.path.isdir(root) else [])
+    ):
+        try:
+            if os.path.getmtime(stale) < cutoff:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass  # a concurrent sweep already took it
+    t = VersionedTable(
+        os.path.join(root, f"wap_{tag}_{uuid.uuid4().hex[:8]}")
+    )
+    t.commit(orders.where(F.col("o_custkey") % 3 != 0), mode="overwrite")
+    n_main_before = t.read(spark).count()
+    t.branch("wap")
+    t.commit_to_branch(
+        "wap", orders.where(F.col("o_custkey") % 3 == 0), mode="append"
+    )
+    if t.read(spark).count() != n_main_before:
+        raise AssertionError("branch commit leaked into main pre-publish")
+    audit = q.run_checks(
+        t.read(spark, t.refs()["wap"]["version"]),
+        [q.not_null("o_orderkey"), q.in_range("o_totalprice", lo=0)],
+    ).collect()
+    failed = [r["check"] for r in audit if not r["passed"]]
+    if failed:
+        raise AssertionError(f"WAP audit failed: {failed}")
+    t.fast_forward("wap")
+    return (
+        t.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+            )
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
     "orders_bloom_point_lookup",
     oracle="""
       with mid as (
