@@ -21,6 +21,81 @@ import os
 import sys
 import time
 
+# -- host-health probe -------------------------------------------------------
+# The container fleet's CPU is shared and burst-scheduled: r8 recorded a
+# uniform 3.4x fleet-wide slowdown (identical code and parquet) that was
+# indistinguishable, from the BENCH artifact alone, from a code
+# regression. So every bench emission carries its own environment
+# evidence: a sampler thread times a fixed PARALLEL md5 block at ~1 Hz
+# for the whole run (hashlib releases the GIL on MB buffers, so the
+# probe sees neighbor-quota squeezes that leave one thread fast — the
+# r8 failure signature). The JSON reports the median sample, the
+# fraction of degraded samples, and the factor vs the healthy-idle
+# reference so a throttled recording is adjudicable from the artifact.
+
+_CALIB_MB = 16  # per thread
+_CALIB_THREADS = 6
+# healthy idle host measures 0.031-0.040 s for 6 threads x 16 MB md5
+CALIB_HEALTHY_SEC = 0.035  # reference point for env_factor
+CALIB_BASELINE_SEC = 0.05  # degraded-threshold base (headroom for fair-share)
+CALIB_DEGRADED_X = 2.5  # a sample slower than 2.5x baseline is degraded
+
+
+def _calib_once() -> float:
+    """One parallel md5 throughput sample (seconds — lower is faster)."""
+    import hashlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    buf = b"\xab" * (1 << 20)
+
+    def one(_):
+        for _ in range(_CALIB_MB):
+            hashlib.md5(buf).digest()
+
+    with ThreadPoolExecutor(_CALIB_THREADS) as ex:
+        t0 = time.perf_counter()
+        list(ex.map(one, range(_CALIB_THREADS)))
+        return time.perf_counter() - t0
+
+
+class EnvProbe:
+    """Background 1 Hz sampler of host CPU throughput during the run."""
+
+    def __init__(self):
+        import threading
+
+        self.samples: list[float] = []
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._loop, daemon=True)
+
+    def _loop(self):
+        while not self._stop.is_set():
+            self.samples.append(_calib_once())
+            self._stop.wait(1.0)
+
+    def __enter__(self):
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._t.join(timeout=5)
+
+    def summary(self) -> dict:
+        if not self.samples:
+            return {"samples": 0}
+        xs = sorted(self.samples)
+        mid = len(xs) // 2
+        med = xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
+        bad = sum(s > CALIB_DEGRADED_X * CALIB_BASELINE_SEC for s in xs)
+        return {
+            "samples": len(xs),
+            "probe_sec_median": round(med, 4),
+            "degraded_frac": round(bad / len(xs), 3),
+            # >1 = slower than a healthy idle host by this much
+            "env_factor": round(med / CALIB_HEALTHY_SEC, 2),
+        }
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -83,29 +158,32 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in names:
-        fn = QUERIES[name].fn
-        best = float("inf")
-        for _ in range(repeat):
-            # per-query isolation: one broken query must not zero the
-            # whole bench run (a single uncaught exception here erased
-            # the round-5 perf signal for 14 healthy queries)
-            try:
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            except Exception as exc:  # noqa: BLE001 — record, keep benching
-                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-                break
-            finally:
-                # release blocks the query's operators left persisted
-                # (their contract: callers own the unpersist) — each
-                # query's number must measure that query, not earlier
-                # queries' cache pressure, and no query may ride an
-                # earlier query's cache
-                spark.catalog.clearCache()
-        if name not in errors:
-            timings[name] = round(best, 3)
+    with EnvProbe() as probe:
+        for name in names:
+            fn = QUERIES[name].fn
+            best = float("inf")
+            for _ in range(repeat):
+                # per-query isolation: one broken query must not zero the
+                # whole bench run (a single uncaught exception here erased
+                # the round-5 perf signal for 14 healthy queries)
+                try:
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, time.perf_counter() - t0)
+                except Exception as exc:  # noqa: BLE001 — record, keep benching
+                    errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                    break
+                finally:
+                    # release blocks the query's operators left persisted
+                    # (their contract: callers own the unpersist) — each
+                    # query's number must measure that query, not earlier
+                    # queries' cache pressure, and no query may ride an
+                    # earlier query's cache
+                    spark.catalog.clearCache()
+            if name not in errors:
+                timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -118,6 +196,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # host-health evidence sampled DURING the run — see header
+        "env": probe.summary(),
     }
     if errors:
         payload["errors"] = errors

@@ -1577,21 +1577,38 @@ def sq8_minmax(
 ) -> tuple[list[float], list[float]]:
     """Per-dimension exact [min, max] over the corpus — the SQ8
     "training" (faiss ScalarQuantizer QT_8bit with RangeStat_minmax).
-    One distributed pass: posexplode to (dim, value), map-side-combined
-    min/max into |dim| groups, |dim| rows to the driver. Exact bounds
-    (not sampled) so encoding never clips."""
-    rows = (
-        corpus.select(F.posexplode(vec_col).alias("d", "x"))
-        .groupBy("d")
-        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    One Arrow-batched ``mapInPandas`` pass folding each partition to a
+    single (lo[dim], hi[dim]) row in numpy, combined driver-side —
+    #partitions × 2 × dim floats cross the wire, the vectors never
+    shuffle. (The earlier posexplode → groupBy formulation shuffled
+    n×dim rows to build 64 groups — 64× the corpus in shuffle rows, a
+    scale-killer flagged in r8; this shape is the same per-partition
+    partial + driver combine used for KMV sketches.) Exact bounds (not
+    sampled) so encoding never clips."""
+    import numpy as np
+    import pandas as pd
+
+    def fold(batches):
+        lo = hi = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            blo, bhi = X.min(axis=0), X.max(axis=0)
+            lo = blo if lo is None else np.minimum(lo, blo)
+            hi = bhi if hi is None else np.maximum(hi, bhi)
+        if lo is not None:
+            yield pd.DataFrame({"lo": [lo.tolist()], "hi": [hi.tolist()]})
+
+    parts = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .mapInPandas(fold, schema="lo array<double>, hi array<double>")
         .collect()
     )
-    dim = len(rows)
-    lo = [0.0] * dim
-    hi = [0.0] * dim
-    for r in rows:
-        lo[r["d"]] = float(r["lo"])
-        hi[r["d"]] = float(r["hi"])
+    if not parts:
+        return [], []
+    lo = [min(vs) for vs in zip(*(r["lo"] for r in parts))]
+    hi = [max(vs) for vs in zip(*(r["hi"] for r in parts))]
     return lo, hi
 
 

@@ -514,48 +514,107 @@ def llm_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.mmr_rerank(emb, emb.where(F.col("vec_id") < 5), k=5, n_candidates=12)
 
 
-@register("llm_ann_ivf_topk", oracle=None, headline=True)
-def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k over the PERSISTED index — the scale path:
-    build the write-once layout (corpus parquet-partitioned by coarse
-    cell + centroids alongside, operators/similarity.py::write_ivf_index),
-    then answer the query from it with a partition-PRUNED scan of only
-    the nprobe probed cells (file-listing-time pruning, plan-asserted in
-    tests/test_kmeans_ivf.py). The timed number includes the index
-    build (training is the deterministic md5-init k-means) — one-time
-    at scale, amortized over every later query; the inline-trained
-    variant (sim.ivf_topk) stays as the ad-hoc API and is
-    parity-tested against this path. Rows-only gate: centroid training
-    iterates float means, which no cross-engine SQL mirror can
-    reproduce bit-exactly; determinism and recall-vs-bruteforce are
-    asserted in tests/test_kmeans_ivf.py instead."""
+def _ivf_sweep_stale(root: str) -> None:
+    """Bound the index-dir leak: sweep sibling index dirs old enough
+    that no live run plausibly still reads them (6 h >> any
+    gate/bench/pytest session; dir mtime = build time, so a sweep can
+    in principle race an unmaterialized DataFrame held across sessions
+    that long — the failure is a clean FileNotFoundException on a
+    stale handle)."""
     import shutil
-    import tempfile
     import time
-    import uuid
 
-    emb = load(spark, "embeddings", sf_dir)
-    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    # per-invocation unique dir: a fixed path would let two concurrent
-    # sessions (pytest + bench, or two users) overwrite each other's
-    # index mid-read. Rebuilt every invocation so the gate measures
-    # build+query honestly, never a stale index from older code.
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_ivf")
-    # bound the leak: sweep sibling index dirs old enough that no live
-    # run plausibly still reads them (6 h >> any gate/bench/pytest
-    # session; dir mtime = build time, so a sweep can in principle race
-    # an unmaterialized DataFrame held across sessions that long — the
-    # failure is a clean FileNotFoundException on a stale handle)
     cutoff = time.time() - 6 * 3600
     for stale in (
-        os.path.join(root, d) for d in (os.listdir(root) if os.path.isdir(root) else [])
+        os.path.join(root, d)
+        for d in (os.listdir(root) if os.path.isdir(root) else [])
     ):
         try:
             if os.path.getmtime(stale) < cutoff:
                 shutil.rmtree(stale, ignore_errors=True)
         except OSError:
             pass  # a concurrent sweep already took it
-    path = os.path.join(root, f"index_{tag}_{uuid.uuid4().hex[:8]}")
+
+
+def _ivf_shared_path(sf_dir: str) -> str:
+    """Process-scoped persisted-index location. Keyed by (sf tag, pid):
+    fresh per interpreter — a new run can never read an index a stale
+    code version wrote — but SHARED within one session, so
+    llm_ann_ivf_build amortizes over every llm_ann_ivf_query in the
+    same bench/driver run, exactly the persisted-index economics the
+    operator exists for."""
+    import tempfile
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_ivf")
+    return os.path.join(root, f"index_{tag}_pid{os.getpid()}")
+
+
+@register("llm_ann_ivf_build", oracle=None, headline=True)
+def llm_ann_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index BUILD, benched on its own: train deterministic
+    md5-init k-means and write the corpus parquet-partitioned by
+    coarse cell with centroids alongside
+    (operators/similarity.py::write_ivf_index). Separated from
+    llm_ann_ivf_query so the bench artifact prices the two phases the
+    way a cluster pays them — the build once per ingest, the pruned
+    probe per query (r8 verdict #3: a combined number hides the
+    amortized query cost that is the operator's point). Returns the
+    per-cell inventory read back FROM the written index (cell sizes =
+    shuffle-partition sizes at scale — the skew signal). Rows-only
+    gate: float k-means has no cross-engine SQL mirror; determinism
+    and recall are asserted in tests/test_kmeans_ivf.py."""
+    import shutil
+
+    emb = load(spark, "embeddings", sf_dir)
+    path = _ivf_shared_path(sf_dir)
+    _ivf_sweep_stale(os.path.dirname(path))
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(f"{path}.centroids", ignore_errors=True)
+    sim.write_ivf_index(emb, path, k=8, n_iter=2)
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.col("cell").cast("int").alias("cell"))
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("cell")
+    )
+
+
+@register("llm_ann_ivf_query", oracle=None, headline=True)
+def llm_ann_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k answered from the PERSISTED index — the
+    amortized per-query cost at scale: assign each query to its nprobe
+    nearest cells (centroids are driver-side constants) and scan ONLY
+    those cell directories — partition pruning at file-listing time,
+    plan-asserted in tests/test_kmeans_ivf.py. At 100 TB a query
+    touches nprobe/k of the corpus bytes. Builds the index first only
+    if this session hasn't yet (a standalone correctness run); in the
+    bench, llm_ann_ivf_build has already paid that cost, so this
+    number is the pruned probe alone. Rows-only gate as the build."""
+    emb = load(spark, "embeddings", sf_dir)
+    path = _ivf_shared_path(sf_dir)
+    if not os.path.isdir(f"{path}.centroids"):
+        _ivf_sweep_stale(os.path.dirname(path))
+        sim.write_ivf_index(emb, path, k=8, n_iter=2)
+    return sim.ivf_topk_from_index(
+        spark, path, emb.where(F.col("vec_id") < 10), k=5, nprobe=3
+    )
+
+
+@register("llm_ann_ivf_topk", oracle=None)
+def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF build+query END-TO-END in one invocation — the gate-
+    freshness variant: rebuilds into a unique dir every call so the
+    correctness row can never ride a stale index from older code, and
+    parity-tests the persisted path against the inline-trained API
+    (sim.ivf_topk) in tests/test_kmeans_ivf.py. The BENCH numbers live
+    in llm_ann_ivf_build / llm_ann_ivf_query, which split the one-time
+    build from the amortized pruned probe."""
+    import uuid
+
+    emb = load(spark, "embeddings", sf_dir)
+    path = _ivf_shared_path(sf_dir) + f"_{uuid.uuid4().hex[:8]}"
+    _ivf_sweep_stale(os.path.dirname(path))
     sim.write_ivf_index(emb, path, k=8, n_iter=2)
     return sim.ivf_topk_from_index(
         spark, path, emb.where(F.col("vec_id") < 10), k=5, nprobe=3
@@ -1268,6 +1327,203 @@ def llm_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pq_topk(
         emb, emb.where(F.col("vec_id") < 10), k=5, m=32, ksub=16, rerank=100
     ).orderBy("query_id", "rank")
+
+
+def _pq_adc_oracle(
+    m: int = 8, dsub: int = 8, ksub: int = 16, n_queries: int = 5, k: int = 5
+) -> str:
+    """PQ/ADC as exact SQL (the HLL-style integer-exact mirror, r8
+    verdict #6a): the codebook is PINNED — subvectors of the ksub
+    md5-first corpus rows, pure selection, zero float training — so
+    encode/score become deterministic arithmetic both engines can
+    replay: every dot product is a sequential double sum
+    (list_dot_product ≡ the zip_with+aggregate fold, proven
+    bit-compatible by the MMR oracle), assignment scores are rounded
+    to 9dp before a (score, cent_id) first-min, and the ADC estimate
+    is a sum of DECIMAL(20,9) LUT entries — exact and order-
+    independent, so the cross-engine float-summation-order trap
+    cannot bite."""
+    dim = dsub
+    return f"""
+      with emb as (
+        select vec_id, cast(embedding as double[]) as v from embeddings
+      ),
+      sample as (
+        select * from (
+          select v, row_number() over (
+                   order by md5(cast(vec_id as varchar)), vec_id) - 1
+                 as cent_id
+          from emb)
+        where cent_id < {ksub}
+      ),
+      cents as (
+        select cent_id, j,
+               list_slice(v, j*{dim}+1, j*{dim}+{dim}) as cv
+        from sample cross join range({m}) r(j)
+      ),
+      codes as (
+        select vec_id, j, cent_id as code from (
+          select e.vec_id, c.j, c.cent_id,
+                 row_number() over (
+                   partition by e.vec_id, c.j
+                   order by round(
+                     list_dot_product(c.cv, c.cv)
+                     - 2 * list_dot_product(
+                         list_slice(e.v, c.j*{dim}+1, c.j*{dim}+{dim}), c.cv),
+                     9),
+                   c.cent_id) as rn
+          from emb e cross join cents c)
+        where rn = 1
+      ),
+      q as (
+        select vec_id as query_id, v as qv from emb
+        where vec_id < {n_queries}
+      ),
+      lut as (
+        select q.query_id, c.j, c.cent_id,
+               cast(round(
+                 list_dot_product(
+                   list_slice(q.qv, c.j*{dim}+1, c.j*{dim}+{dim}), c.cv),
+                 9) as decimal(20,9)) as w
+        from q cross join cents c
+      ),
+      est as (
+        select l.query_id, cd.vec_id as neighbor_id, sum(l.w) as e
+        from codes cd join lut l on l.j = cd.j and l.cent_id = cd.code
+        group by 1, 2
+      )
+      select query_id, cast(rn as int) as rank, neighbor_id,
+             cast(e as double) as est_ip
+      from (
+        select query_id, neighbor_id, e,
+               row_number() over (partition by query_id
+                                  order by e desc, neighbor_id) as rn
+        from est)
+      where rn <= {k}
+    """
+
+
+@register("llm_ann_pq_adc", oracle=_pq_adc_oracle(), survey_refs=("J2", "O2"))
+def llm_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-5 with a PINNED codebook — the
+    oracle-checked twin of llm_ann_pq_topk (which keeps the trained
+    codebooks and the GEMM fast path as the production variant): the
+    codebook is the ksub=16 md5-first corpus rows' subvectors (pure
+    deterministic selection — no Lloyd iterations, so DuckDB can
+    rebuild it from the same parquet), encode is a per-row expression
+    tree (m=8 subspaces × 16 sequential-double scores, 9dp-rounded,
+    (score, cent_id) first-min via array_min on structs — one
+    projection, NO shuffle, no UDF), and the ADC estimate is an exact
+    DECIMAL(20,9) sum of per-subspace LUT literals built driver-side
+    from the bounded query set (5 queries × 8 × 16 = 640 decimals —
+    broadcast as literals, never a join side). The one shuffle is the
+    final per-query top-k window. This externalizes the ADC gather's
+    correctness — LUT lookup + sum + rank — through the driver's
+    DuckDB gate; quantization QUALITY (recall vs exact) stays pinned
+    in tests/test_pq.py against the trained path."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import Window
+
+    m, dsub, ksub, k, n_q = 8, 8, 16, 5, 5
+    emb = load(spark, "embeddings", sf_dir)
+
+    sample = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(ksub)
+        .collect()
+    )
+    cents = [
+        [
+            [float(x) for x in r["embedding"]][j * dsub : (j + 1) * dsub]
+            for r in sample
+        ]
+        for j in range(m)
+    ]
+    qrows = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < n_q)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+
+    def dot_seq(a: list[float], b: list[float]) -> float:
+        # left-to-right mul-add — bit-identical to both engines' fold
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    NINE_DP = Decimal("0.000000001")
+    lut = [
+        [
+            [
+                Decimal(dot_seq(qv[j * dsub : (j + 1) * dsub], cents[j][c]))
+                .quantize(NINE_DP, ROUND_HALF_UP)
+                for c in range(ksub)
+            ]
+            for j in range(m)
+        ]
+        for _, qv in qrows
+    ]
+
+    from etl_migrate_api_spark.functions.vectors import dot as vdot
+
+    code_cols = []
+    for j in range(m):
+        sub = F.slice(F.col("embedding"), j * dsub + 1, dsub)
+        cands = []
+        for c in range(ksub):
+            cv = cents[j][c]
+            cc = dot_seq(cv, cv)  # constant per centroid
+            sc = vdot(sub, F.array(*[F.lit(t) for t in cv]))
+            score = F.round(F.lit(cc) - F.lit(2.0) * sc, 9)
+            cands.append(F.struct(score.alias("s"), F.lit(c).alias("c")))
+        code_cols.append(F.array_min(F.array(*cands))["c"].alias(f"c{j}"))
+
+    # materialize codes behind a repartition barrier: the est stage
+    # references each code column once per query, and CollapseProject
+    # would otherwise inline the 16-way score expression 5× per row
+    codes = emb.select(
+        F.col("vec_id").alias("neighbor_id"), *code_cols
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    ests = []
+    for qi in range(len(qrows)):
+        est = None
+        for j in range(m):
+            arr = F.array(
+                *[
+                    F.lit(lut[qi][j][c]).cast("decimal(20,9)")
+                    for c in range(ksub)
+                ]
+            )
+            term = F.element_at(arr, F.col(f"c{j}") + 1)
+            est = term if est is None else est + term
+        ests.append(est)
+
+    qid_arr = F.array(*[F.lit(q) for q, _ in qrows])
+    scored = codes.select(
+        "neighbor_id", F.posexplode(F.array(*ests)).alias("pos", "e")
+    ).select(
+        F.element_at(qid_arr, F.col("pos") + 1).alias("query_id"),
+        "neighbor_id",
+        "e",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("e").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            F.col("e").cast("double").alias("est_ip"),
+        )
+    )
 
 
 @register("llm_ann_sq8_topk", headline=True)

@@ -129,6 +129,23 @@ def _excluded(colstat: dict | None, op: str, value) -> bool:
     raise ValueError(f"unknown filter op {op!r}")
 
 
+def _norm_filters(filters) -> list[tuple]:
+    """Materialize a filter spec ONCE. ``in`` values may arrive as a
+    generator; pruning probes them once per segment and the predicate
+    once more, so an un-materialized iterator would be exhausted after
+    the first segment — all(empty) == True would then mark every later
+    segment excluded, silently dropping rows."""
+    out = []
+    for col, op, value in filters:
+        if op == "in":
+            value = list(value)
+        elif op == "between":
+            lo, hi = value  # unpacking materializes any iterable
+            value = (lo, hi)
+        out.append((col, op, value))
+    return out
+
+
 def _filters_predicate(filters):
     """The residual Column predicate for a filter spec — applied on
     top of the pruned scan so pruning can never change results."""
@@ -427,9 +444,11 @@ class VersionedTable:
         return out
 
     def tag(self, name: str, version: int | None = None) -> int:
-        """Pin ``name`` to a version (default: current). Tags are
-        immutable — re-tagging an existing name raises."""
-        v = self.latest_version() if version is None else version
+        """Pin ``name`` to a version (default: current MAIN head, like
+        ``read`` — tagging unpublished branch data requires naming its
+        version explicitly). Tags are immutable — re-tagging an
+        existing name raises."""
+        v = self.latest_main_version() if version is None else version
         if not os.path.exists(self._vpath(v)):
             raise FileNotFoundError(f"{self.path}: no version {v} to tag")
         if os.path.exists(self._ref_path(name)):
@@ -446,7 +465,11 @@ class VersionedTable:
     def branch(self, name: str, from_version: int | None = None) -> int:
         """Create a branch headed at ``from_version`` (default:
         current main)."""
-        v = self.latest_version() if from_version is None else from_version
+        v = (
+            self.latest_main_version()
+            if from_version is None
+            else from_version
+        )
         if os.path.exists(self._ref_path(name)):
             raise ValueError(f"{self.path}: ref {name!r} already exists")
         self._write_ref(name, {"kind": "branch", "version": v})
@@ -463,19 +486,23 @@ class VersionedTable:
         head, see ``latest_main_version``. The WAP (write-audit-
         publish) pattern: land on a branch, validate, then
         fast_forward into main."""
-        ref = self.refs().get(name)
-        if ref is None or ref["kind"] != "branch":
+        if self.refs().get(name, {}).get("kind") != "branch":
             raise FileNotFoundError(f"{self.path}: no branch {name!r}")
-        base_v = ref["version"]
-        # stage the commit as a child of the BRANCH head: reuse commit()
-        # mechanics by temporarily reading the branch head's segments
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        # stage the commit as a child of the BRANCH head: reuse commit()
+        # mechanics by temporarily reading the branch head's segments
         seg = os.path.join(self._data, f"seg-{uuid.uuid4().hex}")
         df.write.mode("error").parquet(seg)
         seg_rel = os.path.relpath(seg, self.path)
         seg_stats = _segment_stats(seg)
         while True:
+            # (re)read the branch head INSIDE the loop: the manifest we
+            # stage must chain off whatever the ref points at NOW
+            ref = self.refs().get(name)
+            if ref is None or ref["kind"] != "branch":
+                raise FileNotFoundError(f"{self.path}: no branch {name!r}")
+            base_v = ref["version"]
             parent = self.latest_version()
             bm = self.manifest(base_v)
             base = bm["segments"] if mode == "append" else []
@@ -502,12 +529,46 @@ class VersionedTable:
                 os.fsync(fh.fileno())
             try:
                 os.link(tmp, self._vpath(v))
-                os.unlink(tmp)
-                break
             except FileExistsError:
                 os.unlink(tmp)
-        self._write_ref(name, {"kind": "branch", "version": v})
-        return v
+                continue  # numbered-version race lost — renumber
+            os.unlink(tmp)
+            # advance the ref iff it STILL points at base_v — a blind
+            # overwrite here would silently drop a rival's commit from
+            # the branch (last-write-wins), unlike main's rebase path.
+            # CAS via a link-lock: hold the ref's lock across
+            # read-compare-write so two committers serialize.
+            lock = self._ref_path(name) + ".lock"
+            tmp_l = lock + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp_l, "w") as fh:
+                fh.write(str(v))
+            try:
+                os.link(tmp_l, lock)
+            except FileExistsError:
+                os.unlink(tmp_l)
+                os.unlink(self._vpath(v))  # rival holds the ref — rebase
+                _time.sleep(0.01)
+                continue
+            os.unlink(tmp_l)
+            try:
+                cur = self.refs().get(name)
+                if cur is None or cur["kind"] != "branch":
+                    os.unlink(self._vpath(v))
+                    raise FileNotFoundError(
+                        f"{self.path}: branch {name!r} deleted mid-commit"
+                    )
+                if cur["version"] != base_v:
+                    # branch moved since we staged: our manifest's
+                    # parent/base segments are stale — rebase and retry
+                    os.unlink(self._vpath(v))
+                    continue
+                self._write_ref(name, {"kind": "branch", "version": v})
+                return v
+            finally:
+                try:
+                    os.unlink(lock)
+                except FileNotFoundError:
+                    pass
 
     def latest_main_version(self) -> int:
         """Newest version NOT belonging to a branch — what plain
@@ -691,11 +752,16 @@ class VersionedTable:
         without stats (pre-stats manifests, evolved columns, long
         strings) are always KEPT; empty segments are always skipped.
 
+        Defaults to the MAIN head like ``read`` — staged branch
+        commits stay invisible unless ``version`` names them
+        explicitly (branch isolation must hold for pruned reads too).
+
         100 TB: this is a manifest-only decision — O(#segments) driver
         work, zero data I/O. A date-partitioned append stream gives
         naturally disjoint zone maps, so a time-range query opens only
         the matching fraction of the table's files."""
-        v = self.latest_version() if version is None else version
+        v = self.latest_main_version() if version is None else version
+        filters = _norm_filters(filters)
         m = self.manifest(v)
         stats = m.get("stats", {})
         kept: list[str] = []
@@ -723,10 +789,12 @@ class VersionedTable:
         predicate on top — pruning is transparent, results are always
         identical to ``read().where(...)``. The residual filter also
         reaches the parquet scans as ordinary pushed filters, so row
-        groups inside kept segments prune a second time."""
+        groups inside kept segments prune a second time. Defaults to
+        the MAIN head, matching ``read``."""
         from pyspark.sql import functions as F
 
-        v = self.latest_version() if version is None else version
+        v = self.latest_main_version() if version is None else version
+        filters = _norm_filters(filters)
         kept, _ = self.pruned_segments(filters, version=v)
         pred = _filters_predicate(filters)
         if not kept:
@@ -948,9 +1016,19 @@ class VersionedTable:
         then delete every segment directory no surviving manifest
         references (this also sweeps orphans from crashed commits).
         Returns counts. Phase order is the crash contract: manifests
-        first, so a kept version can never lose a referenced segment."""
+        first, so a kept version can never lose a referenced segment.
+
+        ``keep_last`` counts MAIN-CHAIN versions, not global numbers:
+        branch commits take global numbers above the main head, so a
+        staged (unpublished) branch would otherwise crowd the current
+        main head out of the keep window and make the published table
+        unreadable. The main head is ALWAYS kept, as is the global
+        head and every ref-pinned version."""
         vs = self.versions()
-        keep = set(vs[-keep_last:]) if keep_last > 0 else set(vs)
+        main_vs = [v for v in vs if "branch" not in self.manifest(v)]
+        keep = set(main_vs[-keep_last:]) if keep_last > 0 else set(vs)
+        # the published head and the global head survive unconditionally
+        keep |= {self.latest_main_version(), self.latest_version()} & set(vs)
         # refs (tags, branch heads) PIN their versions: a named release
         # must stay time-travelable until the ref itself is deleted
         keep |= {
@@ -1001,6 +1079,24 @@ class VersionedTable:
 
     _BLOOM_FPP = 0.01
 
+    @staticmethod
+    def _bloom_check_values(values) -> list:
+        """Probe parity holds only where Python's str(v) equals Spark's
+        cast(col as string): integers and strings. bool ('True' vs
+        'true'), float ('1e+16' vs '1.0E16'), date/timestamp and
+        decimal render differently on the two sides, which would turn
+        bloom probes into false NEGATIVES — silently dropped rows.
+        Reject anything outside the parity set."""
+        values = list(values)
+        for v in values:
+            if isinstance(v, bool) or not isinstance(v, (int, str)):
+                raise TypeError(
+                    "bloom lookup supports int and string keys only "
+                    f"(got {type(v).__name__}: {v!r}) — Python str() and "
+                    "Spark CAST AS STRING disagree for other types"
+                )
+        return values
+
     def _bloom_path(self, seg_rel: str, col: str) -> str:
         return os.path.join(
             self.path, "_index", "bloom", os.path.basename(seg_rel),
@@ -1049,10 +1145,17 @@ class VersionedTable:
         PER NEW SEGMENT only (the incremental-ingest shape: existing
         segments are immutable, their blooms never change); bits are
         folded per partition in numpy and OR-merged on the driver
-        (#partitions × m/8 bytes, never the key stream)."""
-        from pyspark.sql import functions as F
+        (#partitions × m/8 bytes, never the key stream).
 
-        v = self.latest_version() if version is None else version
+        Only integer and string columns are indexable — the driver-side
+        probe re-derives Spark's ``cast(col as string)`` via Python
+        ``str()``, which agrees for exactly those types (see
+        ``_bloom_check_values``); other types raise here rather than
+        produce silent false negatives at probe time."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        v = self.latest_main_version() if version is None else version
         m_obj = self.manifest(v)
         stats = m_obj.get("stats", {})
         built = 0
@@ -1064,6 +1167,17 @@ class VersionedTable:
             df = spark.read.parquet(seg_abs)
             if col not in df.columns:
                 continue
+            dt = df.schema[col].dataType
+            if not isinstance(
+                dt,
+                (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                 T.StringType),
+            ):
+                raise TypeError(
+                    f"bloom index on {col!r}: unsupported type "
+                    f"{dt.simpleString()} (int/string only — probe-side "
+                    "str() must match Spark's cast-to-string)"
+                )
             n = stats.get(seg, {}).get("rows")
             if n is None:
                 n = df.count()
@@ -1133,8 +1247,11 @@ class VersionedTable:
     ) -> tuple[list[str], list[str]]:
         """(kept, skipped) for a point lookup ``col IN values``: a
         segment is skipped iff its bloom PROVES none of the values can
-        be present. Segments without a sidecar are kept."""
-        v = self.latest_version() if version is None else version
+        be present. Segments without a sidecar are kept. Defaults to
+        the MAIN head, matching ``read``. Values must be int/string
+        (probe parity — see ``_bloom_check_values``)."""
+        v = self.latest_main_version() if version is None else version
+        values = self._bloom_check_values(values)
         kept: list[str] = []
         skipped: list[str] = []
         for seg in self.manifest(v)["segments"]:
@@ -1170,11 +1287,11 @@ class VersionedTable:
         zone maps first (free, from the manifest), blooms second (one
         sidecar read per surviving segment), then the real predicate on
         whatever still opens — results always identical to a full scan
-        + filter."""
+        + filter. Defaults to the MAIN head, matching ``read``."""
         from pyspark.sql import functions as F
 
-        v = self.latest_version() if version is None else version
-        values = list(values)
+        v = self.latest_main_version() if version is None else version
+        values = self._bloom_check_values(values)
         zm_kept, _ = self.pruned_segments([(col, "in", values)], version=v)
         bl_kept, _ = self.bloom_prune(col, values, version=v)
         kept = [s for s in zm_kept if s in set(bl_kept)]

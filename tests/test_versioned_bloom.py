@@ -127,3 +127,34 @@ def test_null_keys_never_poison_the_bloom(spark, tmp_path):
     assert t.lookup(spark, "k", [1]).count() == 1
     # NULL never matches an IN lookup (SQL semantics)
     assert t.lookup(spark, "k", [2]).count() == 0
+
+
+# -- r9 ADVICE regressions --------------------------------------------------
+
+
+def test_bloom_rejects_non_int_string_columns(spark, tmp_path):
+    """Probe parity (Python str(v) == Spark cast-to-string) holds only
+    for int/string keys; bool/float/date columns must raise at BUILD
+    time instead of producing silent false negatives at probe time."""
+    import datetime as dt
+
+    t = VersionedTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(True, 1.0e16, dt.date(2024, 1, 1), 1)],
+        "b boolean, f double, d date, k int",
+    )
+    t.commit(df, mode="overwrite")
+    for col in ("b", "f", "d"):
+        with pytest.raises(TypeError, match="int/string only"):
+            t.build_bloom(spark, col)
+    assert t.build_bloom(spark, "k") == 1  # int stays indexable
+
+
+def test_bloom_probe_rejects_non_int_string_values(spark, hash_table):
+    """lookup()/bloom_prune() validate probe values: bool renders as
+    'True' in Python but 'true' in Spark — a probe would be a false
+    negative, so it raises instead."""
+    with pytest.raises(TypeError, match="int and string"):
+        hash_table.bloom_prune("k", [True])
+    with pytest.raises(TypeError, match="int and string"):
+        hash_table.lookup(spark, "k", [1.5])

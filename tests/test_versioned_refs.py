@@ -137,3 +137,112 @@ def test_version_stream_skips_branch_commits(spark, tmp_path):
         _scan_versions(t.path, ["k", "v"], 0, t.latest_version(), "fail")
     )
     assert sorted(r[0] for r in rows) == [0, 1, 2, 3, 4]
+
+
+# -- r9 ADVICE regressions --------------------------------------------------
+
+
+def test_vacuum_with_staged_branch_keeps_main_head(spark, tmp_path):
+    """vacuum(keep_last=1) during WAP: a staged (unpublished) branch
+    head takes a global version number ABOVE main's head, and keep_last
+    counted by global numbering would evict the current MAIN manifest —
+    the published table would become unreadable mid-audit. keep_last
+    counts main-chain versions; the main head always survives."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 5), mode="overwrite")  # v1 = main head
+    t.branch("audit")
+    t.commit_to_branch("audit", _df(spark, 100, 103), mode="append")  # v2
+    out = t.vacuum(keep_last=1)
+    # main is still readable and identical
+    assert t.latest_main_version() == 1
+    assert sorted(r["k"] for r in t.read(spark).collect()) == list(range(5))
+    # the branch head stays pinned by its ref, so the WAP can finish
+    assert t.read_ref(spark, "audit").count() == 8
+    assert out["manifests_dropped"] == 0
+    t.fast_forward("audit")
+    assert t.read(spark).count() == 8
+
+
+def test_vacuum_keep_last_counts_main_chain_versions(spark, tmp_path):
+    """Three main commits + one branch commit: keep_last=2 must keep
+    the last TWO MAIN versions (v2, v3), not trade one away for the
+    higher-numbered branch commit."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 5), mode="overwrite")  # v1
+    t.commit(_df(spark, 5, 10), mode="append")  # v2
+    t.commit(_df(spark, 10, 15), mode="append")  # v3
+    t.branch("b")
+    t.commit_to_branch("b", _df(spark, 100, 101))  # v4 (branch)
+    t.vacuum(keep_last=2)
+    assert 2 in t.versions() and 3 in t.versions()
+    assert t.read(spark, 2).count() == 10  # time travel to v2 intact
+    assert 1 not in t.versions()  # v1 actually expired
+
+
+def test_scan_and_lookup_default_to_main_head(spark, tmp_path):
+    """Branch isolation holds for EVERY no-version read path: scan(),
+    pruned_segments(), lookup() and bloom_prune() must resolve the
+    MAIN head like read() — not the globally-newest (branch) version,
+    which would leak unpublished WAP data to main readers."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 5), mode="overwrite")
+    t.build_bloom(spark, "k")
+    t.branch("audit")
+    t.commit_to_branch("audit", _df(spark, 100, 103), mode="append")
+    # scan == read().where(...) — on MAIN
+    got = sorted(r["k"] for r in t.scan(spark, [("k", ">=", 0)]).collect())
+    assert got == list(range(5))
+    kept, _ = t.pruned_segments([("k", ">=", 0)])
+    assert set(kept) == set(t.manifest(t.latest_main_version())["segments"])
+    # lookup of a branch-only key finds nothing on main
+    assert t.lookup(spark, "k", [100]).count() == 0
+    kept_b, _ = t.bloom_prune("k", [100])
+    assert set(kept_b) <= set(t.manifest(1)["segments"])
+    # explicit version still reaches the branch head (audit reads)
+    bv = t.refs()["audit"]["version"]
+    assert t.lookup(spark, "k", [100], version=bv).count() == 1
+
+
+def test_concurrent_branch_commit_rebases_not_drops(spark, tmp_path):
+    """Two commits landing on the same branch through an interleaved
+    ref race: the loser must REBASE (both rows reach the branch head),
+    not silently vanish via a last-write-wins ref overwrite. Simulated
+    by moving the ref between the rival's read and write: commit A,
+    then while committing B, A's ref advance is replayed — the CAS
+    detects base motion and retries with the new base."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 5), mode="overwrite")
+    t.branch("b")
+    # rival lands normally
+    t.commit_to_branch("b", _df(spark, 100, 101))
+    # second committer whose FIRST ref read is stale: patch refs() to
+    # report the pre-rival head once, then behave normally — the CAS
+    # must catch the mismatch after winning the version race
+    real_refs = t.refs
+    calls = {"n": 0}
+
+    def stale_once():
+        out = real_refs()
+        calls["n"] += 1
+        if calls["n"] == 1:
+            out = dict(out)
+            out["b"] = {"kind": "branch", "version": 1}
+        return out
+
+    t.refs = stale_once
+    t.commit_to_branch("b", _df(spark, 200, 201))
+    t.refs = real_refs
+    ks = sorted(r["k"] for r in t.read_ref(spark, "b").collect())
+    assert ks == list(range(5)) + [100, 200]
+
+
+def test_branch_and_tag_default_from_main_head(spark, tmp_path):
+    """branch()/tag() with no version pin the MAIN head (docstring
+    contract: 'default: current main'), even when a staged branch
+    holds the higher global number."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 5), mode="overwrite")  # v1
+    t.branch("staged")
+    t.commit_to_branch("staged", _df(spark, 100, 103))  # v2
+    assert t.branch("feature") == 1
+    assert t.tag("release") == 1

@@ -213,3 +213,21 @@ def test_excluded_is_conservative():
     # num filter on a decimal column crosses exactly
     dec = {"kind": "dec", "min": "10.5", "max": "20.5", "nulls": 0}
     assert _excluded(dec, "=", 21) and not _excluded(dec, "=", 20)
+
+
+# -- r9 ADVICE regressions --------------------------------------------------
+
+
+def test_in_filter_accepts_a_generator(ranged_table, spark):
+    """'in' values passed as a one-shot generator: pruning probes the
+    values once per segment, so without materialization the iterator
+    would be empty from segment 2 on — all(empty)==True would exclude
+    every later segment and silently drop rows."""
+    vals = (k for k in [50, 150, 250])  # one key per segment
+    kept, skipped = ranged_table.pruned_segments([("k", "in", vals)])
+    assert len(kept) == 3 and not skipped
+    vals2 = (k for k in [50, 150, 250])
+    got = sorted(
+        r["k"] for r in ranged_table.scan(spark, [("k", "in", vals2)]).collect()
+    )
+    assert got == [50, 150, 250]
