@@ -180,8 +180,16 @@ def main() -> None:
                     # (their contract: callers own the unpersist) — each
                     # query's number must measure that query, not earlier
                     # queries' cache pressure, and no query may ride an
-                    # earlier query's cache
+                    # earlier query's cache. localCheckpoint() blocks
+                    # (iterative ops' lineage fences) survive
+                    # clearCache, so sweep the JVM registry too — safe,
+                    # the result was fully materialized by the noop sink
                     spark.catalog.clearCache()
+                    m = spark.sparkContext._jsc.getPersistentRDDs()
+                    for rid in list(m.keySet().toArray()):
+                        r = m.get(rid)
+                        if r is not None:
+                            r.unpersist()
             if name not in errors:
                 timings[name] = round(best, 3)
 

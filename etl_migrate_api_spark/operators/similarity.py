@@ -701,17 +701,42 @@ def ivf_topk_from_index(
     qualifying vectors only (post-filtering an unfiltered top-k loses
     recall when the filter is selective). It lands on the parquet scan
     as a pushed filter (plan-asserted in tests), composing with the
-    partition pruning: files pruned by cell, row groups by predicate."""
+    partition pruning: files pruned by cell, row groups by predicate.
+
+    The query side is BOUNDED by contract (it is broadcast below), so
+    probe assignment runs driver-side: the same normalized sequential
+    dot + lowest-cid tie rule as _nearest_cells_expr (bit-identical —
+    both are left-to-right IEEE mul-adds over the same doubles), but
+    without the two Spark jobs (explode projection + distinct.collect)
+    the expression formulation cost per query batch."""
     cent_rows = [
         (int(r["cent_id"]), [float(x) for x in r["cent_v"]])
         for r in spark.read.parquet(f"{path}.centroids").collect()
     ]
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        F.explode(_nearest_cells_expr(F.col(vec_col), cent_rows, nprobe)).alias("cell"),
+    qrows = _collect_query_rows(queries, id_col, vec_col)
+    if not qrows:
+        return _empty_topk(spark)
+    units = []
+    for cid, cv in cent_rows:
+        nrm = sum(x * x for x in cv) ** 0.5
+        units.append((cid, [x / nrm for x in cv] if nrm > 0 else cv))
+
+    def _dot_seq(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    q_cells: list[tuple[int, list[float], int]] = []
+    for qid, qv in qrows:
+        ranked = sorted(
+            ((_dot_seq(qv, u), -cid) for cid, u in units), reverse=True
+        )
+        q_cells.extend((qid, qv, -ncid) for _, ncid in ranked[:nprobe])
+    q = spark.createDataFrame(
+        q_cells, schema="query_id long, qv array<double>, cell int"
     )
-    probed = [int(r["cell"]) for r in q.select("cell").distinct().collect()]
+    probed = sorted({c for _, _, c in q_cells})
     c = spark.read.parquet(path).where(F.col("cell").isin(probed))
     tombs = _read_tombstones(spark, path)
     if tombs is not None:

@@ -1652,6 +1652,220 @@ def llm_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VIT_MAX_WORD = 8  # DP unroll bound (and the oracle's CTE count)
+_VIT_MAX_PIECE = 3
+_VIT_MULTIS = 40  # multi-char vocab size (chars are always kept)
+
+
+def _unigram_viterbi_oracle() -> str:
+    """The Viterbi DP fully unrolled as SQL (r8 verdict #6b): with a
+    PINNED vocab (every single char + the top-40 length-2..3
+    substrings by weighted count — pure integer counting both engines
+    replay) and INTEGER-MICRO log-probs, best-segmentation scores are
+    exact bigint sums, so the cross-engine float-summation trap cannot
+    bite. One CTE per position i=1..8 carries (best score, argmax
+    backpointer) with the engine's tie rule — (score desc, split asc),
+    the 'earliest split on exact ties' of operators/unigram.py::
+    viterbi_encode — then an unrolled 8-step backpointer walk emits
+    the pieces. ln() is the only non-correctly-rounded op; it is
+    evaluated once per vocab entry and immediately micro-quantized,
+    same as the DSIR/PageRank rules in this module's header."""
+    n, ml = _VIT_MAX_WORD, _VIT_MAX_PIECE
+    parts = [
+        f"""
+      docs_w as materialized (
+        select unnest(regexp_extract_all(lower(text), '[a-z]+')) as word
+        from documents
+      ),
+      w as materialized (
+        select word, cast(count(*) as bigint) as cnt from docs_w
+        where len(word) between 1 and {n}
+        group by word
+      ),
+      chars as materialized (
+        select substr(word, i, 1) as piece, cast(sum(cnt) as bigint) as c
+        from w cross join range(1, {n + 1}) r(i)
+        where i <= len(word)
+        group by 1
+      ),
+      multis as materialized (
+        select piece, c from (
+          select substr(word, i, l) as piece, cast(sum(cnt) as bigint) as c
+          from w
+          cross join range(1, {n + 1}) r(i)
+          cross join range(2, {ml + 1}) rl(l)
+          where i + l - 1 <= len(word)
+          group by 1)
+        order by c desc, piece limit {_VIT_MULTIS}
+      ),
+      vocab0 as materialized (
+        select piece, c from chars union all select piece, c from multis
+      ),
+      tot as (select sum(c) as t from vocab0),
+      v as materialized (
+        select piece,
+               cast(round(ln(c / t) * 1000000) as bigint) as lpm
+        from vocab0, tot
+      ),
+      b0 as materialized (select word, cast(0 as bigint) as best from w)"""
+    ]
+    for i in range(1, n + 1):
+        cands = " union all ".join(
+            f"""
+          select b{j}.word, b{j}.best + v.lpm as best, {j} as j, v.piece
+          from b{j} join v on v.piece = substr(b{j}.word, {j + 1}, {i - j})
+          where len(b{j}.word) >= {i}"""
+            for j in range(max(0, i - ml), i)
+        )
+        parts.append(
+            f"""
+      b{i} as materialized (
+        select word, best, j, piece from (
+          select word, best, j, piece,
+                 row_number() over (partition by word
+                                    order by best desc, j asc) as rn
+          from ({cands}) c{i})
+        where rn = 1
+      )"""
+        )
+    backs = " union all ".join(
+        f"select word, {i} as i, j, piece from b{i}" for i in range(1, n + 1)
+    )
+    parts.append(f"""
+      backs as materialized ({backs}),
+      t0 as materialized (select word, cnt, cast(len(word) as int) as pos from w)""")
+    for s in range(1, n + 1):
+        parts.append(f"""
+      t{s} as materialized (
+        select t{s - 1}.word, t{s - 1}.cnt, b.j as pos, b.piece
+        from t{s - 1} join backs b
+          on b.word = t{s - 1}.word and b.i = t{s - 1}.pos
+        where t{s - 1}.pos > 0
+      )""")
+    pieces = " union all ".join(
+        f"select piece, cnt from t{s}" for s in range(1, n + 1)
+    )
+    return (
+        "with "
+        + ",".join(parts)
+        + f""",
+      pieces as materialized ({pieces})
+      select piece, cast(sum(cnt) as bigint) as n_tokens
+      from pieces group by piece
+      order by n_tokens desc, piece limit 50"""
+    )
+
+
+@register(
+    "llm_unigram_viterbi",
+    oracle=_unigram_viterbi_oracle(),
+    survey_refs=("A3", "T8"),
+)
+def llm_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi segmentation through the driver's DuckDB gate — the
+    oracle-checked twin of llm_unigram_encode (which keeps the full
+    EM-trained model and stays rows-only): the vocab is PINNED by pure
+    counting (every single char of the [a-z]+, ≤8-char word table +
+    the top-40 length-2..3 substrings by weighted occurrence count —
+    ~66 entries, a bounded driver constant), log-probs are integer
+    micros (round(ln(count/total)·1e6), computed driver-side with the
+    same libm DuckDB links), and the DP runs on EXACT integer-valued
+    doubles inside the production encoder
+    (operators/unigram.py::viterbi_encode — sums ≤ 2·10⁸ ≪ 2⁵³, so
+    comparisons and the earliest-split tie rule are bit-identical to
+    the oracle's bigint DP). Output: the corpus piece histogram
+    (top-50 by count desc, piece). One Viterbi per DISTINCT word — the
+    Zipf-bounded table, never the corpus — and the vocab/count stages
+    are plain integer aggregations; at 100 TB this is the
+    apply-a-tokenizer shape: scan-level word counting plus a
+    broadcast-constant model."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from etl_migrate_api_spark.operators.unigram import viterbi_encode
+
+    n, ml = _VIT_MAX_WORD, _VIT_MAX_PIECE
+    docs = load(spark, "documents", sf_dir)
+    w = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .where(F.length("word").between(1, n))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    chars = (
+        w.select(
+            "word",
+            "cnt",
+            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i"),
+        )
+        .select(F.expr("substring(word, i, 1)").alias("piece"), "cnt")
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("c"))
+    )
+    multi_parts = [
+        w.where(F.length("word") >= L)
+        .select(
+            "word",
+            "cnt",
+            F.explode(
+                F.sequence(F.lit(1), F.length("word") - L + 1)
+            ).alias("i"),
+            F.lit(L).alias("l"),
+        )
+        .select(F.expr("substring(word, i, l)").alias("piece"), "cnt")
+        for L in range(2, ml + 1)
+    ]
+    mu = multi_parts[0]
+    for p in multi_parts[1:]:
+        mu = mu.unionByName(p)
+    multis = (
+        mu.groupBy("piece")
+        .agg(F.sum("cnt").alias("c"))
+        .orderBy(F.desc("c"), "piece")
+        .limit(_VIT_MULTIS)
+    )
+    vocab = [
+        (r["piece"], int(r["c"]))
+        for r in chars.unionByName(multis).collect()
+    ]
+    total = sum(c for _, c in vocab)
+    # micro-quantized driver-side: HALF_UP == both engines' round();
+    # glibc ln on both sides (DuckDB links the same libm as CPython)
+    lp = {
+        p: float(
+            Decimal(math.log(c / total) * 1e6).quantize(
+                Decimal(1), ROUND_HALF_UP
+            )
+        )
+        for p, c in vocab
+    }
+
+    def gen(batches):
+        for pdf in batches:
+            out_p: list[str] = []
+            out_n: list[int] = []
+            for word, cnt in zip(pdf["word"], pdf["cnt"]):
+                for p in viterbi_encode(str(word), lp, ml):
+                    out_p.append(p)
+                    out_n.append(int(cnt))
+            if out_p:
+                yield pd.DataFrame({"piece": out_p, "n": out_n})
+
+    return (
+        w.mapInPandas(gen, schema="piece string, n long")
+        .groupBy("piece")
+        .agg(F.sum("n").cast("bigint").alias("n_tokens"))
+        .orderBy(F.desc("n_tokens"), "piece")
+        .limit(50)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Selection-pipeline capstone: gate → DSIR score → per-lang quota → shards
 # ---------------------------------------------------------------------------

@@ -65,95 +65,95 @@ def _load_all() -> None:
 
 # The driver's CORRECTNESS gate processes only the FIRST 50 entries of
 # queries() in dict order (observed in r01/r02). This list pins exactly
-# which 50 land in that window. Round 8 executes the r7 verdict's #1:
-# rotate EVERY query that has never held a driver CORRECTNESS row into
-# the window — 34 oracled (the full TPC-H tail q4/q6/q7/q8/q10/q12/q14/
-# q18/q19/q21/q22, the quantile/count-min/skew batteries, the selection
-# family BM25/mixture/CDC/shuffle/split/fixed-k/chunks, span-dedup
-# incremental, winnowing, unigram-logprob, hard-negative/contrastive
-# mining, k-core + triangles, SCD2/retention/transition/session-window,
-# RFM, column profiling) plus 3 rows-only representatives of the
-# families the driver has never touched externally (SQ8 ANN, BPE
-# training, image pHash dedup). The remaining 13 slots are the MINIMAL
-# §2 keep-alive anchor set (computed by set cover over survey_refs; 9 of
-# them are the sole registered carrier of some §2 item, the other 4
-# cover {S4},{S5,S7},{T5},{U1}) so that
-# test_no_survey_item_orphaned_by_window_rotation stays green.
-# Displaced r7-window entries all hold green r07 driver rows and remain
+# which 50 land in that window. Round 9 executes the r8 verdict's #1:
+# rotate the never-windowed oracled queries in, LEADING with the
+# S1/K2/K3/X3 carriers (orders_merge_upsert, orders_wap_publish,
+# orders_version_diff, llm_jsonl_roundtrip) so the last four §2 items
+# get external driver rows, then the sketch family (HLL, histogram,
+# KMV), the table-layout family (zone-map scan, bloom point lookup,
+# Z-order skipping), the TPC-H tail q2/q9/q11/q16/q20, and the rest of
+# the oracled backlog — plus the two NEW r9 oracles that convert
+# previously rows-only families to hash-checked (llm_ann_pq_adc for
+# PQ/ADC, llm_unigram_viterbi for unigram encode). The remaining 13
+# slots are the MINIMAL §2 keep-alive anchor set (set cover over
+# survey_refs; vs r8, diff_orders_snapshots drops out because
+# orders_version_diff in-window carries K8, join_lookup_dim also
+# carries S6 now that contact_merge_fold_stateful rotated out, and
+# agg_skew_bucket_battery stays as the sole in-window A4 carrier).
+# Every window entry is ORACLED this round — zero rows-only slots.
+# Displaced r8-window entries all hold green r08 driver rows and remain
 # hash-checked on every pytest run (tests/test_oracle_parity.py +
-# tools/driver_sim.py). After this round only 9 rows-only queries have
-# never seen a driver window; they rotate in next.
+# tools/driver_sim.py).
 #
-# r9 rotation queue (never-windowed as of end-of-r8), in priority
-# order: the oracled r8 additions (orders_zonemap_pruned_scan,
-# orders_bloom_point_lookup, agg_hll_distinct, agg_histogram_sketch,
-# agg_kmv_set_intersection, orders_version_diff, orders_merge_upsert,
-# orders_incremental_rollup, llm_jsonl_roundtrip,
-# dq_expectations_report, stats_corr_battery, orders_market_basket,
-# events_anomaly_mad, llm_weighted_sample, llm_mmr_rerank,
-# llm_rag_context_pack, llm_ann_filtered_topk, llm_bigram_logprob_score,
-# q2/q9/q11/q16/q20, llm_leakage_safe_split, llm_rrf_fusion,
-# graph_bfs_layers, llm_curriculum_order, llm_html_extract,
-# llm_web_pipeline, llm_knn_graph, llm_mixture_epochs carriers…), then
-# the rows-only tail (llm_unigram_train/encode, llm_bpe_encode,
-# llm_jpeg_phash_dedup, llm_mjpeg_keyframe_dedup, llm_model_embed,
-# llm_audio_resample_dedup, the ANN PQ/IVFPQ family). Rotating them in
-# also retires the S1/K2/K3/X3 exemption in
-# test_no_survey_item_orphaned_by_window_rotation.
+# r10 rotation queue (never-windowed as of end-of-r9), in priority
+# order: the 3 deferred oracled (llm_simhash_representatives,
+# llm_minhash_representatives, events_ewma_hourly — families already
+# multiply driver-verified via their _neardup twins), then the
+# rows-only tail: llm_ann_ivf_build / llm_ann_ivf_query (the r9
+# bench-split pair), llm_semdedup, llm_knn_graph_banded/_refined,
+# agg_hll_sketch_battery, llm_bpe_encode, llm_unigram_train/_encode,
+# and the multimodal family reps (llm_jpeg_phash_dedup,
+# llm_mjpeg_keyframe_dedup, llm_video_phash_dedup, llm_model_embed,
+# llm_audio_fingerprint_dedup, llm_audio_resample_dedup,
+# llm_image_resize, llm_multimodal_audio/_video).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- never-windowed, oracled (34) --
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_revenue",
-    "q12_priority_shipping",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    "agg_quantile_battery",
-    "agg_countmin_counts",
-    "agg_skew_bucket_battery",
-    "llm_bm25_search",
-    "llm_mixture_epochs",
-    "llm_cdc_chunk_dedup",
-    "llm_global_shuffle",
-    "llm_split_assign",
-    "llm_fixed_k_group_sample",
-    "llm_chunk_windows",
-    "llm_span_dedup_incremental",
-    "llm_winnow_fingerprints",
-    "llm_unigram_logprob_score",
-    "llm_hard_negative_mining",
-    "llm_contrastive_triplets",
-    "graph_kcore_hosts",
-    "graph_triangle_count",
-    "events_scd2_history",
-    "events_retention_cohorts",
-    "events_transition_matrix",
-    "events_session_window_builtin",
-    "orders_rfm_segmentation",
-    "profile_orders_columns",
-    # -- never-windowed, rows-only (3) --
-    "llm_ann_sq8_topk",
-    "llm_bpe_merges",
-    "llm_image_phash_dedup",
+    # -- never-windowed: S1/K2/K3/X3 carriers first (r8 verdict #1) --
+    "orders_merge_upsert",         # K2 K3 E2 J3
+    "orders_wap_publish",          # X3 K2
+    "orders_version_diff",         # K8 X3 E2
+    "llm_jsonl_roundtrip",         # S1 K2
+    # -- sketches --
+    "agg_hll_distinct",
+    "agg_histogram_sketch",
+    "agg_kmv_set_intersection",
+    # -- table-layout pruning --
+    "orders_zonemap_pruned_scan",
+    "orders_bloom_point_lookup",
+    "orders_zorder_skipping",
+    # -- TPC-H tail --
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_parts_supplier_count",
+    "q20_potential_promotion",
+    # -- oracled backlog --
+    "llm_ann_filtered_topk",
+    "llm_mmr_rerank",
+    "llm_bigram_logprob_score",
+    "events_gapfill_interpolate",
+    "llm_leakage_safe_split",
+    "llm_dedup_report",
+    "dq_expectations_report",
+    "orders_incremental_rollup",
+    "llm_knn_graph",
+    "llm_quarantine_split",
+    "llm_curriculum_order",
+    "llm_html_extract",
+    "llm_web_pipeline",
+    "llm_rrf_fusion",
+    "llm_rag_context_pack",
+    "graph_bfs_layers",
+    "stats_corr_battery",
+    "orders_market_basket",
+    "events_anomaly_mad",
+    "llm_weighted_sample",
+    # -- new r9 oracles (previously rows-only families) --
+    "llm_ann_pq_adc",
+    "llm_unigram_viterbi",
     # -- §2 keep-alive anchors (13, minimal set cover) --
-    "contact_merge_fold",          # A6 E3 E4 F5 T2 T4 U2
-    "contact_classify_ops",        # S5 S7
-    "contact_log_counters",        # K5 K6
+    "contact_merge_fold",          # A6 E3 E4 F5 T2 T4 U2 W3
+    "contact_classify_ops",        # S5 S7 W1 J1
+    "contact_log_counters",        # K5 K6 A4→no: A4 via skew battery
     "po_projection_pipeline",      # K4 P1 P3 P4 P5 S2
-    "proj_scalar_null_battery",    # P2 U3
+    "proj_scalar_null_battery",    # P2 T3 T7 U3
     "recovery_delete_beyond_wm",   # D1 D2 D3 J3 X2
-    "diff_orders_snapshots",       # K8
+    "order_limit_battery",         # O1 O2 S4 A2 PH1
+    "join_lookup_dim",             # J2 PH2 PH3 S6
     "wm_watermark_scalars",        # A2 S3
     "wm_batch_progression",        # A5 PH1
-    "order_limit_battery",         # O1 O2 S4
-    "join_lookup_dim",             # J2 PH2 PH3
     "events_extract_battery",      # T5
     "llm_pii_redact",              # U1
+    "agg_skew_bucket_battery",     # A4 T7
 )
 
 

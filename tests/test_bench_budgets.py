@@ -66,7 +66,13 @@ BUDGETS_SEC: dict[str, float] = {
     "q_top_customers_per_nation": 0.66,
     "q_daily_event_funnel": 0.41,
     "llm_exact_dedup": 0.34,
-    "llm_ann_ivf_topk": 2.27,
+    # r9 split of the former llm_ann_ivf_topk headliner (2.27 budget):
+    # the build pays k-means + the partitioned write once; the query is
+    # the amortized pruned probe against the index the build left
+    # behind in this process. Measured best-of-3 on a healthy r9 host
+    # (env_factor 0.9, degraded_frac 0).
+    "llm_ann_ivf_build": 2.12,
+    "llm_ann_ivf_query": 1.89,
     "llm_semdedup": 1.06,
     "llm_ann_pq_topk": 1.01,
     # r7 recorded 1.02 but repeated idle-machine runs in r8 measure
@@ -74,7 +80,9 @@ BUDGETS_SEC: dict[str, float] = {
     # numpy-GEMM pandas_udf stages, which land right in the container's
     # CPU-burst variance band); re-baselined to the r8 median so the
     # gate trips on real regressions, not on which half of the burst
-    # window the run hit
+    # window the run hit. r9 replaced the minmax posexplode shuffle
+    # (64x the corpus in shuffle rows — the r8 budget red) with a
+    # shuffle-free mapInPandas fold; healthy-host best-of-3 now 1.58
     "llm_ann_sq8_topk": 1.30,
     # r8 additions, measured on the r8 (slower) host — deliberately on
     # the loose side relative to the r7-host numbers above; the fleet-

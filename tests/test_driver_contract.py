@@ -37,22 +37,15 @@ print("CONTRACT-OK")
 """
 
 
-# The three rows-only families deliberately placed in the r8 window so
-# the driver's weaker rows-only check still produces EXTERNAL evidence
-# for them (SQ8 ANN, BPE training, image pHash dedup have no
-# SQL-expressible oracle).
-_R8_ROWS_ONLY_IN_WINDOW = frozenset(
-    {"llm_ann_sq8_topk", "llm_bpe_merges", "llm_image_phash_dedup"}
-)
-
-
 def test_driver_window_is_50_unique_queries():
     """The driver gates only the first 50 queries() entries (registration
     order). That window must hold exactly DRIVER_WINDOW: 50 queries,
-    every one oracle-checked except the three rows-only families listed
-    above. Round 8 rotated in every query that had never held a driver
-    CORRECTNESS row (34 oracled + the 3 rows-only), keeping the minimal
-    13-anchor §2 cover."""
+    ALL oracle-checked this round (the r9 rotation is the first window
+    with zero rows-only slots — the two families that needed rows-only
+    representation in r8 now ride hash-checked twins, llm_ann_pq_adc
+    and llm_unigram_viterbi). Round 9 leads with the S1/K2/K3/X3
+    carriers, then sketches, table-layout pruning, the TPC-H tail, and
+    the oracled backlog, keeping the minimal 13-anchor §2 cover."""
     from etl_migrate_api_spark.plans.registry import (
         DRIVER_WINDOW,
         oracle_sql_map,
@@ -65,47 +58,28 @@ def test_driver_window_is_50_unique_queries():
     assert len(set(DRIVER_WINDOW)) == 50
     assert names[:50] == list(DRIVER_WINDOW)
     missing_oracle = {n for n in names[:50] if n not in oracles}
-    assert missing_oracle == _R8_ROWS_ONLY_IN_WINDOW, (
-        f"unexpected rows-only inside driver window: {missing_oracle}"
+    assert not missing_oracle, (
+        f"rows-only inside the all-oracled r9 window: {missing_oracle}"
     )
-    # r8 rotation: every never-driver-windowed query (per the union of
-    # CORRECTNESS_r01..r07) must be in the window this round
+    # r9 rotation: the §2-critical first-timers must be in the window
     for q in (
-        "q4_order_priority",
-        "q6_forecast_revenue",
-        "q7_volume_shipping",
-        "q8_market_share",
-        "q10_returned_revenue",
-        "q12_priority_shipping",
-        "q14_promo_revenue",
-        "q18_large_orders",
-        "q19_disjunctive_predicates",
-        "q21_waiting_suppliers",
-        "q22_dormant_customers",
-        "agg_quantile_battery",
-        "agg_countmin_counts",
-        "agg_skew_bucket_battery",
-        "llm_bm25_search",
-        "llm_mixture_epochs",
-        "llm_cdc_chunk_dedup",
-        "llm_global_shuffle",
-        "llm_split_assign",
-        "llm_fixed_k_group_sample",
-        "llm_chunk_windows",
-        "llm_span_dedup_incremental",
-        "llm_winnow_fingerprints",
-        "llm_unigram_logprob_score",
-        "llm_hard_negative_mining",
-        "llm_contrastive_triplets",
-        "graph_kcore_hosts",
-        "graph_triangle_count",
-        "events_scd2_history",
-        "events_retention_cohorts",
-        "events_transition_matrix",
-        "events_session_window_builtin",
-        "orders_rfm_segmentation",
-        "profile_orders_columns",
-        *_R8_ROWS_ONLY_IN_WINDOW,
+        "orders_merge_upsert",   # K2 K3 (saveToPostgres.js:313-409)
+        "orders_wap_publish",    # X3 (contactpoint.controller.js:181-196)
+        "orders_version_diff",   # K8 X3
+        "llm_jsonl_roundtrip",   # S1 (fetchContact.js:5-11)
+        "agg_hll_distinct",
+        "agg_histogram_sketch",
+        "agg_kmv_set_intersection",
+        "orders_zonemap_pruned_scan",
+        "orders_bloom_point_lookup",
+        "orders_zorder_skipping",
+        "q2_min_cost_supplier",
+        "q9_product_type_profit",
+        "q11_important_stock",
+        "q16_parts_supplier_count",
+        "q20_potential_promotion",
+        "llm_ann_pq_adc",
+        "llm_unigram_viterbi",
     ):
         assert q in names[:50], f"{q} fell out of the driver window"
     # tail queries must still exist (coverage inventory + rows-only pytest;
@@ -172,6 +146,44 @@ def test_driver_window_is_50_unique_queries():
         "join_null_safe_eq",
         "graph_pagerank_hosts",
         "llm_tfidf_keywords",
+        # rotated out in r9 (green r08 driver rows; multiply §2-covered)
+        "q4_order_priority",
+        "q6_forecast_revenue",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q10_returned_revenue",
+        "q12_priority_shipping",
+        "q14_promo_revenue",
+        "q18_large_orders",
+        "q19_disjunctive_predicates",
+        "q21_waiting_suppliers",
+        "q22_dormant_customers",
+        "agg_quantile_battery",
+        "agg_countmin_counts",
+        "llm_bm25_search",
+        "llm_mixture_epochs",
+        "llm_cdc_chunk_dedup",
+        "llm_global_shuffle",
+        "llm_split_assign",
+        "llm_fixed_k_group_sample",
+        "llm_chunk_windows",
+        "llm_span_dedup_incremental",
+        "llm_winnow_fingerprints",
+        "llm_unigram_logprob_score",
+        "llm_hard_negative_mining",
+        "llm_contrastive_triplets",
+        "graph_kcore_hosts",
+        "graph_triangle_count",
+        "events_scd2_history",
+        "events_retention_cohorts",
+        "events_transition_matrix",
+        "events_session_window_builtin",
+        "orders_rfm_segmentation",
+        "profile_orders_columns",
+        "llm_ann_sq8_topk",
+        "llm_bpe_merges",
+        "llm_image_phash_dedup",
+        "diff_orders_snapshots",
     ):
         assert q in names[50:], f"{q} missing from the tail"
 
@@ -189,17 +201,10 @@ def test_no_survey_item_orphaned_by_window_rotation():
         _load_all,
     )
 
-    # §2 items whose PRIMARY verification has always been a dedicated
-    # pytest suite, not a driver row: S1 (HTTP keyset source —
-    # test_datasource/test_pipeline), K2/K3 (bulk upsert halves —
-    # test_real_engine_upsert executes them against REAL sqlite+DuckDB),
-    # X3 (transaction scope — test_kill9_recovery). r8's new queries
-    # (llm_jsonl_roundtrip, orders_merge_upsert, orders_version_diff)
-    # added registry carriers for them as SECONDARY evidence; those
-    # queries rotate into the r9 window with the remaining never-
-    # windowed tail, at which point this exemption shrinks to empty.
-    _PYTEST_PRIMARY = {"S1", "K2", "K3", "X3"}
-
+    # The r8-era S1/K2/K3/X3 exemption is RETIRED: the r9 window leads
+    # with their carriers (llm_jsonl_roundtrip, orders_merge_upsert,
+    # orders_wap_publish, orders_version_diff), so every §2 item with a
+    # registry carrier now has an in-window one — no exceptions.
     _load_all()
     window = set(DRIVER_WINDOW)
     by_ref: dict[str, set[str]] = {}
@@ -209,7 +214,7 @@ def test_no_survey_item_orphaned_by_window_rotation():
     orphaned = {
         ref: sorted(carriers)
         for ref, carriers in by_ref.items()
-        if not carriers & window and ref not in _PYTEST_PRIMARY
+        if not carriers & window
     }
     assert not orphaned, f"§2 items with no in-window carrier: {orphaned}"
 

@@ -125,3 +125,42 @@ def test_ivf_accepts_trained_centroids_shape(spark, emb):
     cents = kmeans_centroids(emb, k=4, n_iter=1)
     out = ivf_topk(emb, emb.where(F.col("vec_id") < 3), centroids=cents, k=3)
     assert out.count() == 9
+
+
+def test_ivf_build_query_split_reuses_index(spark):
+    """The r9 bench split (llm_ann_ivf_build / llm_ann_ivf_query): the
+    query half must REUSE the index the build half wrote in this
+    process — the whole point of separating the numbers is that the
+    query measures only the pruned probe — and its results must equal
+    the rebuild-every-call variant (llm_ann_ivf_topk)."""
+    import os
+
+    from etl_migrate_api_spark.plans.llm_ops import (
+        _ivf_shared_path,
+        llm_ann_ivf_build,
+        llm_ann_ivf_query,
+        llm_ann_ivf_topk,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    inv = llm_ann_ivf_build(spark, sf_dir)
+    assert inv.count() >= 1  # per-cell inventory
+    path = _ivf_shared_path(sf_dir)
+    mtime = os.path.getmtime(f"{path}.centroids")
+
+    q1 = {tuple(r) for r in llm_ann_ivf_query(spark, sf_dir).collect()}
+    assert os.path.getmtime(f"{path}.centroids") == mtime  # no rebuild
+    ref = {tuple(r) for r in llm_ann_ivf_topk(spark, sf_dir).collect()}
+    assert q1 == ref
+
+
+def test_ivf_query_self_builds_without_prior_build(spark, tmp_path, monkeypatch):
+    """A standalone correctness run may hit llm_ann_ivf_query first;
+    it must build the index itself rather than fail."""
+    import etl_migrate_api_spark.plans.llm_ops as lo
+
+    monkeypatch.setattr(
+        lo, "_ivf_shared_path", lambda sf: str(tmp_path / "fresh_idx")
+    )
+    out = lo.llm_ann_ivf_query(spark, "/root/testdata/sf0.001")
+    assert out.count() > 0

@@ -19,6 +19,23 @@ from etl_migrate_api_spark.catalog import TABLES  # noqa: E402
 from etl_migrate_api_spark.session import get_spark  # noqa: E402
 
 
+def _sweep_cached(spark) -> None:
+    """Release EVERY cached block: catalog.clearCache() for cached
+    plans, plus a JVM-level unpersist of whatever remains in
+    getPersistentRDDs — localCheckpoint() blocks (the BPE / connected-
+    components lineage fences) are not cache entries and survive
+    clearCache; left alone they only disappear when the driver GC gets
+    around to them. Safe here because every result is already a pandas
+    frame — nothing can trigger a recompute through the truncated
+    lineage."""
+    spark.catalog.clearCache()
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in list(m.keySet().toArray()):
+        r = m.get(rid)
+        if r is not None:
+            r.unpersist()
+
+
 def vhash(pdf) -> str:
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
     recs = sorted(repr(tuple(r)) for r in pdf.itertuples(index=False))
@@ -55,7 +72,15 @@ def main() -> int:
             skipped += 1
             print(f"  {name}: SKIPPED (quadratic oracle at this SF)")
             continue
-        got = fn(spark, sf).toPandas()
+        try:
+            got = fn(spark, sf).toPandas()
+        finally:
+            # registry-level cache sweep: operators persist results
+            # whose contract says the CALLER owns the unpersist — in a
+            # 180-query session those orphaned blocks would otherwise
+            # accumulate (r8 verdict #8). got is a pandas frame by now,
+            # so nothing live references the cached plans.
+            _sweep_cached(spark)
         if name not in oracles:
             print(f"  {name}: rows-only, {len(got)} rows")
             continue
@@ -66,6 +91,12 @@ def main() -> int:
             print(f"  {name}: MISMATCH (spark {len(got)} vs duckdb {len(want)})")
         else:
             print(f"  {name}: ok ({len(got)} rows)")
+    # memory-flatness contract: after the sweep, ZERO cached blocks may
+    # survive the run (leaks would compound across driver sessions)
+    _sweep_cached(spark)
+    leaked = spark.sparkContext._jsc.getPersistentRDDs().size()
+    print(f"cached blocks after sweep: {leaked}")
+    bad += leaked > 0
     print(
         f"{len(qs)} queries, {len(oracles)} oracled, {skipped} skipped,"
         f" {bad} mismatches ->",
