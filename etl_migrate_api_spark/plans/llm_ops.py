@@ -1309,6 +1309,152 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+_SEMDEDUP_K = 8
+
+
+def _semdedup_pinned_oracle(k: int = _SEMDEDUP_K, thr: str = "0.95") -> str:
+    """SemDeDup with PINNED centroids as exact SQL — the same
+    trained-vs-pinned twin pattern as llm_ann_pq_adc: centroids are the
+    k md5-first planted rows (pure selection), assignment is argmax of
+    the 9dp-rounded sequential-double cosine-to-centroid (|v| constant
+    per row, so dot/|c| suffices) with ties to the lowest cent_id, and
+    the drop rule is the operator's own order-free contract: b drops
+    iff some same-cell a < b has round(cos, 9) ≥ thr; dup_of = the
+    smallest such a; sim = that pair's cosine at 6dp."""
+    return f"""
+      with emb as materialized (
+        select vec_id, cast(embedding as double[]) as v
+        from ({PLANTED_EMB_SQL})
+      ),
+      cents as materialized (
+        select * from (
+          select vec_id as cent_src, v as cv, row_number() over (
+                   order by md5(cast(vec_id as varchar)), vec_id) - 1
+                 as cent_id
+          from emb)
+        where cent_id < {k}
+      ),
+      assigned as materialized (
+        select vec_id, v, cent_id as cell from (
+          select e.vec_id, e.v, c.cent_id,
+                 row_number() over (
+                   partition by e.vec_id
+                   order by round(list_dot_product(e.v, c.cv)
+                                  / sqrt(list_dot_product(c.cv, c.cv)), 9)
+                            desc,
+                            c.cent_id) as rn
+          from emb e cross join cents c)
+        where rn = 1
+      ),
+      pairs as materialized (
+        select a.vec_id as ia, b.vec_id as ib, a.cell,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 9) as s9,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 6) as s6
+        from assigned a join assigned b
+          on a.cell = b.cell and a.vec_id < b.vec_id
+      )
+      select ib as vec_id, dup_of, cast(cell as int) as cell, sim
+      from (
+        select ib, ia as dup_of, cell, s6 as sim,
+               row_number() over (partition by ib order by ia) as rn
+        from pairs where s9 >= {thr})
+      where rn = 1
+      order by vec_id
+    """
+
+
+@register(
+    "llm_semdedup_pinned",
+    oracle=_semdedup_pinned_oracle(),
+    survey_refs=("E1", "J2"),
+)
+def llm_semdedup_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup through the driver's DuckDB gate — the oracle-checked
+    twin of llm_semdedup (which keeps the k-means training + per-cell
+    GEMM as the production variant): centroids are PINNED to the k=8
+    md5-first planted rows (pure deterministic selection, so DuckDB
+    rebuilds them from the same parquet), assignment is an argmax over
+    9dp-rounded sequential-double cosines to the 8 centroid constants
+    (one projection, no shuffle — the pq_adc expression pattern), and
+    the within-cell pair compare + order-free drop rule (smallest
+    same-cell smaller-id neighbor at cos ≥ 0.95) runs as an equi-join
+    on the cell id — the ONE shuffle, exactly the SemDeDup scale shape:
+    Σ|cell|² work, never |corpus|². Externalizes the family's
+    correctness (cell bucketing, pair rule, drop/representative
+    selection) through the hash gate; clustering QUALITY stays pytest-
+    checked on the trained variant."""
+    import math
+
+    emb = planted_embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_SEMDEDUP_K)
+        .collect()
+    )
+    from etl_migrate_api_spark.functions.vectors import (
+        cosine_similarity,
+        dot as vdot,
+    )
+
+    def dot_seq(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    cands = []
+    for cid, r in enumerate(cents):
+        cv = [float(x) for x in r["v"]]
+        nrm = math.sqrt(dot_seq(cv, cv))
+        score = F.round(
+            vdot(F.col("v"), F.array(*[F.lit(t) for t in cv])) / F.lit(nrm),
+            9,
+        )
+        cands.append(F.struct((-score).alias("ns"), F.lit(cid).alias("c")))
+    assigned = emb.select(
+        "vec_id", "v", F.array_min(F.array(*cands))["c"].alias("cell")
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("ia"), F.col("v").alias("va"), "cell"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("ib"), F.col("v").alias("vb"), "cell"
+    )
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("ia") < F.col("ib"))
+        .select(
+            "ib",
+            "ia",
+            "cell",
+            F.round(cos, 9).alias("s9"),
+            F.round(cos, 6).alias("s6"),
+        )
+        .where(F.col("s9") >= 0.95)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("ib").orderBy("ia")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("ib").alias("vec_id"),
+            F.col("ia").alias("dup_of"),
+            F.col("cell").cast("int").alias("cell"),
+            F.col("s6").alias("sim"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 @register("llm_ann_pq_topk", headline=True)
 def llm_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-5 for 10 query vectors with exact

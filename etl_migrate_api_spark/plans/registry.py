@@ -86,7 +86,9 @@ def _load_all() -> None:
 # tools/driver_sim.py).
 #
 # r10 rotation queue (never-windowed as of end-of-r9), in priority
-# order: the 3 deferred oracled (llm_simhash_representatives,
+# order: llm_semdedup_pinned (the r9 oracle twin that converts the
+# SemDeDup family to hash-checked — verified 3-SF locally, needs its
+# driver row), the 3 deferred oracled (llm_simhash_representatives,
 # llm_minhash_representatives, events_ewma_hourly — families already
 # multiply driver-verified via their _neardup twins), then the
 # rows-only tail: llm_ann_ivf_build / llm_ann_ivf_query (the r9
@@ -143,7 +145,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # -- §2 keep-alive anchors (13, minimal set cover) --
     "contact_merge_fold",          # A6 E3 E4 F5 T2 T4 U2 W3
     "contact_classify_ops",        # S5 S7 W1 J1
-    "contact_log_counters",        # K5 K6 A4→no: A4 via skew battery
+    "contact_log_counters",        # K5 K6
     "po_projection_pipeline",      # K4 P1 P3 P4 P5 S2
     "proj_scalar_null_battery",    # P2 T3 T7 U3
     "recovery_delete_beyond_wm",   # D1 D2 D3 J3 X2

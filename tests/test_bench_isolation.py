@@ -37,3 +37,25 @@ def test_bench_survives_broken_query(tmp_path):
     assert payload["queries"]["llm_exact_dedup"] > 0
     assert "events_sessionize" in payload["errors"]
     assert "events_sessionize" not in payload["queries"]
+
+
+def test_bench_emits_env_probe(tmp_path):
+    """r9: every bench emission carries its own host-health evidence
+    (bench.EnvProbe) so a throttled recording is adjudicable from the
+    artifact alone — the r8 3.4x fleet swing was not. Contract:
+    `env` holds samples / probe_sec_median / degraded_frac /
+    env_factor, with sane ranges."""
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    out = subprocess.run(
+        [sys.executable, "bench.py", "llm_exact_dedup", "--repeat", "1"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    payload = json.loads(
+        [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    probe = payload["env"]
+    assert probe["samples"] >= 1
+    assert 0.0 < probe["probe_sec_median"] < 10.0
+    assert 0.0 <= probe["degraded_frac"] <= 1.0
+    assert probe["env_factor"] > 0.0
