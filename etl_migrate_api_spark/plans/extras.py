@@ -1209,7 +1209,136 @@ def llm_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KNN_CFG = dict(n_bands=8, band_size=6, max_bucket=128)
 
 
-@register("llm_knn_graph_banded", oracle=None, survey_refs=("J2", "O2"))
+def _knn_banded_cte(blk_sql: str, k: int = 5) -> str:
+    """Shared CTE chain mirroring operators/similarity.py::
+    knn_graph_banded, which is deterministic END TO END — md5-derived
+    ±1 hyperplane weights (plan constants both engines re-derive),
+    md5-rank bucket capping, exact-cosine ranking with (sim desc, id)
+    ties — so unlike the pq/semdedup families it needs no pinned twin:
+    the production queries themselves get oracles (r9; converts the
+    banded-kNN family from rows-only to hash-checked). Cosine rank
+    parity across engines is the same bet llm_ann_bruteforce_topk has
+    won in every round: DuckDB's list_cosine_similarity and the
+    zip_with+aggregate fold are the identical sequential double
+    program. ``blk_sql`` is the blocking column expression ('label'
+    for the blocked graph, '1' for the corpus-wide one)."""
+    from etl_migrate_api_spark.operators.similarity import (
+        hyperplane_weights_sql,
+    )
+
+    nb, bs, cap = (
+        _KNN_CFG["n_bands"],
+        _KNN_CFG["band_size"],
+        _KNN_CFG["max_bucket"],
+    )
+    ws = hyperplane_weights_sql(nb * bs, 64)
+    bit_exprs = " || ".join(
+        f"(case when list_dot_product(v, {w}) >= 0 then '1' else '0' end)"
+        for w in ws
+    )
+    return f"""
+      emb as materialized (
+        select vec_id as id, {blk_sql} as blk,
+               cast(embedding as double[]) as v
+        from embeddings
+      ),
+      sig as materialized (select id, blk, v, {bit_exprs} as bits from emb),
+      banded as materialized (
+        select id, blk, b as band_idx,
+               substr(bits, b * {bs} + 1, {bs}) as band_key
+        from sig cross join (
+          select unnest(generate_series(0, {nb - 1})) as b) g
+      ),
+      capped as materialized (
+        select id, blk, band_idx, band_key from (
+          select id, blk, band_idx, band_key,
+                 row_number() over (
+                   partition by blk, band_idx, band_key
+                   order by md5(cast(id as varchar)), id) as rn
+          from banded)
+        where rn <= {cap}
+      ),
+      cand as materialized (
+        select distinct a.id as query_id, b.id as neighbor_id
+        from capped a join capped b
+          on a.blk = b.blk and a.band_idx = b.band_idx
+         and a.band_key = b.band_key and a.id <> b.id
+      ),
+      scored as (
+        select c.query_id, c.neighbor_id,
+               list_cosine_similarity(x.v, y.v) as sim
+        from cand c
+        join emb x on x.id = c.query_id
+        join emb y on y.id = c.neighbor_id
+      ),
+      edges as materialized (
+        select query_id, neighbor_id, rank
+        from (
+          select query_id, neighbor_id,
+                 row_number() over (partition by query_id
+                                    order by sim desc, neighbor_id) as rank
+          from scored)
+        where rank <= {k}
+      )"""
+
+
+def _knn_banded_oracle() -> str:
+    return (
+        "with "
+        + _knn_banded_cte("label")
+        + """
+      select query_id, cast(rank as int) as rank, neighbor_id from edges
+    """
+    )
+
+
+def _knn_refined_oracle(k: int = 5) -> str:
+    """One NN-descent iteration over the corpus-wide banded graph
+    (operators/similarity.py::knn_graph_refine): candidates = the
+    current edges in both directions plus 2-hop edges through the
+    undirected graph, exact-reranked top-k. Deterministic given the
+    deterministic banded base, so the SQL just extends the shared CTE
+    chain — edges ⋈ edges, distinct, rerank."""
+    return (
+        "with "
+        + _knn_banded_cte("1")
+        + f""",
+      und as materialized (
+        select query_id, neighbor_id from edges
+        union all
+        select neighbor_id as query_id, query_id as neighbor_id from edges
+      ),
+      cand2 as materialized (
+        select distinct query_id, neighbor_id from (
+          select query_id, neighbor_id from und
+          union all
+          select a.query_id, b.neighbor_id
+          from und a join und b on a.neighbor_id = b.query_id)
+        where query_id <> neighbor_id
+      ),
+      scored2 as (
+        select c.query_id, c.neighbor_id,
+               list_cosine_similarity(x.v, y.v) as sim
+        from cand2 c
+        join emb x on x.id = c.query_id
+        join emb y on y.id = c.neighbor_id
+      )
+      select query_id, cast(rank as int) as rank, neighbor_id
+      from (
+        select query_id, neighbor_id,
+               row_number() over (partition by query_id
+                                  order by sim desc, neighbor_id) as rank
+        from scored2)
+      where rank <= {k}
+    """
+    )
+
+
+@register(
+    "llm_knn_graph_banded",
+    oracle=_knn_banded_oracle(),
+    survey_refs=("J2", "O2"),
+)
 def llm_knn_graph_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate kNN graph over the WHOLE embedding corpus:
     hyperplane-band collisions generate candidates (|bucket|-sized,
@@ -1228,7 +1357,11 @@ def llm_knn_graph_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_graph_banded(emb, k=5, block_col="label", **_KNN_CFG)
 
 
-@register("llm_knn_graph_refined", oracle=None, survey_refs=("J2", "O2"))
+@register(
+    "llm_knn_graph_refined",
+    oracle=_knn_refined_oracle(),
+    survey_refs=("J2", "O2"),
+)
 def llm_knn_graph_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale-safe banded graph + one NN-descent iteration
     (neighbors-of-neighbors exact-reranked). Measured on the sf0.001

@@ -86,13 +86,15 @@ def _load_all() -> None:
 # tools/driver_sim.py).
 #
 # r10 rotation queue (never-windowed as of end-of-r9), in priority
-# order: llm_semdedup_pinned (the r9 oracle twin that converts the
-# SemDeDup family to hash-checked — verified 3-SF locally, needs its
-# driver row), the 3 deferred oracled (llm_simhash_representatives,
-# llm_minhash_representatives, events_ewma_hourly — families already
-# multiply driver-verified via their _neardup twins), then the
-# rows-only tail: llm_ann_ivf_build / llm_ann_ivf_query (the r9
-# bench-split pair), llm_semdedup, llm_knn_graph_banded/_refined,
+# order: the r9 late oracles first — llm_semdedup_pinned (SemDeDup
+# family to hash-checked), llm_knn_graph_banded and
+# llm_knn_graph_refined (oracled IN PLACE: the banded graph is
+# deterministic end-to-end, no pinned twin needed) — all verified
+# 3-SF locally and needing driver rows; then the 3 deferred oracled
+# (llm_simhash_representatives, llm_minhash_representatives,
+# events_ewma_hourly — families already multiply driver-verified via
+# their _neardup twins), then the rows-only tail: llm_ann_ivf_build /
+# llm_ann_ivf_query (the r9 bench-split pair), llm_semdedup,
 # agg_hll_sketch_battery, llm_bpe_encode, llm_unigram_train/_encode,
 # and the multimodal family reps (llm_jpeg_phash_dedup,
 # llm_mjpeg_keyframe_dedup, llm_video_phash_dedup, llm_model_embed,
