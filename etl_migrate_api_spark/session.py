@@ -21,6 +21,12 @@ from pyspark.sql import SparkSession
 # oracle).
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Spark's vanilla default is INT96, which writes NO min/max column
+    # statistics — every zone-map/segment-prune decision on a timestamp
+    # column silently degrades to keep-everything (seen live: the r9
+    # driver session failed orders_zonemap_pruned_scan's prune assert
+    # with "kept 7 of 7" because its footers had no o_orderdate stats).
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

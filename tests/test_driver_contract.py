@@ -22,6 +22,9 @@ spark = (
 )
 import __spark_entry__ as e
 
+# vanilla default — the repaired-session regression below depends on it
+assert spark.conf.get("spark.sql.parquet.outputTimestampType") == "INT96"
+
 df = e.entry(spark)
 assert df.count() > 0, "entry() empty"
 
@@ -32,6 +35,12 @@ n = qs["events_extract_battery"](spark, "/root/testdata/sf0.001").count()
 assert n > 0, "events read failed"
 n = qs["llm_token_stats"](spark, "/root/testdata/sf0.001").count()
 assert n > 0, "llm query failed"
+# r9 driver red: a vanilla session defaults to INT96 parquet timestamps,
+# which carry NO min/max footer stats — zone maps on o_orderdate vanish
+# and the prune assert inside this query fires ("kept 7 of 7"). The
+# registry wrapper must force TIMESTAMP_MICROS before any engine write.
+n = qs["orders_zonemap_pruned_scan"](spark, "/root/testdata/sf0.001").count()
+assert n > 0, "zonemap prune failed on a vanilla session"
 assert set(e.oracle_sql()).issubset(set(qs))
 print("CONTRACT-OK")
 """
