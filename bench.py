@@ -58,8 +58,19 @@ def _calib_once() -> float:
         return time.perf_counter() - t0
 
 
+# the probe itself costs CPU (6 threads of md5 per sample); cap its
+# steady-state consumption at 1% of the host so it annotates timings
+# without materially inflating them on small-core hosts (ADVICE r9)
+_PROBE_DUTY_TARGET = 0.01
+
+
 class EnvProbe:
-    """Background 1 Hz sampler of host CPU throughput during the run."""
+    """Background sampler of host CPU throughput during the run. The
+    sampling interval self-scales so the probe's own core-seconds stay
+    under ``_PROBE_DUTY_TARGET`` of the host (~1 Hz on a 32-core box,
+    sparser on small hosts or when samples slow down), and the emitted
+    summary records the realized ``probe_duty`` so round-over-round
+    comparisons can account for the probe's overhead."""
 
     def __init__(self):
         import threading
@@ -67,19 +78,29 @@ class EnvProbe:
         self.samples: list[float] = []
         self._stop = threading.Event()
         self._t = threading.Thread(target=self._loop, daemon=True)
+        self._ncpu = os.cpu_count() or 1
+        self._busy_core_sec = 0.0
+        self._elapsed = 0.0
 
     def _loop(self):
         while not self._stop.is_set():
-            self.samples.append(_calib_once())
-            self._stop.wait(1.0)
+            s = _calib_once()
+            self.samples.append(s)
+            self._busy_core_sec += s * _CALIB_THREADS
+            wait = max(
+                1.0, (s * _CALIB_THREADS) / (_PROBE_DUTY_TARGET * self._ncpu)
+            )
+            self._stop.wait(wait)
 
     def __enter__(self):
+        self._t0 = time.perf_counter()
         self._t.start()
         return self
 
     def __exit__(self, *exc):
         self._stop.set()
         self._t.join(timeout=5)
+        self._elapsed = time.perf_counter() - self._t0
 
     def summary(self) -> dict:
         if not self.samples:
@@ -88,12 +109,17 @@ class EnvProbe:
         mid = len(xs) // 2
         med = xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
         bad = sum(s > CALIB_DEGRADED_X * CALIB_BASELINE_SEC for s in xs)
+        elapsed = self._elapsed or (time.perf_counter() - self._t0)
         return {
             "samples": len(xs),
             "probe_sec_median": round(med, 4),
             "degraded_frac": round(bad / len(xs), 3),
             # >1 = slower than a healthy idle host by this much
             "env_factor": round(med / CALIB_HEALTHY_SEC, 2),
+            # fraction of host CPU the probe itself consumed
+            "probe_duty": round(
+                self._busy_core_sec / max(elapsed * self._ncpu, 1e-9), 4
+            ),
         }
 
 

@@ -733,9 +733,20 @@ def ivf_topk_from_index(
             ((_dot_seq(qv, u), -cid) for cid, u in units), reverse=True
         )
         q_cells.extend((qid, qv, -ncid) for _, ncid in ranked[:nprobe])
-    q = spark.createDataFrame(
-        q_cells, schema="query_id long, qv array<double>, cell int"
+    # the probe schema inherits the CALLER's id/vector types — id_col is
+    # a public parameter, and hardcoding `query_id long` here silently
+    # narrowed string (or decimal) id tables that the expression path
+    # used to accept (ADVICE r9)
+    from pyspark.sql import types as T
+
+    q_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[id_col].dataType),
+            T.StructField("qv", queries.schema[vec_col].dataType),
+            T.StructField("cell", T.IntegerType(), False),
+        ]
     )
+    q = spark.createDataFrame(q_cells, schema=q_schema)
     probed = sorted({c for _, _, c in q_cells})
     c = spark.read.parquet(path).where(F.col("cell").isin(probed))
     tombs = _read_tombstones(spark, path)

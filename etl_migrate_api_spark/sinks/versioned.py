@@ -236,6 +236,10 @@ def _segment_stats(seg_abs: str) -> dict:
 
 
 class VersionedTable:
+    # branch-ref lock older than this is treated as a crashed holder's
+    # corpse and broken (the lock spans only a ref read-compare-write)
+    LOCK_STALE_SEC = 10.0
+
     def __init__(self, path: str):
         self.path = path
         self._log = os.path.join(path, "_log")
@@ -547,6 +551,23 @@ class VersionedTable:
             except FileExistsError:
                 os.unlink(tmp_l)
                 os.unlink(self._vpath(v))  # rival holds the ref — rebase
+                # stale-lock recovery: a committer that died between
+                # os.link and the finally-unlink would wedge the branch
+                # forever. The lock is only ever held across a
+                # read-compare-write of the ref (milliseconds), so one
+                # older than LOCK_STALE_SEC is a corpse. Takeover is
+                # atomic via rename — of two breakers, exactly one
+                # rename succeeds, the other sees FileNotFoundError.
+                try:
+                    if (
+                        _time.time() - os.path.getmtime(lock)
+                        > self.LOCK_STALE_SEC
+                    ):
+                        corpse = lock + f".stale-{uuid.uuid4().hex[:8]}"
+                        os.rename(lock, corpse)
+                        os.unlink(corpse)
+                except OSError:
+                    pass  # holder released, or another breaker won
                 _time.sleep(0.01)
                 continue
             os.unlink(tmp_l)
@@ -1023,10 +1044,21 @@ class VersionedTable:
         staged (unpublished) branch would otherwise crowd the current
         main head out of the keep window and make the published table
         unreadable. The main head is ALWAYS kept, as is the global
-        head and every ref-pinned version."""
+        head and every ref-pinned version. Branch manifests inside the
+        kept window (newer than the oldest kept main version) survive
+        too — counting keep_last on the main chain must not silently
+        shorten a live branch's own time-travel history to just its
+        ref-pinned head."""
         vs = self.versions()
-        main_vs = [v for v in vs if "branch" not in self.manifest(v)]
+        branch_of = {v: self.manifest(v).get("branch") for v in vs}
+        main_vs = [v for v in vs if branch_of[v] is None]
         keep = set(main_vs[-keep_last:]) if keep_last > 0 else set(vs)
+        # branch versions share the retention window: anything newer
+        # than the oldest kept main version stays (an abandoned
+        # branch's manifests age out as main advances past them)
+        if vs:
+            floor = min(keep) if keep else min(vs)
+            keep |= {v for v in vs if branch_of[v] is not None and v >= floor}
         # the published head and the global head survive unconditionally
         keep |= {self.latest_main_version(), self.latest_version()} & set(vs)
         # refs (tags, branch heads) PIN their versions: a named release

@@ -164,3 +164,29 @@ def test_ivf_query_self_builds_without_prior_build(spark, tmp_path, monkeypatch)
     )
     out = lo.llm_ann_ivf_query(spark, "/root/testdata/sf0.001")
     assert out.count() > 0
+
+
+def test_persisted_ivf_index_string_ids(spark, emb, tmp_path):
+    """ADVICE r9: ivf_topk_from_index hardcoded `query_id long` in the
+    probe DataFrame although id_col is a public parameter — a string-id
+    query table that works on the inline expression path must work on
+    the persisted-index path too, and keep its id type in the result."""
+    from etl_migrate_api_spark.operators.similarity import (
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    semb = emb.select(
+        F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    path = str(tmp_path / "ivf_sid")
+    write_ivf_index(semb, path)
+    queries = semb.where(F.col("vec_id").isin("doc-1", "doc-2", "doc-3"))
+    out = ivf_topk_from_index(spark, path, queries, k=5, nprobe=3)
+    rows = out.collect()
+    assert out.schema["query_id"].dataType.simpleString() == "string"
+    assert {r["query_id"] for r in rows} == {"doc-1", "doc-2", "doc-3"}
+    assert all(r["neighbor_id"].startswith("doc-") for r in rows)
+    assert all(r["query_id"] != r["neighbor_id"] for r in rows)

@@ -246,3 +246,72 @@ def test_branch_and_tag_default_from_main_head(spark, tmp_path):
     t.commit_to_branch("staged", _df(spark, 100, 103))  # v2
     assert t.branch("feature") == 1
     assert t.tag("release") == 1
+
+def test_vacuum_keeps_branch_history_inside_window(spark, tmp_path):
+    """ADVICE r9: keep_last counted on the main chain must not expire a
+    live branch's INTERMEDIATE manifests — with keep_last larger than
+    the total version count, every branch version must survive so
+    time-travel/rollback within the branch's own history still works."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 5), mode="overwrite")  # v1 main
+    t.branch("b")
+    t.commit_to_branch("b", _df(spark, 100, 101))  # v2 branch
+    t.commit_to_branch("b", _df(spark, 200, 201))  # v3 branch head
+    t.vacuum(keep_last=10)
+    assert t.versions() == [1, 2, 3]  # nothing expired — window covers all
+    assert t.read(spark, 2).count() == 6  # branch-intermediate time travel
+
+
+def test_stale_branch_lock_is_broken(spark, tmp_path):
+    """ADVICE r9: a committer that crashed between acquiring the branch
+    link-lock and releasing it must not wedge the branch forever —
+    commit_to_branch breaks locks older than LOCK_STALE_SEC and
+    proceeds."""
+    import os
+    import time as _t
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 5), mode="overwrite")
+    t.branch("b")
+    lock = t._ref_path("b") + ".lock"
+    with open(lock, "w") as fh:
+        fh.write("1")  # corpse of a crashed holder
+    old = _t.time() - 60
+    os.utime(lock, (old, old))
+    t.LOCK_STALE_SEC = 5.0
+    start = _t.time()
+    v = t.commit_to_branch("b", _df(spark, 100, 101))
+    assert _t.time() - start < 30  # broke the lock, no unbounded spin
+    assert t.read_ref(spark, "b").count() == 6
+    assert not os.path.exists(lock)  # released after the commit
+    assert v == t.refs()["b"]["version"]
+
+
+def test_fresh_lock_is_respected_not_broken(spark, tmp_path):
+    """A LIVE holder's lock (younger than LOCK_STALE_SEC) must survive
+    the breaker check — the rival spins, and succeeds only after the
+    holder releases."""
+    import os
+    import threading
+    import time as _t
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 5), mode="overwrite")
+    t.branch("b")
+    lock = t._ref_path("b") + ".lock"
+    with open(lock, "w") as fh:
+        fh.write("1")  # fresh mtime — a live holder
+    t.LOCK_STALE_SEC = 120.0
+    released = {"at": None}
+
+    def release_soon():
+        _t.sleep(1.0)
+        released["at"] = _t.time()
+        os.unlink(lock)
+
+    thr = threading.Thread(target=release_soon)
+    thr.start()
+    t.commit_to_branch("b", _df(spark, 100, 101))
+    thr.join()
+    assert released["at"] is not None  # commit waited for the release
+    assert t.read_ref(spark, "b").count() == 6
