@@ -637,6 +637,205 @@ def llm_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FORMAT_ROUNDTRIP_SQL = """
+  select o_orderstatus,
+         cast(count(*) as bigint) as n_orders,
+         cast(round(sum(cast(o_totalprice as decimal(18,2))), 2)
+              as double) as total_price,
+         strftime(min(o_orderdate), '%Y-%m-%d') as first_date,
+         strftime(max(o_orderdate), '%Y-%m-%d') as last_date,
+         cast(count(distinct o_custkey) as bigint) as n_custs
+  from orders
+  group by o_orderstatus
+  order by o_orderstatus
+"""
+
+
+def _format_roundtrip_agg(df: DataFrame) -> DataFrame:
+    """Shared verification aggregate for format-roundtrip queries: a
+    hash match against _FORMAT_ROUNDTRIP_SQL (computed on the RAW
+    parquet) proves every long / double / string / timestamp survived
+    the format's serialization byte-for-byte."""
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+            )
+            .cast("double")
+            .alias("total_price"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias(
+                "first_date"
+            ),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias(
+                "last_date"
+            ),
+            F.countDistinct("o_custkey").alias("n_custs"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def _roundtrip_tmpdir(kind: str, sf_dir: str) -> str:
+    """Per-run tmp dir with the same stale-sweep hygiene as the jsonl /
+    ivf-index queries (6 h cutoff, uuid-suffixed so concurrent runs
+    never collide)."""
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_{kind}")
+    cutoff = time.time() - 6 * 3600
+    for stale in (
+        os.path.join(root, d)
+        for d in (os.listdir(root) if os.path.isdir(root) else [])
+    ):
+        try:
+            if os.path.getmtime(stale) < cutoff:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass  # a concurrent sweep already took it
+    return os.path.join(root, f"{tag}_{uuid.uuid4().hex[:8]}")
+
+
+@register(
+    "orders_orc_roundtrip",
+    oracle=_FORMAT_ROUNDTRIP_SQL,
+    survey_refs=("S4", "K2"),
+)
+def orders_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC as a source/sink format, proven lossless end-to-end: export
+    the orders table as zlib ORC (Spark's native writer — column
+    stripes with built-in min/max indexes, the Hive-ecosystem
+    counterpart to parquet), re-read it SCHEMA-PINNED (one scan, no
+    inference pass), and aggregate counts + an exact-decimal price sum
+    + date bounds + a distinct count per status. The oracle computes
+    the same aggregate directly on the raw parquet, so a hash match
+    proves longs, doubles, strings and TIMESTAMPS survived the format
+    conversion exactly — timestamps being the classic ORC hazard
+    (ORC stores them zone-adjusted; the UTC session conf pins both
+    directions).
+
+    100 TB: ORC ingest parallelizes per stripe like parquet per
+    row-group; the schema-pinned read avoids the double scan that
+    inference costs on a petabyte landing zone."""
+    from etl_migrate_api_spark.catalog import load
+
+    orders = load(spark, "orders", sf_dir)
+    path = _roundtrip_tmpdir("orc", sf_dir)
+    orders.write.mode("overwrite").option("compression", "zlib").orc(path)
+    back = spark.read.schema(
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    ).orc(path)
+    return _format_roundtrip_agg(back)
+
+
+@register(
+    "orders_csv_roundtrip",
+    oracle=_FORMAT_ROUNDTRIP_SQL,
+    survey_refs=("S4", "K2"),
+)
+def orders_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV as a source/sink format, proven lossless end-to-end: export
+    orders as gzip'd, header-carrying CSV with an explicit microsecond
+    timestamp format, re-read SCHEMA-PINNED in PERMISSIVE mode with
+    the same format string, and verify via the shared roundtrip
+    aggregate (hash-matched against the raw parquet). The traps this
+    pins down: double→text→double round-trips exactly (Spark writes
+    shortest-round-trip representations), timestamps must carry an
+    explicit format on BOTH sides (the default write pattern and the
+    default read pattern disagree about fractional seconds), and the
+    quote/escape defaults must survive arbitrary string payloads.
+
+    100 TB: gzip CSV shards are unsplittable — parallelism is the
+    shard count at write time, exactly like the JSONL contract; the
+    schema-pinned PERMISSIVE read turns bad lines into countable rows
+    instead of job-killing exceptions."""
+    from etl_migrate_api_spark.catalog import load
+
+    ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    orders = load(spark, "orders", sf_dir)
+    path = _roundtrip_tmpdir("csv", sf_dir)
+    (
+        orders.repartition(8)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("compression", "gzip")
+        .option("timestampFormat", ts_fmt)
+        .csv(path)
+    )
+    back = (
+        spark.read.schema(
+            "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, "
+            "o_orderpriority string"
+        )
+        .option("header", "true")
+        .option("timestampFormat", ts_fmt)
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+    return _format_roundtrip_agg(back)
+
+
+@register(
+    "orders_json_functions",
+    oracle=_FORMAT_ROUNDTRIP_SQL,
+    survey_refs=("T3", "P3"),
+)
+def orders_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JSON column-function surface, proven lossless against an
+    identity oracle: serialize each order row to a JSON string
+    (to_json over a struct), then recover the typed columns THREE
+    different ways — from_json with a pinned schema for the numeric
+    and timestamp fields, get_json_object (JSONPath) for one string
+    field, and json_tuple for another — and run the shared roundtrip
+    aggregate. The oracle computes the aggregate directly on the raw
+    table, so a hash match proves the full encode→decode cycle for
+    longs, doubles, timestamps and strings across all three decode
+    APIs (the event-payload pattern: the events table's props column
+    is exactly such a JSON string at ingest).
+
+    100 TB: all JSON codecs here are JVM intrinsics inside whole-stage
+    codegen — no Python, no shuffle until the final 3-group agg."""
+    from etl_migrate_api_spark.catalog import load
+
+    orders = load(spark, "orders", sf_dir)
+    js = orders.select(
+        F.to_json(
+            F.struct(
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderdate",
+            )
+        ).alias("j")
+    )
+    parsed = js.select(
+        F.from_json(
+            F.col("j"),
+            "o_orderkey bigint, o_custkey bigint, o_totalprice double, "
+            "o_orderdate timestamp",
+        ).alias("s"),
+        F.get_json_object(F.col("j"), "$.o_orderstatus").alias(
+            "o_orderstatus"
+        ),
+    ).select(
+        F.col("s.o_orderkey").alias("o_orderkey"),
+        F.col("s.o_custkey").alias("o_custkey"),
+        "o_orderstatus",
+        F.col("s.o_totalprice").alias("o_totalprice"),
+        F.col("s.o_orderdate").alias("o_orderdate"),
+    )
+    return _format_roundtrip_agg(parsed)
+
+
 # ---------------------------------------------------------------------------
 # Declarative data-quality expectations (operators/quality.py)
 # ---------------------------------------------------------------------------

@@ -1230,3 +1230,87 @@ def llm_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep1.unpersist()
     pairs.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Sentence segmentation stats (pre-chunking diagnostics)
+# ---------------------------------------------------------------------------
+
+#: sentence boundary = 1+ terminal punctuation then 1+ whitespace — the
+#: same explicit whitespace class as WS_CLASS (Java \s and RE2 \s
+#: disagree on \x0B, so neither side may use \s)
+_SENT_SPLIT = r"[.!?]+[ \t\r\n\f]+"
+_SENT_SPLIT_SQL = "[.!?]+[ \\t\\r\\n\\f]+"
+
+
+@register(
+    "llm_sentence_split",
+    oracle=f"""
+      with s as (
+        select lang,
+               list_filter(
+                 string_split_regex(trim(text), '{_SENT_SPLIT_SQL}'),
+                 x -> x <> '') as sents
+        from documents
+      ),
+      m as (
+        select lang,
+               len(sents) as n_sent,
+               coalesce(list_sum(list_transform(sents, st ->
+                 len(list_filter(
+                   string_split_regex(st, '[ \\t\\r\\n\\f]+'),
+                   x -> x <> '')))), 0) as n_words,
+               list_max(list_transform(sents, st ->
+                 len(list_filter(
+                   string_split_regex(st, '[ \\t\\r\\n\\f]+'),
+                   x -> x <> '')))) as mx
+        from s
+      )
+      select lang,
+             cast(count(*) as bigint) as n_docs,
+             cast(sum(n_sent) as bigint) as n_sentences,
+             cast(sum(n_words) as bigint) as n_words,
+             cast(max(mx) as int) as max_sentence_words
+      from m
+      group by lang
+      order by lang
+    """,
+    survey_refs=("T1", "A3"),
+)
+def llm_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation over the corpus — the diagnostic a
+    chunking/packing pipeline runs before choosing sequence lengths:
+    split each doc on terminal-punctuation+whitespace boundaries
+    (case-preserving, pure column expressions — split / filter /
+    transform / aggregate, no UDF), count sentences and
+    words-per-sentence per doc, and roll up per language: doc count,
+    sentence count, in-sentence word count, and the longest sentence
+    in words. Everything stays a narrow projection until the final
+    k-group aggregate — at 100 TB this runs at scan speed with
+    map-side partial aggregation, shuffling one row per language."""
+    docs = load(spark, "documents", sf_dir)
+    sents = F.filter(
+        F.split(F.trim(F.col("text")), _SENT_SPLIT),
+        lambda s: s != F.lit(""),
+    )
+    wc = lambda st: F.size(  # noqa: E731
+        F.array_remove(F.split(st, r"[ \t\r\n\f]+"), "")
+    )
+    per_doc = docs.select(
+        "lang",
+        F.size(sents).alias("n_sent"),
+        F.aggregate(
+            F.transform(sents, wc), F.lit(0), lambda a, x: a + x
+        ).alias("n_words"),
+        F.array_max(F.transform(sents, wc)).alias("mx"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_sent").alias("n_sentences"),
+            F.sum("n_words").alias("n_words"),
+            F.max("mx").cast("int").alias("max_sentence_words"),
+        )
+        .orderBy("lang")
+    )

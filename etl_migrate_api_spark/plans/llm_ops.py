@@ -1689,6 +1689,465 @@ def llm_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _sq8_adc_oracle(dim: int = 64, n_queries: int = 5, k: int = 5) -> str:
+    """SQ8 quantize+score as exact SQL — the hash-checked twin of
+    llm_ann_sq8_topk (same pattern as _pq_adc_oracle): min/max bounds
+    are exact (no float summation anywhere in 'training'), the byte
+    codes replay numpy's rint via DuckDB round_even (half-to-even,
+    verified equal on the .5 lattice), and the asymmetric score is a
+    sum of INTEGER-MICRO terms — round(q_d·recon_d · 1e9) as BIGINT —
+    so the cross-engine float-summation-order trap cannot bite (the
+    unigram-viterbi integer-micro trick applied to ADC)."""
+    return f"""
+      with emb as (
+        select vec_id, cast(embedding as double[]) as v from embeddings
+      ),
+      stats as (
+        select j, min(v[j+1]) as mn, max(v[j+1]) as mx,
+               (max(v[j+1]) - min(v[j+1])) / 255.0 as dlt
+        from emb cross join range({dim}) r(j)
+        group by j
+      ),
+      codes as (
+        select e.vec_id, s.j,
+               case when s.mx > s.mn
+                    then cast(round_even(
+                           255.0 * (e.v[s.j+1] - s.mn) / (s.mx - s.mn), 0)
+                         as int)
+                    else 0 end as code
+        from emb e cross join stats s
+      ),
+      q as (
+        select vec_id as query_id, v as qv from emb
+        where vec_id < {n_queries}
+      ),
+      est as (
+        select q.query_id, c.vec_id as neighbor_id,
+               sum(cast(round(
+                     q.qv[c.j+1] * (s.mn + c.code * s.dlt)
+                     * 1000000000.0) as bigint)) as ti
+        from codes c join stats s using (j) cross join q
+        group by 1, 2
+      )
+      select query_id, cast(rn as int) as rank, neighbor_id,
+             cast(ti as double) / 1000000000.0 as est_ip
+      from (
+        select query_id, neighbor_id, ti,
+               row_number() over (partition by query_id
+                                  order by ti desc, neighbor_id) as rn
+        from est)
+      where rn <= {k}
+    """
+
+
+@register(
+    "llm_ann_sq8_adc", oracle=_sq8_adc_oracle(), survey_refs=("J2", "O2")
+)
+def llm_ann_sq8_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 asymmetric top-5 through the DuckDB gate — the oracle-checked
+    twin of llm_ann_sq8_topk (which keeps the GEMM fast path as the
+    production variant). What makes SQ8 twin-able with NO pinning at
+    all: the 'training' is per-dimension exact min/max (no iterated
+    float means, no summation — both engines read identical bounds off
+    the same parquet), the byte codes reuse the PRODUCTION
+    sim.sq8_minmax + sim.sq8_encode path verbatim (numpy rint ≡ DuckDB
+    round_even on identical IEEE doubles), and the asymmetric score
+    Σ_d q_d·(lo_d + code_d·Δ_d) is summed as INTEGER MICROS — each term
+    rounded to a BIGINT at 1e-9 before the sum, so the result is
+    order-independent and bit-equal across engines. This externalizes
+    the entire SQ8 pipeline — bounds, quantization, reconstruction,
+    scoring, ranking — through the driver's hash gate; GEMM-path parity
+    and recall stay pinned in tests/test_sq8.py."""
+    from pyspark.sql import Window
+
+    n_q, k = 5, 5
+    emb = load(spark, "embeddings", sf_dir)
+    lo, hi = sim.sq8_minmax(emb)
+    dlt = [(h - l) / 255.0 for l, h in zip(lo, hi)]
+    codes = sim.sq8_encode(emb, lo, hi).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    qrows = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < n_q)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    lo_arr = F.array(*[F.lit(x) for x in lo])
+    dl_arr = F.array(*[F.lit(x) for x in dlt])
+
+    def est_for(qv: list[float]):
+        q_arr = F.array(*[F.lit(x) for x in qv])
+        terms = F.transform(
+            F.col("codes"),
+            lambda c, i: F.round(
+                F.element_at(q_arr, i + 1)
+                * (
+                    F.element_at(lo_arr, i + 1)
+                    + c.cast("double") * F.element_at(dl_arr, i + 1)
+                )
+                * F.lit(1e9)
+            ).cast("long"),
+        )
+        return F.aggregate(
+            terms, F.lit(0).cast("long"), lambda a, t: a + t
+        )
+
+    qid_arr = F.array(*[F.lit(q) for q, _ in qrows])
+    scored = codes.select(
+        F.col("vid").alias("neighbor_id"),
+        F.posexplode(F.array(*[est_for(qv) for _, qv in qrows])).alias(
+            "pos", "ti"
+        ),
+    ).select(
+        F.element_at(qid_arr, F.col("pos") + 1).alias("query_id"),
+        "neighbor_id",
+        "ti",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ti").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            (F.col("ti").cast("double") / F.lit(1e9)).alias("est_ip"),
+        )
+    )
+
+
+def _ivfpq_adc_oracle(
+    kc: int = 4,
+    m: int = 8,
+    dsub: int = 8,
+    ksub: int = 16,
+    n_queries: int = 5,
+    k: int = 5,
+    nprobe: int = 2,
+    dim: int = 64,
+) -> str:
+    """IVF-PQ (coarse quantizer + product-quantized RESIDUALS + probed
+    ADC) as exact SQL — the composite twin: coarse centroids are the
+    kc md5-first rows (pure selection), PQ codebooks are subvectors of
+    the ksub md5-first rows' residuals, every assignment is a
+    9dp-rounded sequential-double argmin, and the ADC estimate is
+    q·cent_cell + Σ_j LUT[j][code_j] summed in DECIMAL(20,9) — exact,
+    order-free, hash-stable across engines."""
+    return f"""
+      with emb as (
+        select vec_id, cast(embedding as double[]) as v from embeddings
+      ),
+      ranked as (
+        select vec_id, v, row_number() over (
+                 order by md5(cast(vec_id as varchar)), vec_id) - 1 as rk
+        from emb
+      ),
+      cents as (select rk as cell_id, v as cv from ranked where rk < {kc}),
+      assigned as (
+        select vec_id, v, cell from (
+          select e.vec_id, e.v, c.cell_id as cell,
+                 row_number() over (partition by e.vec_id order by
+                   round(list_dot_product(c.cv, c.cv)
+                         - 2 * list_dot_product(e.v, c.cv), 9),
+                   c.cell_id) as rn
+          from emb e cross join cents c)
+        where rn = 1
+      ),
+      resid as (
+        select a.vec_id, a.cell,
+               list_transform(range({dim}), j -> a.v[j+1] - c.cv[j+1]) as r
+        from assigned a join cents c on c.cell_id = a.cell
+      ),
+      samp as (
+        select rr.rk as pq_id, s.r as rv
+        from ranked rr join resid s using (vec_id)
+        where rr.rk < {ksub}
+      ),
+      cb as (
+        select pq_id, j, list_slice(rv, j*{dsub}+1, j*{dsub}+{dsub}) as cv
+        from samp cross join range({m}) g(j)
+      ),
+      codes as (
+        select vec_id, cell, j, pq_id as code from (
+          select s.vec_id, s.cell, c.j, c.pq_id,
+                 row_number() over (partition by s.vec_id, c.j order by
+                   round(list_dot_product(c.cv, c.cv)
+                         - 2 * list_dot_product(
+                             list_slice(s.r, c.j*{dsub}+1,
+                                        c.j*{dsub}+{dsub}), c.cv), 9),
+                   c.pq_id) as rn
+          from resid s cross join cb c)
+        where rn = 1
+      ),
+      q as (
+        select vec_id as query_id, v as qv from emb
+        where vec_id < {n_queries}
+      ),
+      probes as (
+        select query_id, cell from (
+          select q.query_id, c.cell_id as cell,
+                 row_number() over (partition by q.query_id order by
+                   round(list_dot_product(c.cv, c.cv)
+                         - 2 * list_dot_product(q.qv, c.cv), 9),
+                   c.cell_id) as rn
+          from q cross join cents c)
+        where rn <= {nprobe}
+      ),
+      qdc as (
+        select q.query_id, c.cell_id as cell,
+               cast(round(list_dot_product(q.qv, c.cv), 9)
+                    as decimal(20,9)) as w0
+        from q cross join cents c
+      ),
+      lut as (
+        select q.query_id, c.j, c.pq_id,
+               cast(round(list_dot_product(
+                      list_slice(q.qv, c.j*{dsub}+1, c.j*{dsub}+{dsub}),
+                      c.cv), 9) as decimal(20,9)) as w
+        from q cross join cb c
+      ),
+      est as (
+        select l.query_id, cd.vec_id as neighbor_id, cd.cell,
+               sum(l.w) as e
+        from codes cd
+        join probes p on p.cell = cd.cell
+        join lut l on l.query_id = p.query_id
+                  and l.j = cd.j and l.pq_id = cd.code
+        group by 1, 2, 3
+      ),
+      tot as (
+        select e.query_id, e.neighbor_id, e.e + d.w0 as e
+        from est e
+        join qdc d on d.query_id = e.query_id and d.cell = e.cell
+      )
+      select query_id, cast(rn as int) as rank, neighbor_id,
+             cast(e as double) as est_ip
+      from (
+        select query_id, neighbor_id, e,
+               row_number() over (partition by query_id
+                                  order by e desc, neighbor_id) as rn
+        from tot)
+      where rn <= {k}
+    """
+
+
+@register(
+    "llm_ann_ivfpq_adc", oracle=_ivfpq_adc_oracle(), survey_refs=("J2", "O2")
+)
+def llm_ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ probed ADC top-5 with PINNED coarse centroids and PINNED
+    residual codebooks — the oracle-checked twin of llm_ann_ivfpq_topk
+    (which keeps the trained faiss-shaped path as the production
+    variant). Composition of the two proven twin tricks: coarse cells
+    and PQ codes are 9dp-rounded sequential-double argmins over
+    SELECTED (never trained) codebooks — kc=4 md5-first rows as coarse
+    centroids, residual subvectors of the ksub=16 md5-first rows as PQ
+    codebooks — and the probed ADC estimate is q·cent_cell plus an
+    exact DECIMAL(20,9) LUT sum over the query's nprobe=2 cells only.
+    Every stage of the production IVF-PQ shape is externalized: coarse
+    assign, residual encode, cell probing, LUT gather, rank. Residuals
+    keep the corpus pass local (no shuffle until the final top-k
+    window); the probe restriction lands as a broadcast semi-join on
+    the cell column. Quantization QUALITY stays pinned in
+    tests/test_ivfpq.py against the trained path."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import Window
+
+    from etl_migrate_api_spark.functions.vectors import dot as vdot
+
+    kc, m, dsub, ksub, n_q, k, nprobe = 4, 8, 8, 16, 5, 5, 2
+    emb = load(spark, "embeddings", sf_dir)
+    sample = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(ksub)
+        .collect()
+    )
+    sample_v = [[float(x) for x in r["embedding"]] for r in sample]
+    cents = sample_v[:kc]
+
+    def dot_seq(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def cell_expr(vcol):
+        # (9dp-rounded L2 score, cell_id) first-min — identical shape to
+        # the oracle's row_number-over-round ordering
+        cands = []
+        for cid, cv in enumerate(cents):
+            cc = dot_seq(cv, cv)
+            sc = vdot(vcol, F.array(*[F.lit(t) for t in cv]))
+            cands.append(
+                F.struct(
+                    F.round(F.lit(cc) - F.lit(2.0) * sc, 9).alias("s"),
+                    F.lit(cid).alias("c"),
+                )
+            )
+        return F.array_min(F.array(*cands))["c"]
+
+    # sample-row cells via the ENGINE expression (keeps F.round
+    # semantics out of Python), then residual codebooks in pure
+    # IEEE-double subtraction
+    samp_df = spark.createDataFrame(
+        [(i, sample_v[i]) for i in range(ksub)],
+        "pq_id int, v array<double>",
+    )
+    samp_cells = {
+        r["pq_id"]: int(r["c"])
+        for r in samp_df.select(
+            "pq_id", cell_expr(F.col("v")).alias("c")
+        ).collect()
+    }
+    resid_v = [
+        [x - c for x, c in zip(sample_v[i], cents[samp_cells[i]])]
+        for i in range(ksub)
+    ]
+    cb = [
+        [resid_v[c][j * dsub : (j + 1) * dsub] for c in range(ksub)]
+        for j in range(m)
+    ]
+
+    cents2d = F.array(
+        *[F.array(*[F.lit(x) for x in cv]) for cv in cents]
+    )
+    base = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        cell_expr(F.col("embedding")).alias("cell"),
+        F.zip_with(
+            "embedding",
+            F.element_at(cents2d, cell_expr(F.col("embedding")) + 1),
+            lambda x, c: x - c,
+        ).alias("r"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    code_cols = []
+    for j in range(m):
+        sub = F.slice(F.col("r"), j * dsub + 1, dsub)
+        cands = []
+        for c in range(ksub):
+            cv = cb[j][c]
+            cc = dot_seq(cv, cv)
+            sc = vdot(sub, F.array(*[F.lit(t) for t in cv]))
+            cands.append(
+                F.struct(
+                    F.round(F.lit(cc) - F.lit(2.0) * sc, 9).alias("s"),
+                    F.lit(c).alias("c"),
+                )
+            )
+        code_cols.append(F.array_min(F.array(*cands))["c"].alias(f"c{j}"))
+    codes = base.select("neighbor_id", "cell", *code_cols).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    qrows = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < n_q)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    # probe cells engine-side on the bounded query set (same rounded
+    # argsort the oracle ranks with)
+    q_df = spark.createDataFrame(
+        [(qid, qv) for qid, qv in qrows], "query_id long, qv array<double>"
+    )
+    pc = []
+    for cid, cv in enumerate(cents):
+        cc = dot_seq(cv, cv)
+        sc = vdot(F.col("qv"), F.array(*[F.lit(t) for t in cv]))
+        pc.append(
+            F.struct(
+                F.round(F.lit(cc) - F.lit(2.0) * sc, 9).alias("s"),
+                F.lit(cid).alias("c"),
+            )
+        )
+    probe_pairs = [
+        (int(r["query_id"]), int(r["cell"]))
+        for r in q_df.select(
+            "query_id",
+            F.explode(
+                F.slice(F.array_sort(F.array(*pc)), 1, nprobe)
+            ).alias("p"),
+        )
+        .select("query_id", F.col("p")["c"].alias("cell"))
+        .collect()
+    ]
+
+    NINE_DP = Decimal("0.000000001")
+
+    def dec(x: float) -> Decimal:
+        return Decimal(x).quantize(NINE_DP, ROUND_HALF_UP)
+
+    qdc = [
+        [dec(dot_seq(qv, cents[c])) for c in range(kc)] for _, qv in qrows
+    ]
+    lut = [
+        [
+            [
+                dec(dot_seq(qv[j * dsub : (j + 1) * dsub], cb[j][c]))
+                for c in range(ksub)
+            ]
+            for j in range(m)
+        ]
+        for _, qv in qrows
+    ]
+
+    ests = []
+    for qi in range(len(qrows)):
+        w0 = F.element_at(
+            F.array(
+                *[F.lit(qdc[qi][c]).cast("decimal(20,9)") for c in range(kc)]
+            ),
+            F.col("cell") + 1,
+        )
+        est = w0
+        for j in range(m):
+            arr = F.array(
+                *[
+                    F.lit(lut[qi][j][c]).cast("decimal(20,9)")
+                    for c in range(ksub)
+                ]
+            )
+            est = est + F.element_at(arr, F.col(f"c{j}") + 1)
+        ests.append(est)
+
+    qid_arr = F.array(*[F.lit(q) for q, _ in qrows])
+    scored = codes.select(
+        "neighbor_id",
+        "cell",
+        F.posexplode(F.array(*ests)).alias("pos", "e"),
+    ).select(
+        F.element_at(qid_arr, F.col("pos") + 1).alias("query_id"),
+        "neighbor_id",
+        "cell",
+        "e",
+    )
+    probe_df = spark.createDataFrame(
+        probe_pairs, "query_id long, cell int"
+    )
+    scored = scored.join(
+        F.broadcast(probe_df), ["query_id", "cell"], "left_semi"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("e").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            F.col("e").cast("double").alias("est_ip"),
+        )
+    )
+
+
 @register("llm_image_phash_dedup")
 def llm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup detection by 64-bit DCT perceptual hash: luma →

@@ -1601,6 +1601,151 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+#: pinned merge table for the oracle-checked encode twin: a FIXED
+#: tokenizer applied at scale is the realistic production case (train
+#: once, encode every corpus refresh); ranks are list order, cascades
+#: included so multi-level merges exercise the lowest-rank-first rule
+_PINNED_BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "</w>"),
+    ("t", "h"),
+    ("th", "e</w>"),
+    ("i", "n"),
+    ("a", "n"),
+    ("an", "d"),
+    ("and", "</w>"),
+    ("o", "n"),
+    ("e", "r"),
+    ("er", "</w>"),
+    ("o", "r"),
+    ("s", "</w>"),
+    ("t", "</w>"),
+    ("a", "t"),
+    ("s", "t"),
+    ("r", "e"),
+    ("in", "g"),
+    ("ing", "</w>"),
+    ("o", "u"),
+    ("a", "r"),
+    ("l", "l"),
+    ("c", "h"),
+    ("t", "o"),
+    ("d", "</w>"),
+]
+
+
+def _bpe_pinned_oracle(max_len: int = 8, k_top: int = 50) -> str:
+    """The BPE APPLY loop as exact SQL: words are capped at ``max_len``
+    chars (+ the </w> marker = ≤ max_len+1 symbols), so the
+    merge-until-fixpoint loop terminates in ≤ max_len rounds — unroll
+    exactly that many. Each round finds the LOWEST-RANK applicable rule
+    (least over contains() probes against the space-sentineled symbol
+    string) and applies it to all occurrences: plain replace() is
+    single-pass left-to-right and a chained run like ``a b a b`` shares
+    the boundary space between adjacent matches, so one pass catches
+    only the first of a chain — ⌈(max_len+1)/2⌉ stacked replaces reach
+    the fixpoint for one rule (proven equal to the production
+    list-walk in tests). Every round is AS MATERIALIZED — DuckDB
+    inlines chained CTEs by default and the 8-round chain would expand
+    exponentially (the unigram-viterbi lesson)."""
+    reps = (max_len + 2) // 2
+
+    def rep_n(pat: str, rw: str) -> str:
+        e = "state"
+        for _ in range(reps):
+            e = f"replace({e}, '{pat}', '{rw}')"
+        return e
+
+    probes = ",\n                 ".join(
+        f"case when contains(state, ' {l} {r} ') then {i} end"
+        for i, (l, r) in enumerate(_PINNED_BPE_MERGES)
+    )
+    cases = "\n                 ".join(
+        f"when {i} then {rep_n(f' {l} {r} ', f' {l}{r} ')}"
+        for i, (l, r) in enumerate(_PINNED_BPE_MERGES)
+    )
+    steps = []
+    prev = "w0"
+    for s in range(max_len):
+        steps.append(
+            f""",
+      s{s} as materialized (
+        select word, cnt,
+               case least({probes})
+                 {cases}
+                 else state end as state
+        from {prev}
+      )"""
+        )
+        prev = f"s{s}"
+    steps_sql = "".join(steps)
+    return f"""
+      with words as materialized (
+        select word, count(*) as cnt from (
+          select unnest({_SQL_TOKS}) as word from documents)
+        where regexp_matches(word, '^[a-z]{{1,{max_len}}}$')
+        group by word
+      ),
+      w0 as materialized (
+        select word, cnt,
+               ' ' || array_to_string(
+                 list_transform(range(length(word)), i -> word[i+1]),
+                 ' ') || ' </w> ' as state
+        from words
+      ){steps_sql}
+      select token, cast(sum(cnt) as bigint) as total
+      from (
+        select unnest(list_filter(string_split(state, ' '),
+                                  x -> x <> '')) as token,
+               cnt
+        from {prev})
+      group by token
+      order by total desc, token
+      limit {k_top}
+    """
+
+
+@register(
+    "llm_bpe_encode_pinned",
+    oracle=_bpe_pinned_oracle(),
+    survey_refs=("A3", "T8", "U2"),
+)
+def llm_bpe_encode_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY through the DuckDB gate — the oracle-checked
+    twin of llm_bpe_encode (which keeps the corpus-TRAINED merge table
+    as the production variant; training's iterated argmax has no SQL
+    mirror, but applying a FIXED tokenizer is the dominant real
+    workload anyway — train once, encode every refresh). The twin runs
+    the PRODUCTION encoder verbatim (bpe_encode_words: lowest-rank
+    adjacent pair, all occurrences left-to-right, </w> marker) over
+    the distinct [a-z]{1,8} words with the pinned 24-rule merge table,
+    then publishes the corpus-weighted top-50 token histogram. The
+    oracle unrolls merge-until-fixpoint as 8 materialized SQL rounds
+    over a space-sentineled symbol string. Externalizes: tokenization,
+    the merge loop's rank discipline, cascade merges (th+e</w>→the</w>),
+    the Zipf distinct-word asymmetry, and exact integer reweighting."""
+    docs = load(spark, "documents", sf_dir)
+    words = (
+        docs.select(F.explode(_ws_tokens("text")).alias("word"))
+        .where(F.col("word").rlike("^[a-z]{1,8}$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    words = words.persist()
+    enc = bpe_encode_words(words, _PINNED_BPE_MERGES)
+    out = (
+        enc.join(words, "word")
+        .select(F.explode("toks").alias("token"), "cnt")
+        .groupBy("token")
+        .agg(F.sum("cnt").cast("bigint").alias("total"))
+        .orderBy(F.desc("total"), "token")
+        .limit(50)
+    )
+    out = out.persist()
+    out.count()
+    words.unpersist()
+    return out
+
+
 _UNIGRAM_VOCAB = 200
 _UNIGRAM_SEED = 1500
 

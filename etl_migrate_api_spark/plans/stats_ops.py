@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_migrate_api_spark.catalog import load
+from etl_migrate_api_spark.functions.text import SQL_WS_TOKENS
 from etl_migrate_api_spark.plans.registry import register
 
 _DEC = "decimal(18,2)"
@@ -950,3 +951,88 @@ def agg_kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     sk.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: Misra–Gries candidates + exact verification pass
+# ---------------------------------------------------------------------------
+
+HH_K = 200  # MG counters per partition; threshold = n/(HH_K+1)
+
+
+def _mg_partials(batches, k: int):
+    """Mergeable Misra–Gries fold over Arrow batches: each batch is
+    counted exactly at C speed (pandas value_counts), then merged into
+    the running k-counter summary with the Agarwal-et-al. trim —
+    subtract the (k+1)-th largest count and drop non-positives. The
+    summary guarantees every item with partition frequency
+    > n_p/(k+1) survives, so the UNION of partition summaries contains
+    every item with GLOBAL frequency > n/(k+1)."""
+    import pandas as pd
+
+    summary: dict = {}
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        for item, c in pdf["item"].value_counts().items():
+            summary[item] = summary.get(item, 0) + int(c)
+        if len(summary) > k:
+            cut = sorted(summary.values(), reverse=True)[k]
+            summary = {
+                i: c - cut for i, c in summary.items() if c - cut > 0
+            }
+    if summary:
+        yield pd.DataFrame({"item": list(summary)})
+
+
+@register(
+    "agg_heavy_hitters",
+    oracle=f"""
+      with toks as (
+        select unnest({SQL_WS_TOKENS}) as item from documents
+      ),
+      tot as (select count(*) as n from toks)
+      select item, cast(c as bigint) as cnt
+      from (select item, count(*) as c from toks group by item), tot
+      where c * {HH_K + 1} > n
+      order by cnt desc, item
+    """,
+    survey_refs=("A3", "E1"),
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-token heavy hitters over the documents corpus by the
+    two-pass Misra–Gries recipe: pass 1 folds each partition's token
+    stream into a k=200-counter MG summary (mapInPandas, memory O(k)
+    per partition, nothing shuffles), the union of summaries is the
+    candidate set — GUARANTEED to contain every item with global count
+    > n/(k+1) by the mergeable-summaries bound — and pass 2 computes
+    exact counts for candidates only (broadcast semi-join, map-side
+    partial agg) and keeps those exactly above threshold. The result
+    is therefore EXACT and order-independent even though the sketch is
+    approximate — which is what makes it oracle-able: the DuckDB twin
+    is a plain count-all-group-by with the same integer threshold
+    c·(k+1) > n (no float division on either side).
+
+    100 TB: the naive group-by-every-token shuffles the full token
+    stream (|tokens| rows); this shape shuffles only candidate tokens
+    (≤ partitions × k distinct values gate the semi-join) and one
+    scalar n. The classic 'what are the stopwords of this crawl'
+    pre-tokenizer query."""
+    from etl_migrate_api_spark.functions.text import ws_tokens
+
+    docs = load(spark, "documents", sf_dir)
+    toks = docs.select(F.explode(ws_tokens("text")).alias("item"))
+    n = toks.count()
+    cands = (
+        toks.mapInPandas(
+            lambda it: _mg_partials(it, HH_K), schema="item string"
+        )
+        .distinct()
+    )
+    exact = (
+        toks.join(F.broadcast(cands), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") * (HH_K + 1) > F.lit(n))
+    )
+    return exact.orderBy(F.col("cnt").desc(), "item")

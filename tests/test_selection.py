@@ -638,3 +638,60 @@ def test_leakage_safe_split_no_cluster_straddles(spark, sf_dir):
         .count()
         > 0
     )
+
+
+def _replace_encode(word: str, merges, reps: int) -> list[str]:
+    """The oracle's formulation of one BPE apply: space-sentineled
+    symbol string, lowest-rank applicable rule per round, `reps`
+    stacked plain replaces per round (single-pass replace shares the
+    boundary space between chained matches, so one pass only catches
+    the first of a run like 'a b a b')."""
+    state = " " + " ".join(list(word) + ["</w>"]) + " "
+    for _ in range(len(word)):
+        best = None
+        for i, (left, right) in enumerate(merges):
+            if f" {left} {right} " in state and (best is None or i < best):
+                best = i
+        if best is None:
+            break
+        left, right = merges[best]
+        for _ in range(reps):
+            state = state.replace(f" {left} {right} ", f" {left}{right} ")
+    return [t for t in state.split(" ") if t]
+
+
+def test_bpe_pinned_oracle_replace_equals_list_walk(spark):
+    """The llm_bpe_encode_pinned oracle applies each round's rule with
+    stacked string replaces; the production encoder walks the symbol
+    list once. These must agree on every adversarial shape: chained
+    runs ('ababab' with rule (a,b)), self-overlap ('aaaa' with (a,a)),
+    cascades, and EOW fusions — for the pinned table AND a hostile
+    synthetic one."""
+    from etl_migrate_api_spark.plans.llm_selection import (
+        _PINNED_BPE_MERGES,
+        bpe_encode_words,
+    )
+
+    words = [
+        "ababab", "aaaa", "aaa", "abab", "baba", "the", "then",
+        "and", "sand", "ing", "sting", "rest", "tttt", "erer",
+        "a", "z", "to", "too", "chart", "stand",
+    ]
+    wdf = spark.createDataFrame([(w,) for w in words], "word string")
+    for merges in (
+        _PINNED_BPE_MERGES,
+        [("a", "b"), ("a", "a"), ("ab", "ab"), ("b", "a"), ("t", "t")],
+    ):
+        got = {
+            r["word"]: list(r["toks"])
+            for r in bpe_encode_words(wdf, merges).collect()
+        }
+        for w in words:
+            reps = (len(w) + 2) // 2  # the oracle uses (max_len+2)//2
+            assert got[w] == _replace_encode(w, merges, reps), (
+                w,
+                merges,
+                got[w],
+                _replace_encode(w, merges, reps),
+            )
+            assert "".join(got[w]) == w + "</w>"  # concat invariant
