@@ -621,10 +621,78 @@ def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("llm_ann_lsh_topk", oracle=None)
+def _lsh_topk_oracle(
+    n_bands: int = 4,
+    band_size: int = 4,
+    dim: int = 64,
+    n_queries: int = 10,
+    k: int = 5,
+) -> str:
+    """llm_ann_lsh_topk oracled IN PLACE (the knn_graph_banded lesson,
+    r9): the operator is deterministic end to end — md5-derived ±1
+    hyperplane weights both engines re-derive as plan constants,
+    multi-band candidate union, exact-cosine ranking with
+    (sim desc, id) ties, and NO float in the output (rank + the
+    first-matching-band bucket string) — so the production query needs
+    no pinned twin."""
+    from etl_migrate_api_spark.operators.similarity import (
+        hyperplane_weights_sql,
+    )
+
+    ws = hyperplane_weights_sql(n_bands * band_size, dim)
+    bit_exprs = " || ".join(
+        f"(case when list_dot_product(v, {w}) >= 0 then '1' else '0' end)"
+        for w in ws
+    )
+    return f"""
+      with emb as materialized (
+        select vec_id as id, cast(embedding as double[]) as v
+        from embeddings
+      ),
+      sig as materialized (select id, v, {bit_exprs} as bits from emb),
+      banded as materialized (
+        select id, b as band_idx,
+               substr(bits, b * {band_size} + 1, {band_size}) as band_key
+        from sig cross join (
+          select unnest(generate_series(0, {n_bands - 1})) as b) g
+      ),
+      q as (
+        select id, band_idx, band_key from banded where id < {n_queries}
+      ),
+      cand as materialized (
+        select q.id as query_id, c.id as neighbor_id,
+               min(cast(q.band_idx as varchar) || ':' || q.band_key)
+                 as bucket
+        from q join banded c
+          on c.band_idx = q.band_idx and c.band_key = q.band_key
+         and c.id <> q.id
+        group by 1, 2
+      ),
+      scored as (
+        select c.query_id, c.neighbor_id, c.bucket,
+               list_cosine_similarity(x.v, y.v) as sim
+        from cand c
+        join emb x on x.id = c.query_id
+        join emb y on y.id = c.neighbor_id
+      )
+      select query_id, cast(rank as int) as rank, neighbor_id, bucket
+      from (
+        select query_id, neighbor_id, bucket,
+               row_number() over (partition by query_id
+                                  order by sim desc, neighbor_id) as rank
+        from scored)
+      where rank <= {k}
+    """
+
+
+@register("llm_ann_lsh_topk", oracle=_lsh_topk_oracle())
 def llm_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate LSH-bucketed top-k (rows-only: approximation quality
-    is measured against the brute-force query, not an oracle)."""
+    """Approximate LSH-bucketed top-k, oracled IN PLACE since r10 (the
+    operator is deterministic end to end — md5 hyperplane plan
+    constants, exact-cosine rank, no float output column). Recall
+    vs the brute-force scan stays measured in tests; the hash gate
+    now additionally pins the banding, the multi-band candidate
+    union, the first-matching-band bucket attribution, and the rank."""
     emb = load(spark, "embeddings", sf_dir)
     return sim.lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
 

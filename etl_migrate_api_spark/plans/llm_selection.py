@@ -603,6 +603,136 @@ def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _text_index_shared_path(sf_dir: str) -> str:
+    """Process-scoped inverted-index location (the _ivf_shared_path
+    pattern): keyed by (sf tag, pid) — fresh per interpreter so a run
+    can never read an index stale code wrote, shared within a session
+    so the build amortizes over every from-index query."""
+    import os
+    import tempfile
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_textidx")
+    return os.path.join(root, f"index_{tag}_pid{os.getpid()}")
+
+
+def _text_index_sweep_stale(root: str) -> None:
+    import os
+    import shutil
+    import time
+
+    cutoff = time.time() - 6 * 3600
+    for stale in (
+        os.path.join(root, d)
+        for d in (os.listdir(root) if os.path.isdir(root) else [])
+    ):
+        try:
+            if os.path.getmtime(stale) < cutoff:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass  # a concurrent sweep already took it
+
+
+_TEXT_INDEX_BUCKETS = 64
+
+
+@register(
+    "llm_bm25_index_build",
+    oracle=f"""
+      with toks as (
+        select doc_id, {_SQL_TOKS} as tk from documents
+      ),
+      postings as (
+        select term, doc_id from (
+          select doc_id, unnest(tk) as term from toks)
+        group by term, doc_id
+      )
+      select cast(cast(concat('0x', substr(md5(term), 1, 8)) as bigint)
+                  % {_TEXT_INDEX_BUCKETS} as int) as bucket,
+             cast(count(*) as bigint) as n_postings,
+             cast(count(distinct term) as bigint) as n_terms
+      from postings
+      group by bucket
+      order by bucket
+    """,
+    survey_refs=("K2", "E1", "A3"),
+)
+def llm_bm25_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index BUILD, hash-gated: tokenize the corpus once,
+    write posting lists (term, doc_id, tf, dl) parquet-PARTITIONED by
+    the term's md5 bucket (operators/text_index.py), and return the
+    per-bucket inventory read back FROM the written index — posting
+    and distinct-term counts per bucket, which the oracle recomputes
+    from raw text (the md5 bucketing is plain SQL). Unlike the IVF
+    build (float k-means → rows-only), EVERYTHING here is integer/
+    string-exact, so the build itself rides the hash gate: a match
+    proves tokenization, tf/dl aggregation, bucket assignment, and
+    that the partitioned write dropped nothing.
+
+    100 TB: one explode → one partial-combined agg → one bucket-keyed
+    shuffle; bucket directories are the retrieval unit (a query opens
+    only its terms' buckets — see llm_bm25_index_query)."""
+    import os
+    import shutil
+
+    from etl_migrate_api_spark.operators.text_index import build_text_index
+
+    docs = load(spark, "documents", sf_dir)
+    path = _text_index_shared_path(sf_dir)
+    _text_index_sweep_stale(os.path.dirname(path))
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(f"{path}.stats", ignore_errors=True)
+    build_text_index(docs, path, n_buckets=_TEXT_INDEX_BUCKETS)
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_postings"),
+            F.countDistinct("term").alias("n_terms"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "llm_bm25_index_query",
+    oracle=_bm25_oracle(),
+    survey_refs=("J2", "O2", "A3"),
+)
+def llm_bm25_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 answered FROM the persisted inverted index — the
+    amortized per-query cost at scale, and it shares llm_bm25_search's
+    oracle VERBATIM: the from-index path must be bit-identical to the
+    inline computation (same decimal-quantized idf and contribution
+    shapes), while touching only the ≤3 bucket directories the query
+    terms hash to (file-listing-time partition pruning, plan-asserted
+    in tests/test_text_index.py). Builds the index first only if this
+    session hasn't yet; in the bench llm_bm25_index_build has already
+    paid that, so this number is the pruned probe alone.
+
+    100 TB: a 3-term query reads 3/64ths of a posting table that is
+    itself a few percent of the raw text — milliseconds of I/O against
+    a corpus the inline scan would re-tokenize in full."""
+    import os
+
+    from etl_migrate_api_spark.operators.text_index import (
+        bm25_from_index,
+        build_text_index,
+    )
+
+    path = _text_index_shared_path(sf_dir)
+    if not os.path.isdir(f"{path}.stats"):
+        _text_index_sweep_stale(os.path.dirname(path))
+        build_text_index(
+            load(spark, "documents", sf_dir),
+            path,
+            n_buckets=_TEXT_INDEX_BUCKETS,
+        )
+    return bm25_from_index(
+        spark, path, _BM25_TERMS, k=_BM25_TOP, k1=_BM25_K1, b=_BM25_B
+    )
+
+
 def _bm25_doc_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc BM25 (doc_id, score decimal(18,9)-summed, n_terms) for
     the fixed query — the shared lexical leg of llm_bm25_search and
@@ -1702,6 +1832,118 @@ def _bpe_pinned_oracle(max_len: int = 8, k_top: int = 50) -> str:
       order by total desc, token
       limit {k_top}
     """
+
+
+def _bpe_train_oracle(
+    max_len: int = 8, n_merges: int = 8
+) -> str:
+    """The Sennrich TRAINER as exact SQL — count-argmax-merge unrolled
+    ``n_merges`` rounds. Everything in a BPE training round is integer
+    arithmetic: adjacent-pair counts are exact sums of word counts
+    (overlapping occurrences each count, mirroring the engine's
+    per-index pair rows), the argmax tiebreak is (count desc, l, r) on
+    exact values, and the merge application is the same
+    stacked-replace fixpoint the encode twin proved equal to the
+    production list-walk. Restricting words to [a-z]{1,max_len} bounds
+    the symbol strings so the unroll depth is static. Every CTE is AS
+    MATERIALIZED (chained-CTE inlining would go exponential)."""
+    reps = (max_len + 2) // 2
+
+    def rep_n() -> str:
+        e = "w.state"
+        pat = "' ' || b.l || ' ' || b.r || ' '"
+        rw = "' ' || b.l || b.r || ' '"
+        for _ in range(reps):
+            e = f"replace({e}, {pat}, {rw})"
+        return e
+
+    rounds = []
+    for i in range(n_merges):
+        rounds.append(
+            f""",
+      p{i} as materialized (
+        select u.pr[1] as l, u.pr[2] as r, sum(cnt) as n
+        from (
+          select cnt,
+                 unnest(list_transform(range(len(tk) - 1),
+                        j -> [tk[j+1], tk[j+2]])) as pr
+          from (
+            select cnt,
+                   list_filter(string_split(state, ' '),
+                               x -> x <> '') as tk
+            from s{i})
+        ) u
+        group by 1, 2
+      ),
+      b{i} as materialized (
+        select l, r, n from p{i} order by n desc, l, r limit 1
+      ),
+      s{i + 1} as materialized (
+        select w.word, w.cnt, {rep_n()} as state
+        from s{i} w cross join b{i} b
+      )"""
+        )
+    rounds_sql = "".join(rounds)
+    finals = "\n        union all ".join(
+        f"select {i} as step, l as \"left\", r as \"right\","
+        f" l || r as merged, cast(n as bigint) as pair_count from b{i}"
+        for i in range(n_merges)
+    )
+    return f"""
+      with words as materialized (
+        select word, count(*) as cnt from (
+          select unnest({_SQL_TOKS}) as word from documents)
+        where regexp_matches(word, '^[a-z]{{1,{max_len}}}$')
+        group by word
+      ),
+      s0 as materialized (
+        select word, cnt,
+               ' ' || array_to_string(
+                 list_transform(range(length(word)), i -> word[i+1]),
+                 ' ') || ' </w> ' as state
+        from words
+      ){rounds_sql}
+      select * from (
+        {finals}
+      ) order by step
+    """
+
+
+@register(
+    "llm_bpe_merges_restricted",
+    oracle=_bpe_train_oracle(),
+    survey_refs=("A3", "X1", "U2"),
+)
+def llm_bpe_merges_restricted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TRAINING through the DuckDB gate — the oracle-checked twin
+    of llm_bpe_merges, running the PRODUCTION delta trainer
+    (bpe_merge_table: LSM-style base+overrides word table, delta pair
+    patches, (count desc, pair asc) argmax) on the [a-z]{1,8}
+    sub-vocabulary. The domain restriction is what makes the twin
+    possible: bounded words give a static unroll depth, so the oracle
+    can replay all 8 count→argmax→merge rounds as materialized SQL —
+    adjacent-pair counts are exact integer sums (overlapping
+    occurrences included, matching the engine's per-index pair rows),
+    and merge application reuses the stacked-replace fixpoint the
+    encode twin's property test pinned against the list-walk. A hash
+    match externalizes the ENTIRE training loop: tokenization,
+    weighted pair counting, the tiebreak, delta maintenance (the
+    engine side), and cascade merges. The unrestricted production
+    variant stays rows-only with its pure-python Sennrich parity test
+    (tests/test_selection.py)."""
+    docs = load(spark, "documents", sf_dir)
+    words = (
+        docs.select(F.explode(_ws_tokens("text")).alias("word"))
+        .where(F.col("word").rlike("^[a-z]{1,8}$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merges = bpe_merge_table(words, _BPE_MERGES)
+    return spark.createDataFrame(
+        merges,
+        schema="step int, left string, right string, merged string,"
+        " pair_count bigint",
+    )
 
 
 @register(

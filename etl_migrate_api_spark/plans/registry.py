@@ -70,19 +70,20 @@ def _load_all() -> None:
 # hash-checked on every pytest run (tests/test_oracle_parity.py +
 # tools/driver_sim.py).
 #
-# r10 window: FINISH the never-windowed backlog — after this round
-# every registered query has at least one driver row. Leads with the
+# r10 window: FINISH the never-windowed backlog. Leads with the
 # r9 red's retry (orders_zonemap_pruned_scan re-greens post the INT96
-# RUNTIME_CONFS fix), then ALL 24 never-windowed queries (6 oracled:
+# RUNTIME_CONFS fix), then the never-windowed queries (6 oracled:
 # the r9 late oracles llm_semdedup_pinned / llm_knn_graph_banded /
-# llm_knn_graph_refined plus the 3 deferred family-redundant; 18
+# llm_knn_graph_refined plus the 3 deferred family-redundant; 17
 # rows-only: the multimodal/tokenizer/persisted-ANN tail — rows-only
-# by documented nature, each with pytest pins), then the 8 NEW r10
+# by documented nature, each with pytest pins), the 9 NEW r10
 # oracles (SQ8 + IVF-PQ pinned-ADC twins, Misra-Gries heavy hitters,
 # ORC/CSV format roundtrips, JSON column functions, sentence split,
-# pinned-tokenizer BPE encode), the 4 S1/K2/K3/X3 carriers (sole
-# registry carriers of those refs), and the unchanged minimal
-# 13-anchor §2 set cover.
+# pinned-tokenizer BPE encode, and the restricted-domain BPE TRAINER
+# twin), the S1/K3/K8/X3/K7 carriers, and the unchanged minimal
+# 13-anchor §2 set cover. One first-timer waits for r11
+# (llm_multimodal_audio — its audio family keeps two other in-window
+# reps and full pytest pins; it leads the r11 queue).
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- the r9 red, re-greened (INT96 stats fix in session.py) --
     "orders_zonemap_pruned_scan",
@@ -102,6 +103,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "orders_json_functions",
     "llm_sentence_split",
     "llm_bpe_encode_pinned",
+    "llm_bpe_merges_restricted",
     # -- never-windowed rows-only tail (documented non-SQL families;
     #    pytest carries their correctness, the driver records rows) --
     "llm_ann_ivf_build",
@@ -120,7 +122,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "llm_video_phash_dedup",
     "llm_audio_fingerprint_dedup",
     "llm_audio_resample_dedup",
-    "llm_multimodal_audio",
     "llm_multimodal_video",
     # -- S1/K3/K8/X3/K7 carriers (orders_wap_publish rotates out vs r9:
     #    its X3 rides orders_version_diff and its K2 four other window

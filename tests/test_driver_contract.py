@@ -51,12 +51,13 @@ def test_driver_window_is_50_unique_queries():
     order). That window must hold exactly DRIVER_WINDOW: 50 queries.
     Round 10 finishes the never-windowed backlog — the r9 red's retry
     leads (orders_zonemap_pruned_scan, re-greened by the INT96 stats
-    fix), then every query that has never had a driver row (6 oracled +
-    the 18 rows-only multimodal/tokenizer/persisted-ANN tail, which is
+    fix), then the never-windowed queries (6 oracled + 17 rows-only
+    from the multimodal/tokenizer/persisted-ANN tail, which is
     rows-only BY DOCUMENTED NATURE — this window deliberately carries
-    them once), the 8 new r10 oracles, the S1/K2/K3/X3 carriers, and
-    the unchanged minimal 13-anchor §2 cover. After r10 every
-    registered query has ≥1 driver row."""
+    them once), the 9 new r10 oracles, the S1/K3/K8/X3/K7 carriers,
+    and the unchanged minimal 13-anchor §2 cover. llm_multimodal_audio
+    is the one first-timer deferred to r11 (family doubly represented
+    in-window)."""
     from etl_migrate_api_spark.plans.registry import (
         DRIVER_WINDOW,
         oracle_sql_map,
@@ -88,7 +89,6 @@ def test_driver_window_is_50_unique_queries():
         "llm_video_phash_dedup",
         "llm_audio_fingerprint_dedup",
         "llm_audio_resample_dedup",
-        "llm_multimodal_audio",
         "llm_multimodal_video",
     }, f"unexpected rows-only slots: {rows_only}"
     # the r10 first-timers and the red-retry must be in the window
@@ -105,6 +105,7 @@ def test_driver_window_is_50_unique_queries():
         "orders_json_functions",
         "llm_sentence_split",
         "llm_bpe_encode_pinned",
+        "llm_bpe_merges_restricted",
         "orders_merge_upsert",   # K2 K3 (saveToPostgres.js:313-409)
         "orders_version_diff",   # K8 X3 (contactpoint.controller.js:181-196)
         "llm_jsonl_roundtrip",   # S1 (fetchContact.js:5-11)
