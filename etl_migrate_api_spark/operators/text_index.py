@@ -10,8 +10,17 @@ Layout (all parquet):
   PARTITIONED by the term's md5 bucket — a query's probe set is a
   partition filter, pruned at file LISTING time exactly like the IVF
   cell directories (plan-asserted in tests/test_text_index.py).
-- ``<path>.stats``          one row ``(n_docs, n_toks)`` — the corpus
-  scalars BM25 needs (Lucene idf + length normalization).
+- ``<path>.stats``          appendable LOG of ``(n_docs, n_toks)``
+  delta rows — readers SUM it; build writes the base row, appends add
+  positive deltas, deletes add negative ones, compact re-bases.
+- ``<path>.doclens``        appendable ``(doc_id, dl)`` — the per-doc
+  length sidecar that makes DELETE stats exact (a zero-token doc has
+  no posting rows, so postings alone cannot say what a deleted doc
+  contributed to n_docs/n_toks).
+- ``<path>.tombstones``     delete log ``(doc_id)``, masked by every
+  query with a broadcast anti join until compact folds it in — the
+  same log-structured contract as the IVF index (nobody rewrites a
+  100 TB posting table to drop 0.01% of docs).
 
 Doc length ``dl`` is DENORMALIZED into every posting row: BM25's
 length-normalization needs it per (term, doc) anyway, and carrying it
@@ -75,6 +84,19 @@ def build_text_index(
     tasks × buckets files, the small-files explosion write_ivf_index
     documents). At 100 TB the posting table is a few percent of the
     raw text and each bucket directory is a handful of whole files."""
+    _write_index_batch(docs, path, n_buckets, id_col, text_col, "overwrite")
+
+
+def _write_index_batch(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int,
+    id_col: str,
+    text_col: str,
+    mode: str,
+) -> None:
+    """Shared build/append writer: postings (bucket-partitioned),
+    doclens sidecar, and a stats delta row, all in ``mode``."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"), ws_tokens(text_col).alias("toks")
     )
@@ -88,13 +110,139 @@ def build_text_index(
     )
     (
         postings.repartition(F.col("bucket"))
-        .write.mode("overwrite")
+        .write.mode(mode)
         .partitionBy("bucket")
         .parquet(path)
     )
+    toks.select("doc_id", F.size("toks").alias("dl")).write.mode(mode).parquet(
+        f"{path}.doclens"
+    )
     toks.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum(F.size("toks")).alias("n_toks")
-    ).write.mode("overwrite").parquet(f"{path}.stats")
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum(F.size("toks")), F.lit(0)).cast("long").alias("n_toks"),
+    ).write.mode(mode).parquet(f"{path}.stats")
+
+
+def append_to_text_index(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append NEW documents to a persisted index without touching what
+    is already there: postings land in their bucket partitions, the
+    doclens sidecar and the stats log grow by the batch's delta row.
+    Contract (same as the IVF add path): the caller appends fresh
+    doc_ids — re-adding a live id would double its postings. Appended
+    docs are queryable immediately; BM25 scores shift exactly as a
+    fresh rebuild over the union would (pinned in tests)."""
+    _write_index_batch(docs, path, n_buckets, id_col, text_col, "append")
+
+
+def _read_doc_tombstones(spark: SparkSession, path: str):
+    import os
+
+    tpath = f"{path}.tombstones"
+    if not os.path.isdir(tpath):
+        return None
+    return spark.read.parquet(tpath).select("doc_id").distinct()
+
+
+def delete_from_text_index(
+    ids: DataFrame, path: str, id_col: str = "doc_id"
+) -> None:
+    """Delete documents WITHOUT rewriting the posting table: append the
+    ids to the tombstone log (masked by every query with a broadcast
+    anti join) and a NEGATIVE stats delta computed from the doclens
+    sidecar — so idf's N and the length normalization reflect the
+    deletion exactly, zero-token docs included, and the from-index
+    scores stay bit-identical to a fresh rebuild over the survivors
+    (pinned in tests). Idempotent: already-tombstoned ids are dropped
+    before either write, so a retried delete can't double-subtract.
+    Crash window: stats land before tombstones — a crash between the
+    two leaves scores computed over slightly-small N until the retry
+    or compact heals it (documented, same spirit as the IVF log)."""
+    spark = ids.sparkSession
+    new_ids = ids.select(F.col(id_col).alias("doc_id")).distinct()
+    tombs = _read_doc_tombstones(spark, path)
+    if tombs is not None:
+        new_ids = new_ids.join(F.broadcast(tombs), "doc_id", "left_anti")
+    doclens = spark.read.parquet(f"{path}.doclens")
+    delta = (
+        doclens.join(F.broadcast(new_ids), "doc_id", "left_semi")
+        .agg(
+            (-F.count(F.lit(1))).cast("long").alias("n_docs"),
+            (-F.coalesce(F.sum("dl"), F.lit(0))).cast("long").alias("n_toks"),
+        )
+    )
+    delta.write.mode("append").parquet(f"{path}.stats")
+    new_ids.write.mode("append").parquet(f"{path}.tombstones")
+
+
+def recover_text_index(path: str) -> bool:
+    """Heal the non-atomic swap windows in compact_text_index: any of
+    the three dirs left at ``<dir>.old`` with ``<dir>`` missing is
+    restored. Returns True if anything was healed."""
+    import os
+
+    healed = False
+    for d in (path, f"{path}.doclens", f"{path}.stats"):
+        old = f"{d}.old"
+        if not os.path.isdir(d) and os.path.isdir(old):
+            os.rename(old, d)
+            healed = True
+    return healed
+
+
+def compact_text_index(spark: SparkSession, path: str) -> int:
+    """Fold the tombstone log into the index: rewrite postings and
+    doclens minus deleted docs, re-base the stats log to one fresh row
+    aggregated from the surviving doclens (which also heals any stats
+    drift a crashed delete left), and clear the log strictly last.
+    Returns the number of posting rows physically removed. Crash
+    contract mirrors compact_ivf_index: rewrites land in temp dirs
+    first; each swap is two renames healed by recover_text_index; the
+    tombstone mask keeps queries correct throughout."""
+    import os
+    import shutil
+    import uuid
+
+    recover_text_index(path)
+    tombs = _read_doc_tombstones(spark, path)
+    if tombs is None:
+        return 0
+    live = spark.read.parquet(path)
+    n_before = live.count()
+    kept = live.join(F.broadcast(tombs), "doc_id", "left_anti")
+    doclens_kept = (
+        spark.read.parquet(f"{path}.doclens")
+        .join(F.broadcast(tombs), "doc_id", "left_anti")
+    )
+    tag = uuid.uuid4().hex[:8]
+    tmp_p = f"{path}.compact-{tag}"
+    tmp_d = f"{path}.doclens.compact-{tag}"
+    tmp_s = f"{path}.stats.compact-{tag}"
+    (
+        kept.repartition(F.col("bucket"))
+        .write.mode("error")
+        .partitionBy("bucket")
+        .parquet(tmp_p)
+    )
+    doclens_kept.write.mode("error").parquet(tmp_d)
+    (
+        doclens_kept.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("n_toks"),
+        ).write.mode("error").parquet(tmp_s)
+    )
+    n_after = spark.read.parquet(tmp_p).count()
+    for d, tmp in ((path, tmp_p), (f"{path}.doclens", tmp_d), (f"{path}.stats", tmp_s)):
+        os.rename(d, f"{d}.old")
+        os.rename(tmp, d)
+        shutil.rmtree(f"{d}.old", ignore_errors=True)
+    shutil.rmtree(f"{path}.tombstones", ignore_errors=True)
+    return int(n_before - n_after)
 
 
 def bm25_from_index(
@@ -120,7 +268,17 @@ def bm25_from_index(
         .where(F.col("bucket").isin(buckets))
         .where(F.col("term").isin(*terms))
     )
-    stats = spark.read.parquet(f"{path}.stats")
+    tombs = _read_doc_tombstones(spark, path)
+    if tombs is not None:
+        # deletes are a LOG, not a rewrite — mask them here; exact ints
+        # in the stats log keep N/avgdl rebuild-identical too
+        p = p.join(F.broadcast(tombs), "doc_id", "left_anti")
+    # the stats sidecar is a delta LOG (build base + append/delete
+    # deltas) — the current corpus scalars are its exact integer sum
+    stats = spark.read.parquet(f"{path}.stats").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_toks"),
+    )
     df_ = p.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = df_.crossJoin(F.broadcast(stats)).select(
         "term",

@@ -1022,7 +1022,13 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, "documents", sf_dir)
     toks = docs.select(F.explode(ws_tokens("text")).alias("item"))
-    n = toks.count()
+    # total token count WITHOUT materializing the explode: sum of
+    # per-doc array sizes is the same number at a fraction of the scan
+    n = int(
+        docs.agg(
+            F.coalesce(F.sum(F.size(ws_tokens("text"))), F.lit(0))
+        ).first()[0]
+    )
     cands = (
         toks.mapInPandas(
             lambda it: _mg_partials(it, HH_K), schema="item string"

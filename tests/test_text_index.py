@@ -90,3 +90,96 @@ def test_registered_build_and_query_share_session_index(spark, sf_small):
     q2 = QUERIES["llm_bm25_index_query"].fn(spark, sf_small)
     assert q2.count() == q.count()
     assert os.path.getmtime(f"{path}.stats") == mtime  # no rebuild
+
+
+def _q(spark, path, terms=("hash", "join", "merge"), k=15):
+    return sorted(
+        map(tuple, bm25_from_index(spark, path, terms, k=k).collect())
+    )
+
+
+def test_append_matches_rebuild_over_union(spark, sf_small, tmp_path):
+    """Appending a batch must leave the index bit-identical (scores
+    included) to a fresh build over the union — idf's N, avgdl, df all
+    shift exactly."""
+    docs = load(spark, "documents", sf_small)
+    a = docs.where(F.col("doc_id") % 3 != 0)
+    b = docs.where(F.col("doc_id") % 3 == 0)
+    from etl_migrate_api_spark.operators.text_index import (
+        append_to_text_index,
+    )
+
+    inc = str(tmp_path / "inc")
+    build_text_index(a, inc)
+    append_to_text_index(b, inc)
+    full = str(tmp_path / "full")
+    build_text_index(docs, full)
+    assert _q(spark, inc) == _q(spark, full)
+
+
+def test_delete_matches_rebuild_over_survivors(spark, sf_small, tmp_path):
+    """Tombstoned docs must vanish from results AND from the corpus
+    scalars: the mutated index answers bit-identically to a fresh
+    build over the survivors (the doclens-backed negative stats delta
+    is what makes N/avgdl exact). A repeated delete of the same ids is
+    a no-op (idempotence guard)."""
+    from etl_migrate_api_spark.operators.text_index import (
+        delete_from_text_index,
+    )
+
+    docs = load(spark, "documents", sf_small)
+    idx = str(tmp_path / "idx")
+    build_text_index(docs, idx)
+    dead = docs.where(F.col("doc_id") % 4 == 1).select("doc_id")
+    delete_from_text_index(dead, idx)
+    ref = str(tmp_path / "ref")
+    build_text_index(docs.where(F.col("doc_id") % 4 != 1), ref)
+    assert _q(spark, idx) == _q(spark, ref)
+    delete_from_text_index(dead, idx)  # retry must not double-subtract
+    assert _q(spark, idx) == _q(spark, ref)
+
+
+def test_compact_folds_tombstones_and_preserves_results(
+    spark, sf_small, tmp_path
+):
+    from etl_migrate_api_spark.operators.text_index import (
+        compact_text_index,
+        delete_from_text_index,
+    )
+
+    docs = load(spark, "documents", sf_small)
+    idx = str(tmp_path / "idx")
+    build_text_index(docs, idx)
+    dead = docs.where(F.col("doc_id") % 4 == 1).select("doc_id")
+    delete_from_text_index(dead, idx)
+    before = _q(spark, idx)
+    removed = compact_text_index(spark, idx)
+    assert removed > 0
+    import os
+
+    assert not os.path.isdir(f"{idx}.tombstones")  # log cleared
+    assert _q(spark, idx) == before  # results unchanged by compaction
+    assert compact_text_index(spark, idx) == 0  # idempotent
+
+
+def test_compact_crash_window_recovers(spark, sf_small, tmp_path):
+    """Simulate the crash between compaction's two renames: index at
+    .old, path missing — recover_text_index must restore it and the
+    index must answer correctly (the tombstone mask still applies)."""
+    import os
+
+    from etl_migrate_api_spark.operators.text_index import (
+        delete_from_text_index,
+        recover_text_index,
+    )
+
+    docs = load(spark, "documents", sf_small)
+    idx = str(tmp_path / "idx")
+    build_text_index(docs, idx)
+    dead = docs.where(F.col("doc_id") % 4 == 1).select("doc_id")
+    delete_from_text_index(dead, idx)
+    want = _q(spark, idx)
+    os.rename(idx, f"{idx}.old")  # the torn state
+    assert recover_text_index(idx) is True
+    assert recover_text_index(idx) is False  # nothing left to heal
+    assert _q(spark, idx) == want
