@@ -638,6 +638,7 @@ _TEXT_INDEX_BUCKETS = 64
 
 @register(
     "llm_bm25_index_build",
+    headline=True,
     oracle=f"""
       with toks as (
         select doc_id, {_SQL_TOKS} as tk from documents
@@ -696,6 +697,7 @@ def llm_bm25_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_bm25_index_query",
+    headline=True,
     oracle=_bm25_oracle(),
     survey_refs=("J2", "O2", "A3"),
 )

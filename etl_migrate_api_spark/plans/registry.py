@@ -84,6 +84,13 @@ def _load_all() -> None:
 # 13-anchor §2 set cover. One first-timer waits for r11
 # (llm_multimodal_audio — its audio family keeps two other in-window
 # reps and full pytest pins; it leads the r11 queue).
+#
+# r11 rotation queue, in priority order: llm_multimodal_audio (the one
+# query with no driver row), llm_ann_lsh_topk (oracled IN PLACE in r10
+# after years as rows-only — needs its first HASH row),
+# llm_bm25_index_build + llm_bm25_index_query (the r10 inverted-index
+# pair, both oracled, registered after the r10 window was committed),
+# then any new r11 oracles.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- the r9 red, re-greened (INT96 stats fix in session.py) --
     "orders_zonemap_pruned_scan",

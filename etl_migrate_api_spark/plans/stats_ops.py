@@ -987,6 +987,7 @@ def _mg_partials(batches, k: int):
 
 @register(
     "agg_heavy_hitters",
+    headline=True,
     oracle=f"""
       with toks as (
         select unnest({SQL_WS_TOKENS}) as item from documents

@@ -42,7 +42,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # BENCH_r07.json (sf0.1), with two exceptions noted inline.
 BUDGETS_SEC: dict[str, float] = {
     "llm_curation_pipeline": 3.70,  # r7 verdict cap: 4.24 was a regression
-    "llm_dsir_sample": 2.09,
+    "llm_dsir_sample": 1.50,  # r10 ratchet: best-of-3 1.28 on a healthy host
     "contact_merge_fold": 1.02,
     "contact_merge_fold_stateful": 1.10,
     "llm_span_dedup": 0.72,
@@ -77,7 +77,7 @@ BUDGETS_SEC: dict[str, float] = {
     # behind in this process. Measured best-of-3 on a healthy r9 host
     # (env_factor 0.9, degraded_frac 0).
     "llm_ann_ivf_build": 2.12,
-    "llm_ann_ivf_query": 1.89,
+    "llm_ann_ivf_query": 1.00,  # r10 ratchet: best-of-3 0.85 (driver-side probe assign landed)
     "llm_semdedup": 1.06,
     "llm_ann_pq_topk": 1.01,
     # r7 recorded 1.02 but repeated idle-machine runs in r8 measure
@@ -93,15 +93,22 @@ BUDGETS_SEC: dict[str, float] = {
     # the loose side relative to the r7-host numbers above; the fleet-
     # median env factor is clamped at 1 so a faster host never tightens
     # them, it just makes them easier to meet
-    "llm_bigram_logprob_score": 3.28,
-    "llm_rag_context_pack": 2.88,
+    "llm_bigram_logprob_score": 2.30,  # r10 ratchet: best-of-3 1.99
+    "llm_rag_context_pack": 2.15,  # r10 ratchet: best-of-3 1.87
     "llm_mmr_rerank": 1.04,
     # r8 session-3 addition; ratcheted 2.30 -> 1.60 with the
     # collect_set/array-combos rewrite (one shuffle instead of three)
     "orders_market_basket": 1.60,
     # r8 session-4 sketch headliners, measured best-of-3 on the r8 host
-    "agg_hll_distinct": 2.20,
-    "agg_histogram_sketch": 4.80,
+    "agg_hll_distinct": 1.00,   # r10 ratchet: best-of-3 0.85 healthy (r9 recorded 10.2 was pure throttle)
+    "agg_histogram_sketch": 1.10,  # r10 ratchet: best-of-3 0.92
+    # r10 additions, best-of-3 isolated on a healthy r10 host
+    # (env_factor 0.85-0.95, degraded_frac 0): the inverted-index pair
+    # prices build vs amortized pruned probe separately (the IVF split
+    # lesson), heavy hitters is the 2-pass Misra-Gries
+    "llm_bm25_index_build": 1.75,
+    "llm_bm25_index_query": 0.70,
+    "agg_heavy_hitters": 0.80,
 }
 
 

@@ -41,6 +41,10 @@ assert n > 0, "llm query failed"
 # registry wrapper must force TIMESTAMP_MICROS before any engine write.
 n = qs["orders_zonemap_pruned_scan"](spark, "/root/testdata/sf0.001").count()
 assert n > 0, "zonemap prune failed on a vanilla session"
+# same failure class, other direction: format roundtrips write + read
+# timestamps under the driver's session — must survive vanilla defaults
+n = qs["orders_orc_roundtrip"](spark, "/root/testdata/sf0.001").count()
+assert n > 0, "orc roundtrip failed on a vanilla session"
 assert set(e.oracle_sql()).issubset(set(qs))
 print("CONTRACT-OK")
 """
