@@ -784,6 +784,94 @@ def orders_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_schema_evolution",
+    oracle="""
+      with v1 as (
+        select o_orderkey, o_orderstatus, o_totalprice,
+               cast(null as varchar) as channel
+        from orders where o_orderkey % 2 = 0
+      ),
+      v2 as (
+        select o_orderkey, o_orderstatus, o_totalprice,
+               case when o_orderkey % 3 = 0 then 'web'
+                    when o_orderkey % 3 = 1 then 'app'
+                    else 'ship' end as channel
+        from orders where o_orderkey % 2 = 1
+      ),
+      u as (
+        select * from v1 union all select * from v2
+      )
+      select o_orderstatus,
+             cast(count(*) as bigint) as n_orders,
+             cast(sum(case when channel is not null then 1 else 0 end)
+                  as bigint) as n_with_channel,
+             cast(sum(case when channel = 'web' then 1 else 0 end)
+                  as bigint) as n_web,
+             cast(round(sum(cast(o_totalprice as decimal(18,2))), 2)
+                  as double) as total_price
+      from u
+      group by o_orderstatus
+      order by o_orderstatus
+    """,
+    survey_refs=("K2", "P2", "P5"),
+)
+def orders_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution through the manifest-log table, driver-gated
+    end-to-end: v1 lands half the orders WITHOUT the ``channel``
+    column, v2 APPENDS the other half WITH it (a widened schema —
+    the additive-column evolution every long-lived table undergoes),
+    and the plain read must serve the union with NULLs for rows that
+    predate the column (mergeSchema over the version's segments). The
+    rollup counts channel coverage per status; the oracle rebuilds the
+    same union from raw orders, so a hash match proves the old
+    segments were neither rewritten nor misread and the new column's
+    values and null-backfill are exact.
+
+    100 TB: adding a column costs ZERO data movement — old segments
+    stay byte-identical (their footers simply lack the column) and
+    only the manifest's schema advances; the alternative (rewrite the
+    table) is a full-corpus shuffle nobody runs."""
+    import os
+
+    from etl_migrate_api_spark.catalog import load
+    from etl_migrate_api_spark.sinks.versioned import VersionedTable
+
+    orders = load(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = VersionedTable(_roundtrip_tmpdir("schemaevo", sf_dir))
+    t.commit(orders.where(F.col("o_orderkey") % 2 == 0), mode="overwrite")
+    evolved = orders.where(F.col("o_orderkey") % 2 == 1).withColumn(
+        "channel",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("web"))
+        .when(F.col("o_orderkey") % 3 == 1, F.lit("app"))
+        .otherwise(F.lit("ship")),
+    )
+    t.commit(evolved, mode="append", allow_evolution=True)
+    back = t.read(spark)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.when(F.col("channel").isNotNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_with_channel"),
+            F.sum(F.when(F.col("channel") == "web", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_web"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+            )
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
     "orders_json_functions",
     oracle=_FORMAT_ROUNDTRIP_SQL,
     survey_refs=("T3", "P3"),

@@ -90,7 +90,8 @@ def _load_all() -> None:
 # after years as rows-only — needs its first HASH row),
 # llm_bm25_index_build + llm_bm25_index_query (the r10 inverted-index
 # pair, both oracled, registered after the r10 window was committed),
-# then any new r11 oracles.
+# orders_schema_evolution (oracled; additive-column evolution through
+# the manifest log), then any new r11 oracles.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- the r9 red, re-greened (INT96 stats fix in session.py) --
     "orders_zonemap_pruned_scan",
