@@ -87,16 +87,16 @@ def build_text_index(
     _write_index_batch(docs, path, n_buckets, id_col, text_col, "overwrite")
 
 
-def _write_index_batch(
+def index_parts(
     docs: DataFrame,
-    path: str,
-    n_buckets: int,
-    id_col: str,
-    text_col: str,
-    mode: str,
-) -> None:
-    """Shared build/append writer: postings (bucket-partitioned),
-    doclens sidecar, and a stats delta row, all in ``mode``."""
+    n_buckets: int = DEFAULT_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One tokenization pass → the three index constituents for a doc
+    batch: bucket-tagged postings, the doclens sidecar rows, and the
+    single stats delta row. Shared by the batch writer and the
+    streaming maintainer (streaming/pipeline.py::text_index_stream)."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"), ws_tokens(text_col).alias("toks")
     )
@@ -108,19 +108,33 @@ def _write_index_batch(
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("bucket", term_bucket_expr(F.col("term"), n_buckets))
     )
+    doclens = toks.select("doc_id", F.size("toks").alias("dl"))
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum(F.size("toks")), F.lit(0)).cast("long").alias("n_toks"),
+    )
+    return postings, doclens, stats
+
+
+def _write_index_batch(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int,
+    id_col: str,
+    text_col: str,
+    mode: str,
+) -> None:
+    """Shared build/append writer: postings (bucket-partitioned),
+    doclens sidecar, and a stats delta row, all in ``mode``."""
+    postings, doclens, stats = index_parts(docs, n_buckets, id_col, text_col)
     (
         postings.repartition(F.col("bucket"))
         .write.mode(mode)
         .partitionBy("bucket")
         .parquet(path)
     )
-    toks.select("doc_id", F.size("toks").alias("dl")).write.mode(mode).parquet(
-        f"{path}.doclens"
-    )
-    toks.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.coalesce(F.sum(F.size("toks")), F.lit(0)).cast("long").alias("n_toks"),
-    ).write.mode(mode).parquet(f"{path}.stats")
+    doclens.write.mode(mode).parquet(f"{path}.doclens")
+    stats.write.mode(mode).parquet(f"{path}.stats")
 
 
 def append_to_text_index(
@@ -170,13 +184,27 @@ def delete_from_text_index(
         new_ids = new_ids.join(F.broadcast(tombs), "doc_id", "left_anti")
     doclens = spark.read.parquet(f"{path}.doclens")
     delta = (
-        doclens.join(F.broadcast(new_ids), "doc_id", "left_semi")
+        doclens.select("doc_id", "dl")
+        .join(F.broadcast(new_ids), "doc_id", "left_semi")
         .agg(
             (-F.count(F.lit(1))).cast("long").alias("n_docs"),
             (-F.coalesce(F.sum("dl"), F.lit(0))).cast("long").alias("n_toks"),
         )
     )
-    delta.write.mode("append").parquet(f"{path}.stats")
+    # a STREAMED index keeps its stats as batch=<id> partition dirs
+    # (streaming/pipeline.py::text_index_batch_writer) — appending loose
+    # files at that root would give the reader conflicting directory
+    # depths, so the delta lands in its own partition dir there
+    import os
+    import uuid
+
+    sdir = f"{path}.stats"
+    if any(d.startswith("batch=") for d in os.listdir(sdir)):
+        delta.write.mode("append").parquet(
+            os.path.join(sdir, f"batch=delete-{uuid.uuid4().hex[:8]}")
+        )
+    else:
+        delta.write.mode("append").parquet(sdir)
     new_ids.write.mode("append").parquet(f"{path}.tombstones")
 
 
@@ -212,11 +240,16 @@ def compact_text_index(spark: SparkSession, path: str) -> int:
     tombs = _read_doc_tombstones(spark, path)
     if tombs is None:
         return 0
-    live = spark.read.parquet(path)
+    # normalize to the base posting columns: a STREAMED index carries a
+    # batch partition column this rewrite deliberately compacts away
+    live = spark.read.parquet(path).select(
+        "term", "doc_id", "tf", "dl", "bucket"
+    )
     n_before = live.count()
     kept = live.join(F.broadcast(tombs), "doc_id", "left_anti")
     doclens_kept = (
         spark.read.parquet(f"{path}.doclens")
+        .select("doc_id", "dl")
         .join(F.broadcast(tombs), "doc_id", "left_anti")
     )
     tag = uuid.uuid4().hex[:8]

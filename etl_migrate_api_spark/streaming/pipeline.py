@@ -539,3 +539,78 @@ def funnel_view(spark: SparkSession, store_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("approx_users"),
     )
+
+
+def text_index_batch_writer(
+    index_path: str, n_buckets: int = 64
+) -> Callable[[DataFrame, int], None]:
+    """The foreachBatch body of text_index_stream, exposed for direct
+    testing (replay semantics): lands one doc micro-batch into the
+    streamed index layout, IDEMPOTENT BY batch_id — every constituent
+    is written with OVERWRITE into a deterministic ``batch=<id>``
+    partition directory, so a post-crash replay of the same batch
+    replaces its own partial leftovers instead of duplicating rows
+    (exactly-once effective state on top of foreachBatch's
+    at-least-once calls; the same replace-by-deterministic-path trick
+    the contact job's idempotent upserts use)."""
+    from etl_migrate_api_spark.operators.text_index import index_parts
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        postings, doclens, stats = index_parts(batch_df, n_buckets)
+        (
+            postings.repartition(F.col("bucket"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{index_path}/batch={batch_id}")
+        )
+        doclens.write.mode("overwrite").parquet(
+            f"{index_path}.doclens/batch={batch_id}"
+        )
+        stats.write.mode("overwrite").parquet(
+            f"{index_path}.stats/batch={batch_id}"
+        )
+
+    return process
+
+
+def text_index_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    checkpoint_dir: str,
+    index_path: str,
+    n_buckets: int = 64,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming maintainer of the persisted inverted text index: doc
+    files landing in ``landing_dir`` flow through micro-batches into
+    the SAME index layout bm25_from_index reads — postings partitioned
+    by (batch, bucket), doclens and stats-delta sidecars per batch.
+    Partition discovery treats ``batch`` as just another partition
+    column, so the query path is untouched: a bucket filter still
+    prunes at file listing inside every batch directory, the stats log
+    still sums, tombstone deletes still mask. The streamed index is
+    proven bit-identical (BM25 scores included) to a one-shot batch
+    build over the same docs in tests/test_text_index.py.
+
+    Contract: the stream OWNS the index from empty (the batch layout
+    has no batch= level; mixing the two depths in one root is a
+    partition-discovery error). Exactly-once: see
+    text_index_batch_writer.
+
+    100 TB: this is continuous ingest for the retrieval index — each
+    micro-batch costs one tokenize + one bucket-keyed shuffle of ITS
+    OWN postings only; compaction of many small batch dirs into few
+    big ones is the same maintenance story as the batch index."""
+    schema = spark.read.parquet(landing_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(landing_dir)
+    return (
+        docs.writeStream.foreachBatch(
+            text_index_batch_writer(index_path, n_buckets)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

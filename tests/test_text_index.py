@@ -183,3 +183,72 @@ def test_compact_crash_window_recovers(spark, sf_small, tmp_path):
     assert recover_text_index(idx) is True
     assert recover_text_index(idx) is False  # nothing left to heal
     assert _q(spark, idx) == want
+
+
+def test_streamed_index_equals_batch_build(spark, sf_small, tmp_path):
+    """Streaming maintainer end-to-end: docs landed as multiple files →
+    availableNow stream with maxFilesPerTrigger=1 (forcing several
+    micro-batches) → the streamed index must answer BM25 bit-identically
+    to a one-shot batch build over the same docs (scores included:
+    postings, doclens, and the summed stats deltas all line up)."""
+    from etl_migrate_api_spark.streaming.pipeline import text_index_stream
+
+    docs = load(spark, "documents", sf_small)
+    landing = str(tmp_path / "landing")
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+    idx = str(tmp_path / "streamed")
+    q = text_index_stream(
+        spark,
+        landing,
+        str(tmp_path / "ckpt"),
+        idx,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    ref = str(tmp_path / "ref")
+    build_text_index(docs, ref)
+    assert _q(spark, idx) == _q(spark, ref)
+    # several batch partitions actually exist (the stream really ran
+    # incrementally, not as one big batch)
+    import os
+
+    batches = [d for d in os.listdir(idx) if d.startswith("batch=")]
+    assert len(batches) >= 2, batches
+
+
+def test_stream_batch_replay_is_idempotent(spark, sf_small, tmp_path):
+    """foreachBatch is at-least-once: re-running a batch_id (the
+    post-crash replay) must leave the index state unchanged — the
+    writer overwrites its own deterministic batch=<id> dirs."""
+    from etl_migrate_api_spark.streaming.pipeline import (
+        text_index_batch_writer,
+    )
+
+    docs = load(spark, "documents", sf_small)
+    idx = str(tmp_path / "idx")
+    w = text_index_batch_writer(idx)
+    w(docs.where(F.col("doc_id") % 2 == 0), 0)
+    w(docs.where(F.col("doc_id") % 2 == 1), 1)
+    want = _q(spark, idx)
+    w(docs.where(F.col("doc_id") % 2 == 1), 1)  # replay batch 1
+    assert _q(spark, idx) == want
+    # and deletes still mask on the streamed layout
+    from etl_migrate_api_spark.operators.text_index import (
+        delete_from_text_index,
+    )
+
+    dead = docs.where(F.col("doc_id") % 4 == 1).select("doc_id")
+    delete_from_text_index(dead, idx)
+    ref = str(tmp_path / "ref")
+    build_text_index(docs.where(F.col("doc_id") % 4 != 1), ref)
+    assert _q(spark, idx) == _q(spark, ref)
+    # compaction normalizes the streamed layout (batch dirs folded away)
+    from etl_migrate_api_spark.operators.text_index import (
+        compact_text_index,
+    )
+
+    assert compact_text_index(spark, idx) > 0
+    assert _q(spark, idx) == _q(spark, ref)
