@@ -735,6 +735,62 @@ def llm_bm25_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_bm25_stream_index",
+    oracle=_bm25_oracle(),
+    survey_refs=("X1", "J2", "O2"),
+)
+def llm_bm25_stream_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING through the DuckDB gate — the first
+    driver-gated streaming query: the corpus lands as three file waves,
+    text_index_stream ingests them as availableNow micro-batches
+    (maxFilesPerTrigger=1 forces a real multi-batch run) into the
+    streamed inverted-index layout, and the SAME from-index BM25 runs
+    against what the stream built. The oracle is llm_bm25_search's,
+    VERBATIM — a hash match proves the streaming path end to end:
+    micro-batch boundaries, the exactly-once batch-dir writes, the
+    per-batch stats deltas summing to the corpus scalars, and
+    bit-identical scores vs the inline computation the oracle mirrors.
+    (The live-trigger/watermark behaviors that can't run under a gate —
+    replay after kill -9, late data — stay pinned in
+    tests/test_text_index.py and tests/test_kill9_recovery.py.)
+
+    100 TB: continuous retrieval-index ingest costs each micro-batch
+    one tokenize + one bucket shuffle of its OWN postings; queries pay
+    file-listing pruning regardless of how many batches landed."""
+    import os
+    import shutil
+
+    from etl_migrate_api_spark.operators.text_index import bm25_from_index
+    from etl_migrate_api_spark.plans.extras import _roundtrip_tmpdir
+    from etl_migrate_api_spark.streaming.pipeline import text_index_stream
+
+    docs = load(spark, "documents", sf_dir)
+    root = _roundtrip_tmpdir("bm25stream", sf_dir)
+    landing = os.path.join(root, "landing")
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+    idx = os.path.join(root, "index")
+    q = text_index_stream(
+        spark,
+        landing,
+        os.path.join(root, "ckpt"),
+        idx,
+        n_buckets=_TEXT_INDEX_BUCKETS,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(600)
+    out = bm25_from_index(
+        spark, idx, _BM25_TERMS, k=_BM25_TOP, k1=_BM25_K1, b=_BM25_B
+    )
+    out = out.persist()
+    out.count()  # materialize before the landing/index dirs can age out
+    shutil.rmtree(os.path.join(root, "ckpt"), ignore_errors=True)
+    return out
+
+
 def _bm25_doc_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc BM25 (doc_id, score decimal(18,9)-summed, n_terms) for
     the fixed query — the shared lexical leg of llm_bm25_search and

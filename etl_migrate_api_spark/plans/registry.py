@@ -91,7 +91,10 @@ def _load_all() -> None:
 # llm_bm25_index_build + llm_bm25_index_query (the r10 inverted-index
 # pair, both oracled, registered after the r10 window was committed),
 # orders_schema_evolution (oracled; additive-column evolution through
-# the manifest log), then any new r11 oracles.
+# the manifest log), llm_bm25_stream_index (the first gate-bound
+# STREAMING query — availableNow micro-batch ingest into the streamed
+# index layout, hash-matched against llm_bm25_search's oracle), then
+# any new r11 oracles.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- the r9 red, re-greened (INT96 stats fix in session.py) --
     "orders_zonemap_pruned_scan",

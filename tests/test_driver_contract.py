@@ -45,6 +45,10 @@ assert n > 0, "zonemap prune failed on a vanilla session"
 # timestamps under the driver's session — must survive vanilla defaults
 n = qs["orders_orc_roundtrip"](spark, "/root/testdata/sf0.001").count()
 assert n > 0, "orc roundtrip failed on a vanilla session"
+# the gate-bound STREAMING query: availableNow micro-batches +
+# foreachBatch index writes must run under the driver's own session
+n = qs["llm_bm25_stream_index"](spark, "/root/testdata/sf0.001").count()
+assert n > 0, "streamed-index bm25 failed on a vanilla session"
 assert set(e.oracle_sql()).issubset(set(qs))
 print("CONTRACT-OK")
 """
