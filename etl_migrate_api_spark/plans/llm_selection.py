@@ -1821,20 +1821,14 @@ _PINNED_BPE_MERGES: list[tuple[str, str]] = [
 ]
 
 
-def _bpe_pinned_oracle(max_len: int = 8, k_top: int = 50) -> str:
-    """The BPE APPLY loop as exact SQL: words are capped at ``max_len``
-    chars (+ the </w> marker = ≤ max_len+1 symbols), so the
-    merge-until-fixpoint loop terminates in ≤ max_len rounds — unroll
-    exactly that many. Each round finds the LOWEST-RANK applicable rule
-    (least over contains() probes against the space-sentineled symbol
-    string) and applies it to all occurrences: plain replace() is
-    single-pass left-to-right and a chained run like ``a b a b`` shares
-    the boundary space between adjacent matches, so one pass catches
-    only the first of a chain — ⌈(max_len+1)/2⌉ stacked replaces reach
-    the fixpoint for one rule (proven equal to the production
-    list-walk in tests). Every round is AS MATERIALIZED — DuckDB
-    inlines chained CTEs by default and the 8-round chain would expand
-    exponentially (the unigram-viterbi lesson)."""
+def _bpe_apply_rounds(max_len: int, carry: str) -> str:
+    """Shared SQL generator for the unrolled BPE APPLY chain (w0 →
+    s{max_len-1}): per round, lowest-rank applicable rule via least()
+    over contains() probes, applied with ⌈(max_len+1)/2⌉ stacked
+    replaces (single-pass replace shares the boundary space between
+    chained matches — property-pinned ≡ the engine list-walk). Every
+    round AS MATERIALIZED (chained-CTE inlining goes exponential).
+    ``carry`` = the non-state columns threaded through each round."""
     reps = (max_len + 2) // 2
 
     def rep_n(pat: str, rw: str) -> str:
@@ -1853,19 +1847,37 @@ def _bpe_pinned_oracle(max_len: int = 8, k_top: int = 50) -> str:
     )
     steps = []
     prev = "w0"
-    for s in range(max_len):
+    for st in range(max_len):
         steps.append(
             f""",
-      s{s} as materialized (
-        select word, cnt,
+      s{st} as materialized (
+        select {carry},
                case least({probes})
                  {cases}
                  else state end as state
         from {prev}
       )"""
         )
-        prev = f"s{s}"
-    steps_sql = "".join(steps)
+        prev = f"s{st}"
+    return "".join(steps)
+
+
+def _bpe_pinned_oracle(max_len: int = 8, k_top: int = 50) -> str:
+    """The BPE APPLY loop as exact SQL: words are capped at ``max_len``
+    chars (+ the </w> marker = ≤ max_len+1 symbols), so the
+    merge-until-fixpoint loop terminates in ≤ max_len rounds — unroll
+    exactly that many. Each round finds the LOWEST-RANK applicable rule
+    (least over contains() probes against the space-sentineled symbol
+    string) and applies it to all occurrences: plain replace() is
+    single-pass left-to-right and a chained run like ``a b a b`` shares
+    the boundary space between adjacent matches, so one pass catches
+    only the first of a chain — ⌈(max_len+1)/2⌉ stacked replaces reach
+    the fixpoint for one rule (proven equal to the production
+    list-walk in tests). Every round is AS MATERIALIZED — DuckDB
+    inlines chained CTEs by default and the 8-round chain would expand
+    exponentially (the unigram-viterbi lesson)."""
+    steps_sql = _bpe_apply_rounds(max_len, "word, cnt")
+    prev = f"s{max_len - 1}"
     return f"""
       with words as materialized (
         select word, count(*) as cnt from (
@@ -2043,6 +2055,96 @@ def llm_bpe_encode_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.persist()
     out.count()
     words.unpersist()
+    return out
+
+
+def _bpe_fertility_oracle(max_len: int = 8) -> str:
+    """Tokenizer fertility per language: the pinned-BPE encode chain
+    runs once per DISTINCT word (the Zipf asymmetry), then per-(lang,
+    word) corpus counts reweight piece counts into lang-level totals.
+    Fertility (tokens per word) is emitted as exact integer micros —
+    (Σ cnt·pieces · 1e6) div Σ cnt — no float division on either
+    side."""
+    rounds = _bpe_apply_rounds(max_len, "word")
+    return f"""
+      with wl as materialized (
+        select lang, word, count(*) as cnt from (
+          select lang, unnest({_SQL_TOKS}) as word from documents)
+        where regexp_matches(word, '^[a-z]{{1,{max_len}}}$')
+        group by lang, word
+      ),
+      w0 as materialized (
+        select word,
+               ' ' || array_to_string(
+                 list_transform(range(length(word)), i -> word[i+1]),
+                 ' ') || ' </w> ' as state
+        from (select distinct word from wl)
+      ){rounds},
+      pieces as (
+        select word,
+               len(list_filter(string_split(state, ' '),
+                               x -> x <> '')) as np
+        from s{max_len - 1}
+      )
+      select lang,
+             cast(sum(cnt) as bigint) as n_words,
+             cast(sum(cnt * np) as bigint) as n_tokens,
+             cast((sum(cnt * np) * 1000000) // sum(cnt) as bigint)
+               as fertility_micro
+      from wl join pieces using (word)
+      group by lang
+      order by lang
+    """
+
+
+@register(
+    "llm_tokenizer_fertility",
+    oracle=_bpe_fertility_oracle(),
+    survey_refs=("A3", "T8"),
+)
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility report — the per-language diagnostic a
+    training pipeline publishes with a tokenizer (high fertility on a
+    language = its text costs more sequence length per word, the
+    classic multilingual-tokenizer equity metric): encode each DISTINCT
+    [a-z]{1,8} word once with the pinned 24-rule BPE (the production
+    encoder), reweight piece counts by per-(lang, word) corpus
+    frequency, and emit words / tokens / fertility-in-integer-micros
+    per language. Fertility is (Σ cnt·pieces · 1e6) div Σ cnt — exact
+    integer arithmetic, no float division, so the whole report rides
+    the hash gate on the back of the encode twin's oracle chain.
+
+    100 TB: encode cost ∝ distinct vocab (Zipf), the reweight is one
+    broadcast-sized join of (word → n_pieces) onto the (lang, word)
+    count table, and the rollup shuffles |langs| rows."""
+    docs = load(spark, "documents", sf_dir)
+    wl = (
+        docs.select("lang", F.explode(_ws_tokens("text")).alias("word"))
+        .where(F.col("word").rlike("^[a-z]{1,8}$"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wl = wl.persist()
+    enc = bpe_encode_words(
+        wl.select("word").distinct(), _PINNED_BPE_MERGES
+    ).select("word", F.size("toks").alias("np"))
+    out = (
+        wl.join(enc, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("np"))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.expr("(sum(cnt * np) * 1000000) div sum(cnt)")
+            .cast("bigint")
+            .alias("fertility_micro"),
+        )
+        .orderBy("lang")
+    )
+    out = out.persist()
+    out.count()
+    wl.unpersist()
     return out
 
 

@@ -93,8 +93,9 @@ def _load_all() -> None:
 # orders_schema_evolution (oracled; additive-column evolution through
 # the manifest log), llm_bm25_stream_index (the first gate-bound
 # STREAMING query — availableNow micro-batch ingest into the streamed
-# index layout, hash-matched against llm_bm25_search's oracle), then
-# any new r11 oracles.
+# index layout, hash-matched against llm_bm25_search's oracle),
+# llm_tokenizer_fertility (per-language tokens/word in integer micros
+# over the pinned-BPE encode chain), then any new r11 oracles.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- the r9 red, re-greened (INT96 stats fix in session.py) --
     "orders_zonemap_pruned_scan",
