@@ -715,7 +715,28 @@ def ivf_topk_from_index(
     ]
     qrows = _collect_query_rows(queries, id_col, vec_col)
     if not qrows:
-        return _empty_topk(spark)
+        # match the NON-empty path's schema exactly: caller-inherited
+        # id types (this path accepts string ids) and the trailing
+        # `cell int` column — the generic _empty_topk's (long ids,
+        # est_ip) would break a union with a non-empty result
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(
+                        "query_id", queries.schema[id_col].dataType
+                    ),
+                    T.StructField("rank", T.IntegerType()),
+                    T.StructField(
+                        "neighbor_id",
+                        spark.read.parquet(path).schema["vec_id"].dataType,
+                    ),
+                    T.StructField("cell", T.IntegerType()),
+                ]
+            ),
+        )
     units = []
     for cid, cv in cent_rows:
         nrm = sum(x * x for x in cv) ** 0.5

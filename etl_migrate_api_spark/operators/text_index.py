@@ -84,6 +84,12 @@ def build_text_index(
     tasks × buckets files, the small-files explosion write_ivf_index
     documents). At 100 TB the posting table is a few percent of the
     raw text and each bucket directory is a handful of whole files."""
+    import shutil
+
+    # a REBUILD must not inherit the previous incarnation's delete log:
+    # stale tombstones would silently mask live documents whose ids
+    # collide with previously deleted ones
+    shutil.rmtree(f"{path}.tombstones", ignore_errors=True)
     _write_index_batch(docs, path, n_buckets, id_col, text_col, "overwrite")
 
 
@@ -166,46 +172,29 @@ def _read_doc_tombstones(spark: SparkSession, path: str):
 def delete_from_text_index(
     ids: DataFrame, path: str, id_col: str = "doc_id"
 ) -> None:
-    """Delete documents WITHOUT rewriting the posting table: append the
-    ids to the tombstone log (masked by every query with a broadcast
-    anti join) and a NEGATIVE stats delta computed from the doclens
-    sidecar — so idf's N and the length normalization reflect the
-    deletion exactly, zero-token docs included, and the from-index
-    scores stay bit-identical to a fresh rebuild over the survivors
-    (pinned in tests). Idempotent: already-tombstoned ids are dropped
-    before either write, so a retried delete can't double-subtract.
-    Crash window: stats land before tombstones — a crash between the
-    two leaves scores computed over slightly-small N until the retry
-    or compact heals it (documented, same spirit as the IVF log)."""
-    spark = ids.sparkSession
-    new_ids = ids.select(F.col(id_col).alias("doc_id")).distinct()
-    tombs = _read_doc_tombstones(spark, path)
-    if tombs is not None:
-        new_ids = new_ids.join(F.broadcast(tombs), "doc_id", "left_anti")
-    doclens = spark.read.parquet(f"{path}.doclens")
-    delta = (
-        doclens.select("doc_id", "dl")
-        .join(F.broadcast(new_ids), "doc_id", "left_semi")
-        .agg(
-            (-F.count(F.lit(1))).cast("long").alias("n_docs"),
-            (-F.coalesce(F.sum("dl"), F.lit(0))).cast("long").alias("n_toks"),
+    """Delete documents WITHOUT rewriting the posting table: ONE atomic
+    append to the tombstone log of (doc_id, dl) rows — dl looked up
+    from the doclens sidecar so zero-token docs count correctly. The
+    stats adjustment happens at READ time (bm25_from_index subtracts
+    the DISTINCT tombstones' count/Σdl from the stats-log sum), so a
+    delete has no multi-write crash window at all: a retry or a
+    concurrent overlapping delete merely appends duplicate tombstone
+    rows, and the reader's DISTINCT collapses them — idempotent by
+    construction, and N/avgdl stay rebuild-identical (pinned in
+    tests). Ids not present in the index are dropped (no phantom
+    stats adjustment). Compact folds the log and clears it."""
+    dead = (
+        ids.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .join(
+            ids.sparkSession.read.parquet(f"{path}.doclens").select(
+                "doc_id", "dl"
+            ),
+            "doc_id",
         )
+        .distinct()
     )
-    # a STREAMED index keeps its stats as batch=<id> partition dirs
-    # (streaming/pipeline.py::text_index_batch_writer) — appending loose
-    # files at that root would give the reader conflicting directory
-    # depths, so the delta lands in its own partition dir there
-    import os
-    import uuid
-
-    sdir = f"{path}.stats"
-    if any(d.startswith("batch=") for d in os.listdir(sdir)):
-        delta.write.mode("append").parquet(
-            os.path.join(sdir, f"batch=delete-{uuid.uuid4().hex[:8]}")
-        )
-    else:
-        delta.write.mode("append").parquet(sdir)
-    new_ids.write.mode("append").parquet(f"{path}.tombstones")
+    dead.write.mode("append").parquet(f"{path}.tombstones")
 
 
 def recover_text_index(path: str) -> bool:
@@ -303,15 +292,37 @@ def bm25_from_index(
     )
     tombs = _read_doc_tombstones(spark, path)
     if tombs is not None:
-        # deletes are a LOG, not a rewrite — mask them here; exact ints
-        # in the stats log keep N/avgdl rebuild-identical too
+        # deletes are a LOG, not a rewrite — mask them here
         p = p.join(F.broadcast(tombs), "doc_id", "left_anti")
-    # the stats sidecar is a delta LOG (build base + append/delete
-    # deltas) — the current corpus scalars are its exact integer sum
-    stats = spark.read.parquet(f"{path}.stats").agg(
-        F.sum("n_docs").cast("long").alias("n_docs"),
-        F.sum("n_toks").cast("long").alias("n_toks"),
+    # the stats sidecar is a delta LOG (build base + append deltas) —
+    # the current corpus scalars are its exact integer sum, MINUS the
+    # distinct tombstones' (count, Σdl): the delete log carries dl
+    # precisely so N/avgdl stay rebuild-identical with a one-append,
+    # idempotent delete (duplicates collapse under the DISTINCT)
+    base = spark.read.parquet(f"{path}.stats").agg(
+        F.sum("n_docs").cast("long").alias("bd"),
+        F.sum("n_toks").cast("long").alias("bt"),
     )
+    import os as _os
+
+    if _os.path.isdir(f"{path}.tombstones"):
+        tadj = (
+            spark.read.parquet(f"{path}.tombstones")
+            .select("doc_id", "dl")
+            .distinct()
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("td"),
+                F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("tt"),
+            )
+        )
+        stats = base.crossJoin(F.broadcast(tadj)).select(
+            (F.col("bd") - F.col("td")).alias("n_docs"),
+            (F.col("bt") - F.col("tt")).alias("n_toks"),
+        )
+    else:
+        stats = base.select(
+            F.col("bd").alias("n_docs"), F.col("bt").alias("n_toks")
+        )
     df_ = p.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = df_.crossJoin(F.broadcast(stats)).select(
         "term",

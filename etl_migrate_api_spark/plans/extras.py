@@ -678,27 +678,18 @@ def _format_roundtrip_agg(df: DataFrame) -> DataFrame:
 
 
 def _roundtrip_tmpdir(kind: str, sf_dir: str) -> str:
-    """Per-run tmp dir with the same stale-sweep hygiene as the jsonl /
-    ivf-index queries (6 h cutoff, uuid-suffixed so concurrent runs
-    never collide)."""
+    """Per-run tmp dir with the shared stale-sweep hygiene
+    (tmputil.sweep_stale_dirs; uuid-suffixed so concurrent runs never
+    collide)."""
     import os
-    import shutil
     import tempfile
-    import time
     import uuid
+
+    from etl_migrate_api_spark.tmputil import sweep_stale_dirs
 
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     root = os.path.join(tempfile.gettempdir(), f"spark_graft_{kind}")
-    cutoff = time.time() - 6 * 3600
-    for stale in (
-        os.path.join(root, d)
-        for d in (os.listdir(root) if os.path.isdir(root) else [])
-    ):
-        try:
-            if os.path.getmtime(stale) < cutoff:
-                shutil.rmtree(stale, ignore_errors=True)
-        except OSError:
-            pass  # a concurrent sweep already took it
+    sweep_stale_dirs(root)
     return os.path.join(root, f"{tag}_{uuid.uuid4().hex[:8]}")
 
 

@@ -2084,15 +2084,23 @@ def llm_ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents2d = F.array(
         *[F.array(*[F.lit(x) for x in cv]) for cv in cents]
     )
-    base = emb.select(
+    # two projections so the 4×64-dot coarse assignment runs ONCE per
+    # row: Catalyst does not CSE an expression referenced both as a
+    # plain column and inside a higher-order-function lambda
+    assigned = emb.select(
         F.col("vec_id").alias("neighbor_id"),
+        "embedding",
         cell_expr(F.col("embedding")).alias("cell"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    base = assigned.select(
+        "neighbor_id",
+        "cell",
         F.zip_with(
             "embedding",
-            F.element_at(cents2d, cell_expr(F.col("embedding")) + 1),
+            F.element_at(cents2d, F.col("cell") + 1),
             lambda x, c: x - c,
         ).alias("r"),
-    ).repartition(spark.sparkContext.defaultParallelism)
+    )
 
     code_cols = []
     for j in range(m):

@@ -617,20 +617,9 @@ def _text_index_shared_path(sf_dir: str) -> str:
 
 
 def _text_index_sweep_stale(root: str) -> None:
-    import os
-    import shutil
-    import time
+    from etl_migrate_api_spark.tmputil import sweep_stale_dirs
 
-    cutoff = time.time() - 6 * 3600
-    for stale in (
-        os.path.join(root, d)
-        for d in (os.listdir(root) if os.path.isdir(root) else [])
-    ):
-        try:
-            if os.path.getmtime(stale) < cutoff:
-                shutil.rmtree(stale, ignore_errors=True)
-        except OSError:
-            pass  # a concurrent sweep already took it
+    sweep_stale_dirs(root)
 
 
 _TEXT_INDEX_BUCKETS = 64
@@ -683,6 +672,8 @@ def llm_bm25_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     _text_index_sweep_stale(os.path.dirname(path))
     shutil.rmtree(path, ignore_errors=True)
     shutil.rmtree(f"{path}.stats", ignore_errors=True)
+    shutil.rmtree(f"{path}.doclens", ignore_errors=True)
+    shutil.rmtree(f"{path}.tombstones", ignore_errors=True)
     build_text_index(docs, path, n_buckets=_TEXT_INDEX_BUCKETS)
     return (
         spark.read.parquet(path)
@@ -781,7 +772,15 @@ def llm_bm25_stream_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=_TEXT_INDEX_BUCKETS,
         max_files_per_trigger=1,
     )
-    q.awaitTermination(600)
+    # awaitTermination(timeout) returns False on timeout, it does NOT
+    # raise — proceeding would score a partially-built index while the
+    # stream keeps writing under us
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(
+            "text_index_stream did not finish within 600 s — refusing "
+            "to score a partially built index"
+        )
     out = bm25_from_index(
         spark, idx, _BM25_TERMS, k=_BM25_TOP, k1=_BM25_K1, b=_BM25_B
     )

@@ -541,30 +541,57 @@ class VersionedTable:
             # overwrite here would silently drop a rival's commit from
             # the branch (last-write-wins), unlike main's rebase path.
             # CAS via a link-lock: hold the ref's lock across
-            # read-compare-write so two committers serialize.
+            # read-compare-write so two committers serialize. The lock
+            # file carries a per-attempt TOKEN so release is
+            # owner-checked — a holder can never unlink a lock it no
+            # longer owns (e.g. after a breaker intervened).
             lock = self._ref_path(name) + ".lock"
-            tmp_l = lock + f".tmp-{uuid.uuid4().hex[:8]}"
+            token = uuid.uuid4().hex
+            tmp_l = lock + f".tmp-{token[:8]}"
             with open(tmp_l, "w") as fh:
-                fh.write(str(v))
+                fh.write(token)
+
+            def _release() -> None:
+                try:
+                    with open(lock) as fh:
+                        mine = fh.read() == token
+                    if mine:
+                        os.unlink(lock)
+                except OSError:
+                    pass  # already gone, or not ours to judge
+
             try:
                 os.link(tmp_l, lock)
             except FileExistsError:
                 os.unlink(tmp_l)
                 os.unlink(self._vpath(v))  # rival holds the ref — rebase
                 # stale-lock recovery: a committer that died between
-                # os.link and the finally-unlink would wedge the branch
+                # os.link and the release would wedge the branch
                 # forever. The lock is only ever held across a
                 # read-compare-write of the ref (milliseconds), so one
-                # older than LOCK_STALE_SEC is a corpse. Takeover is
-                # atomic via rename — of two breakers, exactly one
-                # rename succeeds, the other sees FileNotFoundError.
+                # older than LOCK_STALE_SEC is a corpse. CLAIM FIRST
+                # (rename is atomic — of two breakers exactly one
+                # wins), THEN judge the claimed corpse's own mtime:
+                # judging before claiming is a TOCTOU where the stat
+                # ages while a live holder re-acquires at the same
+                # path. A claimed-but-fresh lock is restored via
+                # os.link (fails loudly if a rival re-locked — then
+                # the fresh holder's owner-checked release keeps it
+                # from unlinking the rival's lock).
                 try:
+                    corpse = lock + f".stale-{uuid.uuid4().hex[:8]}"
+                    os.rename(lock, corpse)
                     if (
-                        _time.time() - os.path.getmtime(lock)
+                        _time.time() - os.path.getmtime(corpse)
                         > self.LOCK_STALE_SEC
                     ):
-                        corpse = lock + f".stale-{uuid.uuid4().hex[:8]}"
-                        os.rename(lock, corpse)
+                        os.unlink(corpse)  # genuinely dead — broken
+                    else:
+                        try:
+                            os.link(corpse, lock)  # live — put it back
+                        except FileExistsError:
+                            pass  # rival re-locked; holder's release
+                            # is owner-checked so nothing double-frees
                         os.unlink(corpse)
                 except OSError:
                     pass  # holder released, or another breaker won
@@ -586,10 +613,7 @@ class VersionedTable:
                 self._write_ref(name, {"kind": "branch", "version": v})
                 return v
             finally:
-                try:
-                    os.unlink(lock)
-                except FileNotFoundError:
-                    pass
+                _release()
 
     def latest_main_version(self) -> int:
         """Newest version NOT belonging to a branch — what plain

@@ -252,3 +252,53 @@ def test_stream_batch_replay_is_idempotent(spark, sf_small, tmp_path):
 
     assert compact_text_index(spark, idx) > 0
     assert _q(spark, idx) == _q(spark, ref)
+
+
+def test_delete_is_one_atomic_append_no_stats_drift(spark, sf_small, tmp_path):
+    """Review finding r10: the old delete wrote stats and tombstones as
+    TWO appends — a crash between them (or a concurrent overlapping
+    delete) double-subtracted the corpus scalars. Deletes are now ONE
+    tombstone append carrying dl; the reader subtracts DISTINCT
+    tombstones, so overlapping/raced deletes collapse. Simulate the
+    worst case: the same delete applied three times, plus an
+    overlapping set, must equal a fresh rebuild over the survivors."""
+    from etl_migrate_api_spark.operators.text_index import (
+        delete_from_text_index,
+    )
+
+    docs = load(spark, "documents", sf_small)
+    idx = str(tmp_path / "idx")
+    build_text_index(docs, idx)
+    dead = docs.where(F.col("doc_id") % 4 == 1).select("doc_id")
+    overlap = docs.where(F.col("doc_id") % 8 == 1).select("doc_id")
+    delete_from_text_index(dead, idx)
+    delete_from_text_index(dead, idx)      # retry (crash-replay shape)
+    delete_from_text_index(overlap, idx)   # overlapping subset
+    delete_from_text_index(dead, idx)      # and again
+    ref = str(tmp_path / "ref")
+    build_text_index(docs.where(F.col("doc_id") % 4 != 1), ref)
+    assert _q(spark, idx) == _q(spark, ref)
+    # ids that never existed are no-ops, not phantom stats adjustments
+    ghost = spark.createDataFrame([(10**9,)], "doc_id long")
+    delete_from_text_index(ghost, idx)
+    assert _q(spark, idx) == _q(spark, ref)
+
+
+def test_rebuild_does_not_inherit_tombstones(spark, sf_small, tmp_path):
+    """Review finding r10: an overwrite rebuild must clear the previous
+    incarnation's delete log — stale tombstones would silently mask
+    live documents whose ids collide with previously deleted ones."""
+    from etl_migrate_api_spark.operators.text_index import (
+        delete_from_text_index,
+    )
+
+    docs = load(spark, "documents", sf_small)
+    idx = str(tmp_path / "idx")
+    build_text_index(docs, idx)
+    delete_from_text_index(
+        docs.where(F.col("doc_id") % 2 == 0).select("doc_id"), idx
+    )
+    build_text_index(docs, idx)  # full rebuild — everything is live
+    ref = str(tmp_path / "ref")
+    build_text_index(docs, ref)
+    assert _q(spark, idx) == _q(spark, ref)
