@@ -17,10 +17,32 @@ Layout (all parquet):
   length sidecar that makes DELETE stats exact (a zero-token doc has
   no posting rows, so postings alone cannot say what a deleted doc
   contributed to n_docs/n_toks).
-- ``<path>.tombstones``     delete log ``(doc_id)``, masked by every
-  query with a broadcast anti join until compact folds it in — the
-  same log-structured contract as the IVF index (nobody rewrites a
-  100 TB posting table to drop 0.01% of docs).
+- ``<path>.tombstones``     delete log ``(doc_id, dl, epoch)``, masked
+  by every query with a broadcast anti join until compact folds it in
+  — the same log-structured contract as the IVF index (nobody rewrites
+  a 100 TB posting table to drop 0.01% of docs). ``epoch`` is the
+  compaction generation the delete was written under (see below).
+
+Crash contract (ADVICE r10): compaction swaps three directories with
+non-atomic rename pairs, then clears the tombstone log strictly last.
+Readers self-heal: ``bm25_from_index`` calls ``recover_text_index``
+before reading (two-three ``isdir`` checks when nothing is torn), which
+restores a ``<dir>.old`` whose live twin is missing and sweeps a
+leftover ``.old`` whose live twin exists (else the NEXT compact's
+rename-to-``.old`` would wedge on ENOTEMPTY). The remaining torn state
+— stats re-based but tombstones not yet cleared — is neutralized by the
+EPOCH: compact stamps the re-based stats dir with a hidden
+``.compact_epoch`` marker (atomic WITH the stats swap, because it
+lives inside the swapped dir), and the reader subtracts only tombstones
+whose ``epoch`` matches the current marker. Tombstones from a prior
+epoch are by construction already folded into the re-based stats, so
+they adjust nothing; the posting-row anti-join keeps using ALL
+tombstone ids (a no-op on compacted postings). A doclens semi-join
+alone would NOT close this window: with any swap ordering there is an
+intermediate where doclens is already compacted but stats is not (or
+vice versa), and the adjustment collapses to zero against un-rebased
+numbers — the epoch keys the adjustment to the stats dir itself, the
+one directory whose state it must track.
 
 Doc length ``dl`` is DENORMALIZED into every posting row: BM25's
 length-normalization needs it per (term, doc) anyway, and carrying it
@@ -174,6 +196,24 @@ def append_to_text_index(
     _write_index_batch(docs, path, n_buckets, id_col, text_col, "append")
 
 
+_EPOCH_FILE = ".compact_epoch"
+
+
+def _read_epoch(path: str) -> int:
+    """Current compaction generation — a hidden marker INSIDE the stats
+    dir so it swaps atomically with the stats re-base. 0 before the
+    first compact (plain builds write no marker). Hidden (dot-prefixed)
+    files are ignored by Spark's parquet listing."""
+    import os
+
+    marker = os.path.join(f"{path}.stats", _EPOCH_FILE)
+    try:
+        with open(marker) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return 0
+
+
 def _read_doc_tombstones(spark: SparkSession, path: str):
     import os
 
@@ -196,7 +236,12 @@ def delete_from_text_index(
     rows, and the reader's DISTINCT collapses them — idempotent by
     construction, and N/avgdl stay rebuild-identical (pinned in
     tests). Ids not present in the index are dropped (no phantom
-    stats adjustment). Compact folds the log and clears it."""
+    stats adjustment). Compact folds the log and clears it. Each row
+    is stamped with the current compaction epoch so a reader after a
+    TORN compact (stats re-based, log not yet cleared) knows these
+    rows are not yet folded — see the module docstring. The doclens
+    join already yields one row per live id (ids are DISTINCT and
+    doclens is unique per doc_id), so no second distinct is needed."""
     dead = (
         ids.select(F.col(id_col).alias("doc_id"))
         .distinct()
@@ -206,7 +251,7 @@ def delete_from_text_index(
             ),
             "doc_id",
         )
-        .distinct()
+        .withColumn("epoch", F.lit(_read_epoch(path)).cast("int"))
     )
     dead.write.mode("append").parquet(f"{path}.tombstones")
 
@@ -214,15 +259,25 @@ def delete_from_text_index(
 def recover_text_index(path: str) -> bool:
     """Heal the non-atomic swap windows in compact_text_index: any of
     the three dirs left at ``<dir>.old`` with ``<dir>`` missing is
-    restored. Returns True if anything was healed."""
+    restored, and a leftover ``<dir>.old`` BESIDE a live ``<dir>``
+    (crash between the rename-in and the rmtree) is swept — otherwise
+    the next compact's ``os.rename(d, d + '.old')`` wedges on
+    ENOTEMPTY forever (ADVICE r10). The leftover is by construction
+    the superseded pre-swap copy, safe to drop. Returns True if
+    anything was healed."""
     import os
+    import shutil
 
     healed = False
     for d in (path, f"{path}.doclens", f"{path}.stats"):
         old = f"{d}.old"
-        if not os.path.isdir(d) and os.path.isdir(old):
+        if not os.path.isdir(old):
+            continue
+        if not os.path.isdir(d):
             os.rename(old, d)
-            healed = True
+        else:
+            shutil.rmtree(old, ignore_errors=True)
+        healed = True
     return healed
 
 
@@ -272,6 +327,13 @@ def compact_text_index(spark: SparkSession, path: str) -> int:
             F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("n_toks"),
         ).write.mode("error").parquet(tmp_s)
     )
+    # stamp the NEXT epoch inside the re-based stats dir BEFORE the
+    # swap: the marker becomes visible atomically with the re-base, so
+    # a reader after a torn compact (stats swapped, tombstones not yet
+    # cleared) sees epoch+1 and ignores the already-folded epoch-N
+    # tombstone rows instead of double-subtracting them (ADVICE r10)
+    with open(os.path.join(tmp_s, _EPOCH_FILE), "w") as fh:
+        fh.write(str(_read_epoch(path) + 1))
     n_after = spark.read.parquet(tmp_p).count()
     for d, tmp in ((path, tmp_p), (f"{path}.doclens", tmp_d), (f"{path}.stats", tmp_s)):
         os.rename(d, f"{d}.old")
@@ -297,7 +359,14 @@ def bm25_from_index(
     decimals — the same expression shapes as the inline
     llm_bm25_search, so results are bit-identical and share its DuckDB
     oracle. At 100 TB a 3-term query opens ≤ 3 of ``n_buckets`` bucket
-    directories and never touches raw text."""
+    directories and never touches raw text.
+
+    Reads are self-healing: a crashed compact's torn directory layout
+    is repaired here (cheap ``isdir`` probes when nothing is torn), so
+    a reader never depends on exact-path addressing luck, and the
+    epoch-filtered tombstone adjustment below keeps N/avgdl exact even
+    in the stats-rebased-but-log-not-cleared window."""
+    recover_text_index(path)
     buckets = sorted({term_bucket(t, n_buckets) for t in terms})
     p = (
         spark.read.parquet(path)
@@ -310,9 +379,13 @@ def bm25_from_index(
         p = p.join(F.broadcast(tombs), "doc_id", "left_anti")
     # the stats sidecar is a delta LOG (build base + append deltas) —
     # the current corpus scalars are its exact integer sum, MINUS the
-    # distinct tombstones' (count, Σdl): the delete log carries dl
-    # precisely so N/avgdl stay rebuild-identical with a one-append,
-    # idempotent delete (duplicates collapse under the DISTINCT)
+    # distinct CURRENT-EPOCH tombstones' (count, Σdl): the delete log
+    # carries dl precisely so N/avgdl stay rebuild-identical with a
+    # one-append, idempotent delete (duplicates collapse under the
+    # DISTINCT). Prior-epoch rows are already folded into the re-based
+    # stats (they only survive a compact torn between the stats swap
+    # and the log clear) — subtracting them again would corrupt idf
+    # and length normalization silently.
     base = spark.read.parquet(f"{path}.stats").agg(
         F.sum("n_docs").cast("long").alias("bd"),
         F.sum("n_toks").cast("long").alias("bt"),
@@ -322,6 +395,7 @@ def bm25_from_index(
     if _os.path.isdir(f"{path}.tombstones"):
         tadj = (
             spark.read.parquet(f"{path}.tombstones")
+            .where(F.col("epoch") == F.lit(_read_epoch(path)))
             .select("doc_id", "dl")
             .distinct()
             .agg(

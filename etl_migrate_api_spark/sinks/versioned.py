@@ -569,30 +569,41 @@ class VersionedTable:
                 # os.link and the release would wedge the branch
                 # forever. The lock is only ever held across a
                 # read-compare-write of the ref (milliseconds), so one
-                # older than LOCK_STALE_SEC is a corpse. CLAIM FIRST
-                # (rename is atomic — of two breakers exactly one
-                # wins), THEN judge the claimed corpse's own mtime:
-                # judging before claiming is a TOCTOU where the stat
-                # ages while a live holder re-acquires at the same
-                # path. A claimed-but-fresh lock is restored via
-                # os.link (fails loudly if a rival re-locked — then
-                # the fresh holder's owner-checked release keeps it
-                # from unlinking the rival's lock).
+                # older than LOCK_STALE_SEC is a corpse. Claim ONLY
+                # when the live lock already stats stale — renaming a
+                # fresh rival's lock away (even briefly, to judge it)
+                # opens a window where the lock path is absent and a
+                # THIRD committer's os.link succeeds, breaking mutual
+                # exclusion with the live holder (and the holder's
+                # release then hits OSError on the renamed-away path).
+                # The claim itself is an atomic rename (of two breakers
+                # exactly one wins), and the corpse's mtime is
+                # RE-CHECKED post-claim: between our stat and our
+                # rename a live holder may have released and
+                # re-acquired at the same path (TOCTOU) — a
+                # claimed-but-fresh corpse is restored via os.link
+                # (fails loudly if a rival re-locked; the fresh
+                # holder's owner-checked release keeps it from
+                # unlinking the rival's lock).
                 try:
-                    corpse = lock + f".stale-{uuid.uuid4().hex[:8]}"
-                    os.rename(lock, corpse)
                     if (
-                        _time.time() - os.path.getmtime(corpse)
+                        _time.time() - os.path.getmtime(lock)
                         > self.LOCK_STALE_SEC
                     ):
-                        os.unlink(corpse)  # genuinely dead — broken
-                    else:
-                        try:
-                            os.link(corpse, lock)  # live — put it back
-                        except FileExistsError:
-                            pass  # rival re-locked; holder's release
-                            # is owner-checked so nothing double-frees
-                        os.unlink(corpse)
+                        corpse = lock + f".stale-{uuid.uuid4().hex[:8]}"
+                        os.rename(lock, corpse)
+                        if (
+                            _time.time() - os.path.getmtime(corpse)
+                            > self.LOCK_STALE_SEC
+                        ):
+                            os.unlink(corpse)  # genuinely dead — broken
+                        else:
+                            try:
+                                os.link(corpse, lock)  # live — restore
+                            except FileExistsError:
+                                pass  # rival re-locked; owner-checked
+                                # release keeps double-frees impossible
+                            os.unlink(corpse)
                 except OSError:
                     pass  # holder released, or another breaker won
                 _time.sleep(0.01)

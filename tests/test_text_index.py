@@ -302,3 +302,82 @@ def test_rebuild_does_not_inherit_tombstones(spark, sf_small, tmp_path):
     ref = str(tmp_path / "ref")
     build_text_index(docs, ref)
     assert _q(spark, idx) == _q(spark, ref)
+
+
+def test_torn_compact_stats_swapped_log_not_cleared(spark, sf_small, tmp_path):
+    """ADVICE r10: a compact that dies AFTER the stats re-base but
+    BEFORE the tombstone-log rmtree must not double-subtract the
+    already-folded tombstones from the re-based stats (silently wrong
+    idf / length norm until the next compact). The epoch marker inside
+    the swapped stats dir keys the reader's adjustment: prior-epoch
+    tombstone rows are ignored. Simulated by snapshotting the log
+    before compact and restoring it afterwards — byte-identical to the
+    torn state."""
+    import shutil
+
+    from etl_migrate_api_spark.operators.text_index import (
+        compact_text_index,
+        delete_from_text_index,
+    )
+
+    docs = load(spark, "documents", sf_small)
+    idx = str(tmp_path / "idx")
+    build_text_index(docs, idx)
+    dead = docs.where(F.col("doc_id") % 4 == 1).select("doc_id")
+    delete_from_text_index(dead, idx)
+    expected = _q(spark, idx)
+    snap = str(tmp_path / "tomb-snap")
+    shutil.copytree(f"{idx}.tombstones", snap)
+    assert compact_text_index(spark, idx) > 0
+    shutil.copytree(snap, f"{idx}.tombstones")  # the torn state
+    assert _q(spark, idx) == expected  # epoch filter neutralizes the log
+    # a NEW delete in the torn state is stamped with the CURRENT epoch
+    # and must take effect immediately
+    dead2 = docs.where(F.col("doc_id") % 4 == 2).select("doc_id")
+    delete_from_text_index(dead2, idx)
+    ref = str(tmp_path / "ref")
+    build_text_index(
+        docs.where((F.col("doc_id") % 4 != 1) & (F.col("doc_id") % 4 != 2)),
+        ref,
+    )
+    assert _q(spark, idx) == _q(spark, ref)
+    # the NEXT compact folds both epochs and converges
+    compact_text_index(spark, idx)
+    assert _q(spark, idx) == _q(spark, ref)
+
+
+def test_leftover_old_dir_does_not_wedge_next_compact(
+    spark, sf_small, tmp_path
+):
+    """ADVICE r10: a crash between compaction's rename-in and the
+    rmtree of '<dir>.old' leaves a populated .old BESIDE the live dir;
+    the next compact's os.rename(d, d + '.old') would wedge on
+    ENOTEMPTY forever. recover_text_index (called by both the reader
+    and compact) must sweep it."""
+    import os
+    import shutil
+
+    from etl_migrate_api_spark.operators.text_index import (
+        compact_text_index,
+        delete_from_text_index,
+        recover_text_index,
+    )
+
+    docs = load(spark, "documents", sf_small)
+    idx = str(tmp_path / "idx")
+    build_text_index(docs, idx)
+    # simulate the torn rename pair on all three dirs
+    for d in (idx, f"{idx}.doclens", f"{idx}.stats"):
+        shutil.copytree(d, f"{d}.old")
+    expected = _q(spark, idx)
+    assert _q(spark, idx) == expected  # reader heals and still answers
+    assert not os.path.isdir(f"{idx}.old")  # swept by the reader's heal
+    assert recover_text_index(idx) is False  # nothing left to heal
+    dead = docs.where(F.col("doc_id") % 4 == 1).select("doc_id")
+    delete_from_text_index(dead, idx)
+    for d in (idx, f"{idx}.doclens", f"{idx}.stats"):
+        shutil.copytree(d, f"{d}.old")  # torn again, now with a log
+    assert compact_text_index(spark, idx) > 0  # no ENOTEMPTY wedge
+    ref = str(tmp_path / "ref")
+    build_text_index(docs.where(F.col("doc_id") % 4 != 1), ref)
+    assert _q(spark, idx) == _q(spark, ref)

@@ -315,3 +315,43 @@ def test_fresh_lock_is_respected_not_broken(spark, tmp_path):
     thr.join()
     assert released["at"] is not None  # commit waited for the release
     assert t.read_ref(spark, "b").count() == 6
+
+
+def test_fresh_lock_never_transiently_renamed_away(spark, tmp_path, monkeypatch):
+    """ADVICE r10: the stale-lock breaker must not rename a FRESH
+    rival's lock away even briefly to judge it — while the lock path is
+    absent, a third committer's os.link would succeed and mutual
+    exclusion is broken. The breaker may only claim a lock that already
+    stats older than LOCK_STALE_SEC."""
+    import os
+    import threading
+    import time as _t
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 5), mode="overwrite")
+    t.branch("b")
+    lock = t._ref_path("b") + ".lock"
+    with open(lock, "w") as fh:
+        fh.write("1")  # fresh mtime — a live holder
+    t.LOCK_STALE_SEC = 120.0
+
+    real_rename = os.rename
+    renamed_lock = []
+
+    def spy(src, dst, *a, **kw):
+        if src == lock:
+            renamed_lock.append(dst)
+        return real_rename(src, dst, *a, **kw)
+
+    monkeypatch.setattr(os, "rename", spy)
+
+    def release_soon():
+        _t.sleep(0.5)
+        os.unlink(lock)
+
+    thr = threading.Thread(target=release_soon)
+    thr.start()
+    t.commit_to_branch("b", _df(spark, 100, 101))
+    thr.join()
+    assert renamed_lock == []  # never claimed while fresh
+    assert t.read_ref(spark, "b").count() == 6
