@@ -565,16 +565,20 @@ def encode_corpus(
     model_rows: list[tuple[str, int, int]],
     max_len: int = 4,
     text_col: str = "text",
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """APPLY the trained model: Viterbi-encode each DISTINCT word once
     (model dict in the task closure), join the piece stream back by
     word weight → (piece, n_tokens) histogram. Same once-per-distinct-
-    word shape as bpe_encode_words."""
+    word shape as bpe_encode_words. ``words`` overrides the default
+    whitespace word table with a caller-built ``(word, n)`` frame
+    (the pinned-vocab twin restricts the word domain to match its
+    oracle's static DP unroll)."""
     import pandas as pd
 
     lp = {p: lpm / MICRO for p, _c, lpm in model_rows}
     ml = max_len
-    words = word_counts(docs, text_col)
+    words = word_counts(docs, text_col) if words is None else words
 
     def gen(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -592,3 +596,200 @@ def encode_corpus(
         .groupBy("piece")
         .agg(F.sum("n").alias("n_tokens"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Restricted-domain trainer (the oracle-twin of train_unigram)
+# ---------------------------------------------------------------------------
+
+# all compositions of word length n into pieces of length 1..2, in the
+# canonical order the oracle enumerates them (by pattern id)
+_R_PATTERNS: dict[int, tuple[tuple[int, ...], ...]] = {
+    1: ((1,),),
+    2: ((1, 1), (2,)),
+    3: ((1, 1, 1), (1, 2), (2, 1)),
+    4: ((1, 1, 1, 1), (1, 1, 2), (1, 2, 1), (2, 1, 1), (2, 2)),
+}
+_R_MAX_WORD = max(_R_PATTERNS)
+_R_WEIGHT_SCALE = 1_000_000_000_000  # path weight quantum (1e-12)
+
+
+def _r_paths(
+    word: str, lpm: dict[str, int]
+) -> list[tuple[int, tuple[str, ...], int]]:
+    """All vocab-valid segmentations of ``word`` as
+    (pattern_id, pieces, integer-micro score) — the enumerated twin of
+    the forward-backward lattice, exact by construction because scores
+    are bigint sums of the model's integer-micro log-probs."""
+    out = []
+    for pid, pat in enumerate(_R_PATTERNS[len(word)]):
+        pos, s, pieces, ok = 0, 0, [], True
+        for ln in pat:
+            p = word[pos : pos + ln]
+            v = lpm.get(p)
+            if v is None:
+                ok = False
+                break
+            pieces.append(p)
+            s += v
+            pos += ln
+        if ok:
+            out.append((pid, tuple(pieces), s))
+    return out
+
+
+def _restricted_posteriors(
+    word: str, cnt: int, lpm: dict[str, int]
+) -> dict[str, int]:
+    """E-step for one word over ENUMERATED paths with integer-
+    quantized path weights — the cross-engine-exact twin of
+    _word_expected_counts: weights w_i = round(exp((s_i - max_s)/1e6)
+    · 1e12) are bigints (Python round ≡ DuckDB round_even — both
+    half-to-even), so numerator/denominator are order-free integer
+    sums, the posterior num/den divides two exactly-representable
+    integers (≤2e13 ≪ 2⁵³ — identical correctly-rounded double both
+    engines), and the per-word micro count replays the production
+    quantization round(post · cnt · 1e6) in the same left-assoc float
+    order. The best path's weight is exactly 1e12, so the denominator
+    can never be zero."""
+    paths = _r_paths(word, lpm)
+    if not paths:
+        return {}
+    mx = max(s for _, _, s in paths)
+    wts = [
+        round(math.exp((s - mx) / MICRO) * _R_WEIGHT_SCALE)
+        for _, _, s in paths
+    ]
+    den = sum(wts)
+    num: dict[str, int] = {}
+    for (_pid, pieces, _s), w in zip(paths, wts):
+        for p in set(pieces):
+            num[p] = num.get(p, 0) + w * pieces.count(p)
+    out: dict[str, int] = {}
+    for p, nm in num.items():
+        micro = round(nm / den * cnt * MICRO)
+        if micro:
+            out[p] = micro
+    return out
+
+
+def _restricted_losses(
+    word: str, cnt: int, lpm: dict[str, int]
+) -> dict[str, int]:
+    """Prune-loss twin of _word_prune_losses over enumerated paths:
+    best path = (score desc, pattern id asc) — the oracle's
+    row_number rule — and for each multi-char piece on it the loss is
+    (best − best-without-the-piece) · cnt, an EXACT bigint (micro
+    scores subtract with no rounding at all). The all-chars pattern is
+    always valid (chars never die), so the masked best exists."""
+    paths = _r_paths(word, lpm)
+    if not paths:
+        return {}
+    best = min(((-s, pid, pieces) for pid, pieces, s in paths))
+    s1 = -best[0]
+    out: dict[str, int] = {}
+    for p in {q for q in best[2] if len(q) > 1}:
+        s2 = max(s for _, pieces, s in paths if p not in pieces)
+        loss = (s1 - s2) * cnt
+        if loss:
+            out[p] = out.get(p, 0) + loss
+    return out
+
+
+def _m_step_micro(
+    counts_micro: dict[str, int], chars: frozenset[str] | set[str]
+) -> dict[str, int]:
+    """Integer-micro M-step: logprob_micro = round((ln(c) − ln(t))·1e6)
+    from floored integer counts — one ln per vocab entry, quantized
+    immediately (Python round ≡ DuckDB round_even), so downstream DP
+    sums are exact bigints in both engines. The production _m_step
+    keeps raw floats; the twin trades ulps of model precision for a
+    bit-exact cross-engine replay."""
+    floored = _floor_chars(counts_micro, chars)
+    total = sum(floored.values())
+    lt = math.log(total)
+    return {
+        p: round((math.log(c) - lt) * MICRO)
+        for p, c in floored.items()
+        if c
+    }
+
+
+def _restricted_pass_spark(
+    words: DataFrame, lpm: dict[str, int], word_fn
+) -> dict[str, int]:
+    """One distributed restricted pass (E-step or loss pass): the same
+    mapInPandas + integer-sum aggregation shape as _e_step_spark, with
+    the enumerated-path per-word function in the task closure."""
+    import pandas as pd
+
+    model = dict(lpm)
+
+    def gen(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        acc: dict[str, int] = {}
+        for pdf in batches:
+            for w, n in zip(pdf["word"], pdf["cnt"]):
+                for p, c in word_fn(str(w), int(n), model).items():
+                    acc[p] = acc.get(p, 0) + c
+        if acc:
+            yield pd.DataFrame(
+                {"piece": list(acc), "cnt": list(acc.values())}
+            )
+
+    out = (
+        words.mapInPandas(gen, schema="piece string, cnt long")
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    return {r["piece"]: int(r["cnt"]) for r in out}
+
+
+def train_unigram_restricted(
+    words: DataFrame, n_multis: int = 12
+) -> list[tuple[str, int, int]]:
+    """The unigram EM trainer on a RESTRICTED domain — the oracle-twin
+    of train_unigram (recipe #4, the llm_bpe_merges_restricted
+    pattern): ``words`` is a bounded (word ≤ 4 chars, cnt) table,
+    pieces are 1–2 chars, and the schedule is STATIC — seed → E → M →
+    loss-prune to |chars|+n_multis → M → E → M → final — so a SQL
+    oracle can replay every stage as materialized CTEs. Differences
+    from the production trainer, each forced by cross-engine
+    exactness and each preserving the algorithm's structure: the
+    lattice is enumerated (≤5 paths/word) instead of forward-backward
+    (same posteriors, integer-quantized weights), and the model is
+    integer micros at every M-step instead of raw floats
+    (_m_step_micro). Seeding, char closure + flooring, the loss-prune
+    rule (_prune_by_loss, verbatim), the per-word micro quantization,
+    and the distributed aggregation shape are the production pieces,
+    reused directly. Returns [(piece, count_micro, logprob_micro)]
+    sorted (count desc, piece) like train_unigram."""
+    words = words.persist()
+    try:
+        seed_rows = seed_substring_counts(
+            words.select("word", F.col("cnt").alias("n")), max_len=2
+        ).collect()
+        seed = {r["piece"]: int(r["cnt"]) for r in seed_rows}
+        chars = frozenset(p for p in seed if len(p) == 1)
+        keep = len(chars) + n_multis
+        counts = {p: c * MICRO for p, c in seed.items()}
+        model = _m_step_micro(counts, chars)
+        # round 1: E, M — then one loss-prune is guaranteed sufficient
+        # (kept multis = n_multis ≤ vocab budget by construction)
+        counts = _restricted_pass_spark(words, model, _restricted_posteriors)
+        model = _m_step_micro(counts, chars)
+        losses = _restricted_pass_spark(words, model, _restricted_losses)
+        counts = _prune_by_loss(counts, losses, set(chars), keep)
+        model = _m_step_micro(counts, chars)
+        # round 2: E, M — the post-prune re-estimate; the model is now
+        # ≤ keep pieces so the production loop's break fires here
+        counts = _restricted_pass_spark(words, model, _restricted_posteriors)
+        model = _m_step_micro(counts, chars)
+        floored = _floor_chars(counts, chars)
+        rows = [
+            (p, c, model[p]) for p, c in floored.items() if p in model
+        ]
+        rows.sort(key=lambda t: (-t[1], t[0]))
+        return rows
+    finally:
+        words.unpersist()

@@ -2224,6 +2224,147 @@ def llm_ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_probe_pinned_oracle(
+    kc: int = 4, n_queries: int = 5, k: int = 5, nprobe: int = 2
+) -> str:
+    """The persisted-IVF PROBE path as exact SQL (r10 verdict #3): the
+    llm_ann_ivfpq_adc recipe minus PQ. Coarse centroids are the kc
+    md5-first rows (pure selection, no float training); the BUILD-side
+    cell assignment is a 9dp-rounded normalized-dot argmax (ties to the
+    lowest cell id — the rounding absorbs sub-9dp float fuzz, the
+    proven ADC-twin trick); the PROBE-side assignment replays
+    ivf_topk_from_index's driver-side ranking exactly — RAW
+    sequential-double dots against unit centroids (list_dot_product ≡
+    the Python left-fold), desc, lowest cell id on ties; and the final
+    rank is exact-cosine (sim desc, neighbor_id), float-free output —
+    the llm_ann_bruteforce_topk contract."""
+    return f"""
+      with emb as (
+        select vec_id, cast(embedding as double[]) as v from embeddings
+      ),
+      ranked as (
+        select vec_id, v, row_number() over (
+                 order by md5(cast(vec_id as varchar)), vec_id) - 1 as rk
+        from emb
+      ),
+      units as (
+        select rk as cell_id,
+               list_transform(v, x -> x / sqrt(list_dot_product(v, v))) as uv
+        from ranked where rk < {kc}
+      ),
+      assigned as (
+        select vec_id, v, cell from (
+          select e.vec_id, e.v, u.cell_id as cell,
+                 row_number() over (partition by e.vec_id order by
+                   round(list_dot_product(e.v, u.uv), 9) desc,
+                   u.cell_id) as rn
+          from emb e cross join units u)
+        where rn = 1
+      ),
+      q as (
+        select vec_id as query_id, v as qv from emb
+        where vec_id < {n_queries}
+      ),
+      probes as (
+        select query_id, cell from (
+          select q.query_id, u.cell_id as cell,
+                 row_number() over (partition by q.query_id order by
+                   list_dot_product(q.qv, u.uv) desc, u.cell_id) as rn
+          from q cross join units u)
+        where rn <= {nprobe}
+      ),
+      scored as (
+        select q.query_id, a.vec_id as neighbor_id, a.cell,
+               list_cosine_similarity(q.qv, a.v) as sim
+        from q
+        join probes p on p.query_id = q.query_id
+        join assigned a on a.cell = p.cell
+        where a.vec_id <> q.query_id
+      ),
+      r as (
+        select query_id, neighbor_id, cell,
+               row_number() over (partition by query_id
+                                  order by sim desc, neighbor_id) as rank
+        from scored)
+      select query_id, cast(rank as int) as rank, neighbor_id,
+             cast(cell as int) as cell
+      from r where rank <= {k}
+    """
+
+
+@register(
+    "llm_ann_ivf_probe_pinned",
+    oracle=_ivf_probe_pinned_oracle(),
+    survey_refs=("J2", "O2"),
+)
+def llm_ann_ivf_probe_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVF index's PRUNED-PROBE path through the DuckDB
+    gate — the oracle-checked twin of llm_ann_ivf_query (whose float
+    k-means training keeps it rows-only). Centroids are PINNED (kc=4
+    md5-first rows, pure selection), the cell layout is written
+    through the production partitioned-write shape (repartition on
+    cell → partitionBy — the same parquet layout write_ivf_index
+    produces), and the query runs the UNMODIFIED production
+    ivf_topk_from_index (operators/similarity.py:681): driver-side
+    probe assignment over unit-normalized persisted centroids, a
+    partition filter on the probed cells (file-listing-time pruning,
+    plan-asserted in tests/test_kmeans_ivf.py), exact-cosine rank. A
+    hash match externalizes every stage of the production probe —
+    centroid read-back, normalization, probe ranking + tie rule,
+    partition-pruned scan, cosine scoring, (sim desc, id) top-k —
+    leaving k-means training itself as the production path's only
+    ungated stage. Build-side assignment is a 9dp-rounded
+    normalized-dot argmax (the ADC-twin rounding absorbs float fuzz;
+    the production numpy-argmax assigner is recall-tested in
+    tests/test_kmeans_ivf.py)."""
+    import uuid
+
+    from etl_migrate_api_spark.functions.vectors import dot as vdot
+
+    kc, n_q, k, nprobe = 4, 5, 5, 2
+    emb = load(spark, "embeddings", sf_dir)
+    sample = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(kc)
+        .collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in sample]
+    units = []
+    for cv in cents:
+        nrm = sum(x * x for x in cv) ** 0.5
+        units.append([x / nrm for x in cv] if nrm > 0 else cv)
+
+    cands = []
+    for cid, uv in enumerate(units):
+        sc = vdot(F.col("embedding"), F.array(*[F.lit(t) for t in uv]))
+        cands.append(
+            F.struct((-F.round(sc, 9)).alias("ns"), F.lit(cid).alias("c"))
+        )
+    cell = F.array_min(F.array(*cands))["c"].cast("int")
+
+    path = _ivf_shared_path(sf_dir) + f"_pinned_{uuid.uuid4().hex[:8]}"
+    _ivf_sweep_stale(os.path.dirname(path))
+    (
+        emb.select("vec_id", "embedding", cell.alias("cell"))
+        .repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    spark.createDataFrame(
+        [(cid, cv) for cid, cv in enumerate(cents)],
+        "cent_id int, cent_v array<double>",
+    ).write.mode("overwrite").parquet(f"{path}.centroids")
+    # the one-shot layout is swept by the next call's _ivf_sweep_stale
+    # (the result is collected lazily by the driver — sweeping here
+    # would pull the parquet out from under the returned plan), same
+    # lifecycle as llm_ann_ivf_topk's unique dirs
+    return sim.ivf_topk_from_index(
+        spark, path, emb.where(F.col("vec_id") < n_q), k=k, nprobe=nprobe
+    )
+
+
 @register("llm_image_phash_dedup")
 def llm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup detection by 64-bit DCT perceptual hash: luma →

@@ -2325,12 +2325,47 @@ def llm_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
     are plain integer aggregations; at 100 TB this is the
     apply-a-tokenizer shape: scan-level word counting plus a
     broadcast-constant model."""
-    import math
-    from decimal import ROUND_HALF_UP, Decimal
-
     import pandas as pd
 
     from etl_migrate_api_spark.operators.unigram import viterbi_encode
+
+    ml = _VIT_MAX_PIECE
+    w, micro = _pinned_unigram_vocab(spark, sf_dir)
+    # integer-VALUED floats: viterbi_encode only adds and compares, so
+    # the micro scale makes every DP sum exact (≤2·10⁸ ≪ 2⁵³)
+    lp = {p: float(m) for p, m in micro.items()}
+
+    def gen(batches):
+        for pdf in batches:
+            out_p: list[str] = []
+            out_n: list[int] = []
+            for word, cnt in zip(pdf["word"], pdf["cnt"]):
+                for p in viterbi_encode(str(word), lp, ml):
+                    out_p.append(p)
+                    out_n.append(int(cnt))
+            if out_p:
+                yield pd.DataFrame({"piece": out_p, "n": out_n})
+
+    return (
+        w.mapInPandas(gen, schema="piece string, n long")
+        .groupBy("piece")
+        .agg(F.sum("n").cast("bigint").alias("n_tokens"))
+        .orderBy(F.desc("n_tokens"), "piece")
+        .limit(50)
+    )
+
+
+def _pinned_unigram_vocab(
+    spark: SparkSession, sf_dir: str
+) -> "tuple[DataFrame, dict[str, int]]":
+    """Shared vocab pinning for the two gated unigram-APPLY queries
+    (llm_unigram_viterbi and llm_unigram_encode_pinned): the restricted
+    ``(word, cnt)`` table ([a-z]{1,8} lowercase words) and the pinned
+    integer-micro log-prob model (every single char + the top-40
+    length-2..3 substrings by weighted count; round(ln(c/t)·1e6)
+    HALF_UP — the same libm ln DuckDB links, quantized immediately)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
 
     n, ml = _VIT_MAX_WORD, _VIT_MAX_PIECE
     docs = load(spark, "documents", sf_dir)
@@ -2383,32 +2418,304 @@ def llm_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = sum(c for _, c in vocab)
     # micro-quantized driver-side: HALF_UP == both engines' round();
     # glibc ln on both sides (DuckDB links the same libm as CPython)
-    lp = {
-        p: float(
+    micro = {
+        p: int(
             Decimal(math.log(c / total) * 1e6).quantize(
                 Decimal(1), ROUND_HALF_UP
             )
         )
         for p, c in vocab
     }
+    return w, micro
 
-    def gen(batches):
-        for pdf in batches:
-            out_p: list[str] = []
-            out_n: list[int] = []
-            for word, cnt in zip(pdf["word"], pdf["cnt"]):
-                for p in viterbi_encode(str(word), lp, ml):
-                    out_p.append(p)
-                    out_n.append(int(cnt))
-            if out_p:
-                yield pd.DataFrame({"piece": out_p, "n": out_n})
 
+@register(
+    "llm_unigram_encode_pinned",
+    oracle=_unigram_viterbi_oracle(),
+    survey_refs=("A3", "T8"),
+)
+def llm_unigram_encode_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION unigram APPLY path (encode_corpus: model_rows →
+    broadcast dict → viterbi per distinct word → weighted histogram)
+    through the DuckDB gate, under the same pinned integer-micro vocab
+    as llm_unigram_viterbi — whose oracle it shares VERBATIM, so a
+    hash match proves the production encoder's fold (word_counts
+    shape, model-dict plumbing, viterbi_encode, the groupBy-sum join
+    back) is bit-identical to the bespoke gen the viterbi twin runs.
+    With llm_unigram_train_restricted this closes the r10 verdict's
+    'apply joins train in the gated set' item: both halves of the
+    unigram lifecycle now have production-path external evidence.
+    Exactness trick: encode_corpus divides the model's logprob_micro
+    field by 1e6, so the twin passes micro·1e6 — the division is exact
+    (m·1e6 ≤ 2e13 ≪ 2⁵³, true quotient representable), leaving
+    integer-VALUED doubles in the DP; Viterbi argmax is scale-
+    invariant, so the ×1e6 representation changes no segmentation."""
+    from etl_migrate_api_spark.operators.unigram import MICRO, encode_corpus
+
+    docs = load(spark, "documents", sf_dir)
+    w, micro = _pinned_unigram_vocab(spark, sf_dir)
+    model_rows = [(p, 1, m * MICRO) for p, m in micro.items()]
     return (
-        w.mapInPandas(gen, schema="piece string, n long")
-        .groupBy("piece")
-        .agg(F.sum("n").cast("bigint").alias("n_tokens"))
+        encode_corpus(
+            docs,
+            model_rows,
+            max_len=_VIT_MAX_PIECE,
+            words=w.select("word", F.col("cnt").alias("n")),
+        )
+        .select("piece", F.col("n_tokens").cast("bigint").alias("n_tokens"))
         .orderBy(F.desc("n_tokens"), "piece")
         .limit(50)
+    )
+
+
+_UTR_MAX_WORD = 4  # restricted-trainer word bound (static path unroll)
+_UTR_MULTIS = 12  # multi-char pieces kept by the one prune round
+_UTR_PATTERNS: dict[int, tuple[tuple[int, ...], ...]] = {
+    1: ((1,),),
+    2: ((1, 1), (2,)),
+    3: ((1, 1, 1), (1, 2), (2, 1)),
+    4: ((1, 1, 1, 1), (1, 1, 2), (1, 2, 1), (2, 1, 1), (2, 2)),
+}  # must stay identical to operators/unigram.py::_R_PATTERNS
+
+
+def _utr_paths_sql(model: str, tag: str) -> str:
+    """Per-round valid-segmentation CTE: one SELECT per (word length,
+    pattern), INNER-joining each positional piece against the round's
+    model — paths with a pruned piece drop out exactly like the
+    engine's lpm.get() miss. Scores are bigint sums of integer-micro
+    log-probs (exact, association-free)."""
+    sels = []
+    for n, pats in _UTR_PATTERNS.items():
+        for pid, pat in enumerate(pats):
+            joins, terms = [], []
+            pos = 1
+            for idx, ln in enumerate(pat):
+                al = f"v{idx}"
+                joins.append(
+                    f"join {model} {al} on {al}.piece ="
+                    f" substr(w.word, {pos}, {ln})"
+                )
+                terms.append(f"{al}.lpm")
+                pos += ln
+            sels.append(
+                f"""
+        select w.word, w.cnt, {pid} as pid, {' + '.join(terms)} as s
+        from w {' '.join(joins)}
+        where len(w.word) = {n}"""
+            )
+    return f"""
+      paths{tag} as materialized ({' union all '.join(sels)})"""
+
+
+def _utr_estep_sql(model: str, tag: str) -> str:
+    """One E-step as SQL: per-word max-shifted integer path weights
+    w_i = round_even(exp((s_i−mx)/1e6)·1e12), order-free bigint
+    numerator/denominator sums over the static piece-position table
+    ``pp``, and the production per-word quantization
+    round_even(num/den · cnt · 1e6) — every float op replayed on
+    identical doubles in the engine (operators/unigram.py::
+    _restricted_posteriors)."""
+    return f"""{_utr_paths_sql(model, tag)},
+      best{tag} as materialized (
+        select word, max(s) as mx from paths{tag} group by word
+      ),
+      wts{tag} as materialized (
+        select p.word, p.cnt, p.pid, p.s,
+               cast(round_even(exp(cast(p.s - b.mx as double) / 1000000.0)
+                               * 1000000000000.0, 0) as bigint) as wgt
+        from paths{tag} p join best{tag} b using (word)
+      ),
+      den{tag} as materialized (
+        select word, cast(sum(wgt) as bigint) as den
+        from wts{tag} group by word
+      ),
+      num{tag} as materialized (
+        select t.word, pc.piece, cast(sum(t.wgt) as bigint) as num
+        from wts{tag} t
+        join pp pc on pc.word = t.word and pc.pid = t.pid
+        group by 1, 2
+      ),
+      e{tag} as materialized (
+        select nm.piece,
+               cast(sum(cast(round_even(
+                 cast(nm.num as double) / cast(d.den as double)
+                 * t.cnt * 1000000.0, 0) as bigint)) as bigint) as c
+        from num{tag} nm
+        join den{tag} d using (word)
+        join w t using (word)
+        group by 1
+        having sum(cast(round_even(
+                 cast(nm.num as double) / cast(d.den as double)
+                 * t.cnt * 1000000.0, 0) as bigint)) > 0
+      )"""
+
+
+def _utr_mstep_sql(counts: str, tag: str) -> str:
+    """One integer-micro M-step as SQL: char-floored counts (full join
+    against the char closure), bigint total, and
+    lpm = round_even((ln(c)−ln(t))·1e6) — the engine's _m_step_micro
+    verbatim (one ln per vocab entry, quantized immediately)."""
+    return f"""
+      f{tag} as materialized (
+        select coalesce(e.piece, c.piece) as piece,
+               case when len(coalesce(e.piece, c.piece)) = 1
+                    then greatest(coalesce(e.c, 0), 1)
+                    else e.c end as c
+        from {counts} e full join chars c on c.piece = e.piece
+      ),
+      t{tag} as (select cast(sum(c) as bigint) as t from f{tag}),
+      m{tag} as materialized (
+        select piece,
+               cast(round_even((ln(cast(c as double))
+                                - ln(cast(t as double)))
+                               * 1000000.0, 0) as bigint) as lpm
+        from f{tag}, t{tag} where c > 0
+      )"""
+
+
+def _unigram_train_restricted_oracle() -> str:
+    """The unigram EM TRAINER unrolled as exact SQL (r10 verdict #2 —
+    the llm_bpe_merges_restricted recipe applied to the second
+    tokenizer family): seed-substring counts → E → M → loss-prune to
+    |chars|+{n} multis → M → E → M → final model. The [a-z]{{1,4}}
+    word domain with 1–2-char pieces gives ≤5 segmentations per word,
+    so the lattice enumerates as a static pattern table; integer-micro
+    models make every DP score a bigint; max-shifted integer path
+    weights make the posterior sums order-free; and losses subtract
+    with no rounding at all. Every CTE is AS MATERIALIZED (chained-CTE
+    inlining goes exponential — the unigram-viterbi lesson)."""
+    n, nm = _UTR_MAX_WORD, _UTR_MULTIS
+    pp_sels = []
+    for wl, pats in _UTR_PATTERNS.items():
+        for pid, pat in enumerate(pats):
+            pos = 1
+            for ln in pat:
+                pp_sels.append(
+                    f"select word, {pid} as pid,"
+                    f" substr(word, {pos}, {ln}) as piece"
+                    f" from w where len(word) = {wl}"
+                )
+                pos += ln
+    return f"""
+      with docs_w as materialized (
+        select unnest(regexp_extract_all(lower(text), '[a-z]+')) as word
+        from documents
+      ),
+      w as materialized (
+        select word, cast(count(*) as bigint) as cnt from docs_w
+        where len(word) between 1 and {n}
+        group by word
+      ),
+      pp as materialized ({' union all '.join(pp_sels)}),
+      seed as materialized (
+        select substr(word, i, l) as piece,
+               cast(sum(cnt) as bigint) * 1000000 as c
+        from w
+        cross join range(1, {n + 1}) r(i)
+        cross join range(1, 3) rl(l)
+        where i + l - 1 <= len(word)
+        group by 1
+      ),
+      chars as materialized (
+        select piece from seed where len(piece) = 1
+      ),{_utr_mstep_sql('seed', '0')},{_utr_estep_sql('m0', '1')},
+      {_utr_mstep_sql('e1', '1')},{_utr_paths_sql('m1', 'L')},
+      bestrow as materialized (
+        select word, pid, s from (
+          select word, pid, s,
+                 row_number() over (partition by word
+                                    order by s desc, pid) as rn
+          from pathsL)
+        where rn = 1
+      ),
+      bp as materialized (
+        select distinct b.word, pc.piece
+        from bestrow b
+        join pp pc on pc.word = b.word and pc.pid = b.pid
+        where len(pc.piece) = 2
+      ),
+      s2 as materialized (
+        select bp.word, bp.piece, max(p2.s) as s2
+        from bp join pathsL p2 on p2.word = bp.word
+        where not exists (
+          select 1 from pp x
+          where x.word = p2.word and x.pid = p2.pid
+            and x.piece = bp.piece)
+        group by 1, 2
+      ),
+      loss as materialized (
+        select s2.piece,
+               cast(sum((b.s - s2.s2) * t.cnt) as bigint) as loss
+        from s2
+        join bestrow b using (word)
+        join w t using (word)
+        group by 1
+        having sum((b.s - s2.s2) * t.cnt) > 0
+      ),
+      c1p as materialized (
+        select piece, c from (
+          select e.piece, e.c,
+                 row_number() over (
+                   order by coalesce(l.loss, 0) desc, e.piece) as rn
+          from e1 e left join loss l using (piece)
+          where len(e.piece) = 2)
+        where rn <= {nm}
+        union all
+        select c.piece, coalesce(e.c, 1) as c
+        from chars c left join e1 e on e.piece = c.piece
+      ),{_utr_mstep_sql('c1p', '2')},{_utr_estep_sql('m2', '3')},
+      {_utr_mstep_sql('e3', '3f')}
+      select f.piece, cast(f.c as bigint) as count_micro,
+             m.lpm as logprob_micro
+      from f3f f join m3f m using (piece)
+      order by count_micro desc, piece
+    """
+
+
+@register(
+    "llm_unigram_train_restricted",
+    oracle=_unigram_train_restricted_oracle(),
+    survey_refs=("A3", "X1"),
+)
+def llm_unigram_train_restricted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unigram-LM TRAINING through the DuckDB gate — the oracle-checked
+    twin of llm_unigram_train, closing the last tokenizer-training gap
+    the way llm_bpe_merges_restricted closed BPE's: the [a-z]{1,4}
+    word domain with 1–2-char pieces bounds the lattice at ≤5
+    enumerable segmentations per word, so the full EM schedule — seed
+    substrings, a distributed E-step with max-shifted integer path
+    weights, the integer-micro M-step, SentencePiece's likelihood-loss
+    prune (production _prune_by_loss, called verbatim), a post-prune
+    re-estimate — replays as static materialized SQL. A hash match on
+    (piece, count_micro, logprob_micro) externalizes the whole
+    training loop: seeding, posterior expectation + quantization,
+    renormalization, the Viterbi loss signal with its (score desc,
+    earliest pattern) tie rule, prune ranking, and char-closure
+    flooring. The unrestricted production trainer stays rows-only with
+    its bit-reproducibility parity suite (tests/test_unigram.py);
+    engine/oracle float parity rests on the proven primitives — libm
+    ln/exp on identical doubles, round ≡ round_even (half-to-even),
+    exact int→double conversion below 2⁵³."""
+    from etl_migrate_api_spark.operators.unigram import (
+        train_unigram_restricted,
+    )
+
+    docs = load(spark, "documents", sf_dir)
+    w = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .where(F.length("word").between(1, _UTR_MAX_WORD))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    rows = train_unigram_restricted(w, n_multis=_UTR_MULTIS)
+    return spark.createDataFrame(
+        rows, schema="piece string, count_micro bigint, logprob_micro bigint"
     )
 
 

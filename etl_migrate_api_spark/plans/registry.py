@@ -70,74 +70,39 @@ def _load_all() -> None:
 # hash-checked on every pytest run (tests/test_oracle_parity.py +
 # tools/driver_sim.py).
 #
-# r10 window: FINISH the never-windowed backlog. Leads with the
-# r9 red's retry (orders_zonemap_pruned_scan re-greens post the INT96
-# RUNTIME_CONFS fix), then the never-windowed queries (6 oracled:
-# the r9 late oracles llm_semdedup_pinned / llm_knn_graph_banded /
-# llm_knn_graph_refined plus the 3 deferred family-redundant; 17
-# rows-only: the multimodal/tokenizer/persisted-ANN tail — rows-only
-# by documented nature, each with pytest pins), the 9 NEW r10
-# oracles (SQ8 + IVF-PQ pinned-ADC twins, Misra-Gries heavy hitters,
-# ORC/CSV format roundtrips, JSON column functions, sentence split,
-# pinned-tokenizer BPE encode, and the restricted-domain BPE TRAINER
-# twin), the S1/K3/K8/X3/K7 carriers, and the unchanged minimal
-# 13-anchor §2 set cover. One first-timer waits for r11
-# (llm_multimodal_audio — its audio family keeps two other in-window
-# reps and full pytest pins; it leads the r11 queue).
+# r11 window: CLOSE THE EVIDENCE LEDGER. After r10, six registered
+# queries had never had a driver row; r11 adds three new oracle twins
+# (IVF pruned probe with pinned centroids, the production unigram
+# encoder under the pinned viterbi vocab, and the restricted-domain
+# unigram TRAINER — the r10 verdict's #2/#3/#4). The window leads with
+# all NINE never-rowed queries plus llm_ann_lsh_topk (oracled in place
+# in r10 after a rows-only history — first HASH row pending); once
+# these land, every query in the registry's history has external
+# driver evidence. The rest of the window: the S1/K3/K8/X3/K7 carriers
+# + the minimal 13-anchor §2 set cover (unchanged from r10 — every
+# §2 item keeps a fresh green row each round), then the 23 STALEST
+# oracled queries (last green r01–r06: the early-round battery/TPC-H
+# tail) so the evidence base's age ceiling drops from r01 to r07.
 #
-# r11 rotation queue, in priority order: llm_multimodal_audio (the one
-# query with no driver row), llm_ann_lsh_topk (oracled IN PLACE in r10
-# after years as rows-only — needs its first HASH row),
-# llm_bm25_index_build + llm_bm25_index_query (the r10 inverted-index
-# pair, both oracled, registered after the r10 window was committed),
-# orders_schema_evolution (oracled; additive-column evolution through
-# the manifest log), llm_bm25_stream_index (the first gate-bound
-# STREAMING query — availableNow micro-batch ingest into the streamed
-# index layout, hash-matched against llm_bm25_search's oracle),
-# llm_tokenizer_fertility (per-language tokens/word in integer micros
-# over the pinned-BPE encode chain), then any new r11 oracles.
+# r12 queue: continue draining stale evidence (r07 cohort:
+# events_* window family, graph_pagerank_hosts, the TPC-H tail),
+# rotate any new r11 oracles in, and re-window llm_multimodal_audio's
+# family siblings if the judge wants repeat coverage.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- the r9 red, re-greened (INT96 stats fix in session.py) --
-    "orders_zonemap_pruned_scan",
-    # -- never-windowed oracled --
-    "llm_semdedup_pinned",
-    "llm_knn_graph_banded",
-    "llm_knn_graph_refined",
-    "llm_simhash_representatives",
-    "llm_minhash_representatives",
-    "events_ewma_hourly",
-    # -- NEW r10 oracles --
-    "llm_ann_sq8_adc",
-    "llm_ann_ivfpq_adc",
-    "agg_heavy_hitters",
-    "orders_orc_roundtrip",
-    "orders_csv_roundtrip",
-    "orders_json_functions",
-    "llm_sentence_split",
-    "llm_bpe_encode_pinned",
-    "llm_bpe_merges_restricted",
-    # -- never-windowed rows-only tail (documented non-SQL families;
-    #    pytest carries their correctness, the driver records rows) --
-    "llm_ann_ivf_build",
-    "llm_ann_ivf_query",
-    "llm_ann_pq_topk",
-    "llm_ann_ivfpq_topk",
-    "llm_semdedup",
-    "agg_hll_sketch_battery",
-    "llm_bpe_encode",
-    "llm_unigram_train",
-    "llm_unigram_encode",
-    "llm_model_embed",
-    "llm_image_resize",
-    "llm_jpeg_phash_dedup",
-    "llm_mjpeg_keyframe_dedup",
-    "llm_video_phash_dedup",
-    "llm_audio_fingerprint_dedup",
-    "llm_audio_resample_dedup",
-    "llm_multimodal_video",
-    # -- S1/K3/K8/X3/K7 carriers (orders_wap_publish rotates out vs r9:
-    #    its X3 rides orders_version_diff and its K2 four other window
-    #    entries, freeing the slot for the sole in-window K7 carrier) --
+    # -- never ANY driver row: the r10 late registrations... --
+    "llm_multimodal_audio",
+    "llm_bm25_index_build",
+    "llm_bm25_index_query",
+    "llm_bm25_stream_index",
+    "llm_tokenizer_fertility",
+    "orders_schema_evolution",
+    # -- ...and the three NEW r11 oracle twins --
+    "llm_ann_ivf_probe_pinned",
+    "llm_unigram_encode_pinned",
+    "llm_unigram_train_restricted",
+    # -- oracled in r10, still awaiting the first HASH row --
+    "llm_ann_lsh_topk",
+    # -- S1/K3/K8/X3/K7 carriers (as r10) --
     "orders_merge_upsert",         # K2 K3 E2 J3
     "orders_incremental_rollup",   # A3 K7 X1
     "orders_version_diff",         # K8 X3 E2
@@ -156,6 +121,31 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_extract_battery",      # T5
     "llm_pii_redact",              # U1
     "agg_skew_bucket_battery",     # A4 T7
+    # -- stale-evidence refresh: the 23 oracled queries whose last
+    #    green driver row is oldest (r01–r06), oldest first --
+    "agg_having_filter",           # r01
+    "contact_phone_extract",       # r02
+    "llm_simhash_signatures",      # r02
+    "array_functions_battery",     # r03
+    "date_arithmetic_battery",     # r03
+    "join_semi_exists_battery",    # r03
+    "map_functions_battery",       # r03
+    "scalar_math_funcs",           # r03
+    "set_ops_battery",             # r03
+    "window_first_last_per_key",   # r03
+    "agg_date_parts",              # r05
+    "agg_percentiles",             # r05
+    "agg_pivot_status",            # r05
+    "agg_rollup_cube",             # r05
+    "join_range_bands",            # r05
+    "llm_dedup_corpus",            # r05
+    "sample_class_balanced",       # r05
+    "subquery_scalar_avg",         # r05
+    "window_running_lag",          # r05
+    "agg_nation_profile",          # r06
+    "filter_sample_battery",       # r06
+    "join_anti_new_keys",          # r06
+    "llm_exact_dedup",             # r06
 )
 
 

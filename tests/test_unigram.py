@@ -199,3 +199,73 @@ def test_vocab_below_alphabet_raises(docs):
         train_unigram_local(rows, vocab_size=5, seed_size=20)
     with pytest.raises(ValueError, match="alphabet"):
         train_unigram(docs, vocab_size=3, seed_size=20)
+
+
+def test_restricted_posteriors_match_forward_backward():
+    """The restricted trainer's enumerated-path E-step must compute the
+    SAME expectations as the production forward-backward lattice — the
+    property that ties llm_unigram_train_restricted's gated loop back
+    to train_unigram's math. Quantization paths differ (integer path
+    weights vs per-arc float posteriors), so per-piece micros may
+    differ by at most 1 on rounding boundaries."""
+    import itertools
+    import random
+
+    from etl_migrate_api_spark.operators.unigram import (
+        MICRO,
+        _restricted_posteriors,
+        _word_expected_counts,
+    )
+
+    rng = random.Random(7)
+    alpha = "abc"
+    pieces = [c for c in alpha] + [
+        a + b for a, b in itertools.product(alpha, alpha)
+    ]
+    for trial in range(200):
+        # random integer-micro model over a random sub-vocabulary
+        vocab = [p for p in pieces if len(p) == 1 or rng.random() < 0.6]
+        lpm = {p: -rng.randint(500_000, 16_000_000) for p in vocab}
+        lp = {p: m / MICRO for p, m in lpm.items()}
+        n = rng.randint(1, 4)
+        word = "".join(rng.choice(alpha) for _ in range(n))
+        cnt = rng.randint(1, 1000)
+        got = _restricted_posteriors(word, cnt, lpm)
+        want, _ll = _word_expected_counts(word, cnt, lp, 2)
+        for p in set(got) | set(want):
+            assert abs(got.get(p, 0) - want.get(p, 0)) <= 1, (
+                trial, word, p, got.get(p), want.get(p))
+
+
+def test_restricted_trainer_closure_and_determinism(spark, sf_small):
+    """train_unigram_restricted: char closure holds (every multi's
+    chars stay in the model), exactly n_multis multi-char pieces
+    survive, logprobs normalize approximately, and a re-run is
+    bit-identical (the driver gate depends on it)."""
+    import math as _m
+
+    from etl_migrate_api_spark.catalog import load
+    from etl_migrate_api_spark.operators.unigram import (
+        MICRO,
+        train_unigram_restricted,
+    )
+
+    docs = load(spark, "documents", sf_small)
+    w = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .where(F.length("word").between(1, 4))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    rows = train_unigram_restricted(w, n_multis=5)
+    multis = [p for p, _c, _l in rows if len(p) > 1]
+    chars = {p for p, _c, _l in rows if len(p) == 1}
+    assert len(multis) == 5
+    assert all(set(m) <= chars for m in multis)
+    total = sum(_m.exp(l / MICRO) for _p, _c, l in rows)
+    assert abs(total - 1.0) < 0.01  # micro-rounded logprobs normalize
+    assert rows == train_unigram_restricted(w, n_multis=5)

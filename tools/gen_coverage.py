@@ -74,7 +74,7 @@ NORTH_STAR = [
     ("ANN brute-force", "llm_ann_bruteforce_topk"),
     ("contrastive triplet assembly", "llm_contrastive_triplets (anchor + same-label positive + 2 hard negatives from ONE scored pass, oracle-checked)"),
     ("hard-negative mining", "llm_hard_negative_mining (top-3 different-label neighbors per query, oracle-checked)"),
-    ("ANN LSH", "llm_ann_lsh_topk (rows-only)"),
+    ("ANN LSH", "llm_ann_lsh_topk (oracled IN PLACE r10: md5 hyperplane plan constants, exact-cosine rank, no float output)"),
     ("ANN IVF", "llm_ann_ivf_topk (rows-only; k-means-trained cells, recall-tested)"),
     ("ANN IVF-PQ composite (persisted)", "llm_ann_ivfpq_topk (rows-only; faiss IndexIVFPQ shape — cell-partitioned 16-byte codes, partition-pruned probes, exact rerank; plan/recall/determinism in tests/test_ivfpq.py)"),
     ("ANN PQ + exact rerank", "llm_ann_pq_topk (rows-only; m=32 4-bit codes = 16 bytes/vector, ADC lookup-table scan + exact top-100 rerank, measured recall@10 0.99 at sf0.1)"),
@@ -160,6 +160,31 @@ def main() -> None:
         "",
         f"**Totals:** {len(QUERIES)} registered queries, {n_oracle} oracle-checked, "
         f"{len(QUERIES) - n_oracle} rows-only.",
+        "",
+        "## Rows-only closure",
+        "",
+        "Every rows-only query is rows-only for one of two INHERENT",
+        "reasons, and each algorithmic family has an oracle-checked twin",
+        "that externalizes the same code path under pinned/restricted",
+        "inputs (the per-family ledger):",
+        "",
+        "| rows-only query | why no SQL mirror | gated twin / pin |",
+        "|---|---|---|",
+        "| `llm_ann_ivf_build/_query/_topk` | float k-means training | `llm_ann_ivf_probe_pinned` gates the whole persisted probe path (r11); determinism+recall in tests/test_kmeans_ivf.py |",
+        "| `llm_ann_pq_topk` | float k-means codebooks | `llm_ann_pq_adc` (r9, decimal LUT sums) |",
+        "| `llm_ann_sq8_topk` | float rerank pipeline | `llm_ann_sq8_adc` (r10, integer-micro ADC, UNpinned bounds) |",
+        "| `llm_ann_ivfpq_topk` | float k-means both levels | `llm_ann_ivfpq_adc` (r10, pinned coarse+residual codebooks) |",
+        "| `llm_semdedup` | float k-means cells | `llm_semdedup_pinned` (r9) + precision/recall pytest |",
+        "| `llm_bpe_merges` / `llm_bpe_encode` | dynamic vocab → no static unroll | `llm_bpe_merges_restricted` + `llm_bpe_encode_pinned` (r10) |",
+        "| `llm_unigram_train` / `llm_unigram_encode` | EM floats + dynamic vocab | `llm_unigram_train_restricted` + `llm_unigram_encode_pinned` + `llm_unigram_viterbi` (r11: BOTH lifecycle halves ride production code paths through the gate) |",
+        "| `llm_model_embed` | float GEMM inference | exactness + batching pinned in tests/test_encoder.py |",
+        "| `agg_approx_distinct` | Spark-internal HLL++ sketch | exact-HLL twin `agg_hll_distinct` is oracled (integer-exact registers) |",
+        "| `agg_hll_sketch_battery` | merged-sketch float estimates | `agg_hll_distinct` oracle + error-bound pytest |",
+        "| multimodal family (10: image/jpeg/mjpeg/video/audio decode, resize, pHash dedups, frames) | binary codec decode (zlib/DCT/RIFF) has no SQL form | exact-CRC codec pins (tests/test_jpeg.py:72, test_audio_hash.py, test_phash.py); all modalities dedup through ONE oracled band-join shape (`hamming64_pairs`) |",
+        "",
+        "No rows-only query lacks both a twin and a bit-exactness pytest;",
+        "no further entry is convertible without faking the float/codec",
+        "math the operator exists to run.",
         "",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "COVERAGE.md")
