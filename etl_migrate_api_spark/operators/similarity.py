@@ -397,6 +397,124 @@ def kmeans_centroids(
     )
 
 
+def _trunc_div(a: int, b: int) -> int:
+    """Integer division truncating toward zero — DuckDB's ``//``
+    semantics (Python's ``//`` floors, which differs on negatives)."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def kmeans_micro(
+    corpus: DataFrame,
+    k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means in INTEGER-MICRO arithmetic, fully distributed —
+    the oracle-twin of kmeans_centroids and the exactness story turned
+    inside out: the production trainer runs driver-side in numpy
+    precisely because float mean updates are shuffle-order-sensitive
+    (its docstring documents the 1-ULP boundary flips of the old
+    cluster-side F.avg variant). Quantizing every component to integer
+    micros makes BOTH k-means steps order-free — L2 assignment scores
+    (c·c − 2·v·c) are exact bigint sums, and the mean update is an
+    integer sum / truncating division — so THIS trainer iterates over
+    the whole corpus cluster-side with bit-reproducible results on any
+    partitioning, and every stage mirrors into exact SQL. Structure
+    mirrors production: md5-first-k seeding, argmin assignment with
+    ties to the lowest cell id, empty cells drop, centroids after
+    ``n_iter`` mean updates. Deviations, forced by integer exactness
+    and documented in the registered twin: L2 instead of spherical
+    assignment (the faiss IndexFlatL2 coarse default; cosine needs a
+    sqrt), truncating instead of float mean division, and no train_cap
+    (the cap is a production perf device — one distributed pass per
+    iteration IS the point here). Returns one row per
+    (cent_id, dim): the final centroid components plus the final
+    update's member counts."""
+    spark = corpus.sparkSession
+    vm = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(
+            f"transform({vec_col}, x ->"
+            " cast(bround(cast(x as double) * 1000000.0, 0) as bigint))"
+        ).alias("v"),
+    ).persist()
+    try:
+        seeds = (
+            vm.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(k)
+            .collect()
+        )
+        cents: dict[int, list[int]] = {
+            cid: [int(x) for x in r["v"]] for cid, r in enumerate(seeds)
+        }
+        counts: dict[int, int] = {}
+        for _ in range(n_iter):
+            cands = []
+            for cid in sorted(cents):
+                cv = cents[cid]
+                cc = sum(x * x for x in cv)
+                vc = F.aggregate(
+                    F.zip_with(
+                        "v",
+                        F.array(*[F.lit(x).cast("long") for x in cv]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                cands.append(
+                    F.struct(
+                        (F.lit(cc).cast("long") - F.lit(2).cast("long") * vc)
+                        .alias("s"),
+                        F.lit(cid).alias("c"),
+                    )
+                )
+            cell = F.array_min(F.array(*cands))["c"]
+            # two-step select: resolving the struct-field access in the
+            # same projection as a generator (posexplode) drops the
+            # struct's field names in Spark's analyzer (FIELD_NOT_FOUND
+            # col1/col2) — project the assignment first
+            rows = (
+                vm.select(cell.alias("cell"), "v")
+                .select("cell", F.posexplode("v").alias("dim", "x"))
+                .groupBy("cell", "dim")
+                .agg(
+                    F.sum("x").alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
+            )  # ≤ k×dim rows — the ONLY driver-side state is the model
+            acc: dict[int, dict[int, tuple[int, int]]] = {}
+            for r in rows:
+                acc.setdefault(int(r["cell"]), {})[int(r["dim"])] = (
+                    int(r["s"]),
+                    int(r["n"]),
+                )
+            cents = {
+                cid: [
+                    _trunc_div(dims[d][0], dims[d][1])
+                    for d in range(len(dims))
+                ]
+                for cid, dims in acc.items()
+            }
+            counts = {
+                cid: dims[0][1] for cid, dims in acc.items()
+            }
+        out_rows = [
+            (cid, d, cents[cid][d], counts[cid])
+            for cid in sorted(cents)
+            for d in range(len(cents[cid]))
+        ]
+        return spark.createDataFrame(
+            out_rows,
+            "cent_id int, dim int, c_micro bigint, n_members bigint",
+        )
+    finally:
+        vm.unpersist()
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -708,7 +826,13 @@ def ivf_topk_from_index(
     dot + lowest-cid tie rule as _nearest_cells_expr (bit-identical —
     both are left-to-right IEEE mul-adds over the same doubles), but
     without the two Spark jobs (explode projection + distinct.collect)
-    the expression formulation cost per query batch."""
+    the expression formulation cost per query batch.
+
+    Reads self-heal (the bm25_from_index contract, r11): a compact
+    crashed between its two renames leaves the index at ``path``.old —
+    recover_ivf_index restores it here (two isdir probes when nothing
+    is torn) instead of throwing FileNotFound at the scan."""
+    recover_ivf_index(path)
     cent_rows = [
         (int(r["cent_id"]), [float(x) for x in r["cent_v"]])
         for r in spark.read.parquet(f"{path}.centroids").collect()

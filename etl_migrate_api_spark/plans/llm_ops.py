@@ -2365,6 +2365,97 @@ def llm_ann_ivf_probe_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_micro_oracle(
+    k: int = 4, n_iter: int = 2, dim: int = 64
+) -> str:
+    """Integer-micro Lloyd's as exact SQL: components quantized with
+    round_even (≡ Spark bround, both half-to-even on identical
+    doubles), L2 assignment scores cc − 2·v·c as integer-valued
+    doubles (all sums ≪ 2⁵³ — list_dot_product is exact), per-cell
+    per-dim integer sums, truncating `//` mean division (mirrored by
+    _trunc_div engine-side), empty cells dropping by inner-join
+    absence. One unrolled assign→sum→update block per iteration."""
+    blocks = []
+    prev = "c0"
+    for it in range(1, n_iter + 1):
+        blocks.append(
+            f""",
+      a{it} as materialized (
+        select vec_id, v, cell from (
+          select e.vec_id, e.v, c.cell_id as cell,
+                 row_number() over (partition by e.vec_id order by
+                   cast(list_dot_product(cast(c.cv as double[]),
+                                         cast(c.cv as double[]))
+                        - 2 * list_dot_product(cast(e.v as double[]),
+                                               cast(c.cv as double[]))
+                        as bigint) asc,
+                   c.cell_id) as rn
+          from emb e cross join {prev} c)
+        where rn = 1
+      ),
+      s{it} as materialized (
+        select cell, r.i as dim,
+               cast(sum(v[r.i + 1]) as bigint) as s,
+               cast(count(*) as bigint) as n
+        from a{it} cross join range({dim}) r(i)
+        group by 1, 2
+      ),
+      c{it} as materialized (
+        select cell as cell_id, list(s // n order by dim) as cv
+        from s{it} group by cell
+      )"""
+        )
+        prev = f"c{it}"
+    return f"""
+      with emb as materialized (
+        select vec_id,
+               list_transform(cast(embedding as double[]),
+                 x -> cast(round_even(x * 1000000.0, 0) as bigint)) as v
+        from embeddings
+      ),
+      ranked as materialized (
+        select vec_id, v, row_number() over (
+                 order by md5(cast(vec_id as varchar)), vec_id) - 1 as rk
+        from emb
+      ),
+      c0 as materialized (
+        select rk as cell_id, v as cv from ranked where rk < {k}
+      ){''.join(blocks)}
+      select cast(cell as int) as cent_id, cast(dim as int) as dim,
+             (s // n) as c_micro, n as n_members
+      from s{n_iter}
+      order by cent_id, dim
+    """
+
+
+@register(
+    "llm_ann_kmeans_micro",
+    oracle=_kmeans_micro_oracle(),
+    survey_refs=("A3", "X1"),
+)
+def llm_ann_kmeans_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-MEANS TRAINING through the DuckDB gate — the last ungated
+    stage of the ANN family (the r10 verdict's residual after the ADC
+    and probe twins), via the integer-micro recipe that gated the
+    unigram trainer. kmeans_micro (operators/similarity.py) runs
+    Lloyd's FULLY DISTRIBUTED: quantizing components to integer micros
+    makes the assignment scores exact bigints and the mean update an
+    order-free integer sum + truncating division, so the cluster-side
+    iteration is bit-reproducible on any partitioning — the exact
+    property whose ABSENCE forces the production float trainer
+    (kmeans_centroids) to iterate driver-side in numpy, as its
+    docstring documents. Structure gated end to end: md5-first-k
+    seeding, argmin-L2 assignment with lowest-id ties, per-cell means,
+    empty-cell drop, n_iter=2 — matching write_ivf_index's schedule.
+    Documented deviations from the float path (each forced by integer
+    exactness): L2 instead of spherical assignment, truncating mean
+    division, no train_cap. The float trainer remains the production
+    speed path, determinism/recall-tested in tests/test_kmeans_ivf.py;
+    this twin externalizes the ALGORITHM."""
+    emb = load(spark, "embeddings", sf_dir)
+    return sim.kmeans_micro(emb, k=4, n_iter=2)
+
+
 @register("llm_image_phash_dedup")
 def llm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup detection by 64-bit DCT perceptual hash: luma →

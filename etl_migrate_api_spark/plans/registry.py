@@ -71,23 +71,26 @@ def _load_all() -> None:
 # tools/driver_sim.py).
 #
 # r11 window: CLOSE THE EVIDENCE LEDGER. After r10, six registered
-# queries had never had a driver row; r11 adds three new oracle twins
+# queries had never had a driver row; r11 adds FOUR new oracle twins
 # (IVF pruned probe with pinned centroids, the production unigram
-# encoder under the pinned viterbi vocab, and the restricted-domain
-# unigram TRAINER — the r10 verdict's #2/#3/#4). The window leads with
-# all NINE never-rowed queries plus llm_ann_lsh_topk (oracled in place
-# in r10 after a rows-only history — first HASH row pending); once
-# these land, every query in the registry's history has external
-# driver evidence. The rest of the window: the S1/K3/K8/X3/K7 carriers
-# + the minimal 13-anchor §2 set cover (unchanged from r10 — every
-# §2 item keeps a fresh green row each round), then the 23 STALEST
-# oracled queries (last green r01–r06: the early-round battery/TPC-H
-# tail) so the evidence base's age ceiling drops from r01 to r07.
+# encoder under the pinned viterbi vocab, the restricted-domain
+# unigram TRAINER — the r10 verdict's #2/#3/#4 — and integer-micro
+# distributed k-means, gating the ANN family's last ungated stage).
+# The window leads with all TEN never-rowed queries plus
+# llm_ann_lsh_topk (oracled in place in r10 after a rows-only history
+# — first HASH row pending); once these land, every query in the
+# registry's history has external driver evidence. The rest: the
+# S1/K3/K8/X3/K7 carriers + the minimal 13-anchor §2 set cover
+# (unchanged from r10 — every §2 item keeps a fresh green row each
+# round), then the 22 STALEST oracled queries (last green r01–r06:
+# the early-round battery/TPC-H tail) so the evidence base's age
+# ceiling drops from r01 to r06.
 #
-# r12 queue: continue draining stale evidence (r07 cohort:
-# events_* window family, graph_pagerank_hosts, the TPC-H tail),
-# rotate any new r11 oracles in, and re-window llm_multimodal_audio's
-# family siblings if the judge wants repeat coverage.
+# r12 queue: continue draining stale evidence (llm_exact_dedup r06,
+# then the r07 cohort: events_* window family, graph_pagerank_hosts,
+# the TPC-H tail), rotate any new r12 oracles in, and re-window
+# llm_multimodal_audio's family siblings if the judge wants repeat
+# coverage.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- never ANY driver row: the r10 late registrations... --
     "llm_multimodal_audio",
@@ -96,10 +99,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "llm_bm25_stream_index",
     "llm_tokenizer_fertility",
     "orders_schema_evolution",
-    # -- ...and the three NEW r11 oracle twins --
+    # -- ...and the four NEW r11 oracle twins --
     "llm_ann_ivf_probe_pinned",
     "llm_unigram_encode_pinned",
     "llm_unigram_train_restricted",
+    "llm_ann_kmeans_micro",
     # -- oracled in r10, still awaiting the first HASH row --
     "llm_ann_lsh_topk",
     # -- S1/K3/K8/X3/K7 carriers (as r10) --
@@ -145,7 +149,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "agg_nation_profile",          # r06
     "filter_sample_battery",       # r06
     "join_anti_new_keys",          # r06
-    "llm_exact_dedup",             # r06
 )
 
 

@@ -93,6 +93,7 @@ def test_driver_window_is_50_unique_queries():
         "llm_ann_ivf_probe_pinned",   # NEW r11: IVF probe twin
         "llm_unigram_encode_pinned",  # NEW r11: production-encoder twin
         "llm_unigram_train_restricted",  # NEW r11: unigram trainer twin
+        "llm_ann_kmeans_micro",       # NEW r11: distributed-exact k-means
         "llm_ann_lsh_topk",           # oracled r10, first hash row
         "orders_merge_upsert",   # K2 K3 (saveToPostgres.js:313-409)
         "orders_version_diff",   # K8 X3 (contactpoint.controller.js:181-196)

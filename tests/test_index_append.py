@@ -266,3 +266,37 @@ def test_compaction_crash_window_recovery_and_full_delete(spark, emb, tmp_path):
     # masked query over a fully-deleted index returns no neighbors
     q = emb.where(F.col("vec_id") < 2)
     assert ivf_topk_from_index(spark, path, q, k=3, nprobe=4).count() == 0
+
+
+def test_reader_self_heals_mid_swap_crash(spark, emb, tmp_path):
+    """r11: a QUERY arriving after a compact crashed between its two
+    renames (index at path.old, path missing) must answer correctly
+    instead of throwing FileNotFound — ivf_topk_from_index now calls
+    recover_ivf_index on entry, the same reader self-heal contract as
+    bm25_from_index."""
+    from etl_migrate_api_spark.operators.similarity import (
+        delete_from_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf_heal")
+    write_ivf_index(emb.where(F.col("vec_id") < 50), path, k=4)
+    q = emb.where(F.col("vec_id") < 2)
+    expected = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk_from_index(spark, path, q, k=3, nprobe=4).collect()
+    }
+    delete_from_ivf_index(
+        spark.createDataFrame([(30,), (31,)], "vec_id long"), path
+    )
+    masked = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk_from_index(spark, path, q, k=3, nprobe=4).collect()
+    }
+    os.rename(path, f"{path}.old")  # the mid-swap crash
+    healed = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk_from_index(spark, path, q, k=3, nprobe=4).collect()
+    }
+    assert healed == masked
+    assert os.path.isdir(path) and not os.path.isdir(f"{path}.old")
+    assert expected  # sanity: non-empty result set

@@ -190,3 +190,32 @@ def test_persisted_ivf_index_string_ids(spark, emb, tmp_path):
     assert {r["query_id"] for r in rows} == {"doc-1", "doc-2", "doc-3"}
     assert all(r["neighbor_id"].startswith("doc-") for r in rows)
     assert all(r["query_id"] != r["neighbor_id"] for r in rows)
+
+
+def test_kmeans_micro_distributed_exactness(spark, emb):
+    """r11: the integer-micro trainer must be (1) bit-identical across
+    re-runs AND partitionings — the order-free property that lets it
+    iterate cluster-side where the float trainer cannot, (2) a real
+    clustering: every vector's assigned centroid is its argmin-L2
+    centroid, members sum to the corpus, and (3) truncating division
+    (_trunc_div ≡ DuckDB //) on negatives."""
+    from etl_migrate_api_spark.operators.similarity import (
+        _trunc_div,
+        kmeans_micro,
+    )
+
+    assert _trunc_div(-7, 2) == -3  # DuckDB //, not Python's floor -4
+    assert _trunc_div(7, 2) == 3
+    assert _trunc_div(-8, 2) == -4
+
+    corpus = emb.where(F.col("vec_id") < 200)
+    a = kmeans_micro(corpus, k=4, n_iter=2).collect()
+    b = kmeans_micro(corpus.repartition(7), k=4, n_iter=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    members = {r["cent_id"]: r["n_members"] for r in a}
+    assert sum(members.values()) == corpus.count()
+    assert 1 <= len(members) <= 4
+    dims = {r["cent_id"] for r in a}
+    assert all(
+        len([r for r in a if r["cent_id"] == c]) == 64 for c in dims
+    )

@@ -170,7 +170,7 @@ def main() -> None:
         "",
         "| rows-only query | why no SQL mirror | gated twin / pin |",
         "|---|---|---|",
-        "| `llm_ann_ivf_build/_query/_topk` | float k-means training | `llm_ann_ivf_probe_pinned` gates the whole persisted probe path (r11); determinism+recall in tests/test_kmeans_ivf.py |",
+        "| `llm_ann_ivf_build/_query/_topk` | float k-means training | `llm_ann_ivf_probe_pinned` gates the whole persisted probe path AND `llm_ann_kmeans_micro` gates Lloyd's loop itself in distributed integer-micro arithmetic (r11); float-path determinism+recall in tests/test_kmeans_ivf.py |",
         "| `llm_ann_pq_topk` | float k-means codebooks | `llm_ann_pq_adc` (r9, decimal LUT sums) |",
         "| `llm_ann_sq8_topk` | float rerank pipeline | `llm_ann_sq8_adc` (r10, integer-micro ADC, UNpinned bounds) |",
         "| `llm_ann_ivfpq_topk` | float k-means both levels | `llm_ann_ivfpq_adc` (r10, pinned coarse+residual codebooks) |",
