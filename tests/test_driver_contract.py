@@ -49,6 +49,14 @@ assert n > 0, "orc roundtrip failed on a vanilla session"
 # foreachBatch index writes must run under the driver's own session
 n = qs["llm_bm25_stream_index"](spark, "/root/testdata/sf0.001").count()
 assert n > 0, "streamed-index bm25 failed on a vanilla session"
+# r11 first-timers: the one query with zero driver evidence (WAV
+# decode over binary rows) and the round's heaviest new twin (writes
+# a pinned index layout under the driver's session) — both must
+# survive vanilla defaults BEFORE their first real driver row
+n = qs["llm_multimodal_audio"](spark, "/root/testdata/sf0.001").count()
+assert n > 0, "multimodal audio failed on a vanilla session"
+n = qs["llm_ann_kmeans_micro"](spark, "/root/testdata/sf0.001").count()
+assert n > 0, "kmeans_micro failed on a vanilla session"
 assert set(e.oracle_sql()).issubset(set(qs))
 print("CONTRACT-OK")
 """
