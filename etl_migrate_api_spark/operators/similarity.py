@@ -1367,6 +1367,16 @@ def pq_topk_from_index(
         return _empty_topk(spark)
     mats = [np.asarray(b, dtype=np.float64) for b in _load_codebooks(spark, path)]
     codes = spark.read.parquet(path)
+    tombs = _read_tombstones(spark, path)
+    if tombs is not None:
+        # the delete log is index-family-generic (r11): a PQ index
+        # deleted from must stop returning the dead ids immediately,
+        # same contract as ivf_topk_from_index
+        codes = codes.join(
+            F.broadcast(tombs.withColumnRenamed("vec_id", "_dead")),
+            F.col("vid") == F.col("_dead"),
+            "left_anti",
+        )
     scored = _adc_scored(codes, qrows, _build_luts(qrows, mats))
     if rerank <= 0 or rerank_corpus is None:
         return _rank_topk(scored, k, F.col("sim").alias("est_ip"))
@@ -1483,6 +1493,17 @@ def ivfpq_topk(
     qid_index = {q: i for i, (q, _) in enumerate(qrows)}
 
     codes = spark.read.parquet(path).where(F.col("cell").isin(probed))
+    tombs = _read_tombstones(spark, path)
+    if tombs is not None:
+        # deletes are a LOG, not a rewrite — mask them here exactly as
+        # ivf_topk_from_index does (r11: the log is index-family-
+        # generic; before this, deleting from an IVF-PQ index appended
+        # a log that this reader silently ignored)
+        codes = codes.join(
+            F.broadcast(tombs.withColumnRenamed("vec_id", "_dead")),
+            F.col("vid") == F.col("_dead"),
+            "left_anti",
+        )
     # a neighbor counts for a query ONLY if its cell is probed for that
     # query: build the (cell → query positions) filter as a literal map
     cell_q = F.map_from_arrays(
@@ -1609,14 +1630,17 @@ def _read_tombstones(spark: SparkSession, path: str):
 def delete_from_ivf_index(
     ids: DataFrame, path: str, id_col: str = "vec_id"
 ) -> None:
-    """Delete vectors from a persisted IVF index WITHOUT rewriting it:
-    append the ids to a tombstone log (``path``.tombstones) that every
-    ivf_topk_from_index query masks with a broadcast anti join — the
+    """Delete vectors from a persisted vector index WITHOUT rewriting
+    it: append the ids to a tombstone log (``path``.tombstones) that
+    every persisted-index reader (ivf_topk_from_index, ivfpq_topk,
+    pq_topk_from_index) masks with a broadcast anti join — the
     log-structured analog of faiss ``remove_ids`` (which eagerly
     rewrites the inverted lists; at 100 TB nobody rewrites a
     cell-partitioned corpus to drop 0.01% of rows). Deleted ids
     disappear from results IMMEDIATELY and atomically per append.
-    Run compact_ivf_index when the log grows past broadcast size."""
+    Run compact_ivf_index when the log grows past broadcast size — it
+    folds the log on whichever layout the index is (raw vec_id cells,
+    cell-partitioned vid codes, or the flat PQ code table)."""
     ids.select(F.col(id_col).alias("vec_id")).write.mode("append").parquet(
         f"{path}.tombstones"
     )
@@ -1661,10 +1685,15 @@ def compact_ivf_index(spark: SparkSession, path: str) -> int:
     if tombs is None:
         return 0
     live = spark.read.parquet(path)
+    # index-family-generic (r11): the raw-vector IVF layout carries
+    # vec_id + cell partitions; the PQ/IVF-PQ code tables carry vid
+    # (and the flat PQ table no cell at all) — fold the same log on
+    # whichever this index is
+    idc = "vec_id" if "vec_id" in live.columns else "vid"
     n_before = live.count()
     kept = live.join(
         F.broadcast(tombs.withColumnRenamed("vec_id", "_dead")),
-        F.col("vec_id") == F.col("_dead"),
+        F.col(idc) == F.col("_dead"),
         "left_anti",
     )
     n_after = kept.count()
@@ -1672,12 +1701,15 @@ def compact_ivf_index(spark: SparkSession, path: str) -> int:
         return 0
     tmp = f"{path}.compact.tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    (
-        kept.repartition(F.col("cell"))
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(tmp)
-    )
+    if "cell" in live.columns:
+        (
+            kept.repartition(F.col("cell"))
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(tmp)
+        )
+    else:
+        kept.write.mode("overwrite").parquet(tmp)
     old = f"{path}.old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)

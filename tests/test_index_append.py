@@ -300,3 +300,59 @@ def test_reader_self_heals_mid_swap_crash(spark, emb, tmp_path):
     assert healed == masked
     assert os.path.isdir(path) and not os.path.isdir(f"{path}.old")
     assert expected  # sanity: non-empty result set
+
+
+def test_delete_masks_ivfpq_and_pq_indexes(spark, emb, tmp_path):
+    """r11: the tombstone log is index-family-GENERIC. Deleting from an
+    IVF-PQ or flat-PQ index must hide the ids from the from-index
+    readers immediately (before this, the log was appended but those
+    readers silently ignored it — deleted vectors kept surfacing), and
+    compact_ivf_index must fold the log on either layout (vid id
+    column; flat table without cell partitions)."""
+    from etl_migrate_api_spark.operators.similarity import (
+        compact_ivf_index,
+        delete_from_ivf_index,
+        ivfpq_topk,
+        pq_topk_from_index,
+        write_ivfpq_index,
+        write_pq_index,
+    )
+
+    base = emb.where(F.col("vec_id") < 120)
+    queries = emb.where(F.col("vec_id") < 3)
+
+    p1 = str(tmp_path / "ivfpq")
+    write_ivfpq_index(base, p1, k=4, m=32, ksub=16)
+    before = ivfpq_topk(spark, p1, queries, k=5, nprobe=4)
+    dead = [r["neighbor_id"] for r in before.where(F.col("rank") == 1).collect()]
+    assert dead
+    delete_from_ivf_index(
+        spark.createDataFrame([(i,) for i in dead], "vec_id long"), p1
+    )
+    after = ivfpq_topk(spark, p1, queries, k=5, nprobe=4)
+    res_after = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in after.collect()}
+    assert set(res_after.values()).isdisjoint(set(dead))
+    removed = compact_ivf_index(spark, p1)
+    assert removed == len(set(dead))
+    import os as _os
+    assert not _os.path.isdir(f"{p1}.tombstones")
+    again = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in ivfpq_topk(spark, p1, queries, k=5, nprobe=4).collect()}
+    assert again == res_after  # compaction changes no results
+
+    p2 = str(tmp_path / "pqflat")
+    write_pq_index(base, p2, m=32, ksub=16)
+    before2 = pq_topk_from_index(spark, p2, queries, k=5)
+    dead2 = [r["neighbor_id"] for r in before2.where(F.col("rank") == 1).collect()]
+    assert dead2
+    delete_from_ivf_index(
+        spark.createDataFrame([(i,) for i in set(dead2)], "vec_id long"), p2
+    )
+    after2 = pq_topk_from_index(spark, p2, queries, k=5)
+    res2 = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in after2.collect()}
+    assert set(res2.values()).isdisjoint(set(dead2))
+    removed2 = compact_ivf_index(spark, p2)  # flat layout, vid column
+    assert removed2 == len(set(dead2))
+    again2 = {(r["query_id"], r["rank"]): r["neighbor_id"]
+              for r in pq_topk_from_index(spark, p2, queries, k=5).collect()}
+    assert again2 == res2
