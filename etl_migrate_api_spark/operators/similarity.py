@@ -1569,7 +1569,10 @@ def add_to_ivfpq_index(
 
     Caller contract: ``new_vectors`` carries ids not already in the
     index (the codes table has no uniqueness constraint — an id
-    appended twice is scored twice). Quantization drift is the price
+    appended twice is scored twice) and not in its tombstone log: the
+    delete mask is by id, so a row appended under a tombstoned id
+    stays invisible and is physically dropped by the next compact —
+    resurrect an id by compacting FIRST, then adding. Quantization drift is the price
     of frozen codebooks: monitor it with ``ivf_index_staleness`` and
     rebuild when the appended mass measurably shifts the distribution
     (tests/test_index_append.py shows append ≡ rebuild recall while

@@ -190,7 +190,9 @@ def append_to_text_index(
     is already there: postings land in their bucket partitions, the
     doclens sidecar and the stats log grow by the batch's delta row.
     Contract (same as the IVF add path): the caller appends fresh
-    doc_ids — re-adding a live id would double its postings. Appended
+    doc_ids — re-adding a live id would double its postings, and a
+    TOMBSTONED id stays masked (and is dropped by the next compact);
+    resurrect an id by compacting first, then appending. Appended
     docs are queryable immediately; BM25 scores shift exactly as a
     fresh rebuild over the union would (pinned in tests)."""
     _write_index_batch(docs, path, n_buckets, id_col, text_col, "append")
