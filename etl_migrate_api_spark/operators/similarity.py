@@ -1359,9 +1359,15 @@ def pq_topk_from_index(
     exact inner product against the source table (the codes table never
     stores raw vectors — compression is the point; production fetches
     the shortlist rows from the primary store, which is exactly what
-    the broadcast join against ``rerank_corpus`` models)."""
+    the broadcast join against ``rerank_corpus`` models).
+
+    Self-heals on entry like ivf_topk_from_index: compact_ivf_index
+    runs on every layout (r11), so a mid-swap crash can leave THIS
+    index at ``path``.old too — every reader of the family must
+    recover, not just the raw-vector one."""
     import numpy as np
 
+    recover_ivf_index(path)
     qrows = _collect_query_rows(queries, id_col, vec_col)
     if not qrows:
         return _empty_topk(spark)
@@ -1465,9 +1471,14 @@ def ivfpq_topk(
     exact rerank against the source table. Unlike pq_topk, a query's
     own row is EXCLUDED (index queries ask for neighbors, not
     self-reconstruction). Returns (query_id, rank, neighbor_id,
-    est_ip)."""
+    est_ip).
+
+    Self-heals on entry (recover_ivf_index): same family-wide contract
+    as pq_topk_from_index — a compact that crashed mid-swap leaves the
+    index at ``path``.old, and every reader must restore it."""
     import numpy as np
 
+    recover_ivf_index(path)
     qrows = _collect_query_rows(queries, id_col, vec_col)
     if not qrows:
         return _empty_topk(spark)

@@ -216,13 +216,119 @@ def _read_epoch(path: str) -> int:
         return 0
 
 
-def _read_doc_tombstones(spark: SparkSession, path: str):
+def _read_tombstone_log(spark: SparkSession, path: str):
+    """The raw tombstone log with a GUARANTEED epoch column. The log
+    schema grew from (doc_id, dl) to (doc_id, dl, epoch) in r11; a log
+    written by pre-epoch code — or a mixed-schema log after new deletes
+    append to an old dir — must still read correctly rather than fail
+    on the missing column or silently drop the stats adjustment
+    (depending on which file Spark happened to sample for the schema).
+    mergeSchema makes the mixed case deterministic (old rows surface
+    with epoch NULL) and the coalesce folds both legacy shapes to
+    epoch 0, which is exactly right: a pre-epoch row was by definition
+    written before the first epoch-stamping compact."""
     import os
 
     tpath = f"{path}.tombstones"
     if not os.path.isdir(tpath):
         return None
-    return spark.read.parquet(tpath).select("doc_id").distinct()
+    log = spark.read.option("mergeSchema", "true").parquet(tpath)
+    if "epoch" not in log.columns:
+        return log.withColumn("epoch", F.lit(0).cast("int"))
+    return log.withColumn(
+        "epoch", F.coalesce(F.col("epoch"), F.lit(0)).cast("int")
+    )
+
+
+def _read_doc_tombstones(spark: SparkSession, path: str):
+    log = _read_tombstone_log(spark, path)
+    if log is None:
+        return None
+    return log.select("doc_id").distinct()
+
+
+def _dir_sig(d: str):
+    """Cheap change-detector for a sidecar dir: the sorted file-name
+    listing. Appends write NEW uniquely-named part files and compact
+    swaps in a whole fresh dir, so any mutation changes the listing;
+    nothing rewrites a parquet part in place."""
+    import os
+
+    try:
+        return tuple(sorted(os.listdir(d)))
+    except OSError:
+        return None
+
+
+# per-(index path) memo of the read-time sidecar work — see
+# _sidecar_state. Keyed by path → (signature, value); a stale entry is
+# recomputed when the signature (stats + tombstone dir listings)
+# changes, so deletes/appends/compacts invalidate automatically.
+_SIDECAR_MEMO: dict[str, tuple[object, tuple]] = {}
+
+# isin() compiles the dead-id set into the plan; past this size fall
+# back to the broadcast anti-join so we never build a pathological
+# expression tree (the log is broadcast-bounded by contract, so this
+# is a guard, not an expected path).
+_ISIN_CAP = 20_000
+
+
+def _sidecar_state(
+    spark: SparkSession, path: str
+) -> tuple[int, int, tuple[int, ...] | None]:
+    """The fixed per-read sidecar work of ``bm25_from_index``, computed
+    ONCE per (path, sidecar-dir state) and memoized for the session:
+    returns ``(n_docs, n_toks, dead_ids)`` where the scalars are the
+    stats-log sum minus the CURRENT-EPOCH tombstone adjustment (the
+    r11 torn-compact discipline — see the module docstring) and
+    ``dead_ids`` is the distinct tombstoned doc_id set for the posting
+    mask (ALL epochs — prior-epoch ids are a no-op on compacted
+    postings but must still mask a torn posting table), or None when
+    there is no log. r11 added these reads for crash-safety and they
+    cost two-three small Spark jobs per query; at sub-second query
+    times that was ~40% overhead (VERDICT r11 watch item), and the
+    state only changes when a sidecar dir changes — which the dir
+    listing detects exactly."""
+    import os
+
+    sig = (_dir_sig(f"{path}.stats"), _dir_sig(f"{path}.tombstones"))
+    hit = _SIDECAR_MEMO.get(path)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
+
+    row = (
+        spark.read.parquet(f"{path}.stats")
+        .agg(
+            F.sum("n_docs").cast("long").alias("bd"),
+            F.sum("n_toks").cast("long").alias("bt"),
+        )
+        .collect()[0]
+    )
+    n_docs, n_toks = int(row["bd"]), int(row["bt"])
+    dead_ids: tuple[int, ...] | None = None
+    if os.path.isdir(f"{path}.tombstones"):
+        cur = _read_epoch(path)
+        trows = (
+            _read_tombstone_log(spark, path)
+            .select("doc_id", "dl", "epoch")
+            .distinct()
+            .collect()
+        )
+        dead_ids = tuple(sorted({int(r["doc_id"]) for r in trows}))
+        # current-epoch distinct (doc_id, dl) pairs — dl is unique per
+        # doc within an epoch (it comes from the doclens sidecar), so
+        # distinct-then-filter equals the production filter-then-
+        # distinct
+        cur_pairs = {
+            (int(r["doc_id"]), int(r["dl"]))
+            for r in trows
+            if int(r["epoch"]) == cur
+        }
+        n_docs -= len(cur_pairs)
+        n_toks -= sum(dl for _, dl in cur_pairs)
+    val = (n_docs, n_toks, dead_ids)
+    _SIDECAR_MEMO[path] = (sig, val)
+    return val
 
 
 def delete_from_text_index(
@@ -256,6 +362,28 @@ def delete_from_text_index(
         .withColumn("epoch", F.lit(_read_epoch(path)).cast("int"))
     )
     dead.write.mode("append").parquet(f"{path}.tombstones")
+
+
+def _sweep_compact_temps(path: str) -> int:
+    """Drop orphaned ``*.compact-<tag>`` temp dirs left by compacts
+    that crashed BEFORE their swap (ADVICE r11: recover_text_index
+    sweeps only ``.old`` dirs, so repeated crashed compacts leaked the
+    uuid-tagged temps unboundedly). Called from the COMPACT entry, not
+    from readers: a reader racing a live compact must not delete the
+    temp dirs that compact is still writing — compaction is
+    single-writer by contract, so at compact entry any surviving temp
+    is by definition an orphan. Returns the number of dirs removed."""
+    import glob as _glob
+    import os
+    import shutil
+
+    n = 0
+    for base in (path, f"{path}.doclens", f"{path}.stats"):
+        for d in _glob.glob(f"{base}.compact-*"):
+            if os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
+                n += 1
+    return n
 
 
 def recover_text_index(path: str) -> bool:
@@ -297,6 +425,7 @@ def compact_text_index(spark: SparkSession, path: str) -> int:
     import uuid
 
     recover_text_index(path)
+    _sweep_compact_temps(path)
     tombs = _read_doc_tombstones(spark, path)
     if tombs is None:
         return 0
@@ -369,56 +498,42 @@ def bm25_from_index(
     epoch-filtered tombstone adjustment below keeps N/avgdl exact even
     in the stats-rebased-but-log-not-cleared window."""
     recover_text_index(path)
+    # the stats sidecar is a delta LOG (build base + append deltas) —
+    # the current corpus scalars are its exact integer sum, MINUS the
+    # distinct CURRENT-EPOCH tombstones' (count, Σdl); prior-epoch
+    # rows are already folded into the re-based stats and subtracting
+    # them again would corrupt idf silently (module docstring). r12:
+    # that fixed side-read work is memoized per sidecar-dir state —
+    # the scalars land below as plan LITERALS (constant-folded, no
+    # crossJoin stage) and the delete mask as an isin filter, so a
+    # repeated query pays zero extra Spark jobs until a sidecar dir
+    # actually changes.
+    n_docs, n_toks, dead_ids = _sidecar_state(spark, path)
     buckets = sorted({term_bucket(t, n_buckets) for t in terms})
     p = (
         spark.read.parquet(path)
         .where(F.col("bucket").isin(buckets))
         .where(F.col("term").isin(*terms))
     )
-    tombs = _read_doc_tombstones(spark, path)
-    if tombs is not None:
-        # deletes are a LOG, not a rewrite — mask them here
-        p = p.join(F.broadcast(tombs), "doc_id", "left_anti")
-    # the stats sidecar is a delta LOG (build base + append deltas) —
-    # the current corpus scalars are its exact integer sum, MINUS the
-    # distinct CURRENT-EPOCH tombstones' (count, Σdl): the delete log
-    # carries dl precisely so N/avgdl stay rebuild-identical with a
-    # one-append, idempotent delete (duplicates collapse under the
-    # DISTINCT). Prior-epoch rows are already folded into the re-based
-    # stats (they only survive a compact torn between the stats swap
-    # and the log clear) — subtracting them again would corrupt idf
-    # and length normalization silently.
-    base = spark.read.parquet(f"{path}.stats").agg(
-        F.sum("n_docs").cast("long").alias("bd"),
-        F.sum("n_toks").cast("long").alias("bt"),
-    )
-    import os as _os
-
-    if _os.path.isdir(f"{path}.tombstones"):
-        tadj = (
-            spark.read.parquet(f"{path}.tombstones")
-            .where(F.col("epoch") == F.lit(_read_epoch(path)))
-            .select("doc_id", "dl")
-            .distinct()
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("td"),
-                F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("tt"),
+    if dead_ids:
+        if len(dead_ids) <= _ISIN_CAP:
+            p = p.where(~F.col("doc_id").isin(*dead_ids))
+        else:
+            # oversized log: keep the broadcast anti-join rather than
+            # compiling a huge isin expression
+            p = p.join(
+                F.broadcast(_read_doc_tombstones(spark, path)),
+                "doc_id",
+                "left_anti",
             )
-        )
-        stats = base.crossJoin(F.broadcast(tadj)).select(
-            (F.col("bd") - F.col("td")).alias("n_docs"),
-            (F.col("bt") - F.col("tt")).alias("n_toks"),
-        )
-    else:
-        stats = base.select(
-            F.col("bd").alias("n_docs"), F.col("bt").alias("n_toks")
-        )
+    nd = F.lit(n_docs).cast("long")
+    nt = F.lit(n_toks).cast("long")
     df_ = p.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = df_.crossJoin(F.broadcast(stats)).select(
+    idf = df_.select(
         "term",
         F.log(
             1.0
-            + ((F.col("n_docs") - F.col("df")).cast("double") + 0.5)
+            + ((nd - F.col("df")).cast("double") + 0.5)
             / (F.col("df").cast("double") + 0.5)
         )
         .cast("decimal(18,9)")
@@ -426,7 +541,6 @@ def bm25_from_index(
     )
     scored = (
         p.join(F.broadcast(idf), "term")
-        .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
             (
@@ -439,10 +553,7 @@ def bm25_from_index(
                         (1.0 - b)
                         + b
                         * F.col("dl")
-                        * (
-                            F.col("n_docs").cast("double")
-                            / F.col("n_toks").cast("double")
-                        )
+                        * (nd.cast("double") / nt.cast("double"))
                     )
                 )
             )

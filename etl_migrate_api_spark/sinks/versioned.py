@@ -585,6 +585,20 @@ class VersionedTable:
                 # (fails loudly if a rival re-locked; the fresh
                 # holder's owner-checked release keeps it from
                 # unlinking the rival's lock).
+                #
+                # RESIDUAL WINDOW (accepted): if the stat says stale
+                # but the holder releases AND a rival re-acquires in
+                # the stat→rename gap, the fresh rival's lock is still
+                # briefly renamed away, and a third committer's
+                # os.link can succeed before the restore — two holders
+                # for a few microseconds. Closing it fully needs a
+                # holder-identity check (inode/content compared
+                # post-claim) or fcntl range locks; with an
+                # mtime-based breaker whose stale threshold is 1000×
+                # the hold time, the triple coincidence (death-aged
+                # lock + release + re-acquire inside one syscall gap)
+                # is accepted and the post-claim re-check bounds the
+                # damage to the restore path above.
                 try:
                     if (
                         _time.time() - os.path.getmtime(lock)

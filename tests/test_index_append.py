@@ -302,6 +302,54 @@ def test_reader_self_heals_mid_swap_crash(spark, emb, tmp_path):
     assert expected  # sanity: non-empty result set
 
 
+def test_pq_readers_self_heal_mid_swap_crash(spark, emb, tmp_path):
+    """r12: compact_ivf_index runs on EVERY index layout (r11), so its
+    mid-swap crash window (index at path.old) extends to PQ and IVF-PQ
+    indexes — and their readers must self-heal too, not just the
+    raw-vector ivf_topk_from_index. Before this, pq_topk_from_index and
+    ivfpq_topk read ``path`` directly and threw FileNotFound after a
+    crashed compact, contradicting the family-generic reader
+    contract."""
+    from etl_migrate_api_spark.operators.similarity import (
+        pq_topk_from_index,
+        write_ivfpq_index,
+        write_pq_index,
+    )
+
+    base = emb.where(F.col("vec_id") < 120)
+    queries = emb.where(F.col("vec_id") < 3)
+
+    p1 = str(tmp_path / "pq_heal")
+    write_pq_index(base, p1, m=32, ksub=16)
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in pq_topk_from_index(spark, p1, queries, k=5).collect()
+    }
+    assert want
+    os.rename(p1, f"{p1}.old")  # the mid-swap crash
+    healed = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in pq_topk_from_index(spark, p1, queries, k=5).collect()
+    }
+    assert healed == want
+    assert os.path.isdir(p1) and not os.path.isdir(f"{p1}.old")
+
+    p2 = str(tmp_path / "ivfpq_heal")
+    write_ivfpq_index(base, p2, k=4, m=32, ksub=16)
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivfpq_topk(spark, p2, queries, k=5, nprobe=4).collect()
+    }
+    assert want
+    os.rename(p2, f"{p2}.old")
+    healed = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivfpq_topk(spark, p2, queries, k=5, nprobe=4).collect()
+    }
+    assert healed == want
+    assert os.path.isdir(p2) and not os.path.isdir(f"{p2}.old")
+
+
 def test_delete_masks_ivfpq_and_pq_indexes(spark, emb, tmp_path):
     """r11: the tombstone log is index-family-GENERIC. Deleting from an
     IVF-PQ or flat-PQ index must hide the ids from the from-index

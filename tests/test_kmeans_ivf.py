@@ -219,3 +219,25 @@ def test_kmeans_micro_distributed_exactness(spark, emb):
     assert all(
         len([r for r in a if r["cent_id"] == c]) == 64 for c in dims
     )
+
+
+def test_kmeans_seed_plan_is_take_ordered_not_global_sort(spark, emb):
+    """VERDICT r11 watch item 2: both trainers seed with
+    ``orderBy(md5(id)).limit(k)`` and rely on Spark compiling that to
+    TakeOrderedAndProject (per-partition heaps of k rows) rather than a
+    global Sort — implicit until now. Pin it: the seed DataFrame's
+    physical plan, built exactly as kmeans_micro/kmeans_centroids build
+    it, must contain TakeOrderedAndProject and no global Sort/Exchange
+    for the ordering (a rangepartitioning exchange would mean a full
+    corpus sort per training run)."""
+    vm = emb.select(
+        F.col("vec_id"),
+        F.expr(
+            "transform(embedding, x ->"
+            " cast(bround(cast(x as double) * 1000000.0, 0) as bigint))"
+        ).alias("v"),
+    )
+    seed = vm.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id").limit(8)
+    plan = seed._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan

@@ -381,3 +381,116 @@ def test_leftover_old_dir_does_not_wedge_next_compact(
     ref = str(tmp_path / "ref")
     build_text_index(docs.where(F.col("doc_id") % 4 != 1), ref)
     assert _q(spark, idx) == _q(spark, ref)
+
+
+def test_legacy_tombstone_log_without_epoch_column(spark, sf_small, tmp_path):
+    """ADVICE r11: the tombstone log schema grew (doc_id, dl) →
+    (doc_id, dl, epoch). A log written by pre-epoch code — and the
+    mixed-schema dir that results from NEW deletes appending to it —
+    must read correctly (legacy rows fold to epoch 0) instead of
+    failing on the missing column or silently dropping the stats
+    adjustment depending on which file Spark samples for the schema."""
+    import shutil
+
+    from etl_migrate_api_spark.operators.text_index import (
+        delete_from_text_index,
+    )
+
+    docs = load(spark, "documents", sf_small)
+    idx = str(tmp_path / "idx")
+    build_text_index(docs, idx)
+    dead = docs.where(F.col("doc_id") % 4 == 1).select("doc_id")
+    delete_from_text_index(dead, idx)
+    # rewrite the log in the PRE-epoch shape (doc_id, dl only)
+    tdir = f"{idx}.tombstones"
+    legacy = [
+        (int(r["doc_id"]), int(r["dl"]))
+        for r in spark.read.parquet(tdir).select("doc_id", "dl").collect()
+    ]
+    shutil.rmtree(tdir)
+    spark.createDataFrame(legacy, "doc_id long, dl int").coalesce(1).write.parquet(tdir)
+    ref = str(tmp_path / "ref")
+    build_text_index(docs.where(F.col("doc_id") % 4 != 1), ref)
+    assert _q(spark, idx) == _q(spark, ref)
+    # mixed-schema dir: a NEW delete (epoch-stamped rows) appends to
+    # the legacy log — both file generations must read as one log
+    more = docs.where(F.col("doc_id") % 4 == 2).select("doc_id")
+    delete_from_text_index(more, idx)
+    ref2 = str(tmp_path / "ref2")
+    build_text_index(
+        docs.where((F.col("doc_id") % 4 != 1) & (F.col("doc_id") % 4 != 2)),
+        ref2,
+    )
+    assert _q(spark, idx) == _q(spark, ref2)
+
+
+def test_crashed_compact_temp_dirs_are_swept(spark, sf_small, tmp_path):
+    """ADVICE r11: a compact that crashes BEFORE its swap leaves
+    uuid-tagged ``*.compact-<tag>`` temp dirs that nothing referenced —
+    repeated crashed compacts leaked disk unboundedly. The next compact
+    entry must sweep them (readers must NOT: a reader racing a live
+    compact would delete dirs the compact is still writing)."""
+    import os
+
+    from etl_migrate_api_spark.operators.text_index import (
+        compact_text_index,
+        delete_from_text_index,
+    )
+
+    docs = load(spark, "documents", sf_small)
+    idx = str(tmp_path / "idx")
+    build_text_index(docs, idx)
+    orphans = [
+        f"{idx}.compact-deadbeef",
+        f"{idx}.doclens.compact-deadbeef",
+        f"{idx}.stats.compact-deadbeef",
+        f"{idx}.compact-cafe0001",  # a second crashed generation
+    ]
+    for d in orphans:
+        os.makedirs(d)
+        with open(os.path.join(d, "part-orphan.parquet"), "w") as fh:
+            fh.write("junk")
+    expected = _q(spark, idx)
+    assert _q(spark, idx) == expected  # readers unaffected (and no sweep)
+    assert all(os.path.isdir(d) for d in orphans)
+    dead = docs.where(F.col("doc_id") % 4 == 1).select("doc_id")
+    delete_from_text_index(dead, idx)
+    assert compact_text_index(spark, idx) > 0
+    assert not any(os.path.isdir(d) for d in orphans)  # swept at entry
+    ref = str(tmp_path / "ref")
+    build_text_index(docs.where(F.col("doc_id") % 4 != 1), ref)
+    assert _q(spark, idx) == _q(spark, ref)
+
+
+def test_sidecar_state_memoized_and_invalidated(spark, sf_small, tmp_path):
+    """r12 perf (VERDICT watch item 1): bm25_from_index's fixed
+    side-reads (stats-log sum, tombstone adjustment) are memoized per
+    sidecar-dir state — repeated queries against an unchanged index do
+    ZERO extra Spark jobs for them, while any delete/append/compact
+    changes a dir listing and invalidates exactly. The epoch torn-state
+    logic is unchanged — only the recompute is skipped."""
+    from etl_migrate_api_spark.operators import text_index as TI
+
+    docs = load(spark, "documents", sf_small)
+    idx = str(tmp_path / "idx")
+    build_text_index(docs, idx)
+    TI._SIDECAR_MEMO.pop(idx, None)
+    first = _q(spark, idx)
+    assert idx in TI._SIDECAR_MEMO
+    sig1, val1 = TI._SIDECAR_MEMO[idx]
+    assert val1[2] is None  # no tombstones yet
+    # cache hit: same state object comes back, no recompute
+    assert TI._sidecar_state(spark, idx) is val1
+    assert _q(spark, idx) == first
+    # a delete changes the tombstone dir listing → invalidation
+    dead = docs.where(F.col("doc_id") % 4 == 1).select("doc_id")
+    TI.delete_from_text_index(dead, idx)
+    ref = str(tmp_path / "ref")
+    build_text_index(docs.where(F.col("doc_id") % 4 != 1), ref)
+    assert _q(spark, idx) == _q(spark, ref)
+    sig2, val2 = TI._SIDECAR_MEMO[idx]
+    assert sig2 != sig1 and val2[2]  # fresh state with dead ids
+    # compact re-bases stats + clears the log → invalidates again
+    TI.compact_text_index(spark, idx)
+    assert _q(spark, idx) == _q(spark, ref)
+    assert TI._SIDECAR_MEMO[idx][1][2] is None
