@@ -70,43 +70,35 @@ def _load_all() -> None:
 # hash-checked on every pytest run (tests/test_oracle_parity.py +
 # tools/driver_sim.py).
 #
-# r11 window: CLOSE THE EVIDENCE LEDGER. After r10, six registered
-# queries had never had a driver row; r11 adds FOUR new oracle twins
-# (IVF pruned probe with pinned centroids, the production unigram
-# encoder under the pinned viterbi vocab, the restricted-domain
-# unigram TRAINER — the r10 verdict's #2/#3/#4 — and integer-micro
-# distributed k-means, gating the ANN family's last ungated stage).
-# The window leads with all TEN never-rowed queries plus
-# llm_ann_lsh_topk (oracled in place in r10 after a rows-only history
-# — first HASH row pending); once these land, every query in the
-# registry's history has external driver evidence. The rest: the
-# S1/K3/K8/X3/K7 carriers + the minimal 13-anchor §2 set cover
-# (unchanged from r10 — every §2 item keeps a fresh green row each
-# round), then the 22 STALEST oracled queries (last green r01–r06:
-# the early-round battery/TPC-H tail) so the evidence base's age
-# ceiling drops from r01 to r06.
+# r12 window: STALE-EVIDENCE ROTATION (the engine is feature- and
+# evidence-complete per VERDICT r11 — every query has driver evidence
+# and every oracled query has ≥1 green hash row; this round's job is
+# raising the evidence base's AGE ceiling). Leads with the four
+# rows-only veterans whose last driver row is r01/r02 (the VERDICT's
+# item 3 — every rows-only query should have a recent "still runs
+# under the driver" row), then the full r06 oracled cohort and 20 of
+# the 37-query r07 cohort (the events_* window family,
+# graph_pagerank_hosts, the TPC-H tail, and the oldest llm_*
+# registrations), plus the standing S1/K3/K8/X3/K7 carriers and the
+# minimal 13-anchor §2 set cover (unchanged since r10 — every §2 item
+# keeps a fresh green row each round). After r12 the oldest evidence
+# anywhere is r07, held by exactly the 17 queries queued below.
 #
-# r12 queue: continue draining stale evidence (llm_exact_dedup r06,
-# then the r07 cohort: events_* window family, graph_pagerank_hosts,
-# the TPC-H tail), rotate any new r12 oracles in, and re-window
-# llm_multimodal_audio's family siblings if the judge wants repeat
-# coverage.
+# r13 queue (the r07 remainder, 17): llm_fuzzy_match_levenshtein,
+# llm_minhash_incremental_dedup, llm_minhash_lsh_dedup,
+# llm_neardup_clusters, llm_ngram_jaccard_dedup,
+# llm_quality_repetition, llm_selection_pipeline, llm_sequence_pack,
+# llm_simhash_neardup, llm_span_dedup, llm_stratified_sample,
+# llm_tfidf_keywords, llm_unicode_normalize, llm_url_canonical_dedup,
+# subquery_correlated_avg, window_range_frame_trailing,
+# window_rank_battery — then start on the r08 cohort.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- never ANY driver row: the r10 late registrations... --
-    "llm_multimodal_audio",
-    "llm_bm25_index_build",
-    "llm_bm25_index_query",
-    "llm_bm25_stream_index",
-    "llm_tokenizer_fertility",
-    "orders_schema_evolution",
-    # -- ...and the four NEW r11 oracle twins --
-    "llm_ann_ivf_probe_pinned",
-    "llm_unigram_encode_pinned",
-    "llm_unigram_train_restricted",
-    "llm_ann_kmeans_micro",
-    # -- oracled in r10, still awaiting the first HASH row --
-    "llm_ann_lsh_topk",
-    # -- S1/K3/K8/X3/K7 carriers (as r10) --
+    # -- rows-only veterans, last driver row r01/r02 --
+    "agg_approx_distinct",         # r01 rows-only
+    "llm_ann_ivf_topk",            # r02 rows-only (float k-means)
+    "llm_multimodal_decode",       # r02 rows-only (codec decode)
+    "llm_multimodal_frames",       # r02 rows-only (codec decode)
+    # -- S1/K3/K8/X3/K7 carriers (as r10/r11) --
     "orders_merge_upsert",         # K2 K3 E2 J3
     "orders_incremental_rollup",   # A3 K7 X1
     "orders_version_diff",         # K8 X3 E2
@@ -125,30 +117,38 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_extract_battery",      # T5
     "llm_pii_redact",              # U1
     "agg_skew_bucket_battery",     # A4 T7
-    # -- stale-evidence refresh: the 23 oracled queries whose last
-    #    green driver row is oldest (r01–r06), oldest first --
-    "agg_having_filter",           # r01
-    "contact_phone_extract",       # r02
-    "llm_simhash_signatures",      # r02
-    "array_functions_battery",     # r03
-    "date_arithmetic_battery",     # r03
-    "join_semi_exists_battery",    # r03
-    "map_functions_battery",       # r03
-    "scalar_math_funcs",           # r03
-    "set_ops_battery",             # r03
-    "window_first_last_per_key",   # r03
-    "agg_date_parts",              # r05
-    "agg_percentiles",             # r05
-    "agg_pivot_status",            # r05
-    "agg_rollup_cube",             # r05
-    "join_range_bands",            # r05
-    "llm_dedup_corpus",            # r05
-    "sample_class_balanced",       # r05
-    "subquery_scalar_avg",         # r05
-    "window_running_lag",          # r05
-    "agg_nation_profile",          # r06
-    "filter_sample_battery",       # r06
-    "join_anti_new_keys",          # r06
+    # -- stale-evidence refresh: the r06 oracled cohort (9) --
+    "llm_exact_dedup",             # r06
+    "llm_lang_id",                 # r06
+    "llm_quality_score",           # r06
+    "llm_token_stats",             # r06
+    "q1_pricing_summary",          # r06
+    "q3_shipping_priority",        # r06
+    "q5_local_supplier_volume",    # r06
+    "q_daily_event_funnel",        # r06
+    "q_top_customers_per_nation",  # r06
+    # -- and 20 of the r07 cohort: events_* window family, pagerank,
+    #    the TPC-H tail, and the oldest llm_* registrations --
+    "events_asof_join",            # r07
+    "events_hopping_window",       # r07
+    "events_interval_attribution", # r07
+    "events_ordered_funnel",       # r07
+    "events_sessionize",           # r07
+    "graph_pagerank_hosts",        # r07
+    "q13_customer_order_distribution",  # r07
+    "q15_top_supplier",            # r07
+    "q17_small_quantity_revenue",  # r07
+    "agg_grouping_sets",           # r07
+    "contact_merge_fold_stateful", # r07 (also entry())
+    "join_null_safe_eq",           # r07
+    "llm_ann_bruteforce_topk",     # r07
+    "llm_contamination_ngrams",    # r07
+    "llm_curation_pipeline",       # r07
+    "llm_dataset_card",            # r07
+    "llm_domain_mix_sample",       # r07
+    "llm_dsir_sample",             # r07
+    "llm_embedding_neardup",       # r07
+    "llm_embedding_quantize",      # r07
 )
 
 

@@ -57,6 +57,17 @@ n = qs["llm_multimodal_audio"](spark, "/root/testdata/sf0.001").count()
 assert n > 0, "multimodal audio failed on a vanilla session"
 n = qs["llm_ann_kmeans_micro"](spark, "/root/testdata/sf0.001").count()
 assert n > 0, "kmeans_micro failed on a vanilla session"
+# r12 rotation leads: the rows-only veterans re-entering the window
+# after nine rounds out — prove they still run on vanilla defaults
+# BEFORE the driver re-rows them
+n = qs["llm_multimodal_decode"](spark, "/root/testdata/sf0.001").count()
+assert n > 0, "multimodal decode failed on a vanilla session"
+n = qs["llm_multimodal_frames"](spark, "/root/testdata/sf0.001").count()
+assert n > 0, "multimodal frames failed on a vanilla session"
+n = qs["agg_approx_distinct"](spark, "/root/testdata/sf0.001").count()
+assert n > 0, "approx distinct failed on a vanilla session"
+n = qs["llm_ann_ivf_topk"](spark, "/root/testdata/sf0.001").count()
+assert n > 0, "ivf topk failed on a vanilla session"
 assert set(e.oracle_sql()).issubset(set(qs))
 print("CONTRACT-OK")
 """
@@ -65,12 +76,12 @@ print("CONTRACT-OK")
 def test_driver_window_is_50_unique_queries():
     """The driver gates only the first 50 queries() entries (registration
     order). That window must hold exactly DRIVER_WINDOW: 50 queries.
-    Round 11 closes the evidence ledger: every query with NO driver
-    row in any CORRECTNESS_r* file leads (the six r10 late
-    registrations + the three new r11 oracle twins), plus
-    llm_ann_lsh_topk's first hash row; then the S1/K3/K8/X3/K7
-    carriers, the minimal 13-anchor §2 cover, and the 23 stalest
-    oracled queries (last green r01–r06) as the evidence refresh."""
+    Round 12 is the stale-evidence rotation (the ledger closed in r11:
+    every query has driver evidence, every oracled query a green hash
+    row): the four rows-only veterans whose last driver row is r01/r02
+    lead, then the carriers + the 13-anchor §2 cover, the full r06
+    oracled cohort, and 20 of the r07 cohort — raising the evidence
+    base's age ceiling from r06 to r07."""
     from etl_migrate_api_spark.plans.registry import (
         DRIVER_WINDOW,
         oracle_sql_map,
@@ -82,27 +93,30 @@ def test_driver_window_is_50_unique_queries():
     assert len(DRIVER_WINDOW) == 50
     assert len(set(DRIVER_WINDOW)) == 50
     assert names[:50] == list(DRIVER_WINDOW)
-    # every slot but one must carry an oracle: llm_multimodal_audio is
-    # the single rows-only entry (pure-stdlib WAV decode — codec
-    # families are rows-only by documented nature, pytest-CRC-pinned),
-    # in-window for its FIRST driver row of any kind
+    # every slot but four must carry an oracle: the rows-only veterans
+    # (float k-means / codec decode / HLL register states — rows-only
+    # by documented nature, each with a hash-gated twin or CRC pin in
+    # pytest) are in-window for a FRESH "still runs under the driver"
+    # row, their first since r01/r02
     rows_only = {n for n in names[:50] if n not in oracles}
     assert rows_only == {
-        "llm_multimodal_audio",
+        "agg_approx_distinct",
+        "llm_ann_ivf_topk",
+        "llm_multimodal_decode",
+        "llm_multimodal_frames",
     }, f"unexpected rows-only slots: {rows_only}"
-    # the never-rowed ledger-closers and the carriers must be in-window
+    # the rotation cohort and the standing carriers must be in-window
     for q in (
-        "llm_multimodal_audio",       # the last zero-evidence query
-        "llm_bm25_index_build",       # r10 inverted-index pair
-        "llm_bm25_index_query",
-        "llm_bm25_stream_index",      # first gate-bound streaming query
-        "llm_tokenizer_fertility",
-        "orders_schema_evolution",
-        "llm_ann_ivf_probe_pinned",   # NEW r11: IVF probe twin
-        "llm_unigram_encode_pinned",  # NEW r11: production-encoder twin
-        "llm_unigram_train_restricted",  # NEW r11: unigram trainer twin
-        "llm_ann_kmeans_micro",       # NEW r11: distributed-exact k-means
-        "llm_ann_lsh_topk",           # oracled r10, first hash row
+        "agg_approx_distinct",        # rows-only, last row r01
+        "llm_ann_ivf_topk",           # rows-only, last row r02
+        "llm_multimodal_decode",      # rows-only, last row r02
+        "llm_multimodal_frames",      # rows-only, last row r02
+        "llm_exact_dedup",            # r06 cohort lead (VERDICT item 1)
+        "q1_pricing_summary",         # r06 TPC-H
+        "events_sessionize",          # r07 events family
+        "graph_pagerank_hosts",       # r07
+        "q15_top_supplier",           # r07 TPC-H tail
+        "llm_curation_pipeline",      # r07 capstone
         "orders_merge_upsert",   # K2 K3 (saveToPostgres.js:313-409)
         "orders_version_diff",   # K8 X3 (contactpoint.controller.js:181-196)
         "llm_jsonl_roundtrip",   # S1 (fetchContact.js:5-11)
