@@ -288,7 +288,18 @@ def _sidecar_state(
     cost two-three small Spark jobs per query; at sub-second query
     times that was ~40% overhead (VERDICT r11 watch item), and the
     state only changes when a sidecar dir changes — which the dir
-    listing detects exactly."""
+    listing detects exactly.
+
+    Crash-consistency note: a compact that crashes mid-swap and is
+    healed by recover_text_index RESTORES the old stats dir — the
+    listing reverts to a signature this memo may still hold, and the
+    hit returns the pre-compact value. That is correct, not stale: the
+    restore makes the pre-compact stats (and its in-dir epoch marker)
+    the current logical state again, and the tombstone log it pairs
+    with was by construction not yet cleared (the log clear is
+    strictly last, and any NEW delete in the torn window changes the
+    tombstone listing and misses). Every other torn state changes at
+    least one listing and recomputes."""
     import os
 
     sig = (_dir_sig(f"{path}.stats"), _dir_sig(f"{path}.tombstones"))

@@ -494,3 +494,32 @@ def test_sidecar_state_memoized_and_invalidated(spark, sf_small, tmp_path):
     TI.compact_text_index(spark, idx)
     assert _q(spark, idx) == _q(spark, ref)
     assert TI._SIDECAR_MEMO[idx][1][2] is None
+
+
+def test_sidecar_memo_correct_after_stats_restore(spark, sf_small, tmp_path):
+    """The one heal path that REVERTS a sidecar listing to a signature
+    the memo may still hold: a compact crashing between the stats-dir
+    renames (stats at .old, live missing) is restored by
+    recover_text_index — and the resulting memo HIT is correct, because
+    the restore makes the pre-crash stats (and its epoch marker) the
+    current logical state again while the tombstone log is untouched."""
+    import os
+
+    from etl_migrate_api_spark.operators import text_index as TI
+
+    docs = load(spark, "documents", sf_small)
+    idx = str(tmp_path / "idx")
+    build_text_index(docs, idx)
+    TI.delete_from_text_index(
+        docs.where(F.col("doc_id") % 4 == 1).select("doc_id"), idx
+    )
+    want = _q(spark, idx)  # memo warm with the tombstone-adjusted state
+    sig_before = TI._SIDECAR_MEMO[idx][0]
+    os.rename(f"{idx}.stats", f"{idx}.stats.old")  # the mid-swap crash
+    got = _q(spark, idx)  # reader heals, listing reverts → memo hit
+    assert got == want
+    assert TI._SIDECAR_MEMO[idx][0] == sig_before
+    assert os.path.isdir(f"{idx}.stats")
+    ref = str(tmp_path / "ref")
+    build_text_index(docs.where(F.col("doc_id") % 4 != 1), ref)
+    assert got == _q(spark, ref)
