@@ -266,6 +266,10 @@ def _dir_sig(d: str):
 # changes, so deletes/appends/compacts invalidate automatically.
 _SIDECAR_MEMO: dict[str, tuple[object, tuple]] = {}
 
+# cap on distinct index paths memoized per session (FIFO eviction) —
+# a re-queried evicted path just recomputes and re-enters
+_MEMO_MAX_PATHS = 64
+
 # isin() compiles the dead-id set into the plan; past this size fall
 # back to the broadcast anti-join so we never build a pathological
 # expression tree (the log is broadcast-bounded by contract, so this
@@ -338,6 +342,11 @@ def _sidecar_state(
         n_docs -= len(cur_pairs)
         n_toks -= sum(dl for _, dl in cur_pairs)
     val = (n_docs, n_toks, dead_ids)
+    # bound the memo across index paths (long-lived sessions touch many
+    # indexes; each entry can carry an isin-sized dead-id tuple) —
+    # FIFO-evict, dict order is insertion order
+    while len(_SIDECAR_MEMO) >= _MEMO_MAX_PATHS:
+        _SIDECAR_MEMO.pop(next(iter(_SIDECAR_MEMO)))
     _SIDECAR_MEMO[path] = (sig, val)
     return val
 

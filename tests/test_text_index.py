@@ -523,3 +523,21 @@ def test_sidecar_memo_correct_after_stats_restore(spark, sf_small, tmp_path):
     ref = str(tmp_path / "ref")
     build_text_index(docs.where(F.col("doc_id") % 4 != 1), ref)
     assert got == _q(spark, ref)
+
+
+def test_sidecar_memo_is_bounded(spark, sf_small, tmp_path):
+    """The memo FIFO-evicts past _MEMO_MAX_PATHS distinct index paths —
+    long-lived sessions (and test suites) touch thousands of tmp
+    indexes, and each entry can carry an isin-sized dead-id tuple."""
+    from etl_migrate_api_spark.operators import text_index as TI
+
+    docs = load(spark, "documents", sf_small)
+    idx = str(tmp_path / "idx")
+    build_text_index(docs, idx)
+    TI._SIDECAR_MEMO.clear()
+    for i in range(TI._MEMO_MAX_PATHS + 6):
+        TI._SIDECAR_MEMO[f"/nonexistent/idx-{i}"] = (None, (0, 0, None))
+    got = _q(spark, idx)  # inserts the real entry, evicting FIFO
+    assert len(TI._SIDECAR_MEMO) <= TI._MEMO_MAX_PATHS
+    assert idx in TI._SIDECAR_MEMO
+    assert got == _q(spark, idx)  # and the hit still answers
