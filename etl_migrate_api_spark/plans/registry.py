@@ -70,35 +70,32 @@ def _load_all() -> None:
 # hash-checked on every pytest run (tests/test_oracle_parity.py +
 # tools/driver_sim.py).
 #
-# r12 window: STALE-EVIDENCE ROTATION (the engine is feature- and
-# evidence-complete per VERDICT r11 — every query has driver evidence
-# and every oracled query has ≥1 green hash row; this round's job is
-# raising the evidence base's AGE ceiling). Leads with the four
-# rows-only veterans whose last driver row is r01/r02 (the VERDICT's
-# item 3 — every rows-only query should have a recent "still runs
-# under the driver" row), then the full r06 oracled cohort and 20 of
-# the 37-query r07 cohort (the events_* window family,
-# graph_pagerank_hosts, the TPC-H tail, and the oldest llm_*
-# registrations), plus the standing S1/K3/K8/X3/K7 carriers and the
-# minimal 13-anchor §2 set cover (unchanged since r10 — every §2 item
-# keeps a fresh green row each round). After r12 the oldest evidence
-# anywhere is r07, held by exactly the 17 queries queued below.
+# r13 window: STALE-EVIDENCE ROTATION, final planned leg (VERDICT r12
+# item 1). The engine is feature- and evidence-complete; the rotation's
+# only job is raising the evidence base's AGE ceiling. This window
+# holds the full 17-query r07 remainder (exactly the queue the r12
+# registry comment named and VERDICT r12 verified name-for-name) plus
+# 16 of the 37-query r08 cohort (the TPC-H tail q4-q22 and the
+# events/diff family), with the standing S1/K3/K8/X3/K7 carriers and
+# the minimal 13-anchor §2 set cover unchanged since r10 (every §2
+# item keeps a fresh green row each round;
+# tests/test_driver_contract.py::test_no_survey_item_orphaned_by_window_rotation
+# enforces the cover). The r12 rows-only veterans rotate back out with
+# fresh r12 rows. After r13 the oldest evidence anywhere is r08, held
+# by exactly the 21 queries queued below.
 #
-# r13 queue (the r07 remainder, 17): llm_fuzzy_match_levenshtein,
-# llm_minhash_incremental_dedup, llm_minhash_lsh_dedup,
-# llm_neardup_clusters, llm_ngram_jaccard_dedup,
-# llm_quality_repetition, llm_selection_pipeline, llm_sequence_pack,
-# llm_simhash_neardup, llm_span_dedup, llm_stratified_sample,
-# llm_tfidf_keywords, llm_unicode_normalize, llm_url_canonical_dedup,
-# subquery_correlated_avg, window_range_frame_trailing,
-# window_rank_battery — then start on the r08 cohort.
+# r14 queue (the r08 remainder, 21): agg_countmin_counts,
+# agg_quantile_battery, graph_kcore_hosts, graph_triangle_count,
+# llm_ann_sq8_topk, llm_bm25_search, llm_bpe_merges,
+# llm_cdc_chunk_dedup, llm_chunk_windows, llm_contrastive_triplets,
+# llm_fixed_k_group_sample, llm_global_shuffle,
+# llm_hard_negative_mining, llm_image_phash_dedup, llm_mixture_epochs,
+# llm_span_dedup_incremental, llm_split_assign,
+# llm_unigram_logprob_score, llm_winnow_fingerprints,
+# orders_rfm_segmentation, profile_orders_columns — then the r09
+# cohort.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- rows-only veterans, last driver row r01/r02 --
-    "agg_approx_distinct",         # r01 rows-only
-    "llm_ann_ivf_topk",            # r02 rows-only (float k-means)
-    "llm_multimodal_decode",       # r02 rows-only (codec decode)
-    "llm_multimodal_frames",       # r02 rows-only (codec decode)
-    # -- S1/K3/K8/X3/K7 carriers (as r10/r11) --
+    # -- S1/K3/K8/X3/K7 carriers (as r10-r12) --
     "orders_merge_upsert",         # K2 K3 E2 J3
     "orders_incremental_rollup",   # A3 K7 X1
     "orders_version_diff",         # K8 X3 E2
@@ -117,38 +114,41 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_extract_battery",      # T5
     "llm_pii_redact",              # U1
     "agg_skew_bucket_battery",     # A4 T7
-    # -- stale-evidence refresh: the r06 oracled cohort (9) --
-    "llm_exact_dedup",             # r06
-    "llm_lang_id",                 # r06
-    "llm_quality_score",           # r06
-    "llm_token_stats",             # r06
-    "q1_pricing_summary",          # r06
-    "q3_shipping_priority",        # r06
-    "q5_local_supplier_volume",    # r06
-    "q_daily_event_funnel",        # r06
-    "q_top_customers_per_nation",  # r06
-    # -- and 20 of the r07 cohort: events_* window family, pagerank,
-    #    the TPC-H tail, and the oldest llm_* registrations --
-    "events_asof_join",            # r07
-    "events_hopping_window",       # r07
-    "events_interval_attribution", # r07
-    "events_ordered_funnel",       # r07
-    "events_sessionize",           # r07
-    "graph_pagerank_hosts",        # r07
-    "q13_customer_order_distribution",  # r07
-    "q15_top_supplier",            # r07
-    "q17_small_quantity_revenue",  # r07
-    "agg_grouping_sets",           # r07
-    "contact_merge_fold_stateful", # r07 (also entry())
-    "join_null_safe_eq",           # r07
-    "llm_ann_bruteforce_topk",     # r07
-    "llm_contamination_ngrams",    # r07
-    "llm_curation_pipeline",       # r07
-    "llm_dataset_card",            # r07
-    "llm_domain_mix_sample",       # r07
-    "llm_dsir_sample",             # r07
-    "llm_embedding_neardup",       # r07
-    "llm_embedding_quantize",      # r07
+    # -- stale-evidence refresh: the full r07 remainder (17) --
+    "llm_fuzzy_match_levenshtein",  # r07
+    "llm_minhash_incremental_dedup",  # r07
+    "llm_minhash_lsh_dedup",       # r07
+    "llm_neardup_clusters",        # r07
+    "llm_ngram_jaccard_dedup",     # r07
+    "llm_quality_repetition",      # r07
+    "llm_selection_pipeline",      # r07
+    "llm_sequence_pack",           # r07
+    "llm_simhash_neardup",         # r07
+    "llm_span_dedup",              # r07
+    "llm_stratified_sample",       # r07
+    "llm_tfidf_keywords",          # r07
+    "llm_unicode_normalize",       # r07
+    "llm_url_canonical_dedup",     # r07
+    "subquery_correlated_avg",     # r07
+    "window_range_frame_trailing", # r07
+    "window_rank_battery",         # r07
+    # -- and 16 of the r08 cohort: the TPC-H tail + events/diff family --
+    "q4_order_priority",           # r08
+    "q6_forecast_revenue",         # r08
+    "q7_volume_shipping",          # r08
+    "q8_market_share",             # r08
+    "q10_returned_revenue",        # r08
+    "q12_priority_shipping",       # r08
+    "q14_promo_revenue",           # r08
+    "q18_large_orders",            # r08
+    "q19_disjunctive_predicates",  # r08
+    "q21_waiting_suppliers",       # r08
+    "q22_dormant_customers",       # r08
+    "events_retention_cohorts",    # r08
+    "events_scd2_history",         # r08
+    "events_session_window_builtin",  # r08
+    "events_transition_matrix",    # r08
+    "diff_orders_snapshots",       # r08
 )
 
 

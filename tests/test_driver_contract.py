@@ -57,17 +57,17 @@ n = qs["llm_multimodal_audio"](spark, "/root/testdata/sf0.001").count()
 assert n > 0, "multimodal audio failed on a vanilla session"
 n = qs["llm_ann_kmeans_micro"](spark, "/root/testdata/sf0.001").count()
 assert n > 0, "kmeans_micro failed on a vanilla session"
-# r12 rotation leads: the rows-only veterans re-entering the window
-# after nine rounds out — prove they still run on vanilla defaults
-# BEFORE the driver re-rows them
-n = qs["llm_multimodal_decode"](spark, "/root/testdata/sf0.001").count()
-assert n > 0, "multimodal decode failed on a vanilla session"
-n = qs["llm_multimodal_frames"](spark, "/root/testdata/sf0.001").count()
-assert n > 0, "multimodal frames failed on a vanilla session"
-n = qs["agg_approx_distinct"](spark, "/root/testdata/sf0.001").count()
-assert n > 0, "approx distinct failed on a vanilla session"
-n = qs["llm_ann_ivf_topk"](spark, "/root/testdata/sf0.001").count()
-assert n > 0, "ivf topk failed on a vanilla session"
+# r13 rotation spot-checks: one query from each re-entering cohort
+# (the r07 remainder and the r08 TPC-H/events picks) — prove they
+# still run on vanilla defaults BEFORE the driver re-rows them
+n = qs["llm_minhash_lsh_dedup"](spark, "/root/testdata/sf0.001").count()
+assert n > 0, "minhash lsh dedup failed on a vanilla session"
+n = qs["window_rank_battery"](spark, "/root/testdata/sf0.001").count()
+assert n > 0, "window rank battery failed on a vanilla session"
+n = qs["events_scd2_history"](spark, "/root/testdata/sf0.001").count()
+assert n > 0, "scd2 history failed on a vanilla session"
+n = qs["q19_disjunctive_predicates"](spark, "/root/testdata/sf0.001").count()
+assert n > 0, "q19 failed on a vanilla session"
 assert set(e.oracle_sql()).issubset(set(qs))
 print("CONTRACT-OK")
 """
@@ -76,12 +76,11 @@ print("CONTRACT-OK")
 def test_driver_window_is_50_unique_queries():
     """The driver gates only the first 50 queries() entries (registration
     order). That window must hold exactly DRIVER_WINDOW: 50 queries.
-    Round 12 is the stale-evidence rotation (the ledger closed in r11:
-    every query has driver evidence, every oracled query a green hash
-    row): the four rows-only veterans whose last driver row is r01/r02
-    lead, then the carriers + the 13-anchor §2 cover, the full r06
-    oracled cohort, and 20 of the r07 cohort — raising the evidence
-    base's age ceiling from r06 to r07."""
+    Round 13 is the final planned rotation leg: the carriers + the
+    13-anchor §2 cover, the full 17-query r07 remainder, and 16 of the
+    r08 cohort — raising the evidence base's age ceiling from r07 to
+    r08. Every slot carries an oracle this round (the rows-only
+    veterans rotated out with fresh r12 rows)."""
     from etl_migrate_api_spark.plans.registry import (
         DRIVER_WINDOW,
         oracle_sql_map,
@@ -93,30 +92,22 @@ def test_driver_window_is_50_unique_queries():
     assert len(DRIVER_WINDOW) == 50
     assert len(set(DRIVER_WINDOW)) == 50
     assert names[:50] == list(DRIVER_WINDOW)
-    # every slot but four must carry an oracle: the rows-only veterans
-    # (float k-means / codec decode / HLL register states — rows-only
-    # by documented nature, each with a hash-gated twin or CRC pin in
-    # pytest) are in-window for a FRESH "still runs under the driver"
-    # row, their first since r01/r02
+    # every slot must carry an oracle this round: the r12 rows-only
+    # veterans rotated back out with fresh driver rows, and both
+    # re-entering cohorts (r07 remainder, r08 picks) are fully oracled
     rows_only = {n for n in names[:50] if n not in oracles}
-    assert rows_only == {
-        "agg_approx_distinct",
-        "llm_ann_ivf_topk",
-        "llm_multimodal_decode",
-        "llm_multimodal_frames",
-    }, f"unexpected rows-only slots: {rows_only}"
+    assert rows_only == set(), f"unexpected rows-only slots: {rows_only}"
     # the rotation cohort and the standing carriers must be in-window
     for q in (
-        "agg_approx_distinct",        # rows-only, last row r01
-        "llm_ann_ivf_topk",           # rows-only, last row r02
-        "llm_multimodal_decode",      # rows-only, last row r02
-        "llm_multimodal_frames",      # rows-only, last row r02
-        "llm_exact_dedup",            # r06 cohort lead (VERDICT item 1)
-        "q1_pricing_summary",         # r06 TPC-H
-        "events_sessionize",          # r07 events family
-        "graph_pagerank_hosts",       # r07
-        "q15_top_supplier",           # r07 TPC-H tail
-        "llm_curation_pipeline",      # r07 capstone
+        "llm_minhash_lsh_dedup",      # r07 remainder (VERDICT item 1)
+        "llm_simhash_neardup",        # r07 remainder
+        "llm_selection_pipeline",     # r07 capstone
+        "window_rank_battery",        # r07 remainder
+        "subquery_correlated_avg",    # r07 remainder
+        "q4_order_priority",          # r08 TPC-H tail
+        "q22_dormant_customers",      # r08 TPC-H tail
+        "events_scd2_history",        # r08 events family
+        "diff_orders_snapshots",      # r08
         "orders_merge_upsert",   # K2 K3 (saveToPostgres.js:313-409)
         "orders_version_diff",   # K8 X3 (contactpoint.controller.js:181-196)
         "llm_jsonl_roundtrip",   # S1 (fetchContact.js:5-11)

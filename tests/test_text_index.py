@@ -541,3 +541,135 @@ def test_sidecar_memo_is_bounded(spark, sf_small, tmp_path):
     assert len(TI._SIDECAR_MEMO) <= TI._MEMO_MAX_PATHS
     assert idx in TI._SIDECAR_MEMO
     assert got == _q(spark, idx)  # and the hit still answers
+
+
+def test_oversized_tombstone_log_never_collected(spark, sf_small, tmp_path):
+    """VERDICT r12 item 2: past _ISIN_CAP distinct tombstoned ids the
+    driver must never materialize the id set — the stats adjustment is
+    a two-scalar Spark agg and the memo stores the _OVERSIZED sentinel,
+    so the 100 TB driver-memory bound lives in code. Builds a real
+    index, compacts once (epoch 1), then plants 20k+1 synthetic
+    PRIOR-EPOCH tombstones (the already-folded shape that must still
+    mask a torn posting table): every collect during the sidecar read
+    is a single scalar row, and query results stay exact via the
+    broadcast anti-join."""
+    from etl_migrate_api_spark.operators import text_index as TI
+
+    # patch the CONCRETE DataFrame class (Spark 4: pyspark.sql.DataFrame
+    # is the abstract parent; classic overrides collect)
+    dfcls = type(spark.range(1))
+    docs = load(spark, "documents", sf_small)
+    idx = str(tmp_path / "idx")
+    build_text_index(docs, idx)
+    TI.delete_from_text_index(
+        docs.where(F.col("doc_id") % 7 == 3).select("doc_id"), idx
+    )
+    assert TI.compact_text_index(spark, idx) > 0
+    assert TI._read_epoch(idx) == 1
+    # synthetic prior-epoch tombstones for ids far outside the corpus:
+    # no stats effect (epoch != current), mask-only — and > _ISIN_CAP
+    (
+        spark.range(TI._ISIN_CAP + 1)
+        .select(
+            (F.col("id") + 10_000_000).alias("doc_id"),
+            F.lit(1).cast("bigint").alias("dl"),
+            F.lit(0).cast("int").alias("epoch"),
+        )
+        .write.mode("append")
+        .parquet(f"{idx}.tombstones")
+    )
+    TI._SIDECAR_MEMO.pop(idx, None)
+    sizes = []
+    orig = dfcls.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    dfcls.collect = spy
+    try:
+        n_docs, n_toks, dead = TI._sidecar_state(spark, idx)
+    finally:
+        dfcls.collect = orig
+    assert dead == TI._OVERSIZED
+    assert sizes and max(sizes) == 1, f"driver-side collect sizes: {sizes}"
+    # compacted stats already exclude the folded deletes; prior-epoch
+    # synthetics must not touch them
+    assert n_docs == docs.where(F.col("doc_id") % 7 != 3).count()
+    # the anti-join mask path answers bit-identically to a fresh build
+    ref = str(tmp_path / "ref")
+    build_text_index(docs.where(F.col("doc_id") % 7 != 3), ref)
+    assert _q(spark, idx) == _q(spark, ref)
+    # and the memo hit serves the sentinel without any new collect
+    before = len(sizes)
+    assert TI._sidecar_state(spark, idx)[2] == TI._OVERSIZED
+    assert len(sizes) == before
+
+
+def test_isin_and_antijoin_masks_agree_on_null_doc_id(
+    spark, sf_small, tmp_path
+):
+    """ADVICE r12: `NOT doc_id IN (...)` is NULL (row dropped) for a
+    NULL doc_id under three-valued logic, while the left_anti join
+    keeps such rows — the isin path carries an explicit null guard so
+    the <=cap and >cap mask paths return the SAME rows even on a
+    posting table with a NULL doc_id."""
+    from etl_migrate_api_spark.operators import text_index as TI
+
+    docs = load(spark, "documents", sf_small)
+    idx = str(tmp_path / "idx")
+    build_text_index(docs, idx)
+    # plant one NULL-doc_id posting for a queried term
+    post = spark.read.parquet(idx).where(F.col("term") == "hash").limit(1)
+    (
+        post.withColumn("doc_id", F.lit(None).cast("long"))
+        .withColumn("bucket", F.lit(int(term_bucket("hash"))))
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(idx)
+    )
+    TI.delete_from_text_index(
+        docs.where(F.col("doc_id") % 5 == 2).select("doc_id"), idx
+    )
+    def q_all():  # full result set, None-safe ordering
+        rows = bm25_from_index(
+            spark, idx, ("hash", "join", "merge"), k=100_000
+        ).collect()
+        return sorted(
+            map(tuple, rows), key=lambda t: (t[0] is None, t[0] or 0, t[1:])
+        )
+
+    TI._SIDECAR_MEMO.pop(idx, None)
+    via_isin = q_all()
+    assert any(r[0] is None for r in via_isin)  # null row kept
+    # force the oversized/anti-join path on the same index state
+    cap = TI._ISIN_CAP
+    TI._ISIN_CAP = 0
+    TI._SIDECAR_MEMO.pop(idx, None)
+    try:
+        via_anti = q_all()
+    finally:
+        TI._ISIN_CAP = cap
+        TI._SIDECAR_MEMO.pop(idx, None)
+    assert via_isin == via_anti
+
+
+def test_sweep_compact_temps_escapes_glob_metachars(tmp_path):
+    """ADVICE r12: an index path containing glob metacharacters must
+    sweep only ITS OWN .compact-* orphans — never a sibling index's
+    (which a live compact of that sibling may still be writing)."""
+    import os
+
+    from etl_migrate_api_spark.operators.text_index import (
+        _sweep_compact_temps,
+    )
+
+    weird = str(tmp_path / "a[x]")  # glob-pattern path: [x] matches 'x'
+    sibling_temp = str(tmp_path / "ax.compact-live")
+    own_orphan = f"{weird}.compact-orphan"
+    os.makedirs(sibling_temp)
+    os.makedirs(own_orphan)
+    assert _sweep_compact_temps(weird) == 1
+    assert os.path.isdir(sibling_temp)  # the live sibling survived
+    assert not os.path.isdir(own_orphan)
