@@ -44,6 +44,10 @@ def main() -> None:
         plan = re.sub(r"plan_id=\d+", "plan_id=N", plan)
         plan = re.sub(r"codegen id : \d+", "codegen id : N", plan)
         plan = re.sub(r"cachedrdd-\d+", "cachedrdd-N", plan)
+        # pid-tagged scratch dirs (tmputil) and AQE runtime statistics
+        # both vary per process/run — normalize or regens churn
+        plan = re.sub(r"_pid\d+", "_pidN", plan)
+        plan = re.sub(r"Statistics\([^)]*\)", "Statistics(N)", plan)
         out.append(f"\n## {name}\n\n```\n{plan.rstrip()}\n```\n")
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("".join(out))
