@@ -270,11 +270,14 @@ _SIDECAR_MEMO: dict[str, tuple[object, tuple]] = {}
 # a re-queried evicted path just recomputes and re-enters
 _MEMO_MAX_PATHS = 64
 
-# isin() compiles the dead-id set into the plan; past this size fall
-# back to the broadcast anti-join so we never build a pathological
-# expression tree (the log is broadcast-bounded by contract, so this
-# is a guard, not an expected path).
-_ISIN_CAP = 20_000
+# isin() compiles the dead-id set into the plan, and building/analyzing
+# that expression costs ~0.5 ms PER LITERAL per query (measured at sf1,
+# 50k-doc index: 5k-literal isin 3.3 s vs a flat ~0.55 s for the
+# broadcast anti-join at ANY dead count — the anti-join's extra
+# broadcast stage only wins back its cost above a few hundred ids, the
+# crossover sits around 200-400). Keep isin strictly for small sets
+# where it skips that stage; everything larger takes the anti-join.
+_ISIN_CAP = 256
 
 # memoized in place of the dead-id tuple when the distinct tombstoned
 # id count exceeds _ISIN_CAP: the ids are never driver-materialized at

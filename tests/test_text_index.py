@@ -548,7 +548,7 @@ def test_oversized_tombstone_log_never_collected(spark, sf_small, tmp_path):
     driver must never materialize the id set — the stats adjustment is
     a two-scalar Spark agg and the memo stores the _OVERSIZED sentinel,
     so the 100 TB driver-memory bound lives in code. Builds a real
-    index, compacts once (epoch 1), then plants 20k+1 synthetic
+    index, compacts once (epoch 1), then plants cap+1 synthetic
     PRIOR-EPOCH tombstones (the already-folded shape that must still
     mask a torn posting table): every collect during the sidecar read
     is a single scalar row, and query results stay exact via the
