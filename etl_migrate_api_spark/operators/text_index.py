@@ -578,12 +578,17 @@ def bm25_from_index(
     )
     if dead_ids == _OVERSIZED:
         # oversized log (> _ISIN_CAP distinct ids): the ids were never
-        # driver-materialized — mask via broadcast anti-join
-        p = p.join(
-            F.broadcast(_read_doc_tombstones(spark, path)),
-            "doc_id",
-            "left_anti",
-        )
+        # driver-materialized — mask via broadcast anti-join. The log
+        # is re-read here, and a compact COMPLETING between the sidecar
+        # read and this line may have cleared it (found live by a
+        # reader-vs-compact race probe in r13): None then means the
+        # compact finished its whole swap (the clear is strictly last),
+        # so the postings this plan resolves are the folded table and
+        # need no mask — never a torn skip, because a torn compact by
+        # definition has not reached the clear.
+        tombs = _read_doc_tombstones(spark, path)
+        if tombs is not None:
+            p = p.join(F.broadcast(tombs), "doc_id", "left_anti")
     elif dead_ids:
         # NOT isin() alone: under three-valued logic it yields NULL for
         # NULL doc_id and would drop rows the anti-join path keeps

@@ -673,3 +673,42 @@ def test_sweep_compact_temps_escapes_glob_metachars(tmp_path):
     assert _sweep_compact_temps(weird) == 1
     assert os.path.isdir(sibling_temp)  # the live sibling survived
     assert not os.path.isdir(own_orphan)
+
+
+def test_oversized_mask_survives_log_clear_race(spark, sf_small, tmp_path):
+    """A compact COMPLETING between the sidecar read and the mask build
+    clears the tombstone log — found live by an r13 reader-vs-compact
+    race probe: the oversized path then re-read a missing log and
+    crashed on broadcast(None). The reader must instead skip the mask
+    (a cleared log means the whole swap finished, so the postings it
+    resolves are the folded table). Simulated deterministically by
+    priming the memo with the _OVERSIZED sentinel and removing the log
+    dir before the query."""
+    import shutil
+
+    from etl_migrate_api_spark.operators import text_index as TI
+
+    docs = load(spark, "documents", sf_small)
+    idx = str(tmp_path / "idx")
+    build_text_index(docs, idx)
+    dead = docs.where(F.col("doc_id") % 4 == 1).select("doc_id")
+    TI.delete_from_text_index(dead, idx)
+    cap = TI._ISIN_CAP
+    TI._ISIN_CAP = 0  # force the oversized path for this delete size
+    TI._SIDECAR_MEMO.pop(idx, None)
+    try:
+        st = TI._sidecar_state(spark, idx)  # memo primed: OVERSIZED
+        assert st[2] == TI._OVERSIZED
+        # the racing compact's final step: fold + clear. Use the real
+        # compact, then restore the memo to its pre-compact (sentinel)
+        # state — exactly what a reader that did its sidecar read just
+        # before the clear holds.
+        TI.compact_text_index(spark, idx)
+        TI._SIDECAR_MEMO[idx] = (TI._SIDECAR_MEMO[idx][0], st)
+        got = _q(spark, idx)  # must not crash, and must answer folded
+    finally:
+        TI._ISIN_CAP = cap
+        TI._SIDECAR_MEMO.pop(idx, None)
+    ref = str(tmp_path / "ref")
+    build_text_index(docs.where(F.col("doc_id") % 4 != 1), ref)
+    assert got == _q(spark, ref)
