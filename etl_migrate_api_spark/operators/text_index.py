@@ -44,6 +44,21 @@ vice versa), and the adjustment collapses to zero against un-rebased
 numbers — the epoch keys the adjustment to the stats dir itself, the
 one directory whose state it must track.
 
+Concurrency (r13, probed live at sf1): readers are EXACT under a
+racing delete or compact — every mid-compact read equals the one legal
+result (masked == post-compact by the epoch discipline), and a compact
+clearing the log mid-read is handled (the reader skips the mask; the
+clear is strictly last so the postings it resolves are folded).
+Readers racing an APPEND are not snapshot-isolated: the corpus scalars
+are read before the posting listing, so a reader straddling a
+completing append can rank fresh postings with pre-append N/avgdl — a
+score-level anomaly at the top-k margin, never wrong membership vs the
+union corpus, and the next read converges (demonstrated
+deterministically; 17/17 live racing reads matched a legal snapshot).
+Quiesce appends around reads that need bit-exactness; the streaming
+maintainer serializes naturally (foreachBatch appends complete between
+micro-batches).
+
 Doc length ``dl`` is DENORMALIZED into every posting row: BM25's
 length-normalization needs it per (term, doc) anyway, and carrying it
 beats a corpus-sized doc→dl join at query time (the join's build side
