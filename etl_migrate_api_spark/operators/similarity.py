@@ -1682,6 +1682,15 @@ def compact_ivf_index(spark: SparkSession, path: str) -> int:
     files discipline as the builder) and clear the log. Returns the
     number of rows physically removed.
 
+    Concurrency (probed live in r13, 48 delete+compact cycles against
+    a reader loop): every read that COMPLETES during a compact is
+    exact (19/19 equal to the one legal result — the tombstone mask
+    and the folded table answer identically), but a reader whose file
+    listing straddles the two-rename swap below can fail transiently
+    (FileNotFoundException, or empty-path schema inference in the
+    rename gap). Retry on failure; compaction is single-writer by
+    contract, so the post-swap state heals every subsequent listing.
+
     Crash contract: the rewrite lands in a temp dir first, so a crash
     before the swap leaves index + log untouched (queries correct
     throughout — the tombstone mask covers them). The swap itself is

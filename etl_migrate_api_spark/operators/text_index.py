@@ -57,7 +57,12 @@ union corpus, and the next read converges (demonstrated
 deterministically; 17/17 live racing reads matched a legal snapshot).
 Quiesce appends around reads that need bit-exactness; the streaming
 maintainer serializes naturally (foreachBatch appends complete between
-micro-batches).
+micro-batches). One liveness (not correctness) caveat, measured on the
+IVF twin under a 48-cycle compact storm: a reader whose file listing
+straddles the compact's directory-rename swap can FAIL transiently
+(FileNotFoundException / empty-path schema inference) — retry; reads
+that complete are always exact, and the post-swap state heals every
+listing.
 
 Doc length ``dl`` is DENORMALIZED into every posting row: BM25's
 length-normalization needs it per (term, doc) anyway, and carrying it
