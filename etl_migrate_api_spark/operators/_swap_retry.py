@@ -1,0 +1,79 @@
+"""Bounded retry for index readers racing a compact's directory swap.
+
+Both persisted index families (the inverted text index and the
+IVF/PQ/IVF-PQ vector layouts) compact by writing temp directories and
+swapping each live dir with two renames (``dir -> dir.old``,
+``tmp -> dir``), clearing the tombstone log strictly last. A reader
+whose FILE LISTING straddles that swap sees a transiently missing or
+momentarily empty path, and Spark's plan build raises
+FileNotFoundException / PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA even
+though every pre- and post-swap directory state is complete and exact
+(probed live in r13: 7 listing failures in ~25 straddled swaps under a
+48-cycle compact storm — a LIVENESS gap, never a wrong answer; each
+reader docstring carried a "retry on failure" contract). This module
+puts that contract in code (VERDICT r13 item 2): re-run the family's
+recover hook (heals a crashed swap, a cheap isdir probe otherwise) and
+rebuild, a bounded number of times, ONLY for the transient listing
+error shapes — anything else re-raises immediately, first time.
+
+Retry is safe here because every reader build is idempotent: it holds
+no partial state, re-reads the sidecars, and re-derives the plan from
+the directory layout as found. Compaction is single-writer by
+contract, so the post-swap state heals every subsequent listing — the
+bounded loop converges unless the index is genuinely gone, in which
+case the final attempt's error propagates unchanged.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, TypeVar
+
+T = TypeVar("T")
+
+# Error shapes a torn two-rename swap produces at plan-build time: the
+# directory vanishes between the listing and the footer read (Java
+# FileNotFoundException, surfaced as PATH_NOT_FOUND by Spark 4's error
+# classes) or momentarily lists no files (schema inference fails).
+# Matched on the rendered message: the JVM exception arrives wrapped in
+# different Python types (AnalysisException, Py4JJavaError) depending
+# on which phase of the build hits it. Nothing else retries.
+_TRANSIENT_MARKERS = (
+    "FileNotFoundException",
+    "PATH_NOT_FOUND",
+    "UNABLE_TO_INFER_SCHEMA",
+    "Unable to infer schema",
+    # a file listed pre-swap but opened post-swap, at action time
+    # inside an eager sidecar read (collect) — Spark 4's error class
+    # appears in the message even when the Java cause chain is cut
+    "FAILED_READ_FILE.FILE_NOT_EXIST",
+)
+
+_ATTEMPTS = 3
+_BACKOFF_S = 0.05  # the swap is two renames — milliseconds, not seconds
+
+
+def is_transient_swap_error(exc: BaseException) -> bool:
+    """True iff ``exc`` renders as one of the torn-swap listing shapes."""
+    msg = str(exc)
+    return any(marker in msg for marker in _TRANSIENT_MARKERS)
+
+
+def with_swap_retry(
+    build: Callable[[], T], recover: Callable[[], object]
+) -> T:
+    """``recover(); return build()`` with up to ``_ATTEMPTS`` tries.
+
+    ``build`` must be idempotent (every index reader is — it re-derives
+    its plan from the directory state as found). A non-transient error
+    propagates immediately; a transient one propagates only after the
+    final attempt."""
+    for attempt in range(_ATTEMPTS):
+        recover()
+        try:
+            return build()
+        except Exception as exc:
+            if attempt == _ATTEMPTS - 1 or not is_transient_swap_error(exc):
+                raise
+            time.sleep(_BACKOFF_S * (attempt + 1))
+    raise AssertionError("unreachable")  # pragma: no cover

@@ -16,6 +16,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_migrate_api_spark.functions.vectors import cosine_similarity
+from etl_migrate_api_spark.operators._swap_retry import (
+    is_transient_swap_error,
+    with_swap_retry,
+)
 
 
 def _rank_topk(scored: DataFrame, k: int, *tail_cols: Column) -> DataFrame:
@@ -830,9 +834,31 @@ def ivf_topk_from_index(
 
     Reads self-heal (the bm25_from_index contract, r11): a compact
     crashed between its two renames leaves the index at ``path``.old —
-    recover_ivf_index restores it here (two isdir probes when nothing
-    is torn) instead of throwing FileNotFound at the scan."""
-    recover_ivf_index(path)
+    recover_ivf_index restores it before every attempt (two isdir
+    probes when nothing is torn) instead of throwing FileNotFound at
+    the scan. A listing straddling a LIVE compact's swap (the r13
+    storm probes' transient-failure window) retries bounded times in
+    code — VERDICT r13 item 2; the plan build is idempotent and
+    non-transient errors propagate first time."""
+    return with_swap_retry(
+        lambda: _ivf_topk_from_index_attempt(
+            spark, path, queries, k, nprobe, id_col, vec_col, where
+        ),
+        lambda: recover_ivf_index(path),
+    )
+
+
+def _ivf_topk_from_index_attempt(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+    where: Column | None,
+) -> DataFrame:
+    """One idempotent plan-build attempt — see ivf_topk_from_index."""
     cent_rows = [
         (int(r["cent_id"]), [float(x) for x in r["cent_v"]])
         for r in spark.read.parquet(f"{path}.centroids").collect()
@@ -1364,10 +1390,30 @@ def pq_topk_from_index(
     Self-heals on entry like ivf_topk_from_index: compact_ivf_index
     runs on every layout (r11), so a mid-swap crash can leave THIS
     index at ``path``.old too — every reader of the family must
-    recover, not just the raw-vector one."""
+    recover, not just the raw-vector one. Same bounded retry on the
+    transient listing shapes of a LIVE compact's swap (VERDICT r13
+    item 2)."""
+    return with_swap_retry(
+        lambda: _pq_topk_from_index_attempt(
+            spark, path, queries, k, rerank_corpus, rerank, id_col, vec_col
+        ),
+        lambda: recover_ivf_index(path),
+    )
+
+
+def _pq_topk_from_index_attempt(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    rerank_corpus: DataFrame | None,
+    rerank: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """One idempotent plan-build attempt — see pq_topk_from_index."""
     import numpy as np
 
-    recover_ivf_index(path)
     qrows = _collect_query_rows(queries, id_col, vec_col)
     if not qrows:
         return _empty_topk(spark)
@@ -1475,10 +1521,32 @@ def ivfpq_topk(
 
     Self-heals on entry (recover_ivf_index): same family-wide contract
     as pq_topk_from_index — a compact that crashed mid-swap leaves the
-    index at ``path``.old, and every reader must restore it."""
+    index at ``path``.old, and every reader must restore it. Same
+    bounded retry on the transient listing shapes of a LIVE compact's
+    swap (VERDICT r13 item 2)."""
+    return with_swap_retry(
+        lambda: _ivfpq_topk_attempt(
+            spark, path, queries, k, nprobe, rerank_corpus, rerank,
+            id_col, vec_col,
+        ),
+        lambda: recover_ivf_index(path),
+    )
+
+
+def _ivfpq_topk_attempt(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    rerank_corpus: DataFrame | None,
+    rerank: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """One idempotent plan-build attempt — see ivfpq_topk."""
     import numpy as np
 
-    recover_ivf_index(path)
     qrows = _collect_query_rows(queries, id_col, vec_col)
     if not qrows:
         return _empty_topk(spark)
@@ -1632,13 +1700,26 @@ def add_to_ivf_index(
 def _read_tombstones(spark: SparkSession, path: str):
     """The index's delete log as a (vec_id) DataFrame, or None if no
     delete was ever issued (no directory — the common case costs one
-    os.path check, no Spark job)."""
+    os.path check, no Spark job). The probe and the read race a
+    compact's log clear (its strictly-last step): a log vanishing
+    between them is read as None — the compact finished, the folded
+    table needs no mask (the text-index twin's ADVICE r13 contract).
+    A transient error with the dir still present retries bounded
+    times, then propagates."""
     import os
 
     tpath = f"{path}.tombstones"
-    if not os.path.isdir(tpath):
-        return None
-    return spark.read.parquet(tpath).select("vec_id").distinct()
+    last_exc: Exception | None = None
+    for _ in range(3):
+        if not os.path.isdir(tpath):
+            return None
+        try:
+            return spark.read.parquet(tpath).select("vec_id").distinct()
+        except Exception as exc:
+            if not is_transient_swap_error(exc):
+                raise
+            last_exc = exc
+    raise last_exc
 
 
 def delete_from_ivf_index(
@@ -1688,8 +1769,10 @@ def compact_ivf_index(spark: SparkSession, path: str) -> int:
     and the folded table answer identically), but a reader whose file
     listing straddles the two-rename swap below can fail transiently
     (FileNotFoundException, or empty-path schema inference in the
-    rename gap). Retry on failure; compaction is single-writer by
-    contract, so the post-swap state heals every subsequent listing.
+    rename gap). The family's persisted-index readers retry that
+    window in code (bounded, via _swap_retry — VERDICT r13 item 2);
+    compaction is single-writer by contract, so the post-swap state
+    heals every subsequent listing.
 
     Crash contract: the rewrite lands in a temp dir first, so a crash
     before the swap leaves index + log untouched (queries correct

@@ -60,9 +60,12 @@ maintainer serializes naturally (foreachBatch appends complete between
 micro-batches). One liveness (not correctness) caveat, measured on the
 IVF twin under a 48-cycle compact storm: a reader whose file listing
 straddles the compact's directory-rename swap can FAIL transiently
-(FileNotFoundException / empty-path schema inference) — retry; reads
-that complete are always exact, and the post-swap state heals every
-listing.
+(FileNotFoundException / empty-path schema inference) — reads that
+complete are always exact, and the post-swap state heals every
+listing. Since r14 the retry is IN CODE: bm25_from_index re-runs
+recover + plan build bounded times on exactly those transient shapes
+(operators/_swap_retry.py), so callers no longer carry the retry
+contract themselves.
 
 Doc length ``dl`` is DENORMALIZED into every posting row: BM25's
 length-normalization needs it per (term, doc) anyway, and carrying it
@@ -92,6 +95,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_migrate_api_spark.functions.text import ws_tokens
+from etl_migrate_api_spark.operators._swap_retry import (
+    is_transient_swap_error,
+    with_swap_retry,
+)
 
 DEFAULT_BUCKETS = 64
 
@@ -246,13 +253,34 @@ def _read_tombstone_log(spark: SparkSession, path: str):
     mergeSchema makes the mixed case deterministic (old rows surface
     with epoch NULL) and the coalesce folds both legacy shapes to
     epoch 0, which is exactly right: a pre-epoch row was by definition
-    written before the first epoch-stamping compact."""
+    written before the first epoch-stamping compact.
+
+    The isdir probe and the read race a compact's log clear (the rmtree
+    is the compact's strictly-last step): a log that vanishes BETWEEN
+    them surfaces as a transient read error even though the state is
+    legal — the compact finished its whole swap, so the postings any
+    concurrent plan resolves are the folded table and need no mask
+    (ADVICE r13). The loop below re-probes after a transient error and
+    returns None once the dir is confirmed missing; a transient error
+    with the dir still present (a partially-cleared listing) retries
+    bounded times and only then propagates."""
     import os
 
     tpath = f"{path}.tombstones"
-    if not os.path.isdir(tpath):
-        return None
-    log = spark.read.option("mergeSchema", "true").parquet(tpath)
+    log = None
+    last_exc: Exception | None = None
+    for _ in range(3):
+        if not os.path.isdir(tpath):
+            return None
+        try:
+            log = spark.read.option("mergeSchema", "true").parquet(tpath)
+            break
+        except Exception as exc:
+            if not is_transient_swap_error(exc):
+                raise
+            last_exc = exc
+    if log is None:
+        raise last_exc
     if "epoch" not in log.columns:
         return log.withColumn("epoch", F.lit(0).cast("int"))
     return log.withColumn(
@@ -383,12 +411,21 @@ def _sidecar_state(
             # the ids — readers take the broadcast anti-join path
             dead_ids = _OVERSIZED
         elif n_dead:
-            dead_ids = tuple(
+            ids = tuple(
                 sorted(
                     int(r["doc_id"])
                     for r in trip.select("doc_id").distinct().collect()
                 )
             )
+            # ADVICE r13: the count agg and this collect are two Spark
+            # jobs — a delete landing between them can grow the id set
+            # past the cap. Re-check AFTER materializing: an oversize
+            # falls back to the sentinel/anti-join (the isin plan-build
+            # cost stays bounded no matter what raced the read), and
+            # the racing append changed the tombstone listing anyway,
+            # so this memo entry's signature misses on the next read
+            # and the scalars re-converge with the ids.
+            dead_ids = _OVERSIZED if len(ids) > _ISIN_CAP else ids
         else:
             dead_ids = ()
     val = (n_docs, n_toks, dead_ids)
@@ -567,10 +604,15 @@ def bm25_from_index(
     directories and never touches raw text.
 
     Reads are self-healing: a crashed compact's torn directory layout
-    is repaired here (cheap ``isdir`` probes when nothing is torn), so
-    a reader never depends on exact-path addressing luck, and the
-    epoch-filtered tombstone adjustment below keeps N/avgdl exact even
-    in the stats-rebased-but-log-not-cleared window.
+    is repaired on every attempt (cheap ``isdir`` probes when nothing
+    is torn), so a reader never depends on exact-path addressing luck,
+    and the epoch-filtered tombstone adjustment keeps N/avgdl exact
+    even in the stats-rebased-but-log-not-cleared window. A reader
+    whose listing straddles a LIVE compact's two-rename swap — the
+    transient-failure window the r13 storm probes measured — now
+    retries bounded times in code instead of by docstring contract
+    (VERDICT r13 item 2): the plan build is idempotent, recover runs
+    before each attempt, and non-transient errors propagate first time.
 
     Execute soon: n_docs/n_toks land in the plan as LITERALS captured
     here (and the dead-id mask resolves now), while the postings scan
@@ -578,7 +620,24 @@ def bm25_from_index(
     later delete/append/compact would score fresh postings with stale
     N/avgdl — rebuild the query after mutating the index (the engine's
     own callers, and the driver, consume promptly)."""
-    recover_text_index(path)
+    return with_swap_retry(
+        lambda: _bm25_from_index_attempt(
+            spark, path, terms, k, k1, b, n_buckets
+        ),
+        lambda: recover_text_index(path),
+    )
+
+
+def _bm25_from_index_attempt(
+    spark: SparkSession,
+    path: str,
+    terms: tuple[str, ...],
+    k: int,
+    k1: float,
+    b: float,
+    n_buckets: int,
+) -> DataFrame:
+    """One idempotent plan-build attempt — see bm25_from_index."""
     # the stats sidecar is a delta LOG (build base + append deltas) —
     # the current corpus scalars are its exact integer sum, MINUS the
     # distinct CURRENT-EPOCH tombstones' (count, Σdl); prior-epoch

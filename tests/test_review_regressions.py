@@ -76,3 +76,28 @@ def test_streaming_rejects_bigint_ts(spark, sf_small, tmp_path):
         windowed_event_counts_stream(
             spark, raw_dir, str(tmp_path / "c"), str(tmp_path / "o")
         )
+
+
+def test_gen_plans_statistics_normalizer_balances_parens():
+    """ADVICE r13: the old Statistics regex stopped at the FIRST close
+    paren — a rendering with nested parentheses was truncated
+    mid-token, leaving an un-normalized tail that churned PLANS.md
+    regens. The replacement walks paren depth (newline closes a
+    malformed token defensively)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from gen_plans import _norm_statistics
+
+    assert (
+        _norm_statistics("Statistics(sizeInBytes=1.0 B, hist=(a(b),c(d)))")
+        == "Statistics(N)"
+    )
+    assert (
+        _norm_statistics("a Statistics(n=(1,(2))) b Statistics(k=4) c")
+        == "a Statistics(N) b Statistics(N) c"
+    )
+    assert (
+        _norm_statistics("Statistics(torn\nnext") == "Statistics(N)\nnext"
+    )
+    assert _norm_statistics("no stats") == "no stats"

@@ -607,6 +607,49 @@ def test_oversized_tombstone_log_never_collected(spark, sf_small, tmp_path):
     assert len(sizes) == before
 
 
+def test_sidecar_recheck_caps_ids_collected_after_count(
+    spark, sf_small, tmp_path
+):
+    """ADVICE r13: the dead-id COUNT and the id COLLECT are two Spark
+    jobs — a delete appending between them can hand the collect more
+    ids than the count the cap decision used, compiling an over-cap
+    isin plan (defeating the measured ~0.5 ms/literal bound). The
+    post-collect re-check must fall back to the _OVERSIZED sentinel.
+    The race is simulated with a collect spy that inflates exactly the
+    ids job (the only collect returning bare doc_id rows) past the
+    cap."""
+    from pyspark.sql import Row
+
+    from etl_migrate_api_spark.operators import text_index as TI
+
+    dfcls = type(spark.range(1))
+    docs = load(spark, "documents", sf_small)
+    idx = str(tmp_path / "idx")
+    build_text_index(docs, idx)
+    TI.delete_from_text_index(
+        docs.where(F.col("doc_id") % 9 == 2).select("doc_id"), idx
+    )
+    TI._SIDECAR_MEMO.pop(idx, None)
+    orig = dfcls.collect
+
+    def racing_collect(self):
+        rows = orig(self)
+        if self.columns == ["doc_id"]:
+            rows = rows + [
+                Row(doc_id=20_000_000 + i)
+                for i in range(TI._ISIN_CAP + 1)
+            ]
+        return rows
+
+    dfcls.collect = racing_collect
+    try:
+        dead = TI._sidecar_state(spark, idx)[2]
+    finally:
+        dfcls.collect = orig
+        TI._SIDECAR_MEMO.pop(idx, None)
+    assert dead == TI._OVERSIZED
+
+
 def test_isin_and_antijoin_masks_agree_on_null_doc_id(
     spark, sf_small, tmp_path
 ):

@@ -11,6 +11,37 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+def _norm_statistics(plan: str) -> str:
+    """Collapse every ``Statistics(...)`` rendering to ``Statistics(N)``
+    with PAREN BALANCING (ADVICE r13: a first-close-paren regex
+    truncates a rendering that nests parentheses, e.g. a size unit or
+    histogram inside, leaving an un-normalized tail that churns
+    regens). A rendering never spans lines; a newline before balance
+    closes the token defensively."""
+    out: list[str] = []
+    i = 0
+    tok = "Statistics("
+    while True:
+        j = plan.find(tok, i)
+        if j < 0:
+            out.append(plan[i:])
+            return "".join(out)
+        out.append(plan[i:j])
+        out.append("Statistics(N)")
+        k = j + len(tok)
+        depth = 1
+        while k < len(plan) and depth:
+            c = plan[k]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "\n":
+                break
+            k += 1
+        i = k
+
+
 HEADER = """# PLANS — physical plans of the headline queries (auto-generated)
 
 `python3 tools/gen_plans.py` at {sf}. What to look for, per the design
@@ -47,7 +78,7 @@ def main() -> None:
         # pid-tagged scratch dirs (tmputil) and AQE runtime statistics
         # both vary per process/run — normalize or regens churn
         plan = re.sub(r"_pid\d+", "_pidN", plan)
-        plan = re.sub(r"Statistics\([^)]*\)", "Statistics(N)", plan)
+        plan = _norm_statistics(plan)
         out.append(f"\n## {name}\n\n```\n{plan.rstrip()}\n```\n")
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("".join(out))
