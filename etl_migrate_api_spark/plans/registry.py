@@ -70,30 +70,32 @@ def _load_all() -> None:
 # hash-checked on every pytest run (tests/test_oracle_parity.py +
 # tools/driver_sim.py).
 #
-# r13 window: STALE-EVIDENCE ROTATION, final planned leg (VERDICT r12
-# item 1). The engine is feature- and evidence-complete; the rotation's
-# only job is raising the evidence base's AGE ceiling. This window
-# holds the full 17-query r07 remainder (exactly the queue the r12
-# registry comment named and VERDICT r12 verified name-for-name) plus
-# 16 of the 37-query r08 cohort (the TPC-H tail q4-q22 and the
-# events/diff family), with the standing S1/K3/K8/X3/K7 carriers and
-# the minimal 13-anchor §2 set cover unchanged since r10 (every §2
-# item keeps a fresh green row each round;
+# r14 window: STEADY-STATE EVIDENCE ROTATION (VERDICT r13 item 1).
+# The engine is feature- and evidence-complete; the rotation's only
+# job is raising the evidence base's AGE ceiling, r08 → r09. This
+# window holds the full 21-query r08 remainder (exactly the queue the
+# r13 registry comment named and VERDICT r13 verified name-for-name)
+# plus 12 of the 32-query r09 cohort (the TPC-H tail q2/q9/q11/q16/
+# q20, the web/dedup-report trio, two sketch batteries, events/graph
+# picks), with the standing S1/K3/K8/X3/K7 carriers and the minimal
+# 13-anchor §2 set cover unchanged since r10 (every §2 item keeps a
+# fresh green row each round;
 # tests/test_driver_contract.py::test_no_survey_item_orphaned_by_window_rotation
-# enforces the cover). The r12 rows-only veterans rotate back out with
-# fresh r12 rows. After r13 the oldest evidence anywhere is r08, held
-# by exactly the 21 queries queued below.
+# enforces the cover). The r07-remainder and r08-TPC-H refreshes
+# rotate back out with fresh r13 rows. Three slots are rows-only by
+# inherent math (llm_ann_sq8_topk float ADC, llm_bpe_merges trainer,
+# llm_image_phash_dedup codec decode) — each has a hash-gated twin or
+# CRC pin per COVERAGE.md. After r14 the oldest evidence anywhere is
+# r09, held by exactly the 20 queries queued below.
 #
-# r14 queue (the r08 remainder, 21): agg_countmin_counts,
-# agg_quantile_battery, graph_kcore_hosts, graph_triangle_count,
-# llm_ann_sq8_topk, llm_bm25_search, llm_bpe_merges,
-# llm_cdc_chunk_dedup, llm_chunk_windows, llm_contrastive_triplets,
-# llm_fixed_k_group_sample, llm_global_shuffle,
-# llm_hard_negative_mining, llm_image_phash_dedup, llm_mixture_epochs,
-# llm_span_dedup_incremental, llm_split_assign,
-# llm_unigram_logprob_score, llm_winnow_fingerprints,
-# orders_rfm_segmentation, profile_orders_columns — then the r09
-# cohort.
+# r15 queue (the r09 remainder, 20): agg_kmv_set_intersection,
+# dq_expectations_report, events_gapfill_interpolate,
+# llm_ann_filtered_topk, llm_ann_pq_adc, llm_bigram_logprob_score,
+# llm_curriculum_order, llm_knn_graph, llm_leakage_safe_split,
+# llm_mmr_rerank, llm_quarantine_split, llm_rag_context_pack,
+# llm_rrf_fusion, llm_unigram_viterbi, llm_weighted_sample,
+# orders_bloom_point_lookup, orders_market_basket, orders_wap_publish,
+# orders_zorder_skipping, stats_corr_battery — then the r10 cohort.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- S1/K3/K8/X3/K7 carriers (as r10-r12) --
     "orders_merge_upsert",         # K2 K3 E2 J3
@@ -114,41 +116,41 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_extract_battery",      # T5
     "llm_pii_redact",              # U1
     "agg_skew_bucket_battery",     # A4 T7
-    # -- stale-evidence refresh: the full r07 remainder (17) --
-    "llm_fuzzy_match_levenshtein",  # r07
-    "llm_minhash_incremental_dedup",  # r07
-    "llm_minhash_lsh_dedup",       # r07
-    "llm_neardup_clusters",        # r07
-    "llm_ngram_jaccard_dedup",     # r07
-    "llm_quality_repetition",      # r07
-    "llm_selection_pipeline",      # r07
-    "llm_sequence_pack",           # r07
-    "llm_simhash_neardup",         # r07
-    "llm_span_dedup",              # r07
-    "llm_stratified_sample",       # r07
-    "llm_tfidf_keywords",          # r07
-    "llm_unicode_normalize",       # r07
-    "llm_url_canonical_dedup",     # r07
-    "subquery_correlated_avg",     # r07
-    "window_range_frame_trailing", # r07
-    "window_rank_battery",         # r07
-    # -- and 16 of the r08 cohort: the TPC-H tail + events/diff family --
-    "q4_order_priority",           # r08
-    "q6_forecast_revenue",         # r08
-    "q7_volume_shipping",          # r08
-    "q8_market_share",             # r08
-    "q10_returned_revenue",        # r08
-    "q12_priority_shipping",       # r08
-    "q14_promo_revenue",           # r08
-    "q18_large_orders",            # r08
-    "q19_disjunctive_predicates",  # r08
-    "q21_waiting_suppliers",       # r08
-    "q22_dormant_customers",       # r08
-    "events_retention_cohorts",    # r08
-    "events_scd2_history",         # r08
-    "events_session_window_builtin",  # r08
-    "events_transition_matrix",    # r08
-    "diff_orders_snapshots",       # r08
+    # -- stale-evidence refresh: the full r08 remainder (21) --
+    "agg_countmin_counts",         # r08
+    "agg_quantile_battery",        # r08
+    "graph_kcore_hosts",           # r08
+    "graph_triangle_count",        # r08
+    "llm_ann_sq8_topk",            # r08 (rows-only: float ADC)
+    "llm_bm25_search",             # r08
+    "llm_bpe_merges",              # r08 (rows-only: trainer twin-gated)
+    "llm_cdc_chunk_dedup",         # r08
+    "llm_chunk_windows",           # r08
+    "llm_contrastive_triplets",    # r08
+    "llm_fixed_k_group_sample",    # r08
+    "llm_global_shuffle",          # r08
+    "llm_hard_negative_mining",    # r08
+    "llm_image_phash_dedup",       # r08 (rows-only: codec CRC-pinned)
+    "llm_mixture_epochs",          # r08
+    "llm_span_dedup_incremental",  # r08
+    "llm_split_assign",            # r08
+    "llm_unigram_logprob_score",   # r08
+    "llm_winnow_fingerprints",     # r08
+    "orders_rfm_segmentation",     # r08
+    "profile_orders_columns",      # r08
+    # -- and 12 of the r09 cohort: TPC-H tail + web/sketch/events/graph --
+    "q2_min_cost_supplier",        # r09
+    "q9_product_type_profit",      # r09
+    "q11_important_stock",         # r09
+    "q16_parts_supplier_count",    # r09
+    "q20_potential_promotion",     # r09
+    "llm_web_pipeline",            # r09
+    "llm_html_extract",            # r09
+    "llm_dedup_report",            # r09
+    "agg_hll_distinct",            # r09
+    "agg_histogram_sketch",        # r09
+    "events_anomaly_mad",          # r09
+    "graph_bfs_layers",            # r09
 )
 
 

@@ -57,17 +57,22 @@ n = qs["llm_multimodal_audio"](spark, "/root/testdata/sf0.001").count()
 assert n > 0, "multimodal audio failed on a vanilla session"
 n = qs["llm_ann_kmeans_micro"](spark, "/root/testdata/sf0.001").count()
 assert n > 0, "kmeans_micro failed on a vanilla session"
-# r13 rotation spot-checks: one query from each re-entering cohort
-# (the r07 remainder and the r08 TPC-H/events picks) — prove they
-# still run on vanilla defaults BEFORE the driver re-rows them
-n = qs["llm_minhash_lsh_dedup"](spark, "/root/testdata/sf0.001").count()
-assert n > 0, "minhash lsh dedup failed on a vanilla session"
-n = qs["window_rank_battery"](spark, "/root/testdata/sf0.001").count()
-assert n > 0, "window rank battery failed on a vanilla session"
-n = qs["events_scd2_history"](spark, "/root/testdata/sf0.001").count()
-assert n > 0, "scd2 history failed on a vanilla session"
-n = qs["q19_disjunctive_predicates"](spark, "/root/testdata/sf0.001").count()
-assert n > 0, "q19 failed on a vanilla session"
+# r14 rotation spot-checks (VERDICT r13 item 3): one query per
+# re-entering family — the r08 remainder's index/graph/sampling/
+# profile picks and two r09 entrants — prove they still run on
+# vanilla defaults BEFORE the driver re-rows them
+n = qs["llm_bm25_search"](spark, "/root/testdata/sf0.001").count()
+assert n > 0, "bm25 search failed on a vanilla session"
+n = qs["graph_kcore_hosts"](spark, "/root/testdata/sf0.001").count()
+assert n > 0, "kcore hosts failed on a vanilla session"
+n = qs["llm_image_phash_dedup"](spark, "/root/testdata/sf0.001").count()
+assert n >= 0, "image phash dedup failed on a vanilla session"
+n = qs["orders_rfm_segmentation"](spark, "/root/testdata/sf0.001").count()
+assert n > 0, "rfm segmentation failed on a vanilla session"
+n = qs["q2_min_cost_supplier"](spark, "/root/testdata/sf0.001").count()
+assert n > 0, "q2 failed on a vanilla session"
+n = qs["llm_web_pipeline"](spark, "/root/testdata/sf0.001").count()
+assert n > 0, "web pipeline failed on a vanilla session"
 assert set(e.oracle_sql()).issubset(set(qs))
 print("CONTRACT-OK")
 """
@@ -76,11 +81,12 @@ print("CONTRACT-OK")
 def test_driver_window_is_50_unique_queries():
     """The driver gates only the first 50 queries() entries (registration
     order). That window must hold exactly DRIVER_WINDOW: 50 queries.
-    Round 13 is the final planned rotation leg: the carriers + the
-    13-anchor §2 cover, the full 17-query r07 remainder, and 16 of the
-    r08 cohort — raising the evidence base's age ceiling from r07 to
-    r08. Every slot carries an oracle this round (the rows-only
-    veterans rotated out with fresh r12 rows)."""
+    Round 14 is steady-state rotation (VERDICT r13 item 1): the
+    carriers + the 13-anchor §2 cover, the full 21-query r08 remainder,
+    and 12 of the r09 cohort — raising the evidence base's age ceiling
+    from r08 to r09. Exactly three slots are rows-only by inherent math
+    (float ADC / trainer / codec — each twin-gated per COVERAGE.md);
+    every other slot carries an oracle."""
     from etl_migrate_api_spark.plans.registry import (
         DRIVER_WINDOW,
         oracle_sql_map,
@@ -92,22 +98,26 @@ def test_driver_window_is_50_unique_queries():
     assert len(DRIVER_WINDOW) == 50
     assert len(set(DRIVER_WINDOW)) == 50
     assert names[:50] == list(DRIVER_WINDOW)
-    # every slot must carry an oracle this round: the r12 rows-only
-    # veterans rotated back out with fresh driver rows, and both
-    # re-entering cohorts (r07 remainder, r08 picks) are fully oracled
+    # the r08 remainder carries the registry's three inherently
+    # rows-only veterans — exactly these, nothing else slips through
     rows_only = {n for n in names[:50] if n not in oracles}
-    assert rows_only == set(), f"unexpected rows-only slots: {rows_only}"
+    assert rows_only == {
+        "llm_ann_sq8_topk",
+        "llm_bpe_merges",
+        "llm_image_phash_dedup",
+    }, f"unexpected rows-only slots: {rows_only}"
     # the rotation cohort and the standing carriers must be in-window
     for q in (
-        "llm_minhash_lsh_dedup",      # r07 remainder (VERDICT item 1)
-        "llm_simhash_neardup",        # r07 remainder
-        "llm_selection_pipeline",     # r07 capstone
-        "window_rank_battery",        # r07 remainder
-        "subquery_correlated_avg",    # r07 remainder
-        "q4_order_priority",          # r08 TPC-H tail
-        "q22_dormant_customers",      # r08 TPC-H tail
-        "events_scd2_history",        # r08 events family
-        "diff_orders_snapshots",      # r08
+        "llm_bm25_search",            # r08 remainder (VERDICT item 1)
+        "agg_countmin_counts",        # r08 remainder
+        "graph_kcore_hosts",          # r08 remainder
+        "llm_image_phash_dedup",      # r08 remainder (rows-only)
+        "orders_rfm_segmentation",    # r08 remainder
+        "profile_orders_columns",     # r08 remainder
+        "q2_min_cost_supplier",       # r09 TPC-H tail
+        "q9_product_type_profit",     # r09 TPC-H tail
+        "llm_web_pipeline",           # r09 capstone
+        "graph_bfs_layers",           # r09
         "orders_merge_upsert",   # K2 K3 (saveToPostgres.js:313-409)
         "orders_version_diff",   # K8 X3 (contactpoint.controller.js:181-196)
         "llm_jsonl_roundtrip",   # S1 (fetchContact.js:5-11)
