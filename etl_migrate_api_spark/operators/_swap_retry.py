@@ -16,6 +16,16 @@ recover hook (heals a crashed swap, a cheap isdir probe otherwise) and
 rebuild, a bounded number of times, ONLY for the transient listing
 error shapes — anything else re-raises immediately, first time.
 
+Scope: the retry covers the reader's BUILD — plan resolution plus
+every eager side-read inside it (sidecar stats/centroid/codebook
+collects, schema inference, the probe listings). It cannot cover an
+action a CALLER later runs on the returned DataFrame: a compact
+swapping files between the build and that action surfaces as
+[FAILED_READ_FILE.FILE_NOT_EXIST] at collect time, outside this
+wrapper. That is the readers' standing execute-soon contract (consume
+promptly; rebuild after mutating the index) — unchanged here, and the
+engine's own callers and the driver already consume promptly.
+
 Retry is safe here because every reader build is idempotent: it holds
 no partial state, re-reads the sidecars, and re-derives the plan from
 the directory layout as found. Compaction is single-writer by
@@ -34,7 +44,9 @@ T = TypeVar("T")
 # Error shapes a torn two-rename swap produces at plan-build time: the
 # directory vanishes between the listing and the footer read (Java
 # FileNotFoundException, surfaced as PATH_NOT_FOUND by Spark 4's error
-# classes) or momentarily lists no files (schema inference fails).
+# classes), momentarily lists no files (schema inference fails), or a
+# file listed pre-swap is opened post-swap by an eager side-read
+# (FAILED_READ_FILE.FILE_NOT_EXIST at the collect inside the build).
 # Matched on the rendered message: the JVM exception arrives wrapped in
 # different Python types (AnalysisException, Py4JJavaError) depending
 # on which phase of the build hits it. Nothing else retries.
@@ -43,9 +55,6 @@ _TRANSIENT_MARKERS = (
     "PATH_NOT_FOUND",
     "UNABLE_TO_INFER_SCHEMA",
     "Unable to infer schema",
-    # a file listed pre-swap but opened post-swap, at action time
-    # inside an eager sidecar read (collect) — Spark 4's error class
-    # appears in the message even when the Java cause chain is cut
     "FAILED_READ_FILE.FILE_NOT_EXIST",
 )
 
@@ -65,11 +74,24 @@ def with_swap_retry(
     """``recover(); return build()`` with up to ``_ATTEMPTS`` tries.
 
     ``build`` must be idempotent (every index reader is — it re-derives
-    its plan from the directory state as found). A non-transient error
-    propagates immediately; a transient one propagates only after the
-    final attempt."""
+    its plan from the directory state as found). A non-transient build
+    error propagates immediately; a transient one propagates only
+    after the final attempt.
+
+    ``recover`` may itself lose a race: its isdir probes and the
+    heal rename are not atomic against a LIVE compactor's swap, so the
+    ``.old`` dir it decided to restore can vanish (the compactor's
+    rmtree) or the destination can re-appear (the compactor's second
+    rename) between probe and rename — an OSError that means the
+    WRITER is making progress, not that the index is broken. Those are
+    swallowed and the attempt proceeds to ``build`` (which retries on
+    its own transient shapes); in the crashed-compact case recover has
+    no concurrent actor and cannot race."""
     for attempt in range(_ATTEMPTS):
-        recover()
+        try:
+            recover()
+        except OSError:
+            pass  # lost a probe/rename race with a live writer — rebuild
         try:
             return build()
         except Exception as exc:
@@ -77,3 +99,29 @@ def with_swap_retry(
                 raise
             time.sleep(_BACKOFF_S * (attempt + 1))
     raise AssertionError("unreachable")  # pragma: no cover
+
+
+def read_optional_dir(
+    exists: Callable[[], bool], read: Callable[[], T]
+) -> T | None:
+    """The probe-then-read loop both tombstone-log readers share: None
+    once the directory is CONFIRMED missing (never created, or a
+    compact's strictly-last clear landed — either way the caller needs
+    no mask), the read result when it resolves, bounded transient
+    retries in between (a clear can land between the probe and the
+    read — ADVICE r13). A non-transient read error propagates
+    immediately; a transient one only after the final attempt with the
+    dir still present."""
+    last_exc: Exception | None = None
+    for attempt in range(_ATTEMPTS):
+        if not exists():
+            return None
+        try:
+            return read()
+        except Exception as exc:
+            if not is_transient_swap_error(exc):
+                raise
+            last_exc = exc
+            if attempt < _ATTEMPTS - 1:
+                time.sleep(_BACKOFF_S * (attempt + 1))
+    raise last_exc

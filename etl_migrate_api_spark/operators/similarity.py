@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from etl_migrate_api_spark.functions.vectors import cosine_similarity
 from etl_migrate_api_spark.operators._swap_retry import (
-    is_transient_swap_error,
+    read_optional_dir,
     with_swap_retry,
 )
 
@@ -1709,17 +1709,10 @@ def _read_tombstones(spark: SparkSession, path: str):
     import os
 
     tpath = f"{path}.tombstones"
-    last_exc: Exception | None = None
-    for _ in range(3):
-        if not os.path.isdir(tpath):
-            return None
-        try:
-            return spark.read.parquet(tpath).select("vec_id").distinct()
-        except Exception as exc:
-            if not is_transient_swap_error(exc):
-                raise
-            last_exc = exc
-    raise last_exc
+    return read_optional_dir(
+        lambda: os.path.isdir(tpath),
+        lambda: spark.read.parquet(tpath).select("vec_id").distinct(),
+    )
 
 
 def delete_from_ivf_index(

@@ -62,10 +62,14 @@ IVF twin under a 48-cycle compact storm: a reader whose file listing
 straddles the compact's directory-rename swap can FAIL transiently
 (FileNotFoundException / empty-path schema inference) — reads that
 complete are always exact, and the post-swap state heals every
-listing. Since r14 the retry is IN CODE: bm25_from_index re-runs
-recover + plan build bounded times on exactly those transient shapes
-(operators/_swap_retry.py), so callers no longer carry the retry
-contract themselves.
+listing. Since r14 the BUILD-time retry is IN CODE: bm25_from_index
+re-runs recover + plan build (including every eager sidecar read
+inside it) bounded times on exactly those transient shapes
+(operators/_swap_retry.py). An ACTION a caller later runs on the
+returned DataFrame sits outside that wrapper — a compact swapping
+files between build and action still surfaces there, which is the
+standing execute-soon contract (consume promptly, rebuild after
+mutating the index), unchanged.
 
 Doc length ``dl`` is DENORMALIZED into every posting row: BM25's
 length-normalization needs it per (term, doc) anyway, and carrying it
@@ -96,7 +100,7 @@ from pyspark.sql import functions as F
 
 from etl_migrate_api_spark.functions.text import ws_tokens
 from etl_migrate_api_spark.operators._swap_retry import (
-    is_transient_swap_error,
+    read_optional_dir,
     with_swap_retry,
 )
 
@@ -260,27 +264,19 @@ def _read_tombstone_log(spark: SparkSession, path: str):
     them surfaces as a transient read error even though the state is
     legal — the compact finished its whole swap, so the postings any
     concurrent plan resolves are the folded table and need no mask
-    (ADVICE r13). The loop below re-probes after a transient error and
-    returns None once the dir is confirmed missing; a transient error
-    with the dir still present (a partially-cleared listing) retries
-    bounded times and only then propagates."""
+    (ADVICE r13). read_optional_dir re-probes after a transient error
+    and returns None once the dir is confirmed missing; a transient
+    error with the dir still present (a partially-cleared listing)
+    retries bounded times and only then propagates."""
     import os
 
     tpath = f"{path}.tombstones"
-    log = None
-    last_exc: Exception | None = None
-    for _ in range(3):
-        if not os.path.isdir(tpath):
-            return None
-        try:
-            log = spark.read.option("mergeSchema", "true").parquet(tpath)
-            break
-        except Exception as exc:
-            if not is_transient_swap_error(exc):
-                raise
-            last_exc = exc
+    log = read_optional_dir(
+        lambda: os.path.isdir(tpath),
+        lambda: spark.read.option("mergeSchema", "true").parquet(tpath),
+    )
     if log is None:
-        raise last_exc
+        return None
     if "epoch" not in log.columns:
         return log.withColumn("epoch", F.lit(0).cast("int"))
     return log.withColumn(
@@ -367,28 +363,43 @@ def _sidecar_state(
     least one listing and recomputes."""
     import os
 
-    sig = (_dir_sig(f"{path}.stats"), _dir_sig(f"{path}.tombstones"))
-    hit = _SIDECAR_MEMO.get(path)
-    if hit is not None and hit[0] == sig:
-        return hit[1]
+    # the restart loop closes the last compact-vs-reader generation
+    # mix: the stats agg and the log read are separate jobs, so a
+    # compact COMPLETING between them leaves this call holding
+    # pre-compact scalars while the log read finds the cleared dir
+    # (its None contract). Mixing those would return unadjusted
+    # pre-compact N/avgdl — restart on the post-compact listings
+    # instead. Bounded: each restart consumes one completed compact,
+    # and on exhaustion the last attempt's state is returned (the
+    # documented convergent-anomaly behavior, same class as the
+    # append race).
+    for _restart in range(3):
+        sig = (_dir_sig(f"{path}.stats"), _dir_sig(f"{path}.tombstones"))
+        hit = _SIDECAR_MEMO.get(path)
+        if hit is not None and hit[0] == sig:
+            return hit[1]
 
-    row = (
-        spark.read.parquet(f"{path}.stats")
-        .agg(
-            F.sum("n_docs").cast("long").alias("bd"),
-            F.sum("n_toks").cast("long").alias("bt"),
+        row = (
+            spark.read.parquet(f"{path}.stats")
+            .agg(
+                F.sum("n_docs").cast("long").alias("bd"),
+                F.sum("n_toks").cast("long").alias("bt"),
+            )
+            .collect()[0]
         )
-        .collect()[0]
-    )
-    n_docs, n_toks = int(row["bd"]), int(row["bt"])
-    dead_ids: tuple[int, ...] | str | None = None
-    if os.path.isdir(f"{path}.tombstones"):
+        n_docs, n_toks = int(row["bd"]), int(row["bt"])
+        dead_ids: tuple[int, ...] | str | None = None
+        if not os.path.isdir(f"{path}.tombstones"):
+            break
         cur = _read_epoch(path)
-        trip = (
-            _read_tombstone_log(spark, path)
-            .select("doc_id", "dl", "epoch")
-            .distinct()
-        )
+        log = _read_tombstone_log(spark, path)
+        if log is None:
+            # the log vanished between the isdir probe and the read —
+            # a compact finished its whole swap mid-call, so the
+            # scalars above are the PRE-compact sum with nothing to
+            # adjust them. Recompute from the post-compact listings.
+            continue
+        trip = log.select("doc_id", "dl", "epoch").distinct()
         # ONE scalar agg job for the stats adjustment AND the dead-id
         # count — no driver materialization of log rows. Current-epoch
         # distinct (doc_id, dl) pairs: dl is unique per doc within an
@@ -428,6 +439,7 @@ def _sidecar_state(
             dead_ids = _OVERSIZED if len(ids) > _ISIN_CAP else ids
         else:
             dead_ids = ()
+        break
     val = (n_docs, n_toks, dead_ids)
     # bound the memo across index paths (long-lived sessions touch many
     # indexes; each entry can carry an isin-sized dead-id tuple) —

@@ -65,8 +65,9 @@ n = qs["llm_bm25_search"](spark, "/root/testdata/sf0.001").count()
 assert n > 0, "bm25 search failed on a vanilla session"
 n = qs["graph_kcore_hosts"](spark, "/root/testdata/sf0.001").count()
 assert n > 0, "kcore hosts failed on a vanilla session"
+# 35 band-join pairs at sf0.001 — a 0-row regression must fail too
 n = qs["llm_image_phash_dedup"](spark, "/root/testdata/sf0.001").count()
-assert n >= 0, "image phash dedup failed on a vanilla session"
+assert n > 0, "image phash dedup failed on a vanilla session"
 n = qs["orders_rfm_segmentation"](spark, "/root/testdata/sf0.001").count()
 assert n > 0, "rfm segmentation failed on a vanilla session"
 n = qs["q2_min_cost_supplier"](spark, "/root/testdata/sf0.001").count()

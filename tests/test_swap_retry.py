@@ -303,3 +303,65 @@ def test_ivf_tombstone_log_vanish_between_probe_and_read_is_no_mask(
     monkeypatch.setattr(os.path, "isdir", lying_isdir)
     assert SIM._read_tombstones(spark, idx) is None
     assert lies["n"] == 1
+
+
+def test_with_swap_retry_tolerates_recover_losing_its_own_race():
+    """recover's isdir/rename probes are not atomic against a LIVE
+    compactor's swap: the .old dir it decided to restore can vanish
+    (the writer's rmtree) between probe and rename. That OSError means
+    the writer is making progress — the attempt must proceed to build,
+    not crash the reader un-retried."""
+    calls = {"build": 0, "recover": 0}
+
+    def racing_recover():
+        calls["recover"] += 1
+        if calls["recover"] == 1:
+            raise FileNotFoundError(
+                "[Errno 2] No such file or directory: '/t/idx.old'"
+            )
+
+    def build():
+        calls["build"] += 1
+        return "ok"
+
+    assert with_swap_retry(build, racing_recover) == "ok"
+    assert calls == {"build": 1, "recover": 1}
+
+
+def test_sidecar_state_restarts_when_log_vanishes_mid_read(
+    spark, sf_small, tmp_path, monkeypatch
+):
+    """The _sidecar_state stats agg and log read are separate Spark
+    jobs; a compact completing between them leaves pre-compact scalars
+    paired with a vanished log. The old code crashed (AttributeError
+    on None.select); the fix restarts the computation on the
+    post-compact listings. Simulated with a one-shot None from the log
+    reader — the restart's second pass must converge to exactly the
+    unpatched state."""
+    from etl_migrate_api_spark.operators import text_index as TI
+
+    docs = load(spark, "documents", sf_small)
+    idx = str(tmp_path / "idx")
+    TI.build_text_index(docs, idx)
+    TI.delete_from_text_index(
+        docs.where(F.col("doc_id") % 6 == 2).select("doc_id"), idx
+    )
+    TI._SIDECAR_MEMO.pop(idx, None)
+    want = TI._sidecar_state(spark, idx)
+    assert want[2]  # the delete really produced a dead-id mask
+
+    real_log = TI._read_tombstone_log
+    lies = {"n": 0}
+
+    def vanishing_log(s, p):
+        if lies["n"] == 0:
+            lies["n"] += 1
+            return None  # the compact's clear landed mid-call
+        return real_log(s, p)
+
+    monkeypatch.setattr(TI, "_read_tombstone_log", vanishing_log)
+    TI._SIDECAR_MEMO.pop(idx, None)
+    got = TI._sidecar_state(spark, idx)
+    TI._SIDECAR_MEMO.pop(idx, None)
+    assert lies["n"] == 1  # the vanish was really consumed
+    assert got == want
