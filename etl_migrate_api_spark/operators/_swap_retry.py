@@ -56,6 +56,14 @@ _TRANSIENT_MARKERS = (
     "UNABLE_TO_INFER_SCHEMA",
     "Unable to infer schema",
     "FAILED_READ_FILE.FILE_NOT_EXIST",
+    # Hadoop's RawLocalFileSystem throws AccessDeniedException whenever
+    # java.io.File.list() returns null — which it does for a directory
+    # that VANISHED mid-listing, not just for a real permission wall
+    # (caught live by the 48-cycle storm probe: a bucket partition dir
+    # swapped away under FileUtil.list surfaced as "Permission
+    # denied"). A genuine chmod problem still fails — it just burns
+    # the bounded retries (~0.2 s) first.
+    "java.nio.file.AccessDeniedException",
 )
 
 _ATTEMPTS = 3

@@ -60,6 +60,14 @@ def test_classifier_matches_real_spark_error_shapes():
                   "while reading file file:/t/part-0. File does not exist.")
     )
     assert is_transient_swap_error(_transient())
+    # Hadoop's RawLocalFileSystem mislabels a vanished-dir null listing
+    # as AccessDenied (caught live by the 48-cycle storm probe)
+    assert is_transient_swap_error(
+        Exception("An error occurred while calling o8502.parquet.\n"
+                  ": java.nio.file.AccessDeniedException: /t/idx/bucket=0: "
+                  "Permission denied\n\tat org.apache.hadoop.fs.FileUtil"
+                  ".list(FileUtil.java:1621)")
+    )
     assert not is_transient_swap_error(ValueError("bad k: -1"))
     assert not is_transient_swap_error(
         Exception("[CANNOT_RESOLVE] column `doc_idd` does not exist")
