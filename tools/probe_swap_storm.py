@@ -233,6 +233,12 @@ def probe_ivf_index(spark, sf_small: str, root: str, cycles: int) -> dict:
     [r.join() for r in readers]
     emb.unpersist()
     queries.unpersist()
+    # no final_exact here, deliberately: an IVF index keeps its FROZEN
+    # centroids, while a fresh rebuild re-trains on the survivors —
+    # different cells, legitimately different nprobe-bounded top-k.
+    # The per-read membership check above is the IVF exactness bound;
+    # bit-exactness under deletes is pinned separately by the family's
+    # pytest suite against same-centroid rebuilds.
     return stats
 
 
