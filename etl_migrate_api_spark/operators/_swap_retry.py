@@ -93,17 +93,25 @@ def with_swap_retry(
     rename) between probe and rename — an OSError that means the
     WRITER is making progress, not that the index is broken. Those are
     swallowed and the attempt proceeds to ``build`` (which retries on
-    its own transient shapes); in the crashed-compact case recover has
-    no concurrent actor and cannot race."""
+    its own transient shapes). The OTHER reason recover can raise — a
+    crashed compact whose heal fails persistently (EACCES, read-only
+    filesystem; no concurrent actor involved) — must not hide behind
+    the build's generic path-not-found: the last recover failure is
+    CHAINED onto whatever error finally propagates, so the traceback
+    names the real blocker."""
+    recover_exc: OSError | None = None
     for attempt in range(_ATTEMPTS):
         try:
             recover()
-        except OSError:
-            pass  # lost a probe/rename race with a live writer — rebuild
+            recover_exc = None
+        except OSError as rexc:
+            recover_exc = rexc  # racing a live writer, or a heal blocker
         try:
             return build()
         except Exception as exc:
             if attempt == _ATTEMPTS - 1 or not is_transient_swap_error(exc):
+                if recover_exc is not None:
+                    raise exc from recover_exc
                 raise
             time.sleep(_BACKOFF_S * (attempt + 1))
     raise AssertionError("unreachable")  # pragma: no cover

@@ -390,6 +390,15 @@ def _sidecar_state(
         n_docs, n_toks = int(row["bd"]), int(row["bt"])
         dead_ids: tuple[int, ...] | str | None = None
         if not os.path.isdir(f"{path}.tombstones"):
+            if sig[1] is not None:
+                # SYMMETRIC interleaving of the vanished-log case
+                # below: the tombstone dir was listed at signature
+                # time but is gone by this probe — a compact completed
+                # its whole swap between the stats agg and here, so
+                # the scalars above are the unadjusted PRE-compact
+                # sums. Restart on the post-compact listings (where
+                # sig[1] is None and this branch breaks cleanly).
+                continue
             break
         cur = _read_epoch(path)
         log = _read_tombstone_log(spark, path)

@@ -373,3 +373,64 @@ def test_sidecar_state_restarts_when_log_vanishes_mid_read(
     TI._SIDECAR_MEMO.pop(idx, None)
     assert lies["n"] == 1  # the vanish was really consumed
     assert got == want
+
+
+def test_with_swap_retry_chains_persistent_recover_failure():
+    """A crashed compact whose heal fails persistently (EACCES,
+    read-only fs — no concurrent writer involved) must not hide
+    behind the build's generic path-not-found: the last recover
+    OSError is chained as the propagated error's __cause__."""
+    heal_err = PermissionError("[Errno 13] Permission denied: '/t/idx.old'")
+
+    def recover():
+        raise heal_err
+
+    def build():
+        raise _transient()  # the unhealed index has no readable path
+
+    with pytest.raises(RuntimeError) as exc_info:
+        with_swap_retry(build, recover)
+    assert exc_info.value.__cause__ is heal_err
+
+
+def test_sidecar_state_restarts_when_log_vanishes_before_probe(
+    spark, sf_small, tmp_path, monkeypatch
+):
+    """The SYMMETRIC interleaving of the mid-read vanish (second
+    review pass on the r14 fix): a compact completing between the
+    stats agg and the isdir probe leaves pre-compact scalars with the
+    probe finding no log — breaking there would return them
+    UNADJUSTED. The signature captured the tombstone listing before
+    the stats read, so sig-non-None + probe-False proves the vanish;
+    the fix restarts on the post-compact listings. Simulated with a
+    one-shot lying isdir (False while the dir really exists) — the
+    restart's second pass must converge to exactly the unpatched
+    adjusted state."""
+    from etl_migrate_api_spark.operators import text_index as TI
+
+    docs = load(spark, "documents", sf_small)
+    idx = str(tmp_path / "idx")
+    TI.build_text_index(docs, idx)
+    TI.delete_from_text_index(
+        docs.where(F.col("doc_id") % 6 == 2).select("doc_id"), idx
+    )
+    TI._SIDECAR_MEMO.pop(idx, None)
+    want = TI._sidecar_state(spark, idx)
+    assert want[2]  # the delete really produced a dead-id mask
+
+    tpath = f"{idx}.tombstones"
+    real_isdir = os.path.isdir
+    lies = {"n": 0}
+
+    def lying_isdir(p):
+        if str(p) == tpath and lies["n"] == 0:
+            lies["n"] += 1
+            return False  # the probe that ran just after the "clear"
+        return real_isdir(p)
+
+    monkeypatch.setattr(os.path, "isdir", lying_isdir)
+    TI._SIDECAR_MEMO.pop(idx, None)
+    got = TI._sidecar_state(spark, idx)
+    TI._SIDECAR_MEMO.pop(idx, None)
+    assert lies["n"] == 1  # the vanish was really consumed
+    assert got == want  # restarted and re-adjusted, not broken stale
