@@ -448,6 +448,23 @@ def _sidecar_state(
             dead_ids = _OVERSIZED if len(ids) > _ISIN_CAP else ids
         else:
             dead_ids = ()
+        if (
+            _dir_sig(f"{path}.stats"),
+            _dir_sig(f"{path}.tombstones"),
+        ) != sig:
+            # settled-listing check: this read spans several Spark
+            # jobs (stats agg, epoch marker, log agg, id collect), and
+            # a mutation landing between ANY two of them can mix
+            # generations — e.g. a TORN compact between the stats read
+            # and the epoch read pairs the old sum with the new
+            # marker, silently filtering the adjustment to zero.
+            # Rather than enumerate interleavings, accept a value only
+            # when the listings are the same before and after;
+            # otherwise recompute on the settled state (bounded; on
+            # exhaustion the last computed value is returned — the
+            # documented convergent-anomaly behavior under continuous
+            # churn, same class as the append race).
+            continue
         break
     val = (n_docs, n_toks, dead_ids)
     # bound the memo across index paths (long-lived sessions touch many

@@ -434,3 +434,47 @@ def test_sidecar_state_restarts_when_log_vanishes_before_probe(
     TI._SIDECAR_MEMO.pop(idx, None)
     assert lies["n"] == 1  # the vanish was really consumed
     assert got == want  # restarted and re-adjusted, not broken stale
+
+
+def test_sidecar_state_settled_listing_check_catches_midread_mutation(
+    spark, sf_small, tmp_path, monkeypatch
+):
+    """_sidecar_state spans several Spark jobs; rather than enumerate
+    every mutation-between-jobs interleaving (e.g. a torn compact
+    between the stats read and the epoch read pairs the old sum with
+    the new marker), it accepts a value only when the sidecar listings
+    are IDENTICAL before and after, restarting otherwise. Pinned with
+    a real mid-read mutation: a stats delta row appended inside the
+    epoch-read hook — the settled check must restart and converge to
+    the post-mutation state."""
+    from etl_migrate_api_spark.operators import text_index as TI
+
+    docs = load(spark, "documents", sf_small)
+    idx = str(tmp_path / "idx")
+    TI.build_text_index(docs, idx)
+    TI.delete_from_text_index(
+        docs.where(F.col("doc_id") % 6 == 2).select("doc_id"), idx
+    )
+
+    real_epoch = TI._read_epoch
+    fired = {"n": 0}
+
+    def mutating_epoch(p):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # an append's stats delta landing mid-read, AFTER this
+            # pass's stats agg already ran
+            spark.createDataFrame(
+                [(3, 17)], "n_docs long, n_toks long"
+            ).write.mode("append").parquet(f"{idx}.stats")
+        return real_epoch(p)
+
+    monkeypatch.setattr(TI, "_read_epoch", mutating_epoch)
+    TI._SIDECAR_MEMO.pop(idx, None)
+    got = TI._sidecar_state(spark, idx)
+    monkeypatch.setattr(TI, "_read_epoch", real_epoch)
+    TI._SIDECAR_MEMO.pop(idx, None)
+    want = TI._sidecar_state(spark, idx)  # fresh, post-mutation
+    TI._SIDECAR_MEMO.pop(idx, None)
+    assert fired["n"] == 1  # the mutation really landed mid-read
+    assert got == want  # restarted onto the settled state, no mix
