@@ -70,8 +70,35 @@ _ATTEMPTS = 3
 _BACKOFF_S = 0.05  # the swap is two renames — milliseconds, not seconds
 
 
+# Spark 4 error-condition names for the same shapes — checked
+# structurally via PySparkException.getCondition() before falling back
+# to message matching, so a message-format drift across Spark versions
+# cannot silently stop the retry (ADVICE r14). The substring fallback
+# stays because two of the shapes arrive as raw JVM exceptions
+# (Py4JJavaError cause chains) that carry no condition field.
+_TRANSIENT_CONDITIONS = (
+    "PATH_NOT_FOUND",
+    "UNABLE_TO_INFER_SCHEMA",
+    "FAILED_READ_FILE.FILE_NOT_EXIST",
+)
+
+
 def is_transient_swap_error(exc: BaseException) -> bool:
-    """True iff ``exc`` renders as one of the torn-swap listing shapes."""
+    """True iff ``exc`` is one of the torn-swap listing shapes —
+    matched on the structured Spark error condition when the exception
+    exposes one, else on the rendered message."""
+    get_condition = getattr(exc, "getCondition", None) or getattr(
+        exc, "getErrorClass", None
+    )
+    if get_condition is not None:
+        try:
+            condition = get_condition()
+        except Exception:  # defensive: never let classification raise
+            condition = None
+        if condition and any(
+            condition.startswith(c) for c in _TRANSIENT_CONDITIONS
+        ):
+            return True
     msg = str(exc)
     return any(marker in msg for marker in _TRANSIENT_MARKERS)
 
@@ -96,9 +123,12 @@ def with_swap_retry(
     its own transient shapes). The OTHER reason recover can raise — a
     crashed compact whose heal fails persistently (EACCES, read-only
     filesystem; no concurrent actor involved) — must not hide behind
-    the build's generic path-not-found: the last recover failure is
-    CHAINED onto whatever error finally propagates, so the traceback
-    names the real blocker."""
+    the build's generic path-not-found: when the FINAL error is a
+    transient listing shape, the last recover failure is CHAINED onto
+    it, so the traceback names the real blocker. A NON-transient build
+    error (bad params, a genuine engine bug) re-raises bare — chaining
+    a benign live-writer race OSError onto an unrelated ValueError
+    would mislead debugging (ADVICE r14)."""
     recover_exc: OSError | None = None
     for attempt in range(_ATTEMPTS):
         try:
@@ -109,7 +139,9 @@ def with_swap_retry(
         try:
             return build()
         except Exception as exc:
-            if attempt == _ATTEMPTS - 1 or not is_transient_swap_error(exc):
+            if not is_transient_swap_error(exc):
+                raise  # unrelated failure — recover noise stays out
+            if attempt == _ATTEMPTS - 1:
                 if recover_exc is not None:
                     raise exc from recover_exc
                 raise

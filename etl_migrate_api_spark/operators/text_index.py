@@ -314,6 +314,13 @@ _SIDECAR_MEMO: dict[str, tuple[object, tuple]] = {}
 # a re-queried evicted path just recomputes and re-enters
 _MEMO_MAX_PATHS = 64
 
+# observability counter (ADVICE r14): number of _sidecar_state calls
+# that consumed ALL settled-listing restarts — i.e. ≥3 compacts
+# completed inside one driver-side read and the convergent-anomaly
+# fallback (last attempt's state) was returned. Never resets; a
+# monitoring harness under continuous churn can diff it across reads.
+SIDECAR_RESTART_EXHAUSTIONS = 0
+
 # isin() compiles the dead-id set into the plan, and building/analyzing
 # that expression costs ~0.5 ms PER LITERAL per query (measured at sf1,
 # 50k-doc index: 5k-literal isin 3.3 s vs a flat ~0.55 s for the
@@ -466,6 +473,15 @@ def _sidecar_state(
             # churn, same class as the append race).
             continue
         break
+    else:
+        # every settled-listing restart was consumed by back-to-back
+        # mutations (≥3 compacts completing inside this one read) —
+        # the last attempt's state goes out as the documented
+        # convergent-anomaly fallback. Count it so continuous-churn
+        # anomalies are observable (ADVICE r14); the memo signature
+        # still guarantees the next call recomputes.
+        global SIDECAR_RESTART_EXHAUSTIONS
+        SIDECAR_RESTART_EXHAUSTIONS += 1
     val = (n_docs, n_toks, dead_ids)
     # bound the memo across index paths (long-lived sessions touch many
     # indexes; each entry can carry an isin-sized dead-id tuple) —

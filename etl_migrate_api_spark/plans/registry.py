@@ -70,32 +70,44 @@ def _load_all() -> None:
 # hash-checked on every pytest run (tests/test_oracle_parity.py +
 # tools/driver_sim.py).
 #
-# r14 window: STEADY-STATE EVIDENCE ROTATION (VERDICT r13 item 1).
+# r15 window: STEADY-STATE EVIDENCE ROTATION (VERDICT r14 item 1).
 # The engine is feature- and evidence-complete; the rotation's only
-# job is raising the evidence base's AGE ceiling, r08 → r09. This
-# window holds the full 21-query r08 remainder (exactly the queue the
-# r13 registry comment named and VERDICT r13 verified name-for-name)
-# plus 12 of the 32-query r09 cohort (the TPC-H tail q2/q9/q11/q16/
-# q20, the web/dedup-report trio, two sketch batteries, events/graph
-# picks), with the standing S1/K3/K8/X3/K7 carriers and the minimal
-# 13-anchor §2 set cover unchanged since r10 (every §2 item keeps a
-# fresh green row each round;
+# job is raising the evidence base's AGE ceiling, r09 → r10. This
+# window holds the full 20-query r09 remainder (exactly the queue the
+# r14 registry comment named and VERDICT r14 verified name-for-name:
+# the ANN filtered/PQ-ADC pair, the selection/RAG family rrf/mmr/rag/
+# curriculum/weighted, the split trio, KMV/corr/DQ/gapfill, bigram and
+# unigram-viterbi scoring, knn-graph, and the orders bloom/basket/WAP/
+# zorder quartet) plus 13 of the 16-query r10 cohort, with the
+# standing S1/K3/K8/X3/K7 carriers and the minimal 13-anchor §2 set
+# cover unchanged since r10 (every §2 item keeps a fresh green row
+# each round;
 # tests/test_driver_contract.py::test_no_survey_item_orphaned_by_window_rotation
-# enforces the cover). The r07-remainder and r08-TPC-H refreshes
-# rotate back out with fresh r13 rows. Three slots are rows-only by
-# inherent math (llm_ann_sq8_topk float ADC, llm_bpe_merges trainer,
-# llm_image_phash_dedup codec decode) — each has a hash-gated twin or
-# CRC pin per COVERAGE.md. After r14 the oldest evidence anywhere is
-# r09, held by exactly the 20 queries queued below.
+# enforces the cover). The r08 remainder and r09 TPC-H/web/sketch
+# refreshes rotate back out with fresh r14 rows. Every slot is
+# oracled this round — the three inherently rows-only veterans
+# (llm_ann_sq8_topk / llm_bpe_merges / llm_image_phash_dedup) rotated
+# out with fresh r14 rows-only rows and their hash-gated twins
+# (llm_ann_sq8_adc, llm_bpe_merges_restricted) are IN this window.
+# After r15 the oldest evidence anywhere is r10, held by exactly the
+# 3 deferred r10 queries plus nothing else older than r11.
 #
-# r15 queue (the r09 remainder, 20): agg_kmv_set_intersection,
-# dq_expectations_report, events_gapfill_interpolate,
-# llm_ann_filtered_topk, llm_ann_pq_adc, llm_bigram_logprob_score,
-# llm_curriculum_order, llm_knn_graph, llm_leakage_safe_split,
-# llm_mmr_rerank, llm_quarantine_split, llm_rag_context_pack,
-# llm_rrf_fusion, llm_unigram_viterbi, llm_weighted_sample,
-# orders_bloom_point_lookup, orders_market_basket, orders_wap_publish,
-# orders_zorder_skipping, stats_corr_battery — then the r10 cohort.
+# r16 queue: the r10 remainder (3): llm_knn_graph_refined,
+# orders_json_functions, orders_orc_roundtrip (each family-covered
+# in-window this round by llm_knn_graph/llm_knn_graph_banded and
+# orders_csv_roundtrip) — then the 32-query r11 cohort:
+# agg_date_parts, agg_having_filter, agg_nation_profile,
+# agg_percentiles, agg_pivot_status, agg_rollup_cube,
+# array_functions_battery, contact_phone_extract,
+# date_arithmetic_battery, filter_sample_battery, join_anti_new_keys,
+# join_range_bands, join_semi_exists_battery,
+# llm_ann_ivf_probe_pinned, llm_ann_kmeans_micro, llm_ann_lsh_topk,
+# llm_bm25_index_build, llm_bm25_index_query, llm_bm25_stream_index,
+# llm_dedup_corpus, llm_simhash_signatures, llm_tokenizer_fertility,
+# llm_unigram_encode_pinned, llm_unigram_train_restricted,
+# map_functions_battery, orders_schema_evolution,
+# sample_class_balanced, scalar_math_funcs, set_ops_battery,
+# subquery_scalar_avg, window_first_last_per_key, window_running_lag.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- S1/K3/K8/X3/K7 carriers (as r10-r12) --
     "orders_merge_upsert",         # K2 K3 E2 J3
@@ -116,41 +128,41 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_extract_battery",      # T5
     "llm_pii_redact",              # U1
     "agg_skew_bucket_battery",     # A4 T7
-    # -- stale-evidence refresh: the full r08 remainder (21) --
-    "agg_countmin_counts",         # r08
-    "agg_quantile_battery",        # r08
-    "graph_kcore_hosts",           # r08
-    "graph_triangle_count",        # r08
-    "llm_ann_sq8_topk",            # r08 (rows-only: float ADC)
-    "llm_bm25_search",             # r08
-    "llm_bpe_merges",              # r08 (rows-only: trainer twin-gated)
-    "llm_cdc_chunk_dedup",         # r08
-    "llm_chunk_windows",           # r08
-    "llm_contrastive_triplets",    # r08
-    "llm_fixed_k_group_sample",    # r08
-    "llm_global_shuffle",          # r08
-    "llm_hard_negative_mining",    # r08
-    "llm_image_phash_dedup",       # r08 (rows-only: codec CRC-pinned)
-    "llm_mixture_epochs",          # r08
-    "llm_span_dedup_incremental",  # r08
-    "llm_split_assign",            # r08
-    "llm_unigram_logprob_score",   # r08
-    "llm_winnow_fingerprints",     # r08
-    "orders_rfm_segmentation",     # r08
-    "profile_orders_columns",      # r08
-    # -- and 12 of the r09 cohort: TPC-H tail + web/sketch/events/graph --
-    "q2_min_cost_supplier",        # r09
-    "q9_product_type_profit",      # r09
-    "q11_important_stock",         # r09
-    "q16_parts_supplier_count",    # r09
-    "q20_potential_promotion",     # r09
-    "llm_web_pipeline",            # r09
-    "llm_html_extract",            # r09
-    "llm_dedup_report",            # r09
-    "agg_hll_distinct",            # r09
-    "agg_histogram_sketch",        # r09
-    "events_anomaly_mad",          # r09
-    "graph_bfs_layers",            # r09
+    # -- stale-evidence refresh: the full r09 remainder (20) --
+    "agg_kmv_set_intersection",    # r09
+    "dq_expectations_report",      # r09
+    "events_gapfill_interpolate",  # r09
+    "llm_ann_filtered_topk",       # r09
+    "llm_ann_pq_adc",              # r09
+    "llm_bigram_logprob_score",    # r09
+    "llm_curriculum_order",        # r09
+    "llm_knn_graph",               # r09
+    "llm_leakage_safe_split",      # r09
+    "llm_mmr_rerank",              # r09
+    "llm_quarantine_split",        # r09
+    "llm_rag_context_pack",        # r09
+    "llm_rrf_fusion",              # r09
+    "llm_unigram_viterbi",         # r09
+    "llm_weighted_sample",         # r09
+    "orders_bloom_point_lookup",   # r09
+    "orders_market_basket",        # r09
+    "orders_wap_publish",          # r09
+    "orders_zorder_skipping",      # r09
+    "stats_corr_battery",          # r09
+    # -- and 13 of the 16-query r10 cohort (r16 queue holds the rest) --
+    "agg_heavy_hitters",           # r10
+    "events_ewma_hourly",          # r10
+    "llm_ann_ivfpq_adc",           # r10 (twin gating llm_ann_ivfpq_topk)
+    "llm_ann_sq8_adc",             # r10 (twin gating llm_ann_sq8_topk)
+    "llm_bpe_encode_pinned",       # r10 (twin gating llm_bpe_encode)
+    "llm_bpe_merges_restricted",   # r10 (twin gating llm_bpe_merges)
+    "llm_knn_graph_banded",        # r10
+    "llm_minhash_representatives", # r10
+    "llm_semdedup_pinned",         # r10 (twin gating llm_semdedup)
+    "llm_sentence_split",          # r10
+    "llm_simhash_representatives", # r10
+    "orders_csv_roundtrip",        # r10
+    "orders_zonemap_pruned_scan",  # r10
 )
 
 

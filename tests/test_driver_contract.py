@@ -57,23 +57,22 @@ n = qs["llm_multimodal_audio"](spark, "/root/testdata/sf0.001").count()
 assert n > 0, "multimodal audio failed on a vanilla session"
 n = qs["llm_ann_kmeans_micro"](spark, "/root/testdata/sf0.001").count()
 assert n > 0, "kmeans_micro failed on a vanilla session"
-# r14 rotation spot-checks (VERDICT r13 item 3): one query per
-# re-entering family — the r08 remainder's index/graph/sampling/
-# profile picks and two r09 entrants — prove they still run on
-# vanilla defaults BEFORE the driver re-rows them
-n = qs["llm_bm25_search"](spark, "/root/testdata/sf0.001").count()
-assert n > 0, "bm25 search failed on a vanilla session"
-n = qs["graph_kcore_hosts"](spark, "/root/testdata/sf0.001").count()
-assert n > 0, "kcore hosts failed on a vanilla session"
-# 35 band-join pairs at sf0.001 — a 0-row regression must fail too
-n = qs["llm_image_phash_dedup"](spark, "/root/testdata/sf0.001").count()
-assert n > 0, "image phash dedup failed on a vanilla session"
-n = qs["orders_rfm_segmentation"](spark, "/root/testdata/sf0.001").count()
-assert n > 0, "rfm segmentation failed on a vanilla session"
-n = qs["q2_min_cost_supplier"](spark, "/root/testdata/sf0.001").count()
-assert n > 0, "q2 failed on a vanilla session"
-n = qs["llm_web_pipeline"](spark, "/root/testdata/sf0.001").count()
-assert n > 0, "web pipeline failed on a vanilla session"
+# r15 rotation spot-checks (VERDICT r14 item 3): one query per
+# re-entering family — the r09 remainder's fusion/rerank/stats/
+# events/orders picks and a r10-cohort twin — prove they still run
+# on vanilla defaults BEFORE the driver re-rows them
+n = qs["llm_rrf_fusion"](spark, "/root/testdata/sf0.001").count()
+assert n > 0, "rrf fusion failed on a vanilla session"
+n = qs["llm_mmr_rerank"](spark, "/root/testdata/sf0.001").count()
+assert n > 0, "mmr rerank failed on a vanilla session"
+n = qs["orders_bloom_point_lookup"](spark, "/root/testdata/sf0.001").count()
+assert n > 0, "bloom point lookup failed on a vanilla session"
+n = qs["stats_corr_battery"](spark, "/root/testdata/sf0.001").count()
+assert n > 0, "corr battery failed on a vanilla session"
+n = qs["events_gapfill_interpolate"](spark, "/root/testdata/sf0.001").count()
+assert n > 0, "gapfill interpolate failed on a vanilla session"
+n = qs["llm_ann_sq8_adc"](spark, "/root/testdata/sf0.001").count()
+assert n > 0, "sq8 adc twin failed on a vanilla session"
 assert set(e.oracle_sql()).issubset(set(qs))
 print("CONTRACT-OK")
 """
@@ -82,12 +81,13 @@ print("CONTRACT-OK")
 def test_driver_window_is_50_unique_queries():
     """The driver gates only the first 50 queries() entries (registration
     order). That window must hold exactly DRIVER_WINDOW: 50 queries.
-    Round 14 is steady-state rotation (VERDICT r13 item 1): the
-    carriers + the 13-anchor §2 cover, the full 21-query r08 remainder,
-    and 12 of the r09 cohort — raising the evidence base's age ceiling
-    from r08 to r09. Exactly three slots are rows-only by inherent math
-    (float ADC / trainer / codec — each twin-gated per COVERAGE.md);
-    every other slot carries an oracle."""
+    Round 15 is steady-state rotation (VERDICT r14 item 1): the
+    carriers + the 13-anchor §2 cover, the full 20-query r09 remainder,
+    and 13 of the 16-query r10 cohort — raising the evidence base's age
+    ceiling from r09 to r10. Every slot is oracled this round: the
+    three inherently rows-only veterans rotated out with fresh r14
+    rows, and two of their hash-gated twins (llm_ann_sq8_adc,
+    llm_bpe_merges_restricted) are themselves in-window."""
     from etl_migrate_api_spark.plans.registry import (
         DRIVER_WINDOW,
         oracle_sql_map,
@@ -99,26 +99,23 @@ def test_driver_window_is_50_unique_queries():
     assert len(DRIVER_WINDOW) == 50
     assert len(set(DRIVER_WINDOW)) == 50
     assert names[:50] == list(DRIVER_WINDOW)
-    # the r08 remainder carries the registry's three inherently
-    # rows-only veterans — exactly these, nothing else slips through
+    # the r15 window is fully oracled — a rows-only slot sneaking in
+    # (other than a declared twin-gated veteran) fails the suite
     rows_only = {n for n in names[:50] if n not in oracles}
-    assert rows_only == {
-        "llm_ann_sq8_topk",
-        "llm_bpe_merges",
-        "llm_image_phash_dedup",
-    }, f"unexpected rows-only slots: {rows_only}"
+    assert rows_only == set(), f"unexpected rows-only slots: {rows_only}"
     # the rotation cohort and the standing carriers must be in-window
     for q in (
-        "llm_bm25_search",            # r08 remainder (VERDICT item 1)
-        "agg_countmin_counts",        # r08 remainder
-        "graph_kcore_hosts",          # r08 remainder
-        "llm_image_phash_dedup",      # r08 remainder (rows-only)
-        "orders_rfm_segmentation",    # r08 remainder
-        "profile_orders_columns",     # r08 remainder
-        "q2_min_cost_supplier",       # r09 TPC-H tail
-        "q9_product_type_profit",     # r09 TPC-H tail
-        "llm_web_pipeline",           # r09 capstone
-        "graph_bfs_layers",           # r09
+        "llm_rrf_fusion",             # r09 remainder (VERDICT item 1)
+        "llm_mmr_rerank",             # r09 remainder
+        "llm_rag_context_pack",       # r09 remainder
+        "orders_bloom_point_lookup",  # r09 remainder
+        "orders_market_basket",       # r09 remainder
+        "orders_wap_publish",         # r09 remainder
+        "stats_corr_battery",         # r09 remainder
+        "events_gapfill_interpolate", # r09 remainder
+        "llm_ann_sq8_adc",            # r10 twin (gates llm_ann_sq8_topk)
+        "llm_bpe_merges_restricted",  # r10 twin (gates llm_bpe_merges)
+        "orders_zonemap_pruned_scan", # r10
         "orders_merge_upsert",   # K2 K3 (saveToPostgres.js:313-409)
         "orders_version_diff",   # K8 X3 (contactpoint.controller.js:181-196)
         "llm_jsonl_roundtrip",   # S1 (fetchContact.js:5-11)

@@ -84,9 +84,13 @@ def test_gen_plans_statistics_normalizer_balances_parens():
     mid-token, leaving an un-normalized tail that churned PLANS.md
     regens. The replacement walks paren depth (newline closes a
     malformed token defensively)."""
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo/tools")
+    # derive from __file__ — the suite must not pin its checkout path
+    # (ADVICE r14)
+    tools_dir = os.path.join(os.path.dirname(__file__), "..", "tools")
+    sys.path.insert(0, os.path.abspath(tools_dir))
     from gen_plans import _norm_statistics
 
     assert (
@@ -101,3 +105,90 @@ def test_gen_plans_statistics_normalizer_balances_parens():
         _norm_statistics("Statistics(torn\nnext") == "Statistics(N)\nnext"
     )
     assert _norm_statistics("no stats") == "no stats"
+
+
+def test_storm_probe_straddle_classification_is_phase_based():
+    """VERDICT r14 ("What's wrong" item 1): the storm probe used to
+    classify any FAILED_READ_FILE.FILE_NOT_EXIST as an action-time
+    straddle — but that shape can also fire inside a reader BUILD's
+    eager side-read, where an in-code retry exhaustion must SURFACE,
+    not hide in the straddle counter. read_per_contract now guards the
+    build and the collect separately: any build error surfaces; a
+    transient collect error is the bounded execute-soon straddle; a
+    non-transient collect error surfaces."""
+    import os
+    import sys
+
+    tools_dir = os.path.join(os.path.dirname(__file__), "..", "tools")
+    sys.path.insert(0, os.path.abspath(tools_dir))
+    from probe_swap_storm import read_per_contract
+
+    transient = RuntimeError(
+        "[FAILED_READ_FILE.FILE_NOT_EXIST] Encountered error while "
+        "reading file file:/t/part-0. File does not exist."
+    )
+
+    def harness():
+        straddles, surfaced = [], []
+        return (
+            straddles,
+            surfaced,
+            lambda: straddles.append(1),
+            surfaced.append,
+        )
+
+    # 1. build-retry exhaustion on the action-only SHAPE surfaces —
+    #    the case the message-based classifier hid
+    straddles, surfaced, on_str, on_surf = harness()
+
+    def failing_build():
+        raise transient
+
+    got = read_per_contract(
+        failing_build, lambda p: {1}, on_str, on_surf
+    )
+    assert got is None
+    assert straddles == []
+    assert len(surfaced) == 1 and surfaced[0].startswith("build: ")
+
+    # 2. a transient collect error is a counted straddle, healed by
+    #    the bounded rebuild-and-re-run loop
+    straddles, surfaced, on_str, on_surf = harness()
+    state = {"n": 0}
+
+    def flaky_collect(plan):
+        state["n"] += 1
+        if state["n"] == 1:
+            raise transient
+        return {7}
+
+    assert read_per_contract(
+        lambda: "plan", flaky_collect, on_str, on_surf
+    ) == {7}
+    assert len(straddles) == 1 and surfaced == []
+
+    # 3. a non-transient collect error surfaces first time
+    straddles, surfaced, on_str, on_surf = harness()
+
+    def broken_collect(plan):
+        raise ValueError("real bug")
+
+    assert (
+        read_per_contract(lambda: "plan", broken_collect, on_str, on_surf)
+        is None
+    )
+    assert straddles == []
+    assert len(surfaced) == 1 and surfaced[0].startswith("action: ")
+
+    # 4. a collect that never converges is abandoned and surfaced
+    straddles, surfaced, on_str, on_surf = harness()
+
+    def always_transient(plan):
+        raise transient
+
+    assert (
+        read_per_contract(lambda: "plan", always_transient, on_str, on_surf)
+        is None
+    )
+    assert len(straddles) == 12
+    assert surfaced == ["action straddle did not converge"]

@@ -393,6 +393,60 @@ def test_with_swap_retry_chains_persistent_recover_failure():
     assert exc_info.value.__cause__ is heal_err
 
 
+def test_with_swap_retry_keeps_recover_noise_off_unrelated_errors():
+    """ADVICE r14: a benign live-writer recover race (OSError) must NOT
+    be chained as the 'cause' of an unrelated non-transient build
+    error — a ValueError from bad params propagates bare, first time,
+    so the traceback doesn't point debugging at the writer race."""
+    calls = {"build": 0}
+
+    def recover():
+        raise OSError("[Errno 2] No such file or directory: '/t/idx.old'")
+
+    def build():
+        calls["build"] += 1
+        raise ValueError("bad k: -1")
+
+    with pytest.raises(ValueError) as exc_info:
+        with_swap_retry(build, recover)
+    assert calls["build"] == 1  # non-transient: no retries burned
+    assert exc_info.value.__cause__ is None
+
+
+def test_classifier_uses_structured_error_condition():
+    """ADVICE r14: where PySpark exposes a structured error condition
+    (getCondition() on Spark 4, getErrorClass() before it), classify
+    on that — a message-format drift across Spark versions must not
+    silently stop the retry. Non-transient conditions still refuse."""
+
+    class _Captured(Exception):
+        def __init__(self, condition):
+            super().__init__("message with no recognizable marker text")
+            self._condition = condition
+
+        def getCondition(self):
+            return self._condition
+
+    assert is_transient_swap_error(_Captured("PATH_NOT_FOUND"))
+    assert is_transient_swap_error(
+        _Captured("FAILED_READ_FILE.FILE_NOT_EXIST")
+    )
+    assert not is_transient_swap_error(_Captured("CANNOT_RESOLVE"))
+    assert not is_transient_swap_error(_Captured(None))
+
+    class _Legacy(Exception):
+        def getErrorClass(self):
+            return "UNABLE_TO_INFER_SCHEMA"
+
+    assert is_transient_swap_error(_Legacy("no marker text here"))
+
+    class _Broken(Exception):
+        def getCondition(self):  # classification must never raise
+            raise RuntimeError("jvm gone")
+
+    assert not is_transient_swap_error(_Broken("plain failure"))
+
+
 def test_sidecar_state_restarts_when_log_vanishes_before_probe(
     spark, sf_small, tmp_path, monkeypatch
 ):

@@ -10,25 +10,28 @@ failure — external retry of the BUILD is exactly what readers must no
 longer need.
 
 Two failure classes are measured separately, because the in-code
-retry can only own one of them:
+retry can only own one of them — and they are told apart BY CALL
+PHASE, not by message shape (VERDICT r14: FILE_NOT_EXIST can also
+fire inside a build's eager side-read, where it belongs to the
+engine's retry; classifying on the message would let a build-retry
+exhaustion on that one shape hide in the action-straddle counter):
 
 - BUILD-time straddles (listing / schema inference / eager sidecar
-  reads) — the r13 gap. The engine retries these internally; one
-  surfacing to the caller fails the probe. Exhaustion of the engine's
-  bounded retry re-raises the same build shapes (PATH_NOT_FOUND /
-  UNABLE_TO_INFER_SCHEMA / AccessDenied / bare FileNotFoundException),
-  so the probe counts ANY of those as surfaced — the zero-surfaced
-  claim stays falsifiable instead of being healed by the probe's own
-  loop.
+  reads) — the r13 gap. The engine retries these internally; the
+  probe wraps the reader-build call alone, and ANY exception escaping
+  it — transient shape or not — is surfaced and fails the probe. The
+  zero-surfaced claim stays falsifiable: the probe's own loop never
+  heals a build failure.
 - ACTION-time straddles: the caller's collect opens files listed at
-  build, and a compact swapping them away in between raises
-  [FAILED_READ_FILE.FILE_NOT_EXIST] — the one shape that can ONLY
-  fire at action time on an already-built plan. That window is
-  outside any build-side wrapper by construction (the readers return
-  lazy DataFrames; materializing inside them would destroy the
-  distributed plan the 100 TB story depends on) and is the readers'
-  documented execute-soon contract: rebuild and re-run. The probe
-  applies exactly that contract — bounded — and counts occurrences.
+  build, and a compact swapping them away in between raises a
+  transient shape (typically [FAILED_READ_FILE.FILE_NOT_EXIST]) on an
+  already-built plan. That window is outside any build-side wrapper
+  by construction (the readers return lazy DataFrames; materializing
+  inside them would destroy the distributed plan the 100 TB story
+  depends on) and is the readers' documented execute-soon contract:
+  rebuild and re-run. The probe wraps the collect separately, applies
+  exactly that contract — bounded — to transient shapes there, and
+  counts occurrences; a NON-transient collect error still surfaces.
 
 It also checks the membership half of the concurrency contract on
 every read: a doc whose delete COMMITTED before the read started must
@@ -60,29 +63,57 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# the one transient shape that only fires at ACTION time on an
-# already-built plan (task-side file open); every other transient
-# shape is a build-phase error and means the engine's in-code retry
-# was exhausted or bypassed
-_ACTION_ONLY_MARKER = "FAILED_READ_FILE.FILE_NOT_EXIST"
+def read_per_contract(build_plan, collect_ids, on_straddle, on_surfaced):
+    """One read under the documented caller contract, classified BY
+    PHASE (VERDICT r14): the reader-build call is guarded alone — any
+    exception escaping it means the engine's in-code retry was
+    exhausted or bypassed and is surfaced verbatim, even when it
+    renders as a shape (e.g. FAILED_READ_FILE.FILE_NOT_EXIST from an
+    eager side-read) that would be a legitimate straddle at action
+    time. The collect is guarded separately: a TRANSIENT shape there
+    is the execute-soon straddle (counted, then rebuild-and-re-run,
+    bounded); a non-transient one surfaces.
+
+    Module-level and thread-free so tests can pin the classification
+    (tests/test_review_regressions.py); the storm harness passes
+    locked counters in via the two callbacks. Returns the collected
+    ids, or None when the read was abandoned (surfaced or
+    non-convergent)."""
+    from etl_migrate_api_spark.operators._swap_retry import (
+        is_transient_swap_error,
+    )
+
+    for _ in range(12):
+        try:
+            plan = build_plan()
+        except Exception as exc:  # noqa: BLE001 — the probe's point
+            on_surfaced(f"build: {str(exc)[:300]}")
+            return None
+        try:
+            return collect_ids(plan)
+        except Exception as exc:  # noqa: BLE001 — the probe's point
+            if is_transient_swap_error(exc):
+                on_straddle()
+                continue  # execute-soon contract: rebuild, re-run
+            on_surfaced(f"action: {str(exc)[:300]}")
+            return None
+    on_surfaced("action straddle did not converge")
+    return None
 
 
 def _run_storm(
     cycles: int,
     delete_batch,  # c -> list[int]: commit the cycle's delete, return ids
     compact,  # () -> None: fold the log (single writer)
-    read_ids,  # () -> set[int]: one full read (build + collect)
+    build_plan,  # () -> DataFrame: the reader build (engine-retried)
+    collect_ids,  # DataFrame -> set[int]: the caller's action
     beat_s: float,
 ) -> dict:
     """The shared writer/readers harness. All stats mutations take the
     lock (CPython += is not atomic across threads), writer failures are
     surfaced (a silently dead writer must not yield pass=true on a
     storm that barely ran), and reads follow the documented caller
-    contract via _read_per_contract."""
-    from etl_migrate_api_spark.operators._swap_retry import (
-        is_transient_swap_error,
-    )
-
+    contract via read_per_contract."""
     committed_dead: set[int] = set()
     lock = threading.Lock()
     stop = threading.Event()
@@ -95,29 +126,13 @@ def _run_storm(
         "compact_aborts": 0,
     }
 
-    def read_per_contract():
-        for _ in range(12):
-            try:
-                return read_ids()
-            except Exception as exc:  # noqa: BLE001 — the probe's point
-                msg = str(exc)
-                if (
-                    _ACTION_ONLY_MARKER in msg
-                    and is_transient_swap_error(exc)
-                ):
-                    with lock:
-                        stats["action_straddles"] += 1
-                    continue
-                # a build shape (the engine's retry should have
-                # absorbed it), or not transient at all: surface it
-                with lock:
-                    stats["surfaced_errors"].append(msg[:300])
-                return None
+    def on_straddle():
         with lock:
-            stats["surfaced_errors"].append(
-                "action straddle did not converge"
-            )
-        return None
+            stats["action_straddles"] += 1
+
+    def on_surfaced(msg):
+        with lock:
+            stats["surfaced_errors"].append(msg)
 
     def writer():
         try:
@@ -156,7 +171,9 @@ def _run_storm(
         while not stop.is_set():
             with lock:
                 must_be_gone = set(committed_dead)
-            got = read_per_contract()
+            got = read_per_contract(
+                build_plan, collect_ids, on_straddle, on_surfaced
+            )
             if got is None:
                 continue
             with lock:
@@ -192,17 +209,20 @@ def probe_text_index(spark, sf_small: str, root: str, cycles: int) -> dict:
         TI.delete_from_text_index(batch, idx)
         return ids
 
-    def read_ids() -> set[int]:
-        rows = TI.bm25_from_index(
+    def build_plan():
+        return TI.bm25_from_index(
             spark, idx, ("hash", "join", "merge"), k=100_000
-        ).collect()
-        return {r["doc_id"] for r in rows}
+        )
+
+    def collect_ids(plan) -> set[int]:
+        return {r["doc_id"] for r in plan.collect()}
 
     stats = _run_storm(
         cycles,
         delete_batch,
         lambda: TI.compact_text_index(spark, idx),
-        read_ids,
+        build_plan,
+        collect_ids,
         beat_s=0.25,
     )
 
@@ -247,17 +267,18 @@ def probe_ivf_index(spark, sf_small: str, root: str, cycles: int) -> dict:
         SIM.delete_from_ivf_index(batch, idx)
         return ids
 
-    def read_ids() -> set[int]:
-        rows = SIM.ivf_topk_from_index(
-            spark, idx, queries, k=5, nprobe=2
-        ).collect()
-        return {int(r["neighbor_id"]) for r in rows}
+    def build_plan():
+        return SIM.ivf_topk_from_index(spark, idx, queries, k=5, nprobe=2)
+
+    def collect_ids(plan) -> set[int]:
+        return {int(r["neighbor_id"]) for r in plan.collect()}
 
     stats = _run_storm(
         cycles,
         delete_batch,
         lambda: SIM.compact_ivf_index(spark, idx),
-        read_ids,
+        build_plan,
+        collect_ids,
         # the IVF read is the slowest in the family -> the longer beat
         beat_s=0.5,
     )
