@@ -48,6 +48,18 @@ def _materialize_and_release(out: DataFrame, *caches: DataFrame) -> DataFrame:
     return out
 
 
+def _spread_n(df: DataFrame) -> tuple[DataFrame, int]:
+    """:func:`_spread` plus the resulting partition count, so callers
+    can stack further shuffle-free ``coalesce(n)`` fences WITHOUT a
+    second ``df.rdd`` round-trip (each one re-plans the query on the
+    driver — measured ~0.1 s per call on the fence-heavy operators)."""
+    n = df.rdd.getNumPartitions()
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if n < parallelism:
+        return df.repartition(parallelism), parallelism
+    return df.coalesce(n), n
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Projection barrier + parallelism for CPU-heavy narrow maps.
 
@@ -62,11 +74,31 @@ def _spread(df: DataFrame) -> DataFrame:
     ``coalesce(n)`` plans a shuffle-free ``Repartition n, false`` node,
     which is an equally effective CollapseProject fence (plan-asserted in
     tests/test_plans.py) with zero data movement."""
-    n = df.rdd.getNumPartitions()
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if n < parallelism:
-        return df.repartition(parallelism)
-    return df.coalesce(n)
+    return _spread_n(df)[0]
+
+
+def _spread_project(df: DataFrame, *cols) -> DataFrame:
+    """Spread the RAW input first, THEN evaluate the heavy projection —
+    at full parallelism — behind its own shuffle-free fence.
+
+    ``_spread(df.select(id, heavy_expr))`` evaluates ``heavy_expr`` in
+    the map stage BELOW the exchange, i.e. at the *input split count*
+    (the sf gate's parquet files scan as 1-3 splits, so the tokenize /
+    md5 chain that the spread exists to parallelize ran on 1-3 cores —
+    measured: the simhash signature pass spent 1.9 s of its 2.5 s in
+    that 3-task stage). Shuffling the raw text instead costs the same
+    bytes and moves the heavy projection above the exchange, onto every
+    core; the trailing ``coalesce`` fence keeps the projection an
+    attribute column (CollapseProject cannot inline it into consumers'
+    lambda bodies — the PERF NOTE trap). On already-parallel inputs
+    (any real 100 TB scan) both branches stay shuffle-free.
+
+    Filters belong on ``df`` (raw columns, below the exchange) — a
+    filter on a PROJECTED column is predicate-pushed through the fence
+    and re-evaluates the projection expression per row (the measured
+    trap in minhash_lsh_candidates' note)."""
+    spread, m = _spread_n(df)
+    return spread.select(*cols).coalesce(m)
 
 
 def _norm_text(c: str) -> Column:
@@ -434,7 +466,16 @@ def minhash_signature_tables(
     batch, not corpus. Deterministic md5 hashing means append-only
     updates never invalidate existing rows."""
     base = (
-        _spread(df.select(F.col(id_col).alias("id"), _norm_text(text_col).alias("t")))
+        _spread_project(
+            # length(raw) ≥ length(norm): cheap necessary prefilter on
+            # the raw column below the exchange; the exact filter on the
+            # materialized norm follows (its pushdown re-evaluates only
+            # the norm regex, at full width — never the shingle chain)
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+            .where(F.length("_t") >= 5),
+            "id",
+            _norm_text("_t").alias("t"),
+        )
         .where(F.length("t") >= 5)
         .select(
             "id",
@@ -547,7 +588,15 @@ def minhash_lsh_candidates(
     # predicate-pushed below the repartition and re-evaluates the whole
     # shingle+hash chain at input-file parallelism (measured 4× slowdown).
     base = (
-        _spread(df.select(F.col(id_col).alias("id"), _norm_text(text_col).alias("t")))
+        _spread_project(
+            # raw-column necessary prefilter below the exchange; exact
+            # length(norm) filter above the fence (see the twin note in
+            # minhash_signature_tables)
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+            .where(F.length("_t") >= 5),
+            "id",
+            _norm_text("_t").alias("t"),
+        )
         .where(F.length("t") >= 5)
         .select(
             "id",
@@ -583,34 +632,69 @@ def minhash_lsh_candidates(
 # distance is bit_count(xor) — engine-agnostic and O(1) per pair.
 # --------------------------------------------------------------------------
 
-# Single pass over the token array: parse the md5 hex into 16 nibbles
-# ONCE per token (16 conv+substring), expand to a 64-element 0/1 bit
-# array with integer shifts only, and zip_with-accumulate per-bit ONES
-# counts. Bit j of the simhash is 1 iff the ±1 vote sum is positive,
-# i.e. 2·ones[j] > n_tokens. The bit layout matches the original
-# formulation exactly (bit j ← bit (j%4) of hex nibble (j div 4) + 1,
-# 1-based): the lo half reads nibbles 1-8 of the md5, the hi half 9-16.
+# Single pass over the token array: parse the md5 hex into two 32-bit
+# ints ONCE per token (2 conv+substring — the previous nibble-at-a-time
+# layout paid 16 conv+substring per token and allocated 16 nested
+# 4-arrays; this cut the signature stage a further ~25% at sf0.1),
+# expand to a 64-element 0/1 bit array with integer shifts only, and
+# zip_with-accumulate per-bit ONES counts. Bit j of the simhash is 1
+# iff the ±1 vote sum is positive, i.e. 2·ones[j] > n_tokens. The bit
+# layout matches the original formulation exactly — bit j ← bit (j%4)
+# of hex nibble (j div 4) + 1 (1-based): b1 big-endian-parses hex chars
+# 1-8, so nibble p sits at shift 4·(8-p), giving bit j the shift
+# 4·(7 - j div 4) + j%4 = 28 - 4·(j div 4) + j%4 (b2 likewise for hex
+# chars 9-16 / bits 32-63). Verified bit-identical to the nibble layout
+# on the full planted corpus and pinned in tests/test_dedup_gates.py.
 #
 # The first implementation evaluated a separate aggregate() over the
 # token array PER BIT — 64 array passes each doing a substring+conv
 # string parse per token (Spark does no CSE into lambda bodies, see the
 # PERF NOTE above). Measured at sf0.1: 3.7 s → ~0.6 s for the
-# signature stage with this one-pass layout.
+# signature stage with the one-pass layout.
+#
+# {hashes}: expression for array<struct<b1:bigint, b2:bigint>> — the
+# parsed md5 halves per token (see _simhash_token_bits).
 _SIMHASH_ONES = """
 aggregate(
   {hashes},
   array_repeat(0L, 64),
-  (acc, h) -> zip_with(
+  (acc, s) -> zip_with(
     acc,
-    flatten(transform(
-      transform(sequence(1, 16), p -> cast(conv(substring(h, p, 1), 16, 10) as int)),
-      nb -> array(
-        cast(nb & 1 as bigint),
-        cast(shiftright(nb, 1) & 1 as bigint),
-        cast(shiftright(nb, 2) & 1 as bigint),
-        cast(shiftright(nb, 3) & 1 as bigint)))),
+    transform(sequence(0, 63),
+      i -> if(i < 32,
+              shiftright(s.b1, 28 - 4 * (i div 4) + i % 4),
+              shiftright(s.b2, 28 - 4 * ((i - 32) div 4) + (i - 32) % 4)) & 1),
     (a, x) -> a + x))
 """
+
+
+def _simhash_token_bits(hashes: str) -> str:
+    """array<struct<b1,b2>> of parsed md5 halves from ``hashes`` (SQL
+    expression for array<string> of md5 hex digests). ``h`` is a lambda
+    VARIABLE, so each digest is read (not recomputed) per field."""
+    return (
+        f"transform({hashes}, "
+        "h -> struct(cast(conv(substring(h, 1, 8), 16, 10) as bigint) as b1, "
+        "cast(conv(substring(h, 9, 8), 16, 10) as bigint) as b2))"
+    )
+
+
+# Full chain from raw text to the parsed-halves array: tokenize →
+# distinct → md5 (inner transform; evaluated once per token) → parse
+# halves (outer transform over the md5 lambda variable).
+_SIMHASH_TEXT_BITS = (
+    "transform(transform(array_distinct(filter(split(lower(trim({t})), "
+    "'[ \\\\t\\\\r\\\\n\\\\f]+'), x -> x != '')), t -> md5(t)), "
+    "h -> struct(cast(conv(substring(h, 1, 8), 16, 10) as bigint) as b1, "
+    "cast(conv(substring(h, 9, 8), 16, 10) as bigint) as b2))"
+)
+
+#: a document contributes a signature iff it has ≥1 token after the
+#: [ \t\r\n\f]+ split — i.e. iff the RAW text has one non-separator
+#: char. Filtering on this (cheap, raw-column) predicate below the
+#: spread exchange is exactly equivalent to size(tokens) > 0 but cannot
+#: be predicate-pushed into a re-evaluation of the tokenize chain.
+_HAS_TOKEN_RE = "[^ \\t\\r\\n\\f]"
 
 # Pack ones-counts back into a bigint half: bit i of the half (i in
 # 0..31) is set iff 2·ones[{base} + i] > n (strict majority of +1
@@ -632,7 +716,7 @@ def simhash_halves(tokens_hashed: str) -> tuple[Column, Column]:
     NOTE: each half re-evaluates the ones-count aggregate; callers on a
     hot path should materialize the ones array once as an attribute
     column instead (as :func:`simhash_df` does)."""
-    ones = _SIMHASH_ONES.format(hashes=tokens_hashed)
+    ones = _SIMHASH_ONES.format(hashes=_simhash_token_bits(tokens_hashed))
     n = f"size({tokens_hashed})"
     lo = F.expr(
         f"aggregate(sequence(0, 31), cast(0 as bigint), (a, i) -> a + "
@@ -652,32 +736,35 @@ def simhash_df(
 ) -> DataFrame:
     """(id, simhash_lo, simhash_hi) per document.
 
-    Two materialization fences: token md5s first (the ones-count pass
-    reads them 64×), then the ones array + token count (both halves read
-    it 32× — without the fence CollapseProject would inline the whole
-    one-pass aggregate into each half and run it twice)."""
-    hashed = (
-        "transform(array_distinct(filter(split(lower(trim({t})), '[ \\\\t\\\\r\\\\n\\\\f]+'), "
-        "x -> x != '')), t -> md5(t))"
-    ).format(t=text_col)
-    th = _spread(
-        df.select(F.col(id_col).alias("id"), F.expr(hashed).alias("th"))
+    Two materialization fences above the spread: the parsed token-hash
+    structs first (ones + size both read them), then the ones array +
+    token count (both halves read it 32× — without the fence
+    CollapseProject would inline the whole one-pass aggregate into each
+    half and run it twice). The tokenize+md5 chain itself evaluates
+    ABOVE the spread exchange — on every core, not at input-split
+    parallelism (see _spread_project)."""
+    raw, m = _spread_n(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
         # token-less (empty/whitespace-only) docs: the oracle's sig CTE
         # has no row for them (group-by over zero tok rows), and every
         # such doc would get signature (0,0) — m empty docs pair
         # m²/2-fold at hamming 0 through one (chunk, 0) shuffle
         # partition. Drop them BEFORE banding, like the minhash path's
-        # length>=5 filter.
-        .where(F.size("th") > 0)
+        # length>=5 filter — on the RAW column (exactly equivalent to
+        # size(tokens) > 0, and not re-evaluable by predicate pushdown).
+        .where(F.col("_t").rlike(_HAS_TOKEN_RE))
     )
-    ones = th.select(
+    tb = raw.select(
+        "id", F.expr(_SIMHASH_TEXT_BITS.format(t="_t")).alias("tb")
+    ).coalesce(m)
+    ones = tb.select(
         "id",
-        F.expr(_SIMHASH_ONES.format(hashes="th")).alias("ones"),
-        F.size("th").alias("n"),
+        F.expr(_SIMHASH_ONES.format(hashes="tb")).alias("ones"),
+        F.size("tb").alias("n"),
     )
     # shuffle-free CollapseProject fence (same trick as _spread's
     # coalesce branch): keeps `ones` evaluated once, not once per half.
-    ones = ones.coalesce(ones.rdd.getNumPartitions())
+    ones = ones.coalesce(m)
     lo = F.expr(_SIMHASH_PACK_HALF.format(base=0))
     hi = F.expr(_SIMHASH_PACK_HALF.format(base=32))
     return ones.select("id", lo.alias("simhash_lo"), hi.alias("simhash_hi"))
@@ -794,15 +881,18 @@ def ngram_jaccard_pairs(
     # tokens as an attribute column first (PERF NOTE above), then n-grams
     # as cheap slice/join over the attribute
     toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), "[ \\t\\r\\n\\f]+"),
+        F.split(F.lower(F.trim(F.col("_t"))), "[ \\t\\r\\n\\f]+"),
         lambda x: x != ""
     )
-    with_toks = _spread(
+    with_toks = _spread_project(
         df.select(
             F.col(id_col).alias("id"),
             (F.col(block_col) if block_col else F.lit(1)).alias("blk"),
-            toks.alias("tk"),
-        )
+            F.col(text_col).alias("_t"),
+        ),
+        "id",
+        "blk",
+        toks.alias("tk"),
     )
     cnt = F.size("tk")
     grams = F.transform(
