@@ -644,7 +644,7 @@ def minhash_lsh_candidates(
 # 1-8, so nibble p sits at shift 4·(8-p), giving bit j the shift
 # 4·(7 - j div 4) + j%4 = 28 - 4·(j div 4) + j%4 (b2 likewise for hex
 # chars 9-16 / bits 32-63). Verified bit-identical to the nibble layout
-# on the full planted corpus and pinned in tests/test_dedup_gates.py.
+# on the full planted corpus and pinned in tests/test_spread_project.py.
 #
 # The first implementation evaluated a separate aggregate() over the
 # token array PER BIT — 64 array passes each doing a substring+conv

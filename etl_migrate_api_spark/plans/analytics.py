@@ -44,13 +44,30 @@ def _dbl(c) -> F.Column:
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: full-fact scan + hash aggregate (map-side partial).
     Decimal accumulation keeps the result engine-exact."""
+    from etl_migrate_api_spark.operators.dedup import _spread
+
     li = load(spark, "lineitem", sf_dir)
     qty = F.col("l_quantity").cast(_DEC)
     price = F.col("l_extendedprice").cast(_DEC)
     disc = (F.lit(1) - F.col("l_discount")).cast(_DEC)
     tax = (F.lit(1) + F.col("l_tax")).cast(_DEC)
     return (
-        li.where(F.col("l_shipdate") <= F.lit("2001-05-01 00:00:00").cast("timestamp"))
+        # single-row-group scan ⇒ 1-task map side; spread the filtered,
+        # projected rows so the decimal partial aggregation runs on
+        # every core (shuffle-free coalesce on real multi-split scans)
+        _spread(
+            li.where(
+                F.col("l_shipdate")
+                <= F.lit("2001-05-01 00:00:00").cast("timestamp")
+            ).select(
+                "l_returnflag",
+                "l_linestatus",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+                "l_tax",
+            )
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _dbl(F.sum(qty)).alias("sum_qty"),

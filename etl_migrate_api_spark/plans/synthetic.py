@@ -34,9 +34,19 @@ STATE_SLOT1 = "'p' || cast(c_custkey % 40 as string)"
 
 
 def contact_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contact batch: one row per order; seq = o_orderkey (arrival order)."""
+    """Contact batch: one row per order; seq = o_orderkey (arrival order).
+
+    The synthesis expressions (hn/tel formatting) and everything callers
+    stack on top (extract_phones, the fold's map side) are CPU-heavy
+    per-row work; the orders scan is a single-row-group file, so they
+    ran single-task. _spread_project moves them above a raw-column
+    spread (see operators/dedup.py) — shuffle-free on real multi-split
+    inputs."""
+    from etl_migrate_api_spark.operators.dedup import _spread_project
+
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    return orders.select(
+    return _spread_project(
+        orders.select("o_custkey", "o_orderkey"),
         F.expr(HN_OF.format(k="o_custkey")).alias("hn_code"),
         F.col("o_orderkey").alias("seq"),
         F.expr(TEL_OF.format(s="o_orderkey")).alias("tel_no"),

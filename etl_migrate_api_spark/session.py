@@ -83,6 +83,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE's coalescer merges post-shuffle partitions up to this
+        # size even when that sinks parallelism below the core count —
+        # on sf-gate data (whole shuffles < 1 MB) it collapsed
+        # CPU-heavy downstream stages (window rank, pair explode) to
+        # ONE task (measured: agg_histogram_sketch ran two sequential
+        # 1-task 1.5 s window stages). 64k keeps core-count parallelism
+        # on small inputs; at production sizes partitions are orders of
+        # magnitude above either bound, so the setting is inert there.
+        # Override per-deployment via SPARK_GRAFT_AQE_MIN_PARTITION.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+        )
         # --- shuffle sizing (override per-deployment) ---
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # --- broadcast: dims like state-keys / nation / region stay map-side ---
