@@ -466,16 +466,7 @@ def minhash_signature_tables(
     batch, not corpus. Deterministic md5 hashing means append-only
     updates never invalidate existing rows."""
     base = (
-        _spread_project(
-            # length(raw) ≥ length(norm): cheap necessary prefilter on
-            # the raw column below the exchange; the exact filter on the
-            # materialized norm follows (its pushdown re-evaluates only
-            # the norm regex, at full width — never the shingle chain)
-            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
-            .where(F.length("_t") >= 5),
-            "id",
-            _norm_text("_t").alias("t"),
-        )
+        _spread(df.select(F.col(id_col).alias("id"), _norm_text(text_col).alias("t")))
         .where(F.length("t") >= 5)
         .select(
             "id",
@@ -588,15 +579,7 @@ def minhash_lsh_candidates(
     # predicate-pushed below the repartition and re-evaluates the whole
     # shingle+hash chain at input-file parallelism (measured 4× slowdown).
     base = (
-        _spread_project(
-            # raw-column necessary prefilter below the exchange; exact
-            # length(norm) filter above the fence (see the twin note in
-            # minhash_signature_tables)
-            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
-            .where(F.length("_t") >= 5),
-            "id",
-            _norm_text("_t").alias("t"),
-        )
+        _spread(df.select(F.col(id_col).alias("id"), _norm_text(text_col).alias("t")))
         .where(F.length("t") >= 5)
         .select(
             "id",
@@ -881,18 +864,15 @@ def ngram_jaccard_pairs(
     # tokens as an attribute column first (PERF NOTE above), then n-grams
     # as cheap slice/join over the attribute
     toks = F.filter(
-        F.split(F.lower(F.trim(F.col("_t"))), "[ \\t\\r\\n\\f]+"),
+        F.split(F.lower(F.trim(F.col(text_col))), "[ \\t\\r\\n\\f]+"),
         lambda x: x != ""
     )
-    with_toks = _spread_project(
+    with_toks = _spread(
         df.select(
             F.col(id_col).alias("id"),
             (F.col(block_col) if block_col else F.lit(1)).alias("blk"),
-            F.col(text_col).alias("_t"),
-        ),
-        "id",
-        "blk",
-        toks.alias("tk"),
+            toks.alias("tk"),
+        )
     )
     cnt = F.size("tk")
     grams = F.transform(

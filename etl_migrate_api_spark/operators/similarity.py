@@ -968,20 +968,12 @@ def embedding_neardup_pairs(
     ≈1.5% of borderline pairs (exact copies: 0%); the DuckDB oracle
     mirrors the banding exactly (same literal weights), so results stay
     engine-identical and deterministic."""
-    from etl_migrate_api_spark.operators.dedup import _spread
-
     bits = hyperplane_sign_bits(F.col("v"), n_bands * band_size, dim)
     base = (
-        # spread BEFORE the sign-bit projection: 16 planes × 64-dim
-        # interpreted HOF folds per row previously ran at input-split
-        # parallelism (the sf gate's embeddings scan is 1-2 splits);
-        # behind the spread they fill the persist on every core
-        _spread(
-            df.select(
-                F.col(id_col).alias("id"),
-                (F.col(block_col) if block_col else F.lit(1)).alias("blk"),
-                F.col(vec_col).alias("v"),
-            )
+        df.select(
+            F.col(id_col).alias("id"),
+            (F.col(block_col) if block_col else F.lit(1)).alias("blk"),
+            F.col(vec_col).alias("v"),
         )
         .withColumn("bits", bits)
         .persist()

@@ -202,19 +202,17 @@ def llm_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the eval side is tiny (a benchmark), so AQE broadcasts it and the
     corpus side never shuffles; the distinct-gram dedup is map-side
     combined on (doc, gram)."""
-    from etl_migrate_api_spark.operators.dedup import _spread_project
+    from etl_migrate_api_spark.operators.dedup import _spread
 
     gh = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("bigint")
-    # tokens materialized as an attribute behind _spread_project's
-    # fence, then grams built over the attribute — inlining the
+    # tokens materialized as an attribute behind _spread's projection
+    # barrier, then grams built over the attribute — inlining the
     # tokenizer expression into the gram lambda would re-split the doc
-    # once PER GRAM (O(tokens²) per doc, the measured 25× trap); the
-    # tokenizer itself evaluates above the spread exchange (full width)
-    tokenized = _spread_project(
-        load(spark, "documents", sf_dir).select("doc_id", "source", "text"),
-        "doc_id",
-        "source",
-        _ws_tokens("text").alias("toks"),
+    # once PER GRAM (O(tokens²) per doc, the measured 25× trap)
+    tokenized = _spread(
+        load(spark, "documents", sf_dir).select(
+            "doc_id", "source", _ws_tokens("text").alias("toks")
+        )
     )
     base = (
         tokenized.select(

@@ -1045,9 +1045,7 @@ def llm_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir)
     from etl_migrate_api_spark.functions.text import ws_tokens
 
-    toks = dd._spread_project(
-        docs.select("doc_id", "text"), "doc_id", ws_tokens("text").alias("t")
-    )
+    toks = dd._spread(docs.select("doc_id", ws_tokens("text").alias("t")))
     grams = toks.select(
         "doc_id",
         F.when(
@@ -1132,9 +1130,9 @@ def llm_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_migrate_api_spark.functions.text import ws_tokens
 
     docs = load(spark, "documents", sf_dir)
-    ex = dd._spread_project(
-        docs.select("doc_id", "text"), "doc_id", ws_tokens("text").alias("t")
-    ).select("doc_id", F.explode("t").alias("tok"))
+    ex = dd._spread(docs.select("doc_id", ws_tokens("text").alias("t"))).select(
+        "doc_id", F.explode("t").alias("tok")
+    )
     tf = ex.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("f"))
     cnt = tf.groupBy("tok").agg(F.sum("f").cast("double").alias("c"))
     tot = tf.agg(F.sum("f").cast("double").alias("n"))
@@ -1219,8 +1217,8 @@ def llm_bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_migrate_api_spark.functions.text import ws_tokens
 
     docs = load(spark, "documents", sf_dir)
-    toks = dd._spread_project(
-        docs.select("doc_id", "text"), "doc_id", ws_tokens("text").alias("t")
+    toks = dd._spread(
+        docs.select("doc_id", ws_tokens("text").alias("t"))
     ).persist()
     big = (
         toks.where(F.size("t") >= 2)
@@ -1330,9 +1328,9 @@ def llm_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_migrate_api_spark.functions.text import ws_tokens
 
     docs = load(spark, "documents", sf_dir)
-    ex = dd._spread_project(
-        docs.select("doc_id", "text"), "doc_id", ws_tokens("text").alias("t")
-    ).select("doc_id", F.explode("t").alias("tok"))
+    ex = dd._spread(docs.select("doc_id", ws_tokens("text").alias("t"))).select(
+        "doc_id", F.explode("t").alias("tok")
+    )
     tf = ex.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("f"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
@@ -2696,17 +2694,11 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_migrate_api_spark.functions.text import fingerprint
 
-    # lang gate on the RAW column first (scan-level, commutes with the
-    # score filter), then spread BEFORE scoring: quality_score is ~6
-    # tokenize/regex passes per doc and the filter pushdown evaluates it
-    # a second time — both previously ran at input-split parallelism
-    # (3 tasks); behind the spread they run on every core.
-    docs = planted_docs(spark, sf_dir).where(F.col("lang") == "en")
-    raw, m = dd._spread_n(docs.select("doc_id", "text"))
-    scored = raw.select(
-        "doc_id", "text", quality_score("text").alias("quality")
-    ).coalesce(m)
-    pass1 = scored.where(F.col("quality") >= 0.75)
+    docs = planted_docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id", "text", "lang", quality_score("text").alias("quality")
+    )
+    pass1 = scored.where((F.col("quality") >= 0.75) & (F.col("lang") == "en"))
     w = Window.partitionBy("f").orderBy("doc_id")
     keep1 = (
         pass1.withColumn("f", fingerprint("text"))

@@ -111,13 +111,10 @@ def _dsir_scored_sql(source_sql: str) -> str:
 def _dsir_scored(docs: DataFrame) -> DataFrame:
     """Spark twin of :func:`_dsir_scored_sql`: (doc_id, lang, n_grams,
     w[decimal]) for an arbitrary ``(doc_id, lang, text)`` source."""
-    from etl_migrate_api_spark.operators.dedup import _spread_project
+    from etl_migrate_api_spark.operators.dedup import _spread
 
-    tokenized = _spread_project(
-        docs.select("doc_id", "lang", "text"),
-        "doc_id",
-        "lang",
-        _ws_tokens("text").alias("toks"),
+    tokenized = _spread(
+        docs.select("doc_id", "lang", _ws_tokens("text").alias("toks"))
     )
     grams = tokenized.select(
         "doc_id",
@@ -797,13 +794,11 @@ def _bm25_doc_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc BM25 (doc_id, score decimal(18,9)-summed, n_terms) for
     the fixed query — the shared lexical leg of llm_bm25_search and
     llm_rrf_fusion (mirrors _bm25_ranked_cte the same way)."""
-    from etl_migrate_api_spark.operators.dedup import _spread_project
+    from etl_migrate_api_spark.operators.dedup import _spread
 
     docs = load(spark, "documents", sf_dir)
-    tokenized = _spread_project(
-        docs.select("doc_id", "text"),
-        "doc_id",
-        _ws_tokens("text").alias("toks"),
+    tokenized = _spread(
+        docs.select("doc_id", _ws_tokens("text").alias("toks"))
     )
     lens = tokenized.select("doc_id", F.size("toks").alias("dl"))
     stats = lens.agg(
@@ -1097,14 +1092,11 @@ def llm_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; idf/stats ride broadcasts; the per-doc cap is one
     window on doc_id; the global top-8 is TakeOrderedAndProject (never
     a global sort); the budget window runs on 8 rows."""
-    from etl_migrate_api_spark.operators.dedup import _HAS_TOKEN_RE, _spread_project
+    from etl_migrate_api_spark.operators.dedup import _spread
 
     docs = load(spark, "documents", sf_dir)
-    toks = _spread_project(
-        # raw-column filter below the exchange ⟺ size(tokens) > 0
-        docs.select("doc_id", "text").where(F.col("text").rlike(_HAS_TOKEN_RE)),
-        "doc_id",
-        _ws_tokens("text").alias("t"),
+    toks = _spread(docs.select("doc_id", _ws_tokens("text").alias("t"))).where(
+        F.size("t") > 0
     )
     pos = toks.select(
         "doc_id", F.posexplode("t").alias("p", "w")
@@ -1351,12 +1343,12 @@ def llm_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-wide group on the fingerprint. At 100 TB the fingerprint
     group is the only corpus-wide shuffle, on a well-spread md5 key —
     the exact-dedup shape over ~N/16 chunk rows."""
-    from etl_migrate_api_spark.operators.dedup import _spread_project
+    from etl_migrate_api_spark.operators.dedup import _spread
 
-    tokenized = _spread_project(
-        load(spark, "documents", sf_dir).select("doc_id", "text"),
-        "doc_id",
-        _ws_tokens("text").alias("toks"),
+    tokenized = _spread(
+        load(spark, "documents", sf_dir).select(
+            "doc_id", _ws_tokens("text").alias("toks")
+        )
     )
     toks = F.col("toks")
     boundary = F.transform(

@@ -182,14 +182,8 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     faster at sf1 (2.7 s vs 4.2 s) and better 10×-data scaling (2.1×
     vs 2.7×) — the join form re-shuffles BOTH sides on l_orderkey
     because distinct() partitions on the pair, not the key."""
-    from etl_migrate_api_spark.operators.dedup import _spread
-
     sets = (
-        # spread the single-row-group scan so the map-side partial
-        # collect_set runs on every core (no-op on multi-split scans)
-        _spread(
-            load(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
-        )
+        load(spark, "lineitem", sf_dir)
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
     )
@@ -424,8 +418,6 @@ def hll_registers(
     """(group…, bucket, rho) register table — the sketch itself. Fixed
     size (≤ m rows per group), mergeable across any split of ``df`` by
     groupBy(bucket).max(rho)."""
-    from etl_migrate_api_spark.operators.dedup import _spread_project
-
     h = F.conv(
         F.substring(
             F.md5(
@@ -437,11 +429,7 @@ def hll_registers(
         16,
         10,
     ).cast("bigint")
-    # md5 per row above the spread (single-row-group scans plan 1 task;
-    # shuffle-free on real multi-split inputs — see _spread_project)
-    hdf = _spread_project(
-        df.select(*group_cols, elem_col), *group_cols, h.alias("h")
-    ).select(
+    hdf = df.select(*group_cols, h.alias("h")).select(
         *group_cols,
         (F.col("h") % HLL_M).alias("bucket"),
         F.expr(f"h div {HLL_M}").alias("v"),
@@ -654,20 +642,12 @@ def agg_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     column is the demo foil, same as agg_hll_distinct's."""
     from pyspark.sql import Window
 
-    from etl_migrate_api_spark.operators.dedup import _spread
-
     orders = load(spark, "orders", sf_dir)
     v = orders.where(F.col("o_totalprice") > 0).select(
         F.col("o_orderpriority").alias("g"),
         F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("x"),
     )
-    # spread + persist: the histogram, total and exact-rank branches
-    # each re-derived b from the single-row-group scan (three 1-task
-    # passes); one 32-way pass fills the cache instead
-    b = _spread(v).select(
-        "g", (F.length(F.bin("x")) - 1).alias("bkt"), "x"
-    ).persist()
-    b.count()
+    b = v.select("g", (F.length(F.bin("x")) - 1).alias("bkt"), "x")
     h = b.groupBy("g", "bkt").agg(F.count(F.lit(1)).alias("c"))
     t = h.groupBy("g").agg(F.sum("c").alias("n"))
     cum = h.select(
@@ -707,7 +687,7 @@ def agg_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         sel["g"], "ql", "n", "bkt", F.col("x").alias("exact")
     )
-    out = ex.select(
+    return ex.select(
         F.col("g").alias("o_orderpriority"),
         F.col("ql").alias("quantile"),
         F.col("n").alias("n_rows"),
@@ -720,12 +700,6 @@ def agg_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("est_hi"),
         "exact",
     ).orderBy("o_orderpriority", "quantile")
-    # materialize the (15-row) result, then free the spread cache —
-    # same contract as the dedup operators (caller owns the result)
-    out = out.persist()
-    out.count()
-    b.unpersist()
-    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1046,20 +1020,15 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar n. The classic 'what are the stopwords of this crawl'
     pre-tokenizer query."""
     from etl_migrate_api_spark.functions.text import ws_tokens
-    from etl_migrate_api_spark.operators.dedup import _spread_project
 
     docs = load(spark, "documents", sf_dir)
-    # tokenize ONCE, spread, persist: the three consumers (total count,
-    # MG pass, exact count) previously each re-tokenized the corpus in
-    # the scan's single task — 3 single-threaded passes
-    tok = _spread_project(
-        docs.select("text"), ws_tokens("text").alias("t")
-    ).persist()
-    toks = tok.select(F.explode("t").alias("item"))
+    toks = docs.select(F.explode(ws_tokens("text")).alias("item"))
     # total token count WITHOUT materializing the explode: sum of
     # per-doc array sizes is the same number at a fraction of the scan
     n = int(
-        tok.agg(F.coalesce(F.sum(F.size("t")), F.lit(0))).first()[0]
+        docs.agg(
+            F.coalesce(F.sum(F.size(ws_tokens("text"))), F.lit(0))
+        ).first()[0]
     )
     cands = (
         toks.mapInPandas(
@@ -1073,7 +1042,4 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") * (HH_K + 1) > F.lit(n))
     )
-    out = exact.orderBy(F.col("cnt").desc(), "item").persist()
-    out.count()
-    tok.unpersist()
-    return out
+    return exact.orderBy(F.col("cnt").desc(), "item")

@@ -83,21 +83,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # AQE's coalescer merges post-shuffle partitions up to this
-        # size even when that sinks parallelism below the core count —
-        # on sf-gate data (whole shuffles < 1 MB) it collapsed
-        # CPU-heavy downstream stages (window rank, pair explode) to
-        # ONE task (measured: agg_histogram_sketch ran two sequential
-        # 1-task 1.5 s window stages). 64k keeps core-count parallelism
-        # on small inputs; at production sizes partitions are orders of
-        # magnitude above either bound, so the setting is inert there.
-        # Override per-deployment via SPARK_GRAFT_AQE_MIN_PARTITION.
-        .config(
-            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
-        )
         # --- shuffle sizing (override per-deployment) ---
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # r15 shipped coalescePartitions.minPartitionSize=64k here to keep
+        # core-count parallelism on sub-MB shuffles; the round driver
+        # measured it as a fleet-wide regression (8-core bench BEAT the
+        # 32-core one: 32-task micro-stages under every small shuffle cost
+        # more in scheduling than they buy in parallelism — guide §2.2
+        # prescribes fewer, larger reduce partitions). Spark's 1 MB
+        # default is back; deployments that really want a floor opt in
+        # via SPARK_GRAFT_AQE_MIN_PARTITION.
         # --- broadcast: dims like state-keys / nation / region stay map-side ---
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # --- Arrow for the Pandas-UDF slow path (merge fold ref impl, multimodal) ---
@@ -113,6 +108,11 @@ def get_spark(
         # --- keep UI off in the harness; a real deployment re-enables it ---
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
+    aqe_min = os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION")
+    if aqe_min:
+        builder = builder.config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize", aqe_min
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

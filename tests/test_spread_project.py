@@ -53,7 +53,12 @@ def test_simhash_tokenize_above_spread_exchange(spark, _docs):
     assert opt.count("md5(") == 1, opt[:3000]
 
 
-def test_minhash_norm_above_spread_exchange(spark, _docs):
+def test_minhash_heavy_chain_above_spread_exchange(spark, _docs):
+    """r16: the minhash _spread_project variant (raw-text shuffle +
+    length(raw) prefilter) was A/B-measured SLOWER than the r14 shape
+    and reverted; what stays pinned is the part that matters: the
+    shingle+md5 chain evaluates ABOVE the spread exchange (the norm
+    regex below it is one cheap pass at scan width)."""
     from etl_migrate_api_spark.operators.dedup import minhash_signature_tables
 
     import re
@@ -63,15 +68,7 @@ def test_minhash_norm_above_spread_exchange(spark, _docs):
     parts = re.split(r"Repartition \d+, true", opt)
     assert len(parts) == 2, opt[:3000]
     below_exchange = parts[-1]
-    # the exact length(norm) >= 5 filter is predicate-pushed below the
-    # exchange (one regex per row at scan parallelism — the right trade:
-    # dropped rows never shuffle); the HEAVY chain (shingles + one md5
-    # per shingle) must stay above, on every core. regexp_replace below
-    # is allowed ONLY inside that pushed Filter, never in a Project.
     assert "md5" not in below_exchange, opt[:3000]
-    for line in below_exchange.splitlines():
-        if "regexp_replace" in line:
-            assert "Filter" in line, opt[:3000]
 
 
 def test_simhash_two_conv_parse_matches_nibble_layout(spark):
