@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_migrate_api_spark.functions.vectors import cosine_similarity
+from etl_migrate_api_spark.localdf import local_df
 from etl_migrate_api_spark.operators._swap_retry import (
     read_optional_dir,
     with_swap_retry,
@@ -354,9 +355,30 @@ def kmeans_centroids(
       1 ULP depending on shuffle-fetch merge order).
     - Cells that lose all members drop out (k can shrink).
     """
-    import numpy as np
-
     spark = corpus.sparkSession
+    cent_rows = _kmeans_centroid_rows(
+        corpus, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+        train_cap=train_cap,
+    )
+    # one slice (localdf): the k×dim model is driver-built; the default
+    # 32-slice local relation schedules one Python task per slice just
+    # to ship a handful of rows
+    return local_df(spark, cent_rows, "cent_id int, cent_v array<float>")
+
+
+def _kmeans_centroid_rows(
+    corpus: DataFrame,
+    k: int,
+    n_iter: int,
+    id_col: str,
+    vec_col: str,
+    train_cap: int = 4096,
+) -> list[tuple[int, list[float]]]:
+    """Driver-side body of :func:`kmeans_centroids`, returning the
+    python (cent_id, cent_v) rows — callers that immediately need the
+    model as constants (write_ivf_index's assign UDF) use this and skip
+    the createDataFrame → collect round-trip."""
+    import numpy as np
     # Train on a bounded DETERMINISTIC sample, driver-side — the faiss
     # recipe (≥256 vectors per centroid suffices for a coarse quantizer;
     # faiss itself trains on a subsample, outside the index). Lloyd over
@@ -393,12 +415,9 @@ def kmeans_centroids(
                 kept_cents.append(members.mean(axis=0))
         cent_ids = kept_ids
         cents = np.asarray(kept_cents)
-    cent_rows = [
+    return [
         (cid, [float(x) for x in cv]) for cid, cv in zip(cent_ids, cents)
     ]
-    return spark.createDataFrame(
-        cent_rows, schema="cent_id int, cent_v array<float>"
-    )
 
 
 def _trunc_div(a: int, b: int) -> int:
@@ -775,10 +794,9 @@ def write_ivf_index(
     (ivf_topk_from_index(where=…)): the predicate evaluates against
     the index's own parquet, pushed to the row-group level, instead of
     forcing a join back to the source table per query."""
-    cents = kmeans_centroids(corpus, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
-    cent_rows = [
-        (int(r["cent_id"]), [float(x) for x in r["cent_v"]]) for r in cents.collect()
-    ]
+    cent_rows = _kmeans_centroid_rows(
+        corpus, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
     assign = _cell_assign_udf(cent_rows)
     extras = [
         c for c in corpus.columns if c not in (id_col, vec_col, "cell")
@@ -797,7 +815,9 @@ def write_ivf_index(
     ).repartition(F.col("cell")).write.mode("overwrite").partitionBy("cell").parquet(
         path
     )
-    cents.write.mode("overwrite").parquet(f"{path}.centroids")
+    local_df(
+        corpus.sparkSession, cent_rows, "cent_id int, cent_v array<float>"
+    ).write.mode("overwrite").parquet(f"{path}.centroids")
 
 
 def ivf_topk_from_index(
@@ -917,7 +937,8 @@ def _ivf_topk_from_index_attempt(
             T.StructField("cell", T.IntegerType(), False),
         ]
     )
-    q = spark.createDataFrame(q_cells, schema=q_schema)
+    # one slice (localdf): |queries|×nprobe rows built on the driver
+    q = local_df(spark, q_cells, q_schema)
     probed = sorted({c for _, _, c in q_cells})
     c = spark.read.parquet(path).where(F.col("cell").isin(probed))
     tombs = _read_tombstones(spark, path)
@@ -1277,9 +1298,10 @@ def _exact_rerank(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
     qdf = F.broadcast(
-        spark.createDataFrame(
+        local_df(
+            spark,
             [(q, [float(x) for x in v]) for q, v in qrows],
-            schema="query_id long, qv array<double>",
+            "query_id long, qv array<double>",
         )
     )
     rescored = (
@@ -1364,9 +1386,9 @@ def write_pq_index(
         for j, cb in enumerate(books)
         for c, vec in enumerate(cb)
     ]
-    spark.createDataFrame(
-        rows, schema="sub int, code int, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}.codebooks")
+    local_df(
+        spark, rows, "sub int, code int, centroid array<double>"
+    ).write.mode("overwrite").parquet(f"{path}.codebooks")
 
 
 def pq_topk_from_index(
@@ -1495,9 +1517,9 @@ def write_ivfpq_index(
         for j, cb in enumerate(books)
         for c, vec in enumerate(cb)
     ]
-    corpus.sparkSession.createDataFrame(
-        rows, schema="sub int, code int, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}.codebooks")
+    local_df(
+        corpus.sparkSession, rows, "sub int, code int, centroid array<double>"
+    ).write.mode("overwrite").parquet(f"{path}.codebooks")
 
 
 def ivfpq_topk(

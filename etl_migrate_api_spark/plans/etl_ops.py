@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from etl_migrate_api_spark.catalog import load
 from etl_migrate_api_spark.plans.registry import register
+from etl_migrate_api_spark.localdf import local_df
 
 _DEC = "decimal(18,2)"
 
@@ -1125,7 +1126,8 @@ def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     → BroadcastNestedLoopJoin, the right physical plan for small
     interval sets at any fact size; large×large range joins bucketize
     the range instead (the events_asof_join pattern)."""
-    bands = spark.createDataFrame(
+    bands = local_df(
+        spark,
         [
             ("small", 0.0, 100_000.0),
             ("mid", 100_000.0, 250_000.0),
@@ -1287,7 +1289,8 @@ def countmin_counts(
             .collect()
         )
     )
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(k, int(cms.estimateCount(k))) for k in keys],
         f"{col} string, cm_count bigint",
     )

@@ -28,6 +28,7 @@ from etl_migrate_api_spark.functions.text import (
 from etl_migrate_api_spark.operators import dedup as dd
 from etl_migrate_api_spark.operators import similarity as sim
 from etl_migrate_api_spark.plans.registry import register
+from etl_migrate_api_spark.localdf import local_df
 
 # ---------------------------------------------------------------- planted docs
 
@@ -2062,7 +2063,8 @@ def llm_ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sample-row cells via the ENGINE expression (keeps F.round
     # semantics out of Python), then residual codebooks in pure
     # IEEE-double subtraction
-    samp_df = spark.createDataFrame(
+    samp_df = local_df(
+        spark,
         [(i, sample_v[i]) for i in range(ksub)],
         "pq_id int, v array<double>",
     )
@@ -2129,8 +2131,8 @@ def llm_ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # probe cells engine-side on the bounded query set (same rounded
     # argsort the oracle ranks with)
-    q_df = spark.createDataFrame(
-        [(qid, qv) for qid, qv in qrows], "query_id long, qv array<double>"
+    q_df = local_df(
+        spark, [(qid, qv) for qid, qv in qrows], "query_id long, qv array<double>"
     )
     pc = []
     for cid, cv in enumerate(cents):
@@ -2203,9 +2205,7 @@ def llm_ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
         "e",
     )
-    probe_df = spark.createDataFrame(
-        probe_pairs, "query_id long, cell int"
-    )
+    probe_df = local_df(spark, probe_pairs, "query_id long, cell int")
     scored = scored.join(
         F.broadcast(probe_df), ["query_id", "cell"], "left_semi"
     )
@@ -2352,7 +2352,8 @@ def llm_ann_ivf_probe_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("cell")
         .parquet(path)
     )
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(cid, cv) for cid, cv in enumerate(cents)],
         "cent_id int, cent_v array<double>",
     ).write.mode("overwrite").parquet(f"{path}.centroids")
@@ -2614,7 +2615,7 @@ def llm_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # not accumulate dirs for 6 h (the stale sweep above stays as a
         # backstop for crashed runs only)
         rows = out.collect()
-        return spark.createDataFrame(rows, schema=out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         # the index is three sibling dirs: codes + .centroids/.codebooks
         # sidecars (write_ivfpq_index layout)

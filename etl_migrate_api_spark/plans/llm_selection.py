@@ -54,6 +54,7 @@ from etl_migrate_api_spark.functions.text import (
 )
 from etl_migrate_api_spark.plans.llm_curation import _word_ngrams
 from etl_migrate_api_spark.plans.registry import register
+from etl_migrate_api_spark.localdf import local_df
 
 
 # ---------------------------------------------------------------------------
@@ -1686,9 +1687,10 @@ def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     merges = bpe_merge_table(words, _BPE_MERGES)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         merges,
-        schema="step int, left string, right string, merged string,"
+        "step int, left string, right string, merged string,"
         " pair_count bigint",
     )
 
@@ -2008,9 +2010,10 @@ def llm_bpe_merges_restricted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     merges = bpe_merge_table(words, _BPE_MERGES)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         merges,
-        schema="step int, left string, right string, merged string,"
+        "step int, left string, right string, merged string,"
         " pair_count bigint",
     )
 
@@ -2169,8 +2172,8 @@ def llm_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = train_unigram(
         docs, vocab_size=_UNIGRAM_VOCAB, seed_size=_UNIGRAM_SEED
     )
-    return spark.createDataFrame(
-        rows, schema="piece string, count_micro bigint, logprob_micro bigint"
+    return local_df(
+        spark, rows, "piece string, count_micro bigint, logprob_micro bigint"
     )
 
 
@@ -2714,8 +2717,8 @@ def llm_unigram_train_restricted(
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
     rows = train_unigram_restricted(w, n_multis=_UTR_MULTIS)
-    return spark.createDataFrame(
-        rows, schema="piece string, count_micro bigint, logprob_micro bigint"
+    return local_df(
+        spark, rows, "piece string, count_micro bigint, logprob_micro bigint"
     )
 
 

@@ -657,10 +657,10 @@ def agg_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("g").orderBy("bkt"))
         .alias("cc"),
     )
+    from etl_migrate_api_spark.localdf import local_df
+
     qdf = F.broadcast(
-        orders.sparkSession.createDataFrame(
-            _HISTO_QS, "ql string, num int, den int"
-        )
+        local_df(orders.sparkSession, _HISTO_QS, "ql string, num int, den int")
     )
     r = t.crossJoin(qdf).select(
         "g",
