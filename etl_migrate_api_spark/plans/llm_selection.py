@@ -1615,7 +1615,7 @@ def bpe_merge_table(
     # partitions, so without the coalesce the partition count follows
     # p' = 2p + k — exponential task-count growth (measured: ~2× per
     # step until iterations took 30 s on 182 rows)
-    n_parts = max(1, base.rdd.getNumPartitions())
+    n_parts = max(1, base._jdf.queryExecution().toRdd().getNumPartitions())
     pairs = _bpe_pair_counts(base).localCheckpoint(eager=True)
     overrides = None  # (word, cnt, syms) rewritten since last compaction
     merges: list[tuple[int, str, str, str, int]] = []
